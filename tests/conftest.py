@@ -1,0 +1,23 @@
+from __future__ import annotations
+
+import pytest
+
+from urban_mobility_data_pipeline_spark.session import get_spark
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="session")
+def spark():
+    spark = get_spark(
+        app_name="umdp-tests",
+        master="local[8]",
+        extra_conf={"spark.sql.shuffle.partitions": "8", "spark.ui.enabled": "false"},
+    )
+    yield spark
+    spark.stop()
+
+
+@pytest.fixture(scope="session")
+def sf_dir() -> str:
+    return SF_DIR

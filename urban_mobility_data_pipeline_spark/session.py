@@ -1,0 +1,74 @@
+"""SparkSession factory.
+
+Reference pattern: every job builds its own session with dev-tuned shuffle
+settings (reference ``src/silver/trips_bronze_to_silver.py:98-111`` pins
+``spark.sql.shuffle.partitions=4`` for WSL). The rebuild instead enables AQE
+and lets runtime coalescing pick partition counts, which is what survives a
+1000-executor / 100 TB deployment; the explicit count here is only the
+*initial* value.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+#: Session defaults applied by :func:`get_spark` and (best-effort, for the
+#: runtime-settable subset) by :func:`configure_session` on foreign sessions.
+DEFAULT_CONF: dict[str, str] = {
+    # AQE: runtime shuffle-partition coalescing, skew-join splitting, and
+    # dynamic broadcast decisions — the scale story at 100 TB.
+    "spark.sql.adaptive.enabled": "true",
+    "spark.sql.adaptive.coalescePartitions.enabled": "true",
+    "spark.sql.adaptive.skewJoin.enabled": "true",
+    # Deterministic timestamp rendering regardless of host TZ.
+    "spark.sql.session.timeZone": "UTC",
+    # Arrow for any pandas interchange (extensions use pandas UDFs).
+    "spark.sql.execution.arrow.pyspark.enabled": "true",
+    # Reasonable local default; AQE coalesces down, big clusters raise it.
+    "spark.sql.shuffle.partitions": "32",
+}
+
+
+def configure_session(spark: SparkSession) -> SparkSession:
+    """Apply runtime-settable defaults to an existing session.
+
+    The verification driver hands us its own ``SparkSession``; session
+    timezone and AQE flags are runtime-configurable, so we normalize them
+    here instead of requiring our own builder.
+    """
+    for key in (
+        "spark.sql.session.timeZone",
+        "spark.sql.adaptive.enabled",
+        "spark.sql.adaptive.coalescePartitions.enabled",
+        "spark.sql.adaptive.skewJoin.enabled",
+    ):
+        try:
+            spark.conf.set(key, DEFAULT_CONF[key])
+        except Exception:
+            pass  # immutable on some builds — harmless
+    return spark
+
+
+def get_spark(
+    app_name: str = "umdp-spark",
+    master: str | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or reuse) a SparkSession with engine defaults.
+
+    ``master`` defaults to ``local[$SPARK_GRAFT_CPUS]`` locally; on a real
+    cluster leave it unset and let spark-submit decide.
+    """
+    builder = SparkSession.builder.appName(app_name)
+    if master is None and "SPARK_GRAFT_CPUS" in os.environ:
+        master = f"local[{os.environ['SPARK_GRAFT_CPUS']}]"
+    if master:
+        builder = builder.master(master)
+    conf = dict(DEFAULT_CONF)
+    if extra_conf:
+        conf.update(extra_conf)
+    for k, v in conf.items():
+        builder = builder.config(k, v)
+    return configure_session(builder.getOrCreate())
