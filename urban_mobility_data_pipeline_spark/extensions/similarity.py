@@ -1,0 +1,113 @@
+"""Similarity search over embedding columns (SURVEY.md §7 phase 6).
+
+Two tiers:
+
+- **Brute-force cosine top-k** (`cosine_topk`): a broadcast of the query
+  vector into the plan + one linear scan + TakeOrderedAndProject. The
+  exactness baseline; at 100 TB it's one pass, no shuffle of the corpus.
+- **LSH-bucketed ANN** (`hyperplane_buckets` + `bucketed_topk`): random
+  hyperplane signs give every vector a small integer bucket; search
+  touches only the query's bucket (optionally Hamming-adjacent buckets).
+  Bucketing is a map; the bucket column is a natural partition/cluster
+  key for the corpus table, so the scan prunes at the file level.
+
+Hyperplanes are deterministic (seeded from md5 in Python), embedded as
+literals — reproducible in any engine, no RNG at runtime.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from urban_mobility_data_pipeline_spark.functions.vectors import (
+    cosine,
+    hyperplane_sign_bucket,
+)
+
+ANN_PLANES = 8
+
+
+def deterministic_hyperplanes(dim: int, n_planes: int = ANN_PLANES) -> list[list[float]]:
+    """±1 hyperplane components seeded from md5(plane,dim) — stable across
+    runs, processes, and engines."""
+    planes = []
+    for p in range(n_planes):
+        row = []
+        for d in range(dim):
+            h = hashlib.md5(f"{p}:{d}".encode()).hexdigest()
+            row.append(1.0 if int(h[:2], 16) % 2 == 0 else -1.0)
+        planes.append(row)
+    return planes
+
+
+def cosine_topk(
+    embeddings: DataFrame,
+    query_vec_id: int,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact top-k by cosine to the vector with id ``query_vec_id``.
+
+    The 1-row query side is broadcast; ranking is on the *rounded*
+    cosine with an id tiebreaker so results are deterministic and
+    engine-portable. Plans as BroadcastNestedLoopJoin (1 row) +
+    TakeOrderedAndProject — no corpus shuffle.
+    """
+    q = embeddings.filter(F.col(id_col) == query_vec_id).select(
+        F.col(vec_col).alias("__qv")
+    )
+    scored = embeddings.filter(F.col(id_col) != query_vec_id).join(
+        F.broadcast(q)
+    )
+    return (
+        scored.select(
+            F.col(id_col),
+            F.round(cosine(vec_col, "__qv"), 6).alias("cosine"),
+        )
+        .orderBy(F.col("cosine").desc(), F.col(id_col).asc())
+        .limit(k)
+    )
+
+
+def hyperplane_buckets(
+    embeddings: DataFrame,
+    dim: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_planes: int = ANN_PLANES,
+) -> DataFrame:
+    """Assign every vector its hyperplane-sign LSH bucket (map-only)."""
+    planes = deterministic_hyperplanes(dim, n_planes)
+    return embeddings.select(
+        F.col(id_col),
+        hyperplane_sign_bucket(vec_col, planes).alias("bucket"),
+    )
+
+
+def bucketed_topk(
+    embeddings: DataFrame,
+    dim: int,
+    query_vec_id: int,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """ANN: restrict the cosine scan to the query's LSH bucket. Recall is
+    tunable via n_planes (fewer planes → bigger buckets → higher recall,
+    more compute)."""
+    with_buckets = embeddings.join(
+        hyperplane_buckets(embeddings, dim, id_col, vec_col), id_col
+    )
+    q_bucket = with_buckets.filter(F.col(id_col) == query_vec_id).select(
+        F.col("bucket").alias("__qb")
+    )
+    candidates = with_buckets.join(F.broadcast(q_bucket)).filter(
+        F.col("bucket") == F.col("__qb")
+    )
+    return cosine_topk(
+        candidates.select(id_col, vec_col), query_vec_id, k, id_col, vec_col
+    )

@@ -44,12 +44,12 @@ def whitespace_token_count(text: Column | str) -> Column:
 def bpeish_token_count(text: Column | str) -> Column:
     """Token count under the BPE-ish regex tokenizer."""
     c = F.col(text) if isinstance(text, str) else text
-    return F.size(F.regexp_extract_all(c, F.lit(BPEISH_TOKEN_RE)))
+    return F.size(F.regexp_extract_all(c, F.lit(BPEISH_TOKEN_RE), 0))
 
 
 def punct_count(text: Column | str) -> Column:
     c = F.col(text) if isinstance(text, str) else text
-    return F.size(F.regexp_extract_all(c, F.lit(PUNCT_RE)))
+    return F.size(F.regexp_extract_all(c, F.lit(PUNCT_RE), 0))
 
 
 def stopword_count(text: Column | str, markers: Sequence[str]) -> Column:

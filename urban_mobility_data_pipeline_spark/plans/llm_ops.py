@@ -1,0 +1,411 @@
+"""LLM-data-pipeline query catalog (SURVEY.md §7 phase 6 — additive
+beyond the reference): deduplication, similarity search, text analysis.
+
+Every query here has a DuckDB oracle generated from the *same* Python
+constants (seeds, hyperplanes, marker words), so Spark and the oracle
+can't drift apart.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from urban_mobility_data_pipeline_spark.extensions.dedup import (
+    LSH_BANDS,
+    LSH_ROWS,
+    MINHASH_K,
+    SIMHASH_BITS,
+    lsh_band_keys,
+    minhash_signatures,
+    near_dup_pairs,
+    simhash,
+    word_shingles,
+)
+from urban_mobility_data_pipeline_spark.extensions.similarity import (
+    ANN_PLANES,
+    cosine_topk,
+    deterministic_hyperplanes,
+    hyperplane_buckets,
+)
+from urban_mobility_data_pipeline_spark.functions import text as T
+from urban_mobility_data_pipeline_spark.plans._helpers import table
+
+QUERIES: dict = {}
+ORACLES: dict[str, str] = {}
+
+
+def register(name: str, oracle: str | None = None):
+    def deco(fn):
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLES[name] = oracle
+        return fn
+
+    return deco
+
+
+# --- shared DuckDB fragments (generated from the same constants) -----------
+
+_WORDS = r"string_split_regex(lower(trim(text)), '\s+')"
+_SHINGLES = (
+    f"list_distinct(CASE WHEN len({_WORDS}) >= 3 THEN "
+    f"list_transform(generate_series(1, len({_WORDS}) - 2), "
+    f"i -> {_WORDS}[i] || ' ' || {_WORDS}[i+1] || ' ' || {_WORDS}[i+2]) "
+    f"ELSE [lower(trim(text))] END)"
+)
+
+
+def _duck_minhash(j: int, shingles_expr: str = "shingles") -> str:
+    return (
+        f"list_aggregate(list_transform({shingles_expr}, "
+        f"s -> md5('{j}|' || s)), 'min')"
+    )
+
+
+def _duck_hex_to_long(expr: str) -> str:
+    """Parse a hex string expression to BIGINT (DuckDB has no conv)."""
+    return (
+        "list_reduce(list_prepend(CAST(0 AS BIGINT), "
+        f"list_transform(string_split({expr}, ''), "
+        "c -> CAST(strpos('0123456789abcdef', c) - 1 AS BIGINT))), "
+        "(a, b) -> a * 16 + b)"
+    )
+
+
+# ---------------------------------------------------------------------------
+# exact dedup
+# ---------------------------------------------------------------------------
+@register(
+    "dedup_exact_docs",
+    oracle="""
+    SELECT md5(text)    AS text_hash,
+           min(doc_id)  AS kept_doc_id,
+           count(*)     AS n_copies
+    FROM documents
+    GROUP BY md5(text)
+    """,
+)
+def dedup_exact_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: hash-groupBy on a content digest, keep the smallest
+    id. Only the 32-char digest shuffles — at 100 TB the text stays in
+    place (map-side partial agg carries min(id), count)."""
+    docs = table(spark, sf_dir, "documents")
+    return (
+        docs.groupBy(F.md5("text").alias("text_hash"))
+        .agg(
+            F.min("doc_id").alias("kept_doc_id"),
+            F.count(F.lit(1)).alias("n_copies"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# minhash signatures
+# ---------------------------------------------------------------------------
+_MH_COLS_SQL = ",\n           ".join(
+    f"{_duck_minhash(j)} AS mh_{j}" for j in range(MINHASH_K)
+)
+
+
+@register(
+    "doc_minhash_signatures",
+    oracle=f"""
+    WITH sh AS (SELECT doc_id, {_SHINGLES} AS shingles FROM documents)
+    SELECT doc_id,
+           {_MH_COLS_SQL}
+    FROM sh
+    """,
+)
+def doc_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash signatures (K=8) over distinct 3-word shingles; the
+    signature is the min md5 under K seeded 'permutations'. Map-only —
+    the building block LSH dedup buckets on."""
+    docs = table(spark, sf_dir, "documents")
+    return minhash_signatures(docs)
+
+
+# ---------------------------------------------------------------------------
+# LSH band keys (the shuffle key for near-dup bucketing)
+# ---------------------------------------------------------------------------
+_BAND_SELECTS = "\n    UNION ALL\n".join(
+    f"    SELECT doc_id, {b} AS band_id, "
+    f"md5(mh_{b * LSH_ROWS} || mh_{b * LSH_ROWS + 1}) AS band_key FROM sigs"
+    for b in range(LSH_BANDS)
+)
+
+
+@register(
+    "doc_lsh_band_keys",
+    oracle=f"""
+    WITH sh AS (SELECT doc_id, {_SHINGLES} AS shingles FROM documents),
+    sigs AS (SELECT doc_id, {_MH_COLS_SQL} FROM sh)
+{_BAND_SELECTS}
+    """,
+)
+def doc_lsh_band_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH banding: 4 bands × 2 rows. Docs sharing a (band_id, band_key)
+    are near-dup candidates; the key is what gets shuffled, not text."""
+    docs = table(spark, sf_dir, "documents")
+    return lsh_band_keys(minhash_signatures(docs))
+
+
+# ---------------------------------------------------------------------------
+# verified near-dup pairs
+# ---------------------------------------------------------------------------
+@register(
+    "doc_near_dup_pairs",
+    oracle=f"""
+    WITH sh AS (SELECT doc_id, {_SHINGLES} AS shingles FROM documents),
+    sigs AS (SELECT doc_id, {_MH_COLS_SQL} FROM sh),
+    keys AS (
+{_BAND_SELECTS}
+    ),
+    cands AS (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM keys a JOIN keys b
+          ON a.band_id = b.band_id AND a.band_key = b.band_key
+         AND a.doc_id < b.doc_id
+    ),
+    verified AS (
+        SELECT c.doc_a, c.doc_b,
+               round(
+                 len(list_filter(sa.shingles, x -> list_contains(sb.shingles, x)))
+                 / CAST(len(sa.shingles) + len(sb.shingles)
+                        - len(list_filter(sa.shingles,
+                                          x -> list_contains(sb.shingles, x)))
+                        AS DOUBLE), 6) AS jaccard
+        FROM cands c
+        JOIN sh sa ON sa.doc_id = c.doc_a
+        JOIN sh sb ON sb.doc_id = c.doc_b
+    )
+    SELECT * FROM verified WHERE jaccard >= 0.1
+    """,
+)
+def doc_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH candidate generation + exact n-gram-Jaccard
+    verification (threshold 0.1). The full fuzzy-dedup pipeline:
+    signatures → band buckets → candidate self-join → verify join."""
+    docs = table(spark, sf_dir, "documents")
+    return near_dup_pairs(docs, threshold=0.1)
+
+
+# ---------------------------------------------------------------------------
+# simhash fingerprints
+# ---------------------------------------------------------------------------
+_SIM_TERMS = " + ".join(
+    "(CASE WHEN CAST(list_sum(list_transform(vals, "
+    f"v -> ((v >> {i}) & 1) * 2 - 1)) AS BIGINT) > 0 "
+    f"THEN CAST({1 << i} AS BIGINT) ELSE 0 END)"
+    for i in range(SIMHASH_BITS)
+)
+
+
+@register(
+    "doc_simhash",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id,
+               list_transform({_WORDS},
+                   t -> {_duck_hex_to_long("substring(md5(t), 1, 8)")}) AS vals
+        FROM documents
+    )
+    SELECT doc_id, CAST({_SIM_TERMS} AS BIGINT) AS simhash32
+    FROM toks
+    """,
+)
+def doc_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """32-bit SimHash fingerprints — near-dups differ in few bits, so
+    grouping by fingerprint (or banding its bytes) dedups in one
+    map + one shuffle."""
+    docs = table(spark, sf_dir, "documents")
+    return docs.select("doc_id", simhash("text").alias("simhash32"))
+
+
+# ---------------------------------------------------------------------------
+# brute-force cosine top-k
+# ---------------------------------------------------------------------------
+@register(
+    "embedding_cosine_topk",
+    oracle="""
+    WITH q AS (SELECT list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qv
+               FROM embeddings WHERE vec_id = 0),
+    scored AS (
+        SELECT e.vec_id,
+               round(
+                 list_dot_product(list_transform(e.embedding, x -> CAST(x AS DOUBLE)), q.qv)
+                 / (sqrt(list_dot_product(list_transform(e.embedding, x -> CAST(x AS DOUBLE)),
+                                          list_transform(e.embedding, x -> CAST(x AS DOUBLE))))
+                    * sqrt(list_dot_product(q.qv, q.qv))), 6) AS cosine
+        FROM embeddings e, q
+        WHERE e.vec_id <> 0
+    )
+    SELECT vec_id, cosine FROM scored
+    ORDER BY cosine DESC, vec_id ASC
+    LIMIT 10
+    """,
+)
+def embedding_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact ANN baseline: brute-force cosine top-10 to vec_id=0 via
+    zip_with/aggregate folds (JVM-side, no UDF). Plans as a 1-row
+    broadcast + TakeOrderedAndProject."""
+    emb = table(spark, sf_dir, "embeddings")
+    return cosine_topk(emb, query_vec_id=0, k=10)
+
+
+# ---------------------------------------------------------------------------
+# hyperplane LSH buckets (the ANN scale path)
+# ---------------------------------------------------------------------------
+_EMB_DIM = 64
+_PLANES = deterministic_hyperplanes(_EMB_DIM, ANN_PLANES)
+
+
+def _duck_plane_literal(plane: list[float]) -> str:
+    return "[" + ", ".join(f"{v:.1f}" for v in plane) + "]"
+
+
+_BUCKET_TERMS = " + ".join(
+    f"(CASE WHEN list_dot_product(ve, {_duck_plane_literal(p)}) >= 0 "
+    f"THEN {1 << i} ELSE 0 END)"
+    for i, p in enumerate(_PLANES)
+)
+
+
+@register(
+    "embedding_ann_buckets",
+    oracle=f"""
+    WITH v AS (SELECT vec_id,
+                      list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ve
+               FROM embeddings)
+    SELECT vec_id, CAST({_BUCKET_TERMS} AS INTEGER) AS bucket
+    FROM v
+    """,
+)
+def embedding_ann_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Random-hyperplane LSH bucket per vector (8 deterministic ±1
+    planes → bucket ∈ [0,256)). Map-only; the bucket is the partition
+    key that turns ANN search into a pruned scan at 100 TB."""
+    emb = table(spark, sf_dir, "embeddings")
+    return hyperplane_buckets(emb, dim=_EMB_DIM)
+
+
+# ---------------------------------------------------------------------------
+# language ID
+# ---------------------------------------------------------------------------
+def _duck_lang_score(markers: tuple[str, ...]) -> str:
+    inlist = ", ".join(f"'{m}'" for m in markers)
+    return f"len(list_filter({_WORDS}, w -> w IN ({inlist})))"
+
+
+_LANGS = list(T.LANG_MARKERS.items())
+_SCORE_EXPRS = {lang: _duck_lang_score(ms) for lang, ms in _LANGS}
+_G = "greatest(" + ", ".join(f"score_{lang}" for lang, _ in _LANGS) + ")"
+_WINNER = (
+    "CASE WHEN " + _G + " <= 0 THEN 'und' "
+    + " ".join(
+        f"WHEN score_{lang} = {_G} THEN '{lang}'" for lang, _ in _LANGS
+    )
+    + " END"
+)
+
+
+@register(
+    "doc_lang_id",
+    oracle=f"""
+    WITH scored AS (
+        SELECT doc_id, lang AS declared_lang,
+               {", ".join(f"{expr} AS score_{lang}" for lang, expr in _SCORE_EXPRS.items())}
+        FROM documents
+    )
+    SELECT doc_id, declared_lang, {_WINNER} AS predicted_lang
+    FROM scored
+    """,
+)
+def doc_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Marker-stopword language ID (argmax with deterministic first-listed
+    tie-break, 'und' when nothing matches). A pure per-row map —
+    language filtering at corpus scale is a pushed-down predicate on
+    this column."""
+    docs = table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.col("lang").alias("declared_lang"),
+        T.lang_id("text").alias("predicted_lang"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# quality scores
+# ---------------------------------------------------------------------------
+@register(
+    "doc_quality_scores",
+    oracle=f"""
+    SELECT doc_id,
+           CAST(length(text) AS INTEGER)  AS n_chars,
+           CAST(len({_WORDS}) AS INTEGER) AS n_words,
+           round(CAST(list_sum(list_transform({_WORDS}, w -> length(w))) AS BIGINT)
+                 / greatest(len({_WORDS}), 1), 4) AS avg_word_len,
+           round(len(regexp_extract_all(text, '[^A-Za-z0-9\\s]'))
+                 / CAST(greatest(length(text), 1) AS DOUBLE), 6) AS punct_ratio,
+           round(len(list_filter({_WORDS},
+                     w -> w IN ('the','and','of','to','a','in','is')))
+                 / CAST(greatest(len({_WORDS}), 1) AS DOUBLE), 6) AS stopword_ratio
+    FROM documents
+    """,
+)
+def doc_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classic pre-training quality-filter features: length, word stats,
+    punctuation density, stopword density. Map-only, codegen'd."""
+    docs = table(spark, sf_dir, "documents")
+    feats = T.quality_features("text")
+    return docs.select("doc_id", *[v.alias(k) for k, v in feats.items()])
+
+
+# ---------------------------------------------------------------------------
+# token counts
+# ---------------------------------------------------------------------------
+@register(
+    "doc_token_counts",
+    oracle=f"""
+    SELECT doc_id,
+           CAST(len({_WORDS}) AS INTEGER) AS n_ws_tokens,
+           CAST(len(regexp_extract_all(text,
+                '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS INTEGER) AS n_bpeish_tokens
+    FROM documents
+    """,
+)
+def doc_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting: whitespace tokens + BPE-ish regex tokens (letter
+    runs / digit runs / single punctuation) — the budget estimator for
+    corpus sizing."""
+    docs = table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        T.whitespace_token_count("text").cast("int").alias("n_ws_tokens"),
+        T.bpeish_token_count("text").cast("int").alias("n_bpeish_tokens"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# rolling-hash fingerprints
+# ---------------------------------------------------------------------------
+@register(
+    "doc_fingerprints",
+    oracle=f"""
+    SELECT doc_id,
+           list_reduce(
+               list_prepend(CAST(0 AS BIGINT),
+                   list_transform({_WORDS},
+                       w -> CAST(length(w) * 7 + ascii(substring(w, 1, 1)) AS BIGINT))),
+               (a, b) -> (a * 31 + b) % {T.FINGERPRINT_MOD}) AS fingerprint
+    FROM documents
+    """,
+)
+def doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-sensitive rolling-hash document fingerprint (polynomial fold
+    over per-word codes) — cheap near-identity signature for corpus
+    diffing."""
+    docs = table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id", T.rolling_fingerprint("text").alias("fingerprint")
+    )
