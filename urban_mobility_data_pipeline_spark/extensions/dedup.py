@@ -33,10 +33,21 @@ SIMHASH_BITS = 32
 
 def word_shingles(text: Column | str, n: int = 3) -> Column:
     """Distinct n-word shingles of lowercased whitespace tokens; short
-    docs (<n words) contribute their whole text as one shingle."""
+    docs (<n words) contribute their whole text as one shingle.
+
+    NOTE: as a single Column expression the tokenizer sub-tree is
+    re-inlined at every ``element_at`` reference — fine for one-off use,
+    but hot paths should go through :func:`shingles_df`, which stages
+    ``words`` as a materialized attribute (CollapseProject keeps
+    non-cheap multi-referenced aliases in their own projection).
+    """
     c = F.col(text) if isinstance(text, str) else text
     norm = F.lower(F.trim(c))
     w = F.split(norm, r"\s+")
+    return _shingle_expr(norm, w, n)
+
+
+def _shingle_expr(norm: Column, w: Column, n: int = 3) -> Column:
     grams = F.transform(
         F.sequence(F.lit(1), F.size(w) - (n - 1)),
         lambda i: F.concat_ws(" ", *[F.element_at(w, i + k) for k in range(n)]),
@@ -46,26 +57,60 @@ def word_shingles(text: Column | str, n: int = 3) -> Column:
     )
 
 
-def _seeded_min(shingles: Column, j: int) -> Column:
-    # NB: the lambda must take exactly one parameter — PySpark treats a
-    # second parameter as the element *index*.
-    prefix = f"{j}|"
-    return F.array_min(
-        F.transform(shingles, lambda s: F.md5(F.concat(F.lit(prefix), s)))
+def shingles_df(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text", n: int = 3
+) -> DataFrame:
+    """(id, shingles) with the tokenizer staged: ``norm`` and ``words``
+    become attributes of an inner projection, so the regex split runs
+    exactly once per document no matter how many times the shingle
+    builder references it."""
+    staged = docs.select(
+        F.col(id_col),
+        F.lower(F.trim(F.col(text_col))).alias("__norm"),
+    ).select(
+        F.col(id_col),
+        F.col("__norm"),
+        F.split(F.col("__norm"), r"\s+").alias("__words"),
+    )
+    return staged.select(
+        F.col(id_col),
+        _shingle_expr(F.col("__norm"), F.col("__words"), n).alias("shingles"),
     )
 
 
-def minhash_cols(shingles: Column, k: int = MINHASH_K) -> list[Column]:
-    """K independent minhashes: min over the shingle set of
-    md5('<seed>|'+shingle). Lexicographic min over a uniform hex hash is
-    a permutation-min — the classic MinHash estimator."""
-    return [_seeded_min(shingles, j).alias(f"mh_{j}") for j in range(k)]
+def exploded_shingles(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """(id, shingle) rows — the corpus-scale layout for signature
+    building."""
+    return shingles_df(docs, id_col, text_col).select(
+        F.col(id_col), F.explode("shingles").alias("shingle")
+    )
 
 
-def minhash_signatures(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
-    """doc_id + mh_0..mh_{K-1} signature table. Narrow map-only plan."""
-    sh = word_shingles(text_col)
-    return docs.select(F.col(id_col), *minhash_cols(sh))
+def minhash_signatures(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """doc_id + mh_0..mh_{K-1} signature table.
+
+    Shape: explode shingles → K md5s per (doc, shingle) row → groupBy
+    doc min. Map-side partial aggregation means the shuffle carries one
+    K-wide signature per doc per partition — at corpus scale this is the
+    plan you want (vs per-row array folds, which re-evaluate the
+    tokenizer K times per element when Catalyst inlines the lambda).
+    Lexicographic min over a seeded uniform hex hash is a
+    permutation-min — the classic MinHash estimator.
+    """
+    per_shingle = exploded_shingles(docs, id_col, text_col).select(
+        F.col(id_col),
+        *[
+            F.md5(F.concat(F.lit(f"{j}|"), F.col("shingle"))).alias(f"h{j}")
+            for j in range(MINHASH_K)
+        ],
+    )
+    return per_shingle.groupBy(id_col).agg(
+        *[F.min(f"h{j}").alias(f"mh_{j}") for j in range(MINHASH_K)]
+    )
 
 
 def lsh_band_keys(sigs: DataFrame, id_col: str = "doc_id") -> DataFrame:
@@ -127,9 +172,7 @@ def near_dup_pairs(
     at scale the candidate list is tiny relative to the corpus, so the
     two joins broadcast the candidates, never reshuffling the corpus."""
     cands = lsh_candidate_pairs(docs, id_col, text_col)
-    sh = docs.select(
-        F.col(id_col), word_shingles(text_col).alias("shingles")
-    )
+    sh = shingles_df(docs, id_col, text_col)
     paired = (
         cands.join(
             sh.select(
@@ -154,29 +197,45 @@ def near_dup_pairs(
     )
 
 
-def simhash(text: Column | str, bits: int = SIMHASH_BITS) -> Column:
-    """32-bit SimHash over whitespace tokens.
+def simhash_signatures(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bits: int = SIMHASH_BITS,
+    out_col: str = "simhash32",
+) -> DataFrame:
+    """32-bit SimHash fingerprint per document.
 
     Per token: v = first 8 hex chars of md5(token) parsed base-16
     (32 bits). Per bit i: weight Σ over tokens of (2·bit_i(v) − 1);
     final bit i = (Σ > 0); fingerprint = Σ bit_i·2^i. Integer-exact, so
     any md5-capable engine replays it bit-for-bit.
-    """
-    c = F.col(text) if isinstance(text, str) else text
-    tokens = F.split(F.lower(F.trim(c)), r"\s+")
-    vals = F.transform(
-        tokens, lambda t: F.conv(F.substring(F.md5(t), 1, 8), 16, 10).cast("long")
-    )
-    def bit_folder(i: int):
-        # closure factory: aggregate's merge lambda must stay 2-ary
-        return lambda acc, v: acc + (
-            F.shiftright(v, i).bitwiseAND(F.lit(1)) * 2 - 1
-        )
 
-    total = F.lit(0).cast("long")
+    Shape: explode tokens → one md5 per token row → 32 conditional sums
+    in a single hash aggregate (map-side combine ⇒ the shuffle carries
+    32 longs per doc per partition, not tokens).
+    """
+    c = F.col(text_col)
+    tokens = docs.select(
+        F.col(id_col),
+        F.explode(F.split(F.lower(F.trim(c)), r"\s+")).alias("tok"),
+    )
+    per_tok = tokens.select(
+        F.col(id_col),
+        F.conv(F.substring(F.md5("tok"), 1, 8), 16, 10).cast("long").alias("v"),
+    )
+    sums = per_tok.groupBy(id_col).agg(
+        *[
+            F.sum(F.shiftright(F.col("v"), i).bitwiseAND(F.lit(1)) * 2 - 1).alias(
+                f"s{i}"
+            )
+            for i in range(bits)
+        ]
+    )
+    fingerprint = None
     for i in range(bits):
-        s_i = F.aggregate(vals, F.lit(0).cast("long"), bit_folder(i))
-        total = total + F.when(s_i > 0, F.lit(1 << i).cast("long")).otherwise(
+        term = F.when(F.col(f"s{i}") > 0, F.lit(1 << i).cast("long")).otherwise(
             F.lit(0).cast("long")
         )
-    return total
+        fingerprint = term if fingerprint is None else fingerprint + term
+    return sums.select(F.col(id_col), fingerprint.alias(out_col))

@@ -77,14 +77,19 @@ def lang_id(text: Column | str, markers: Mapping[str, Sequence[str]] | None = No
     return F.when(best_score <= 0, F.lit("und")).otherwise(best_lang)
 
 
-def quality_features(text: Column | str) -> dict[str, Column]:
+def quality_features(
+    text: Column | str, words_col: Column | None = None
+) -> dict[str, Column]:
     """Length / punctuation / stopword quality features (the classic
-    pre-training quality-filter signals)."""
+    pre-training quality-filter signals).
+
+    Pass a staged ``words_col`` attribute on hot paths so the tokenizer
+    isn't re-inlined into every feature expression."""
     c = F.col(text) if isinstance(text, str) else text
-    w = words(c)
+    w = words_col if words_col is not None else words(c)
     n_words = F.size(w)
     n_chars = F.length(c)
-    stop_hits = stopword_count(c, LANG_MARKERS["en"])
+    stop_hits = F.size(F.filter(w, lambda x: x.isin(*LANG_MARKERS["en"])))
     return {
         "n_chars": n_chars.cast("int"),
         "n_words": n_words.cast("int"),

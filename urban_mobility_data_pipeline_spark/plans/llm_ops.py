@@ -19,8 +19,7 @@ from urban_mobility_data_pipeline_spark.extensions.dedup import (
     lsh_band_keys,
     minhash_signatures,
     near_dup_pairs,
-    simhash,
-    word_shingles,
+    simhash_signatures,
 )
 from urban_mobility_data_pipeline_spark.extensions.similarity import (
     ANN_PLANES,
@@ -219,7 +218,7 @@ def doc_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     grouping by fingerprint (or banding its bytes) dedups in one
     map + one shuffle."""
     docs = table(spark, sf_dir, "documents")
-    return docs.select("doc_id", simhash("text").alias("simhash32"))
+    return simhash_signatures(docs)
 
 
 # ---------------------------------------------------------------------------
@@ -327,11 +326,22 @@ def doc_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     language filtering at corpus scale is a pushed-down predicate on
     this column."""
     docs = table(spark, sf_dir, "documents")
-    return docs.select(
+    # Stage scores as attributes: the naive nested-when argmax duplicates
+    # each score sub-tree exponentially when Catalyst inlines the chain.
+    scored = docs.select(
         "doc_id",
         F.col("lang").alias("declared_lang"),
-        T.lang_id("text").alias("predicted_lang"),
+        *[
+            score.alias(f"score_{lang}")
+            for lang, score in T.lang_scores("text").items()
+        ],
     )
+    score_cols = [F.col(f"score_{lang}") for lang, _ in _LANGS]
+    g = F.greatest(*score_cols)
+    pred = F.when(g <= 0, F.lit("und"))
+    for lang, _ in _LANGS:
+        pred = pred.when(F.col(f"score_{lang}") == g, F.lit(lang))
+    return scored.select("doc_id", "declared_lang", pred.alias("predicted_lang"))
 
 
 # ---------------------------------------------------------------------------
@@ -357,8 +367,11 @@ def doc_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Classic pre-training quality-filter features: length, word stats,
     punctuation density, stopword density. Map-only, codegen'd."""
     docs = table(spark, sf_dir, "documents")
-    feats = T.quality_features("text")
-    return docs.select("doc_id", *[v.alias(k) for k, v in feats.items()])
+    staged = docs.select(
+        "doc_id", F.col("text"), T.words("text").alias("__words")
+    )
+    feats = T.quality_features("text", words_col=F.col("__words"))
+    return staged.select("doc_id", *[v.alias(k) for k, v in feats.items()])
 
 
 # ---------------------------------------------------------------------------

@@ -675,7 +675,7 @@ def customers_masked(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT event_type, count(*) AS n_kept
     FROM events
-    WHERE epoch_us(ts) >= epoch_us(TIMESTAMP '2024-02-01')
+    WHERE epoch_us(ts) >= epoch_us(TIMESTAMP '2024-01-20')
     GROUP BY event_type
     """,
 )
@@ -684,7 +684,7 @@ def events_retention_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     DELETE (reference retention/bronze_retention_cleanup.py:59-67; the
     mutating DELETE lives in operators.retention)."""
     ev = table(spark, sf_dir, "events")
-    cutoff_us = 1_706_745_600_000_000  # 2024-02-01 UTC
+    cutoff_us = 1_705_708_800_000_000  # 2024-01-20 UTC (mid data range)
     return (
         ev.filter(F.col("ts_us") >= F.lit(cutoff_us))
         .groupBy("event_type")

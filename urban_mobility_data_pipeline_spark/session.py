@@ -28,6 +28,15 @@ DEFAULT_CONF: dict[str, str] = {
     "spark.sql.execution.arrow.pyspark.enabled": "true",
     # Reasonable local default; AQE coalesces down, big clusters raise it.
     "spark.sql.shuffle.partitions": "32",
+    # InferFiltersFromGenerate synthesizes size(e)>0 filters from explode()
+    # and predicate pushdown then re-inlines the full generator expression
+    # into a per-row Filter below the staging projections — for expensive
+    # array builders (shingling, tokenization) that doubles-to-quadruples
+    # the work. The filter only skips empty arrays, which explode drops
+    # anyway.
+    "spark.sql.optimizer.excludedRules": (
+        "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromGenerate"
+    ),
 }
 
 
@@ -43,6 +52,7 @@ def configure_session(spark: SparkSession) -> SparkSession:
         "spark.sql.adaptive.enabled",
         "spark.sql.adaptive.coalescePartitions.enabled",
         "spark.sql.adaptive.skewJoin.enabled",
+        "spark.sql.optimizer.excludedRules",
     ):
         try:
             spark.conf.set(key, DEFAULT_CONF[key])
