@@ -1,0 +1,212 @@
+"""End-to-end mobility pipeline: OLTP batches → Bronze → Silver → Gold →
+GDPR, over two incremental runs with churn, noise, and late data —
+the FIXTURES.md §A scenario on the config-driven engine."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pytest
+from pyspark.sql import functions as F
+
+from urban_mobility_data_pipeline_spark.domain import config as C
+from urban_mobility_data_pipeline_spark.domain import jobs as J
+from urban_mobility_data_pipeline_spark.operators.gdpr import (
+    AuditLog,
+    propagate_erasure,
+)
+
+D0 = dt.datetime(2024, 3, 1, 8, 0)
+D1 = dt.datetime(2024, 3, 1, 9, 0)
+D2 = dt.datetime(2024, 3, 2, 9, 0)
+
+TRIPS_DDL = (
+    "trip_id long, passenger_id long, driver_id long, vehicle_id long, "
+    "pickup_zone_id long, dropoff_zone_id long, status string, "
+    "requested_at timestamp, accepted_at timestamp, started_at timestamp, "
+    "ended_at timestamp, canceled_at timestamp, cancel_reason string, "
+    "cancel_by string, cancel_note string, estimated_distance_km double, "
+    "actual_distance_km double, fare_amount double, start_lat double, "
+    "start_lng double, end_lat double, end_lng double, "
+    "created_at timestamp, updated_at timestamp"
+)
+
+PASSENGERS_DDL = (
+    "passenger_id long, full_name string, email string, phone string, "
+    "city string, is_deleted boolean, deleted_at timestamp, "
+    "created_at timestamp, updated_at timestamp"
+)
+
+ZONES_DDL = "zone_id long, zone_name string, city string, region string, created_at timestamp"
+
+
+def _trip(tid, status="completed", est=5.0, act=6.0, fare=12.5, upd=D0,
+          ended=True, note=None, pid=1, did=1, vid=1, pz=1, dz=2):
+    t0 = D0
+    return (
+        tid, pid, did, vid, pz, dz, status,
+        t0, t0 + dt.timedelta(minutes=2), t0 + dt.timedelta(minutes=5),
+        (t0 + dt.timedelta(minutes=25)) if ended else None,
+        None, None, None, note, est, act, fare,
+        41.1, 2.1, 41.2, 2.2, t0, upd,
+    )
+
+
+@pytest.fixture(scope="module")
+def lake(spark, tmp_path_factory):
+    root = str(tmp_path_factory.mktemp("lake"))
+    lake = J.Lakehouse(spark, root)
+
+    trips1 = spark.createDataFrame(
+        [
+            _trip(1),
+            _trip(2, status="  Completed ", act=None),        # flag: null dist on completed
+            _trip(3, status="requested", act=4.0),            # flag: dist in invalid status
+            _trip(4, est=5.0, act=25.0),                      # flag: outlier |diff|>10
+            _trip(5, fare=-7.0, note="  NULL "),              # clamp fare, scrub note
+        ],
+        TRIPS_DDL,
+    )
+    passengers1 = spark.createDataFrame(
+        [
+            (1, "Alice A", "ALICE@x.com ", "111", "Rome", False, None, D0, D0),
+            (2, "Bob B", "not-an-email", "222", "Oslo", False, None, D0, D0),
+            (3, "Eve E", "eve@x.com", "333", "Bern", True, D0, D0, D0),  # safety belt
+        ],
+        PASSENGERS_DDL,
+    )
+    zones1 = spark.createDataFrame(
+        [(1, "Centre", "Rome", "EU", D0), (2, " Port ", "Rome", "EU", D0)],
+        ZONES_DDL,
+    )
+
+    assert J.bronze_ingest(lake, C.TRIPS, trips1, now=D1) == 5
+    assert J.bronze_ingest(lake, C.PASSENGERS, passengers1, now=D1) == 3
+    assert J.bronze_ingest(lake, C.ZONES, zones1, now=D1) == 2
+    J.silver_apply(lake, C.TRIPS)
+    J.silver_apply(lake, C.PASSENGERS)
+    J.silver_apply(lake, C.ZONES)
+
+    # ---- run 2: churn (trip 1 status change), new trip w/ orphan FK ----
+    trips2 = spark.createDataFrame(
+        [
+            _trip(1, status="canceled", upd=D2),              # version 2
+            _trip(6, pid=99, pz=77, upd=D2),                  # orphan passenger+zone
+            _trip(2, status="  Completed ", act=None, upd=D0),  # stale: must be ignored
+        ],
+        TRIPS_DDL,
+    )
+    assert J.bronze_ingest(lake, C.TRIPS, trips2, now=D2) == 2  # stale row filtered
+    J.silver_apply(lake, C.TRIPS)
+    J.silver_apply(lake, C.PASSENGERS)  # no new data — no-op
+
+    # ---- gold ----
+    J.build_static_dim(
+        lake, "dim_zone",
+        J.silver_current(lake, "zones").select("zone_id", "zone_name", "city"),
+    )
+    J.build_snapshot_dim(lake, C.PASSENGERS, "dim_passenger")
+    J.build_hist_dim(lake, C.PASSENGERS, "dim_passenger_hist")
+    J.build_scd3_dim(lake, C.PASSENGERS, "dim_passenger_scd3",
+                     tracked_cols=["full_name", "email", "city"])
+    J.build_fact_trips(lake)
+    J.build_agg_trips_daily(lake)
+    J.build_agg_driver_daily(lake)
+    return lake
+
+
+def test_bronze_incremental_watermark(lake):
+    bronze = lake.table("bronze", "trips").read()
+    assert bronze.count() == 7  # 5 + 2 (stale row excluded by watermark)
+    assert lake.control.read_watermark("trips_bronze") == D2
+
+
+def test_silver_cleaning_and_flags(lake):
+    cur = J.silver_current(lake, "trips")
+    rows = {r["trip_id"]: r for r in cur.collect()}
+    assert rows[2]["status"] == "completed"          # lower(trim)
+    assert rows[5]["fare_amount"] is None            # negative clamped
+    assert rows[5]["cancel_note"] is None            # null-like scrubbed
+    assert rows[2]["has_distance_in_invalid_status"] is True   # null dist, completed
+    assert rows[3]["has_distance_in_invalid_status"] is True   # dist in requested
+    assert rows[4]["has_distance_in_invalid_status"] is False  # completed w/ dist
+    assert rows[1]["has_distance_in_invalid_status"] is True   # canceled w/ dist>0
+    assert rows[4]["is_distance_outlier"] is True
+    assert rows[4]["distance_diff_km"] == 20.0
+    assert rows[1]["accepted_before_requested"] is False
+
+
+def test_silver_scd2_versions(lake):
+    hist = lake.table("silver", "trips").read().filter(F.col("trip_id") == 1)
+    vs = sorted(hist.collect(), key=lambda r: r["valid_from"])
+    assert len(vs) == 2
+    assert vs[0]["is_current"] is False and vs[0]["status"] == "completed"
+    assert vs[1]["is_current"] is True and vs[1]["status"] == "canceled"
+    assert vs[0]["valid_to"] == vs[1]["valid_from"]
+
+
+def test_passenger_safety_belt_and_email_flags(lake):
+    cur = {r["passenger_id"]: r for r in
+           J.silver_current(lake, "passengers").collect()}
+    assert cur[3]["full_name"] == "ANONYMIZED" and cur[3]["email"] is None
+    assert cur[2]["invalid_email"] is True
+    assert cur[1]["email"] == "alice@x.com"  # lower(trim)
+
+
+def test_gold_fact_orphans_to_unknown(lake):
+    fact = {r["trip_id"]: r for r in
+            lake.table("gold", "fact_trips").read().collect()}
+    assert len(fact) == 6
+    assert fact[6]["passenger_key"] == 0      # orphan passenger 99 → UNKNOWN
+    assert fact[6]["pickup_zone_key"] == 0    # orphan zone 77 → UNKNOWN
+    assert fact[1]["passenger_key"] == 1
+    assert fact[1]["status"] == "canceled"    # SCD1: newest version won
+
+
+def test_gold_aggregates(lake):
+    agg = lake.table("gold", "agg_trips_daily").read().collect()
+    assert len(agg) == 1  # all trips requested on the same date
+    row = agg[0]
+    assert row["total_trips"] == 6
+    assert row["canceled_trips"] == 1
+    drv = lake.table("gold", "agg_driver_daily").read().collect()
+    assert sum(r["n_trips"] for r in drv) == 6
+
+
+def test_gold_dims_flavors(lake):
+    snap = {r["passenger_id"]: r for r in
+            lake.table("gold", "dim_passenger").read().collect()}
+    assert len(snap) == 3 and snap[3]["full_name"] == "ANONYMIZED"
+    hist = lake.table("gold", "dim_passenger_hist").read()
+    assert hist.filter("is_current").count() == 3
+    scd3 = lake.table("gold", "dim_passenger_scd3").read().columns
+    assert "prev_full_name" in scd3
+
+
+def test_gdpr_propagation_over_lake(lake, spark):
+    requests = spark.createDataFrame(
+        [(1, None, "passenger", 1, "erasure", "processed", D2)],
+        "request_id long, passenger_id long, subject_type string, "
+        "subject_id long, request_type string, status string, "
+        "processed_at timestamp",
+    )
+    audit = AuditLog(spark, lake.path("gdpr", "audit"), salt="it")
+    counts = propagate_erasure(
+        spark,
+        requests,
+        {
+            "silver": {"passengers": lake.table("silver", "passengers")},
+            "gold": {
+                "passengers": lake.table("gold", "dim_passenger"),
+                "passengers:prev": lake.table("gold", "dim_passenger_scd3"),
+            },
+        },
+        audit=audit,
+    )
+    assert counts["passenger"] == 1
+    for tbl in ("silver/passengers", "gold/dim_passenger"):
+        layer, name = tbl.split("/")
+        got = lake.table(layer, name).read().filter("passenger_id = 1").collect()
+        assert all(r["full_name"] == "ANONYMIZED" and r["email"] is None
+                   for r in got), tbl
+    assert audit.table.read().count() == 3

@@ -1,0 +1,353 @@
+"""Medallion jobs: Bronze → Silver → Gold for the mobility domain
+(SURVEY.md §3 query lifecycle), as thin wiring over the generic engines.
+
+Each job reproduces the corresponding reference entry point
+(``src/bronze/<t>_oltp_to_bronze.py:main`` / ``src/silver/…`` /
+``src/gold/…``) but is table-agnostic: the per-table variation lives
+entirely in :mod:`.config`.
+
+Fixed reference inefficiencies (SURVEY.md §4 "known inefficiencies"):
+watermark max is computed from the ingested batch, not by re-reading the
+source; no ``.rdd.isEmpty()``; single ``select`` instead of 20+
+``withColumn`` chain; window dedup gets deterministic tiebreakers.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+import os
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from urban_mobility_data_pipeline_spark.domain.config import TableConfig
+from urban_mobility_data_pipeline_spark.functions.hashing import scd_hash
+from urban_mobility_data_pipeline_spark.operators.aggregates import (
+    recompute_affected,
+    upsert_aggregate,
+)
+from urban_mobility_data_pipeline_spark.operators.cleaning import (
+    clamp_domain,
+    normalize_strings,
+)
+from urban_mobility_data_pipeline_spark.operators.dedup import (
+    current_and_previous,
+    latest_per_key,
+)
+from urban_mobility_data_pipeline_spark.operators.merge import MergeTable
+from urban_mobility_data_pipeline_spark.operators.scd import (
+    scd1_upsert,
+    scd2_apply,
+    scd3_apply,
+)
+from urban_mobility_data_pipeline_spark.operators.star import validate_fk
+from urban_mobility_data_pipeline_spark.operators.watermark import (
+    ControlTable,
+    incremental_slice,
+    target_max_watermark,
+)
+
+SOURCE_SYSTEM = "mobility_oltp"
+
+
+class Lakehouse:
+    """Path layout + control table for one lake root."""
+
+    def __init__(self, spark: SparkSession, root: str):
+        self.spark = spark
+        self.root = root
+        self.control = ControlTable(spark, os.path.join(root, "etl_control"))
+
+    def path(self, layer: str, name: str) -> str:
+        return os.path.join(self.root, layer, name)
+
+    def table(self, layer: str, name: str) -> MergeTable:
+        return MergeTable(self.spark, self.path(layer, name))
+
+
+# ---------------------------------------------------------------------------
+# Bronze (reference §3.1: src/bronze/<t>_oltp_to_bronze.py:main)
+# ---------------------------------------------------------------------------
+def bronze_ingest(
+    lake: Lakehouse,
+    cfg: TableConfig,
+    source: DataFrame,
+    now: dt.datetime | None = None,
+) -> int:
+    """Incremental append of source rows past the watermark, stamped with
+    ingestion metadata, partitioned by load_date (bronze/trips:119-153).
+    Returns ingested row count. The watermark advances to max(updated_at)
+    *of the ingested batch* — computed from the written slice, not a
+    second source scan (fixes §3.1 note)."""
+    job = f"{cfg.name}_bronze"
+    now = now or dt.datetime.utcnow()
+    try:
+        wm = lake.control.read_watermark(job)
+        inc = source.filter(F.col(cfg.watermark_col) > F.lit(wm))
+        batch_id = str(uuid.uuid4())
+        stamped = inc.select(
+            "*",
+            F.lit(SOURCE_SYSTEM).alias("source_system"),
+            F.lit(now).alias("raw_loaded_at"),
+            F.lit(batch_id).alias("batch_id"),
+            F.lit(now.date()).alias("load_date"),
+        )
+        # one action: write, then count+max from the written partition
+        target = lake.table("bronze", cfg.name)
+        if target.exists():
+            target.append(stamped, partition_by=["load_date"])
+        else:
+            target.create(stamped, partition_by=["load_date"])
+        written = target.read().filter(F.col("batch_id") == batch_id)
+        row = written.agg(
+            F.count(F.lit(1)).alias("n"), F.max(cfg.watermark_col).alias("m")
+        ).first()
+        n, new_wm = row["n"], row["m"]
+        lake.control.upsert(job, new_wm if n else None, "OK")
+        return n
+    except Exception as exc:  # FAIL path keeps the old watermark (M1)
+        lake.control.upsert(job, None, f"FAIL: {exc}")
+        raise
+
+
+# ---------------------------------------------------------------------------
+# Silver (reference §3.2: src/silver/<t>_bronze_to_silver.py:main)
+# ---------------------------------------------------------------------------
+def clean_conform(cfg: TableConfig, df: DataFrame) -> DataFrame:
+    """P4-P7 block as ONE select-equivalent chain (silver/trips:132-190)."""
+    out = df.withColumns(
+        {c: F.col(c).cast(t) for c, t in cfg.casts.items() if c in df.columns}
+    )
+    out = normalize_strings(
+        out,
+        lower_cols=[c for c in cfg.lower_cols if c in out.columns],
+        upper_cols=[c for c in cfg.upper_cols if c in out.columns],
+        scrub_cols=[c for c in cfg.scrub_cols if c in out.columns],
+    )
+    return clamp_domain(
+        out,
+        non_negative=[c for c in cfg.clamp_non_negative if c in out.columns],
+        int_range={k: v for k, v in cfg.clamp_int_range.items() if k in out.columns},
+        length_equals={k: v for k, v in cfg.clamp_length.items() if k in out.columns},
+    )
+
+
+def silver_apply(lake: Lakehouse, cfg: TableConfig) -> int:
+    """Incremental Bronze→Silver: prune+slice → clean → W1 dedup → DQ
+    flags → redactions → SCD2 merge → watermark (silver/trips:97-436)."""
+    job = f"{cfg.name}_silver"
+    try:
+        wm = lake.control.read_watermark(job)
+        bronze = lake.table("bronze", cfg.name).read()
+        target = lake.table("silver", cfg.name)
+        sliced = (
+            incremental_slice(bronze, wm, "raw_loaded_at", "load_date")
+            if target.exists()
+            else bronze
+        )
+        cleaned = clean_conform(cfg, sliced)
+        if cleaned.isEmpty():
+            lake.control.upsert(job, None, "OK")
+            return 0
+        latest = latest_per_key(
+            cleaned,
+            keys=[cfg.business_key],
+            order_desc=["raw_loaded_at", cfg.watermark_col, "batch_id"],
+        )
+        if cfg.dq_flags:
+            latest = latest.withColumns(cfg.dq_flags(latest))
+        if cfg.redact:
+            latest = cfg.redact(latest)
+        batch = (
+            latest.withColumn("scd_hash", scd_hash(list(cfg.scd_hash_cols)))
+            .withColumn("valid_from", F.col("raw_loaded_at"))
+            .withColumn("valid_to", F.lit(None).cast("timestamp"))
+            .withColumn("is_current", F.lit(True))
+        )
+        scd2_apply(target, batch, [cfg.business_key], "raw_loaded_at")
+        new_wm = batch.agg(F.max("raw_loaded_at")).first()[0]
+        lake.control.upsert(job, new_wm, "OK")
+        return batch.count()
+    except Exception as exc:
+        lake.control.upsert(job, None, f"FAIL: {exc}")
+        raise
+
+
+def silver_current(lake: Lakehouse, name: str) -> DataFrame:
+    """P3 current-version filter (fact_trips.py:93-94)."""
+    return lake.table("silver", name).read().filter(F.col("is_current"))
+
+
+# ---------------------------------------------------------------------------
+# Gold (reference §3.3)
+# ---------------------------------------------------------------------------
+def build_static_dim(
+    lake: Lakehouse, name: str, df: DataFrame
+) -> None:
+    """Static dim: full rebuild overwrite (static/dim_zone.py:124-130)."""
+    lake.table("gold", name).create(df)
+
+
+def build_snapshot_dim(
+    lake: Lakehouse, cfg: TableConfig, dim_name: str
+) -> None:
+    """SCD1 snapshot dim from Silver current (snapshot/dim_driver.py:118-223)."""
+    cur = silver_current(lake, cfg.name).drop(
+        "valid_from", "valid_to", "is_current"
+    )
+    scd1_upsert(
+        lake.table("gold", dim_name),
+        cur,
+        keys=[cfg.business_key],
+        order_col="raw_loaded_at",
+        hash_col="scd_hash",
+    )
+
+
+def build_scd3_dim(
+    lake: Lakehouse,
+    cfg: TableConfig,
+    dim_name: str,
+    tracked_cols: list[str],
+) -> None:
+    """SCD3 dim: seed current+prev from 2-deep Silver history (J7,
+    scd3/dim_passenger.py:63-95), then shift-merge increments (M5)."""
+    table = lake.table("gold", dim_name)
+    silver = lake.table("silver", cfg.name).read()
+    if not table.exists():
+        seeded = current_and_previous(
+            silver.drop("valid_from", "valid_to", "is_current"),
+            keys=[cfg.business_key],
+            order_desc=["raw_loaded_at"],
+            prev_cols=tracked_cols,
+        )
+        table.create(seeded)
+        return
+    cur = silver_current(lake, cfg.name).drop(
+        "valid_from", "valid_to", "is_current"
+    )
+    scd3_apply(
+        table,
+        cur,
+        keys=[cfg.business_key],
+        order_col="raw_loaded_at",
+        tracked_cols=tracked_cols,
+    )
+
+
+def build_hist_dim(lake: Lakehouse, cfg: TableConfig, dim_name: str) -> None:
+    """SCD2 re-maintained in Gold from Silver current versions
+    (hist/dim_passenger.py:136-299)."""
+    cur = silver_current(lake, cfg.name)
+    scd2_apply(
+        lake.table("gold", dim_name),
+        cur,
+        keys=[cfg.business_key],
+        order_col="raw_loaded_at",
+    )
+
+
+def build_fact_trips(lake: Lakehouse) -> None:
+    """fact_trips (reference fact_trips.py:59-231): target-derived
+    watermark, current filter, W1 dedup, conform date_key, J1 dim
+    validation (orphans→0), M4 SCD1 merge."""
+    target = lake.table("gold", "fact_trips")
+    wm = target_max_watermark(target, "raw_loaded_at")
+    cur = silver_current(lake, "trips").filter(
+        F.col("raw_loaded_at") > F.lit(wm)
+    )
+    if cur.isEmpty():
+        return
+    latest = latest_per_key(cur, ["trip_id"], ["raw_loaded_at", "updated_at"])
+    conformed = latest.select(
+        "trip_id",
+        F.coalesce("passenger_id", F.lit(0)).alias("passenger_key"),
+        F.coalesce("driver_id", F.lit(0)).alias("driver_key"),
+        F.coalesce("vehicle_id", F.lit(0)).alias("vehicle_key"),
+        F.coalesce("pickup_zone_id", F.lit(0)).alias("pickup_zone_key"),
+        F.coalesce("dropoff_zone_id", F.lit(0)).alias("dropoff_zone_key"),
+        F.coalesce(
+            F.date_format("requested_at", "yyyyMMdd").cast("int"), F.lit(0)
+        ).alias("request_date_key"),
+        "status",
+        "actual_distance_km",
+        "estimated_distance_km",
+        "fare_amount",
+        "scd_hash",
+        "raw_loaded_at",
+    )
+    # J1 validation joins against available dims — orphans → UNKNOWN 0
+    dims = {
+        "passenger_key": ("dim_passenger", "passenger_id"),
+        "driver_key": ("dim_driver", "driver_id"),
+        "vehicle_key": ("dim_vehicle", "vehicle_id"),
+        "pickup_zone_key": ("dim_zone", "zone_id"),
+        "dropoff_zone_key": ("dim_zone", "zone_id"),
+    }
+    for fact_key, (dim_name, dim_key) in dims.items():
+        dim = lake.table("gold", dim_name)
+        if dim.exists():
+            conformed = validate_fk(
+                conformed, dim.read(), fact_key=fact_key, dim_key=dim_key
+            )
+    scd1_upsert(
+        target, conformed, keys=["trip_id"], order_col="raw_loaded_at",
+        hash_col="scd_hash",
+    )
+
+
+def build_agg_trips_daily(lake: Lakehouse) -> None:
+    """agg_trips_daily (agg_trips_daily.py:51-190): self-describing
+    watermark, affected-date recompute, conditional measures, MERGE."""
+    target = lake.table("gold", "agg_trips_daily")
+    fact = lake.table("gold", "fact_trips").read()
+    wm = target_max_watermark(target, "max_raw_loaded_at")
+    inc = fact.filter(F.col("raw_loaded_at") > F.lit(wm))
+    if inc.isEmpty():
+        return
+    dist = F.coalesce("actual_distance_km", "estimated_distance_km")
+    measures = {
+        "total_trips": F.count(F.lit(1)),
+        "completed_trips": F.sum(
+            F.when(F.col("status") == "completed", 1).otherwise(0)
+        ).cast("long"),
+        "canceled_trips": F.sum(
+            F.when(F.col("status") == "canceled", 1).otherwise(0)
+        ).cast("long"),
+        "total_fare": F.sum(F.coalesce("fare_amount", F.lit(0.0))),
+        "avg_fare": F.avg("fare_amount"),
+        "total_distance_km": F.sum(F.coalesce(dist, F.lit(0.0))),
+        "max_raw_loaded_at": F.max("raw_loaded_at"),
+    }
+    recomputed = recompute_affected(fact, inc, ["request_date_key"], measures)
+    upsert_aggregate(
+        target, recomputed, ["request_date_key"],
+        freshness_col="max_raw_loaded_at",
+    )
+
+
+def build_agg_driver_daily(lake: Lakehouse) -> None:
+    """agg_driver_daily (agg_driver_daily.py:51-282): date×driver grain,
+    countDistinct measures."""
+    target = lake.table("gold", "agg_driver_daily")
+    fact = lake.table("gold", "fact_trips").read()
+    wm = target_max_watermark(target, "max_raw_loaded_at")
+    inc = fact.filter(F.col("raw_loaded_at") > F.lit(wm))
+    if inc.isEmpty():
+        return
+    measures = {
+        "n_trips": F.countDistinct("trip_id"),
+        "completed_trips": F.sum(
+            F.when(F.col("status") == "completed", 1).otherwise(0)
+        ).cast("long"),
+        "total_fare": F.sum(F.coalesce("fare_amount", F.lit(0.0))),
+        "max_raw_loaded_at": F.max("raw_loaded_at"),
+    }
+    recomputed = recompute_affected(
+        fact, inc, ["request_date_key", "driver_key"], measures
+    )
+    upsert_aggregate(
+        target, recomputed, ["request_date_key", "driver_key"],
+        freshness_col="max_raw_loaded_at",
+    )

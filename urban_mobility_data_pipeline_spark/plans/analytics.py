@@ -1,0 +1,353 @@
+"""General OLAP capability queries (beyond the reference's §2 surface —
+the engine-completeness layer: multi-join stars, anti-joins, grouping
+sets, percentiles, pivots, analytic windows, set operations).
+
+The reference never needs these (SURVEY.md §2.7-2.8 record their
+absence); a user switching engines will. Every query ships with a DuckDB
+oracle like the parity set.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from urban_mobility_data_pipeline_spark.plans._helpers import date_str, table
+
+QUERIES: dict = {}
+ORACLES: dict[str, str] = {}
+
+
+def register(name: str, oracle: str | None = None):
+    def deco(fn):
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLES[name] = oracle
+        return fn
+
+    return deco
+
+
+# ---------------------------------------------------------------------------
+# multi-join star (TPC-H Q5 shape)
+# ---------------------------------------------------------------------------
+@register(
+    "revenue_by_region",
+    oracle="""
+    SELECT r.r_name AS region,
+           round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
+           count(*) AS n_lineitems,
+           count(DISTINCT c.c_custkey) AS n_customers
+    FROM lineitem l
+    JOIN orders o   ON l.l_orderkey = o.o_orderkey
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN nation n   ON c.c_nationkey = n.n_nationkey
+    JOIN region r   ON n.n_regionkey = r.r_regionkey
+    GROUP BY r.r_name
+    """,
+)
+def revenue_by_region(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fact → dim-chain star join. Dims (customer/nation/region) are
+    broadcast so the only shuffle is lineitem⋈orders on the orderkey and
+    the final agg; at 100 TB that's one co-partitionable join + one
+    reduced agg."""
+    li = table(spark, sf_dir, "lineitem")
+    orders = table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    cust = F.broadcast(
+        table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    )
+    nation = F.broadcast(
+        table(spark, sf_dir, "nation").select("n_nationkey", "n_regionkey")
+    )
+    region = F.broadcast(table(spark, sf_dir, "region"))
+    joined = (
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .join(cust, orders["o_custkey"] == cust["c_custkey"])
+        .join(nation, cust["c_nationkey"] == nation["n_nationkey"])
+        .join(region, nation["n_regionkey"] == region["r_regionkey"])
+    )
+    return joined.groupBy(F.col("r_name").alias("region")).agg(
+        F.round(
+            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+        ).alias("revenue"),
+        F.count(F.lit(1)).alias("n_lineitems"),
+        F.countDistinct("c_custkey").alias("n_customers"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# anti-join
+# ---------------------------------------------------------------------------
+@register(
+    "customers_without_orders",
+    oracle="""
+    SELECT c_custkey, c_name
+    FROM customer c
+    WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    """,
+)
+def customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """left_anti join — the explicit Catalyst form of the reference's
+    when(isNull)-after-LEFT-join pattern (SURVEY §2.3 note)."""
+    cust = table(spark, sf_dir, "customer")
+    orders = table(spark, sf_dir, "orders").select("o_custkey")
+    return cust.join(
+        orders, cust["c_custkey"] == orders["o_custkey"], "left_anti"
+    ).select("c_custkey", "c_name")
+
+
+# ---------------------------------------------------------------------------
+# ROLLUP grouping sets
+# ---------------------------------------------------------------------------
+@register(
+    "order_rollup_totals",
+    oracle="""
+    SELECT coalesce(o_orderstatus, 'ALL')   AS status,
+           coalesce(o_orderpriority, 'ALL') AS priority,
+           CAST(GROUPING(o_orderstatus, o_orderpriority) AS INTEGER)
+                                            AS grouping_level,
+           count(*)                         AS n_orders,
+           round(sum(o_totalprice), 2)      AS revenue
+    FROM orders
+    GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+    """,
+)
+def order_rollup_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP hierarchy totals (status → status×priority → grand total)
+    with grouping_id disambiguation — one pass, Spark expands to
+    grouping sets in the same hash aggregate."""
+    orders = table(spark, sf_dir, "orders")
+    return (
+        orders.rollup("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.grouping_id().cast("int").alias("grouping_level"),
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+        )
+        .select(
+            F.coalesce("o_orderstatus", F.lit("ALL")).alias("status"),
+            F.coalesce("o_orderpriority", F.lit("ALL")).alias("priority"),
+            "grouping_level",
+            "n_orders",
+            "revenue",
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# exact percentiles
+# ---------------------------------------------------------------------------
+@register(
+    "order_value_percentiles",
+    oracle="""
+    SELECT o_orderstatus AS status,
+           round(quantile_cont(o_totalprice, 0.5), 4)  AS p50,
+           round(quantile_cont(o_totalprice, 0.9), 4)  AS p90,
+           round(quantile_cont(o_totalprice, 0.99), 4) AS p99,
+           round(min(o_totalprice), 4) AS min_price,
+           round(max(o_totalprice), 4) AS max_price
+    FROM orders
+    GROUP BY o_orderstatus
+    """,
+)
+def order_value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles (Spark ``percentile`` ≡ DuckDB
+    ``quantile_cont``). The approx path for 100 TB is
+    ``approx_percentile`` — see approx_distinct_users for the sketch
+    variant policy."""
+    orders = table(spark, sf_dir, "orders")
+    return orders.groupBy(F.col("o_orderstatus").alias("status")).agg(
+        F.round(F.expr("percentile(o_totalprice, 0.5)"), 4).alias("p50"),
+        F.round(F.expr("percentile(o_totalprice, 0.9)"), 4).alias("p90"),
+        F.round(F.expr("percentile(o_totalprice, 0.99)"), 4).alias("p99"),
+        F.round(F.min("o_totalprice"), 4).alias("min_price"),
+        F.round(F.max("o_totalprice"), 4).alias("max_price"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# pivot
+# ---------------------------------------------------------------------------
+_STATUSES = ["F", "O", "P"]
+
+
+@register(
+    "priority_status_pivot",
+    oracle=f"""
+    SELECT o_orderpriority AS priority,
+           {", ".join(
+               "CAST(sum(CASE WHEN o_orderstatus = '" + s + "' THEN 1 ELSE 0 END)"
+               " AS BIGINT) AS status_" + s for s in _STATUSES)}
+    FROM orders
+    GROUP BY o_orderpriority
+    """,
+)
+def priority_status_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot: status values become columns. Pinned pivot values keep the
+    plan single-pass (unpinned pivot triggers a distinct-value pre-scan)."""
+    orders = table(spark, sf_dir, "orders")
+    pivoted = (
+        orders.groupBy(F.col("o_orderpriority").alias("priority"))
+        .pivot("o_orderstatus", _STATUSES)
+        .agg(F.count(F.lit(1)))
+    )
+    return pivoted.select(
+        "priority",
+        *[
+            F.coalesce(F.col(s), F.lit(0)).cast("long").alias(f"status_{s}")
+            for s in _STATUSES
+        ],
+    )
+
+
+# ---------------------------------------------------------------------------
+# analytic windows: running sum, rank, ntile, lag delta
+# ---------------------------------------------------------------------------
+@register(
+    "customer_order_analytics",
+    oracle="""
+    SELECT o_custkey, o_orderkey,
+           round(sum(o_totalprice) OVER (
+               PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2)
+               AS running_spend,
+           CAST(rank() OVER (
+               PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey)
+               AS INTEGER) AS spend_rank,
+           CAST(ntile(4) OVER (
+               PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey)
+               AS INTEGER) AS spend_quartile,
+           round(o_totalprice - lag(o_totalprice) OVER (
+               PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey), 2)
+               AS delta_vs_prev
+    FROM orders
+    """,
+)
+def customer_order_analytics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Analytic frame windows (running aggregate, rank, ntile, lag) —
+    absent from the reference (SURVEY §2.6 'that's the whole window
+    surface'); one shuffle on the partition key serves all four."""
+    orders = table(spark, sf_dir, "orders")
+    by_time = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    by_spend = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_totalprice").desc(), "o_orderkey"
+    )
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        F.round(
+            F.sum("o_totalprice").over(
+                by_time.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+            ),
+            2,
+        ).alias("running_spend"),
+        F.rank().over(by_spend).cast("int").alias("spend_rank"),
+        F.ntile(4).over(by_spend).cast("int").alias("spend_quartile"),
+        F.round(
+            F.col("o_totalprice") - F.lag("o_totalprice").over(by_time), 2
+        ).alias("delta_vs_prev"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# set operations: INTERSECT / EXCEPT
+# ---------------------------------------------------------------------------
+@register(
+    "nation_customer_supplier_overlap",
+    oracle="""
+    SELECT n_nationkey FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+    INTERSECT
+    SELECT n_nationkey FROM supplier s JOIN nation n ON s.s_nationkey = n.n_nationkey
+    """,
+)
+def nation_customer_supplier_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT (absent from the reference, SURVEY §2.8) — nations with
+    both customers and suppliers."""
+    nation = table(spark, sf_dir, "nation")
+    cust = table(spark, sf_dir, "customer")
+    supp = table(spark, sf_dir, "supplier")
+    a = cust.join(nation, cust["c_nationkey"] == nation["n_nationkey"]).select(
+        "n_nationkey"
+    )
+    b = supp.join(nation, supp["s_nationkey"] == nation["n_nationkey"]).select(
+        "n_nationkey"
+    )
+    return a.intersect(b)
+
+
+@register(
+    "customer_only_nations",
+    oracle="""
+    SELECT DISTINCT c_nationkey AS nationkey FROM customer
+    EXCEPT
+    SELECT DISTINCT s_nationkey AS nationkey FROM supplier
+    """,
+)
+def customer_only_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXCEPT (set difference) — nations with customers but no suppliers."""
+    cust = table(spark, sf_dir, "customer").select(
+        F.col("c_nationkey").alias("nationkey")
+    )
+    supp = table(spark, sf_dir, "supplier").select(
+        F.col("s_nationkey").alias("nationkey")
+    )
+    return cust.distinct().subtract(supp.distinct())
+
+
+# ---------------------------------------------------------------------------
+# sliding windows (batch twin of streaming.sliding_agg)
+# ---------------------------------------------------------------------------
+@register(
+    "sliding_event_windows",
+    oracle="""
+    WITH placed AS (
+        SELECT time_bucket(INTERVAL '30 minutes', ts) AS window_start, value
+        FROM events
+        UNION ALL
+        SELECT time_bucket(INTERVAL '30 minutes', ts) - INTERVAL '30 minutes',
+               value
+        FROM events
+    )
+    SELECT strftime(window_start, '%Y-%m-%d %H:%M:%S') AS window_start,
+           count(*) AS n_events,
+           round(sum(value), 2) AS total_value
+    FROM placed
+    GROUP BY 1
+    """,
+)
+def sliding_event_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding windows (1h window / 30m slide): every event lands in two
+    windows. Batch twin of streaming.windows.sliding_agg."""
+    from urban_mobility_data_pipeline_spark.plans._helpers import event_time
+
+    ev = table(spark, sf_dir, "events")
+    win = F.window(event_time(), "1 hour", "30 minutes")
+    return (
+        ev.groupBy(win.alias("w"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+        .select(
+            date_str(F.col("w.start"), "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# approximate distinct (sketch) — rows-only: HLL internals differ by engine
+# ---------------------------------------------------------------------------
+@register("approx_distinct_users", oracle=None)
+def approx_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """approx_count_distinct (HyperLogLog++) next to the exact count —
+    the 100 TB path for distinct cardinalities (SURVEY §2.5 notes the
+    reference is exact-only). No SQL oracle: sketch estimates are
+    engine-specific by construction; the driver's rows-only check plus
+    the relative-error assertion in tests/test_analytics.py cover it."""
+    ev = table(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id").alias("approx_users"),
+        F.countDistinct("user_id").alias("exact_users"),
+    )

@@ -7,12 +7,12 @@ non-SQL-expressible ops, which the driver checks rows-only).
 
 from __future__ import annotations
 
-from urban_mobility_data_pipeline_spark.plans import llm_ops, parity
+from urban_mobility_data_pipeline_spark.plans import analytics, llm_ops, parity
 
 QUERIES: dict = {}
 ORACLES: dict[str, str] = {}
 
-for _mod in (parity, llm_ops):
+for _mod in (parity, llm_ops, analytics):
     QUERIES.update(_mod.QUERIES)
     ORACLES.update(_mod.ORACLES)
 

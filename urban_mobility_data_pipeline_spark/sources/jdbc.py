@@ -1,0 +1,72 @@
+"""JDBC sources (SURVEY.md §2.1 S1-S2).
+
+Reference: full-table JDBC scans with a post-hoc watermark filter
+(``src/bronze/trips_oltp_to_bronze.py:119-127`` — Catalyst pushes the
+``updated_at > ts`` predicate into the JDBC WHERE clause) and an explicit
+pushdown subquery for the GDPR request feed
+(``gdpr/gdpr_propagate_erasure.py:288-326``).
+
+Untestable in this environment (no database, no JDBC driver jar); the
+API is exercised structurally and kept import-safe. At scale, prefer
+``partition_column``/``num_partitions`` so the read parallelizes across
+executors instead of funneling through one connection.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+def read_table(
+    spark: SparkSession,
+    url: str,
+    table: str,
+    properties: dict[str, str] | None = None,
+    partition_column: str | None = None,
+    num_partitions: int | None = None,
+    lower_bound: int | None = None,
+    upper_bound: int | None = None,
+) -> DataFrame:
+    """S1: JDBC table scan. Watermark filters applied by the caller reach
+    the database as WHERE clauses (predicate pushdown is free — keep the
+    filter on the returned DataFrame, reference bronze/trips:127)."""
+    reader = (
+        spark.read.format("jdbc").option("url", url).option("dbtable", table)
+    )
+    for k, v in (properties or {}).items():
+        reader = reader.option(k, v)
+    if partition_column:
+        reader = (
+            reader.option("partitionColumn", partition_column)
+            .option("numPartitions", num_partitions or 8)
+            .option("lowerBound", lower_bound or 0)
+            .option("upperBound", upper_bound or 1_000_000)
+        )
+    return reader.load()
+
+
+def erasure_requests_query(watermark: dt.datetime, schema: str = "mobility") -> str:
+    """S2: the explicit pushdown subquery for processed erasure requests
+    past the control watermark (reference ``gdpr:288-326``). Passed as
+    ``dbtable`` so the database evaluates it — the slice never leaves
+    the OLTP store unfiltered."""
+    return (
+        "(SELECT request_id, passenger_id, subject_type, subject_id, "
+        "request_type, status, requested_at, processed_at "
+        f"FROM {schema}.gdpr_requests "
+        "WHERE request_type = 'erasure' AND status = 'processed' "
+        f"AND processed_at > TIMESTAMP '{watermark:%Y-%m-%d %H:%M:%S}'"
+        ") AS erasure_requests"
+    )
+
+
+def read_pushdown(
+    spark: SparkSession,
+    url: str,
+    query: str,
+    properties: dict[str, str] | None = None,
+) -> DataFrame:
+    """S2: subquery-as-dbtable scan."""
+    return read_table(spark, url, query, properties)
