@@ -59,14 +59,18 @@ def current_and_previous(
     ``prev_*`` (reference W2 + J7 SCD3 seed,
     ``src/gold/_conformed/scd3/dim_passenger.py:63-95``).
 
-    One shuffle: rank both versions in a single window pass, then a self
-    join of rn=1 against rn=2 on the key. The join is co-partitioned with
-    the window shuffle, so Catalyst reuses the exchange.
+    The reference self-joins rn=1 against rn=2; ``lead()`` over the same
+    descending window gives the previous version's columns in the SAME
+    single window pass — one shuffle, no join (the rewrite SURVEY §2.6
+    anticipates).
     """
     w = _version_window(keys, order_desc)
-    ranked = df.withColumn(_RN, F.row_number().over(w))
-    cur = ranked.filter(F.col(_RN) == 1).drop(_RN)
-    prev = ranked.filter(F.col(_RN) == 2).select(
-        *keys, *[F.col(c).alias(f"{prev_prefix}{c}") for c in prev_cols]
+    ranked = df.withColumns(
+        {
+            _RN: F.row_number().over(w),
+            **{
+                f"{prev_prefix}{c}": F.lead(c).over(w) for c in prev_cols
+            },
+        }
     )
-    return cur.join(prev, on=list(keys), how="left")
+    return ranked.filter(F.col(_RN) == 1).drop(_RN)

@@ -7,12 +7,17 @@ non-SQL-expressible ops, which the driver checks rows-only).
 
 from __future__ import annotations
 
-from urban_mobility_data_pipeline_spark.plans import analytics, llm_ops, parity
+from urban_mobility_data_pipeline_spark.plans import (
+    analytics,
+    llm_ops,
+    parity,
+    streaming_q,
+)
 
 QUERIES: dict = {}
 ORACLES: dict[str, str] = {}
 
-for _mod in (parity, llm_ops, analytics):
+for _mod in (parity, llm_ops, analytics, streaming_q):
     QUERIES.update(_mod.QUERIES)
     ORACLES.update(_mod.ORACLES)
 

@@ -869,3 +869,103 @@ def user_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.max("ts_us") - F.min("ts_us")).alias("duration_us"),
         F.count(F.lit(1)).alias("n_events"),
     )
+
+
+# ---------------------------------------------------------------------------
+# 23. daily_sales_calendar — J5 calendar enrich join
+# ---------------------------------------------------------------------------
+@register(
+    "daily_sales_calendar",
+    oracle="""
+    WITH agg AS (
+        SELECT CAST(strftime(o_orderdate, '%Y%m%d') AS INTEGER) AS date_key,
+               count(*) AS n_orders,
+               round(sum(o_totalprice), 2) AS revenue
+        FROM orders GROUP BY 1
+    ),
+    b AS (SELECT min(CAST(o_orderdate AS DATE)) AS s,
+                 max(CAST(o_orderdate AS DATE)) AS e FROM orders),
+    dim AS (
+        SELECT CAST(strftime(d, '%Y%m%d') AS INTEGER) AS date_key,
+               strftime(d, '%Y-%m-%d') AS date_str,
+               dayname(d) AS day_name,
+               CAST(year(d) AS INTEGER) AS year
+        FROM (SELECT CAST(unnest(generate_series(s, e, INTERVAL 1 DAY)) AS DATE) AS d
+              FROM b)
+    )
+    SELECT a.date_key, a.n_orders, a.revenue, m.date_str, m.day_name, m.year
+    FROM agg a LEFT JOIN dim m ON a.date_key = m.date_key
+    """,
+)
+def daily_sales_calendar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J5: aggregate → LEFT join calendar dim to attach date attributes
+    (reference agg_trips_daily.py:146-155). The dim is broadcast."""
+    orders = table(spark, sf_dir, "orders")
+    agg = orders.groupBy(
+        date_str("o_orderdate", "yyyyMMdd").cast("int").alias("date_key")
+    ).agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+    )
+    bounds = orders.agg(
+        F.min(F.to_date("o_orderdate")).alias("s"),
+        F.max(F.to_date("o_orderdate")).alias("e"),
+    )
+    spine = bounds.select(
+        F.explode(F.sequence("s", "e", F.expr("interval 1 day"))).alias("d")
+    )
+    dim = spine.select(
+        date_str("d", "yyyyMMdd").cast("int").alias("date_key"),
+        date_str("d").alias("date_str"),
+        F.date_format("d", "EEEE").alias("day_name"),
+        F.year("d").alias("year"),
+    )
+    return agg.join(F.broadcast(dim), "date_key", "left")
+
+
+# ---------------------------------------------------------------------------
+# 24. gdpr_subject_fingerprints — salted SHA-256 audit fingerprints
+# ---------------------------------------------------------------------------
+@register(
+    "gdpr_subject_fingerprints",
+    oracle="""
+    SELECT DISTINCT user_id,
+           sha256('pepper-42' || CAST(user_id AS VARCHAR)) AS subject_fingerprint
+    FROM events
+    WHERE event_type = 'error'
+    """,
+)
+def gdpr_subject_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Salted SHA-256 subject fingerprints — the audit log never stores
+    raw subject ids (reference gdpr_propagate_erasure.py:201-209)."""
+    ev = table(spark, sf_dir, "events")
+    subjects = ev.filter(F.col("event_type") == "error").select("user_id").distinct()
+    return subjects.select(
+        "user_id",
+        F.sha2(
+            F.concat(F.lit("pepper-42"), F.col("user_id").cast("string")), 256
+        ).alias("subject_fingerprint"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# 25. surrogate_keys_xxhash — the reference's exact xxhash64+pmod recipe
+#     (rows-only: xxhash64 has no DuckDB twin; stability pinned in tests)
+# ---------------------------------------------------------------------------
+@register("surrogate_keys_xxhash", oracle=None)
+def surrogate_keys_xxhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's exact int surrogate key recipe:
+    pmod(xxhash64(coalesce-string), 2147483646)+1
+    (fact_payments.py:135, static/dim_payment.py:103-108). xxhash64 is
+    Spark-specific, so this entry is rows-only for the driver;
+    tests/test_functions.py pins the values against frozen constants."""
+    from urban_mobility_data_pipeline_spark.functions.hashing import (
+        surrogate_int_key,
+    )
+
+    orders = table(spark, sf_dir, "orders")
+    return (
+        orders.select(F.lower(F.trim("o_orderpriority")).alias("priority"))
+        .distinct()
+        .select("priority", surrogate_int_key(["priority"]).alias("priority_key"))
+    )
