@@ -210,3 +210,82 @@ def test_gdpr_propagation_over_lake(lake, spark):
         assert all(r["full_name"] == "ANONYMIZED" and r["email"] is None
                    for r in got), tbl
     assert audit.table.read().count() == 3
+
+
+RATINGS_DDL = (
+    "rating_id long, trip_id long, passenger_id long, driver_id long, "
+    "score int, comment string, created_at timestamp, updated_at timestamp"
+)
+
+
+def test_run_gdpr_and_retention_full_lake(spark, tmp_path):
+    lake = J.Lakehouse(spark, str(tmp_path / "lake2"))
+    trips = spark.createDataFrame(
+        [_trip(1, pid=10, note="call me at 555-1234"),
+         _trip(2, pid=11, note="fine")],
+        TRIPS_DDL,
+    )
+    passengers = spark.createDataFrame(
+        [(10, "Target T", "t@x.com", "1", "Rome", False, None, D0, D0),
+         (11, "Keep K", "k@x.com", "2", "Oslo", False, None, D0, D0)],
+        PASSENGERS_DDL,
+    )
+    ratings = spark.createDataFrame(
+        [(1, 1, 10, 1, 5, "driver was Target T", D0, D0),
+         (2, 2, 11, 1, 4, "all good", D0, D0)],
+        RATINGS_DDL,
+    )
+    J.bronze_ingest(lake, C.TRIPS, trips, now=D1)
+    J.bronze_ingest(lake, C.PASSENGERS, passengers, now=D1)
+    J.bronze_ingest(lake, C.RATINGS, ratings, now=D1)
+    for cfg in (C.TRIPS, C.PASSENGERS, C.RATINGS):
+        J.silver_apply(lake, cfg)
+    J.build_snapshot_dim(lake, C.PASSENGERS, "dim_passenger")
+
+    requests = spark.createDataFrame(
+        [(1, None, "passenger", 10, "erasure", "processed", D2)],
+        "request_id long, passenger_id long, subject_type string, "
+        "subject_id long, request_type string, status string, "
+        "processed_at timestamp",
+    )
+    counts = J.run_gdpr(lake, requests, salt="pepper")
+    assert counts["passenger"] == 1
+    # entity anonymized in silver + gold
+    assert J.silver_current(lake, "passengers").filter(
+        "passenger_id = 10").first()["full_name"] == "ANONYMIZED"
+    assert lake.table("gold", "dim_passenger").read().filter(
+        "passenger_id = 10").first()["full_name"] == "ANONYMIZED"
+    # free-text scrubbed only for affected trips (semi-join derivation)
+    r = {x["rating_id"]: x["comment"]
+         for x in lake.table("silver", "ratings").read().collect()}
+    assert r[1] is None and r[2] == "all good"
+    t = {x["trip_id"]: x["cancel_note"]
+         for x in lake.table("silver", "trips").read().collect()}
+    assert t[1] is None and t[2] == "fine"
+    # audit rows exist and carry no raw ids
+    audit = lake.table("gdpr", "audit").read().collect()
+    assert audit and all(a["subject_fingerprint"] != "10" for a in audit)
+
+    # retention: everything is recent vs now=D2 → nothing deleted
+    before = lake.table("bronze", "trips").read().count()
+    J.run_retention(lake, bronze_days=30, silver_days=365, now=D2)
+    assert lake.table("bronze", "trips").read().count() == before
+    # with aggressive horizon, bronze ages out; silver current rows survive
+    J.run_retention(lake, bronze_days=0, silver_days=0,
+                    now=D2 + dt.timedelta(days=1))
+    assert lake.table("bronze", "trips").read().count() == 0
+    assert J.silver_current(lake, "trips").count() == 2  # current never ages
+
+
+def test_zones_norm_columns_and_flags(spark, tmp_path):
+    lake = J.Lakehouse(spark, str(tmp_path / "lake3"))
+    zones = spark.createDataFrame(
+        [(1, "  Centre ", "Rome", "EU", D0), (2, None, "Oslo", "EU", D0)],
+        ZONES_DDL,
+    )
+    J.bronze_ingest(lake, C.ZONES, zones, now=D1)
+    J.silver_apply(lake, C.ZONES)
+    rows = {r["zone_id"]: r for r in J.silver_current(lake, "zones").collect()}
+    assert rows[1]["zone_name_norm"] == "centre"   # trim via scrub + lower norm
+    assert rows[2]["zone_name_is_null"] is True
+    assert rows[1]["zone_name_is_null"] is False

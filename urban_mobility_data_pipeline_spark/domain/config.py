@@ -38,6 +38,9 @@ class TableConfig:
     #: post-clean redaction hook (passengers GDPR safety belt,
     #: passengers_bronze_to_silver.py:170-192)
     redact: Callable[[DataFrame], DataFrame] | None = None
+    #: derived-column hook applied before flags/hash (zones ``*_norm``
+    #: columns, zones_bronze_to_silver.py:176-190)
+    derive: Callable[[DataFrame], DataFrame] | None = None
 
 
 def trips_dq_flags(df: DataFrame) -> dict[str, Column]:
@@ -230,13 +233,31 @@ RATINGS = TableConfig(
     scd_hash_cols=("trip_id", "score", "comment"),
 )
 
+def zones_derive(df: DataFrame) -> DataFrame:
+    """Zones ``*_norm`` lowercase columns (zones_bronze_to_silver.py:176-190);
+    the scd_hash is computed over the norm columns (:195-207)."""
+    return df.withColumns(
+        {f"{c}_norm": F.lower(F.col(c)) for c in ("zone_name", "city", "region")}
+    )
+
+
+def zones_dq_flags(df: DataFrame) -> dict[str, Column]:
+    """``*_is_null`` flags (zones_bronze_to_silver.py:136-141)."""
+    return {
+        f"{c}_is_null": F.col(c).isNull()
+        for c in ("zone_name", "city", "region")
+    }
+
+
 ZONES = TableConfig(
     name="zones",
     business_key="zone_id",
     watermark_col="created_at",  # zones_oltp_to_bronze.py:26-27
     casts={"zone_id": "long"},
     scrub_cols=("zone_name", "city", "region"),
-    scd_hash_cols=("zone_name", "city", "region"),
+    scd_hash_cols=("zone_name_norm", "city_norm", "region_norm"),
+    dq_flags=zones_dq_flags,
+    derive=zones_derive,
 )
 
 ALL_TABLES = {

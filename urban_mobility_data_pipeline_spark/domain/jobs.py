@@ -155,6 +155,8 @@ def silver_apply(lake: Lakehouse, cfg: TableConfig) -> int:
             keys=[cfg.business_key],
             order_desc=["raw_loaded_at", cfg.watermark_col, "batch_id"],
         )
+        if cfg.derive:
+            latest = cfg.derive(latest)
         if cfg.dq_flags:
             latest = latest.withColumns(cfg.dq_flags(latest))
         if cfg.redact:
@@ -351,3 +353,106 @@ def build_agg_driver_daily(lake: Lakehouse) -> None:
         target, recomputed, ["request_date_key", "driver_key"],
         freshness_col="max_raw_loaded_at",
     )
+
+
+# ---------------------------------------------------------------------------
+# GDPR + retention orchestration (reference §3.4 + retention/*)
+# ---------------------------------------------------------------------------
+def run_gdpr(
+    lake: Lakehouse,
+    requests: DataFrame,
+    salt: str,
+) -> dict[str, int]:
+    """Full erasure propagation across every existing layer/flavor
+    (gdpr_propagate_erasure.py:725-869): entity anonymize MERGEs on
+    silver + gold (incl. scd3 prev_*), then free-text scrubs on
+    ratings.comment / trips.cancel_note / payments.provider_ref via the
+    affected-trip-id semi-join, each audited with salted fingerprints."""
+    from urban_mobility_data_pipeline_spark.operators.gdpr import (
+        AuditLog,
+        affected_trip_ids,
+        normalize_requests,
+        propagate_erasure,
+        scrub_column,
+    )
+
+    audit = AuditLog(lake.spark, lake.path("gdpr", "audit"), salt=salt)
+    layer_tables: dict[str, dict] = {"silver": {}, "gold": {}}
+    for entity in ("passengers", "drivers", "vehicles"):
+        t = lake.table("silver", entity)
+        if t.exists():
+            layer_tables["silver"][entity] = t
+        dim = lake.table("gold", f"dim_{entity[:-1]}")
+        if dim.exists():
+            layer_tables["gold"][entity] = dim
+        hist = lake.table("gold", f"dim_{entity[:-1]}_hist")
+        if hist.exists():
+            layer_tables["gold"][f"{entity}#hist"] = hist
+        scd3 = lake.table("gold", f"dim_{entity[:-1]}_scd3")
+        if scd3.exists():
+            layer_tables["gold"][f"{entity}:prev"] = scd3
+    counts = propagate_erasure(lake.spark, requests, layer_tables, audit=audit)
+
+    # accidental-PII scrubs (M9): derive affected trip ids once
+    normalized = normalize_requests(requests)
+    trips_t = lake.table("silver", "trips")
+    if trips_t.exists() and normalized.take(1):
+        trips = trips_t.read()
+        fk_map = {
+            "passenger": ["passenger_id"],
+            "driver": ["driver_id"],
+            "vehicle": ["vehicle_id"],
+        }
+        ids = None
+        for stype, fks in fk_map.items():
+            subjects = normalized.filter(F.col("subject_type") == stype)
+            if not subjects.take(1):
+                continue
+            part = affected_trip_ids(trips, subjects, fks)
+            ids = part if ids is None else ids.unionByName(part).distinct()
+        if ids is not None:
+            # materialize the id set BEFORE mutating: the scrubs rewrite
+            # silver/trips, and a lazy plan over it would re-read deleted
+            # files (copy-on-write hazard; Delta's retained versions hide
+            # this — our Parquet MergeTable must snapshot instead)
+            scratch = lake.table("gdpr", "_affected_trip_ids")
+            scratch.create(ids)
+            ids = scratch.read()
+        if ids is not None:
+            for layer, name, col, key in (
+                ("silver", "ratings", "comment", "trip_id"),
+                ("silver", "trips", "cancel_note", "trip_id"),
+                ("silver", "payments", "provider_ref", "trip_id"),
+            ):
+                t = lake.table(layer, name)
+                if t.exists():
+                    scrub_column(t, ids, key, col)
+                    audit.record(layer, name, ids.select(
+                        F.col(key).alias("subject_id")), [col])
+    return counts
+
+
+def run_retention(
+    lake: Lakehouse,
+    bronze_days: int = 30,
+    silver_days: int = 365,
+    now=None,
+) -> None:
+    """Retention sweep (retention/bronze_retention_cleanup.py:16-96,
+    silver_retention_cleanup.py:26-96): Bronze drops rows older than N
+    days by load_date; Silver deletes only CLOSED SCD2 history older
+    than N days — current rows are never aged out."""
+    from urban_mobility_data_pipeline_spark.domain.config import ALL_TABLES
+    from urban_mobility_data_pipeline_spark.operators.retention import (
+        age_predicate,
+        apply_retention,
+        closed_history_predicate,
+    )
+
+    for name in ALL_TABLES:
+        bronze = lake.table("bronze", name)
+        if bronze.exists():
+            apply_retention(bronze, age_predicate("raw_loaded_at", bronze_days, now))
+        silver = lake.table("silver", name)
+        if silver.exists():
+            apply_retention(silver, closed_history_predicate(silver_days, now))

@@ -111,3 +111,43 @@ def bucketed_topk(
     return cosine_topk(
         candidates.select(id_col, vec_col), query_vec_id, k, id_col, vec_col
     )
+
+
+def embedding_near_dup_pairs(
+    embeddings: DataFrame,
+    dim: int,
+    threshold: float = 0.9,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_planes: int = ANN_PLANES,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs: LSH-bucket the corpus, pair
+    only within buckets (a<b), keep pairs with cosine ≥ threshold.
+
+    The self-join key is the bucket int, so pair generation is
+    O(Σ bucket²) — with P planes buckets shrink geometrically, making
+    this the corpus-scale path (vs O(n²) all-pairs). Cosine is the same
+    ordered-fold recipe as cosine_topk, rounded for engine portability.
+    """
+    with_buckets = embeddings.join(
+        hyperplane_buckets(embeddings, dim, id_col, vec_col, n_planes), id_col
+    ).select(id_col, vec_col, "bucket")
+    a = with_buckets.select(
+        F.col(id_col).alias("vec_a"),
+        F.col(vec_col).alias("va"),
+        F.col("bucket"),
+    )
+    b = with_buckets.select(
+        F.col(id_col).alias("vec_b"),
+        F.col(vec_col).alias("vb"),
+        F.col("bucket"),
+    )
+    pairs = a.join(b, "bucket").filter(F.col("vec_a") < F.col("vec_b"))
+    return (
+        pairs.select(
+            "vec_a",
+            "vec_b",
+            F.round(cosine("va", "vb"), 6).alias("cosine"),
+        )
+        .filter(F.col("cosine") >= threshold)
+    )

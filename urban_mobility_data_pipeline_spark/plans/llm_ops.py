@@ -422,3 +422,36 @@ def doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.select(
         "doc_id", T.rolling_fingerprint("text").alias("fingerprint")
     )
+
+
+# ---------------------------------------------------------------------------
+# embedding-cosine near-dup pairs (bucketed)
+# ---------------------------------------------------------------------------
+_COS = (
+    "round(list_dot_product(a.ve, b.ve) / "
+    "(sqrt(list_dot_product(a.ve, a.ve)) * sqrt(list_dot_product(b.ve, b.ve))), 6)"
+)
+
+
+@register(
+    "embedding_near_dup_pairs",
+    oracle=f"""
+    WITH v AS (SELECT vec_id,
+                      list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ve,
+                      CAST({_BUCKET_TERMS.replace("ve", "list_transform(embedding, x -> CAST(x AS DOUBLE))")} AS INTEGER) AS bucket
+               FROM embeddings)
+    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, {_COS} AS cosine
+    FROM v a JOIN v b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+    WHERE {_COS} >= 0.35
+    """,
+)
+def embedding_near_dup_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup detection: LSH-bucketed self-join +
+    cosine >= 0.35 verify — the last of the five dedup flavors (exact,
+    MinHash-LSH, SimHash, n-gram Jaccard, embedding-cosine)."""
+    from urban_mobility_data_pipeline_spark.extensions.similarity import (
+        embedding_near_dup_pairs,
+    )
+
+    emb = table(spark, sf_dir, "embeddings")
+    return embedding_near_dup_pairs(emb, dim=_EMB_DIM, threshold=0.35)
