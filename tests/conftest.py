@@ -1,5 +1,7 @@
 from __future__ import annotations
 
+import tempfile
+
 import pytest
 
 from urban_mobility_data_pipeline_spark.session import get_spark
@@ -12,7 +14,12 @@ def spark():
     spark = get_spark(
         app_name="umdp-tests",
         master="local[8]",
-        extra_conf={"spark.sql.shuffle.partitions": "8", "spark.ui.enabled": "false"},
+        extra_conf={
+            "spark.sql.shuffle.partitions": "8",
+            "spark.ui.enabled": "false",
+            # keep bucketed-table tests out of the repo cwd
+            "spark.sql.warehouse.dir": tempfile.mkdtemp(prefix="umdp_wh_"),
+        },
     )
     yield spark
     spark.stop()

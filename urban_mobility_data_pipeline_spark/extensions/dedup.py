@@ -88,23 +88,39 @@ def exploded_shingles(
     )
 
 
+#: Each minhash j reads 8 hex chars (32 bits) of the doubled digest
+#: H = md5('0|'+s) || md5('1|'+s). Two md5 calls yield all K=8 hash
+#: families — 4× fewer digests than one-md5-per-family, same estimator
+#: (slices of independent digests are independent uniform hashes).
+MINHASH_SLICE_CHARS = 8
+
+
 def minhash_signatures(
     docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
 ) -> DataFrame:
     """doc_id + mh_0..mh_{K-1} signature table.
 
-    Shape: explode shingles → K md5s per (doc, shingle) row → groupBy
-    doc min. Map-side partial aggregation means the shuffle carries one
-    K-wide signature per doc per partition — at corpus scale this is the
-    plan you want (vs per-row array folds, which re-evaluate the
-    tokenizer K times per element when Catalyst inlines the lambda).
-    Lexicographic min over a seeded uniform hex hash is a
-    permutation-min — the classic MinHash estimator.
+    Shape: explode shingles → 2 md5s per (doc, shingle) row, sliced into
+    K 8-hex-char family hashes → groupBy doc min. Map-side partial
+    aggregation means the shuffle carries one K-wide signature per doc
+    per partition — at corpus scale this is the plan you want (vs
+    per-row array folds, which re-evaluate the tokenizer K times per
+    element when Catalyst inlines the lambda). Lexicographic min over a
+    uniform hex hash slice is a permutation-min — the classic MinHash
+    estimator.
     """
-    per_shingle = exploded_shingles(docs, id_col, text_col).select(
+    w = MINHASH_SLICE_CHARS
+    digested = exploded_shingles(docs, id_col, text_col).select(
+        F.col(id_col),
+        F.concat(
+            F.md5(F.concat(F.lit("0|"), F.col("shingle"))),
+            F.md5(F.concat(F.lit("1|"), F.col("shingle"))),
+        ).alias("H"),
+    )
+    per_shingle = digested.select(
         F.col(id_col),
         *[
-            F.md5(F.concat(F.lit(f"{j}|"), F.col("shingle"))).alias(f"h{j}")
+            F.substring("H", j * w + 1, w).alias(f"h{j}")
             for j in range(MINHASH_K)
         ],
     )

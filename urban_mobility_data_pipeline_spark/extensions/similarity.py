@@ -19,7 +19,7 @@ from __future__ import annotations
 
 import hashlib
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from urban_mobility_data_pipeline_spark.functions.vectors import (
@@ -151,3 +151,91 @@ def embedding_near_dup_pairs(
         )
         .filter(F.col("cosine") >= threshold)
     )
+
+
+def ivf_centroids(
+    embeddings: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+) -> DataFrame:
+    """IVF coarse quantizer centroids as per-partition-key mean vectors.
+
+    A real deployment trains k-means; here the deterministic stand-in is
+    the mean per existing label (or any clustering column) — the IVF
+    *mechanics* (cell assignment, inverted-list pruning) are identical
+    and that's what the engine layer owns. Output: (cell, centroid).
+    """
+    dim_probe = F.size(F.col(vec_col))
+    exploded = embeddings.select(
+        F.col(label_col).alias("cell"),
+        F.posexplode(F.col(vec_col)).alias("pos", "component"),
+    )
+    means = exploded.groupBy("cell", "pos").agg(
+        F.avg("component").alias("m")
+    )
+    return (
+        means.groupBy("cell")
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct("pos", "m"))
+            ).alias("pm")
+        )
+        .select(
+            "cell",
+            F.transform("pm", lambda x: x["m"]).alias("centroid"),
+        )
+    )
+
+
+def ivf_assign(
+    embeddings: DataFrame,
+    centroids: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Assign every vector to its nearest centroid cell (max cosine).
+    Centroids are broadcast (they're tiny); assignment is a map over the
+    corpus. The cell column is the IVF partition key — persist the
+    corpus partitioned/bucketed by it and a query scans one cell."""
+    scored = embeddings.join(F.broadcast(centroids)).select(
+        F.col(id_col),
+        F.col(vec_col),
+        F.col("cell"),
+        cosine(vec_col, "centroid").alias("__sim"),
+    )
+    w = Window.partitionBy(id_col).orderBy(F.col("__sim").desc(), F.col("cell"))
+    return (
+        scored.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select(id_col, vec_col, "cell")
+    )
+
+
+def ivf_topk(
+    embeddings: DataFrame,
+    centroids: DataFrame,
+    query_vec_id: int,
+    k: int = 10,
+    nprobe: int = 1,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF search: rank cells by centroid similarity to the query, scan
+    the nprobe best cells, exact cosine inside. Recall/latency dial is
+    nprobe — the standard IVF contract."""
+    assigned = ivf_assign(embeddings, centroids, id_col, vec_col)
+    q = assigned.filter(F.col(id_col) == query_vec_id).select(
+        F.col(vec_col).alias("__qv")
+    )
+    cell_rank = (
+        centroids.join(F.broadcast(q))
+        .select("cell", cosine("centroid", "__qv").alias("__sim"))
+        .orderBy(F.col("__sim").desc(), "cell")
+        .limit(nprobe)
+        .select("cell")
+    )
+    candidates = assigned.join(F.broadcast(cell_rank), "cell").select(
+        id_col, vec_col
+    )
+    return cosine_topk(candidates, query_vec_id, k, id_col, vec_col)

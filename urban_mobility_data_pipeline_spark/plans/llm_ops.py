@@ -56,9 +56,14 @@ _SHINGLES = (
 
 
 def _duck_minhash(j: int, shingles_expr: str = "shingles") -> str:
+    from urban_mobility_data_pipeline_spark.extensions.dedup import (
+        MINHASH_SLICE_CHARS as _W,
+    )
+
     return (
         f"list_aggregate(list_transform({shingles_expr}, "
-        f"s -> md5('{j}|' || s)), 'min')"
+        f"s -> substring(md5('0|' || s) || md5('1|' || s), {j * _W + 1}, {_W})), "
+        "'min')"
     )
 
 

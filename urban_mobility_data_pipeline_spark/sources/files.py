@@ -78,3 +78,26 @@ def write_overwrite(df: DataFrame, path: str, fmt: str = "parquet") -> None:
     """Overwrite-with-schema sink (reference S6,
     ``src/silver/trips_bronze_to_silver.py:326-332``)."""
     df.write.format(fmt).mode("overwrite").save(path)
+
+
+def write_bucketed(
+    df: DataFrame,
+    table_name: str,
+    bucket_cols: list[str],
+    n_buckets: int,
+    sort_cols: list[str] | None = None,
+    fmt: str = "parquet",
+) -> None:
+    """Bucketed table write (catalog-managed): co-locates both sides of a
+    recurring equi-join so the join runs with ZERO exchange — the
+    pre-shuffle is paid once at write time. This is the 100 TB lever for
+    fact⋈fact joins the reference never needed (its dims broadcast);
+    asserted shuffle-free in tests/test_bucketing.py."""
+    writer = (
+        df.write.format(fmt)
+        .mode("overwrite")
+        .bucketBy(n_buckets, *bucket_cols)
+    )
+    if sort_cols:
+        writer = writer.sortBy(*sort_cols)
+    writer.saveAsTable(table_name)
