@@ -289,3 +289,48 @@ def test_zones_norm_columns_and_flags(spark, tmp_path):
     assert rows[1]["zone_name_norm"] == "centre"   # trim via scrub + lower norm
     assert rows[2]["zone_name_is_null"] is True
     assert rows[1]["zone_name_is_null"] is False
+
+
+PAYMENTS_DDL = (
+    "payment_id long, trip_id long, method string, status string, "
+    "amount decimal(12,2), currency string, provider_ref string, "
+    "paid_at timestamp, created_at timestamp, updated_at timestamp"
+)
+
+
+def test_payments_star_and_dim_date(spark, tmp_path):
+    from decimal import Decimal
+
+    lake = J.Lakehouse(spark, str(tmp_path / "lake4"))
+    trips = spark.createDataFrame([_trip(1), _trip(2)], TRIPS_DDL)
+    payments = spark.createDataFrame(
+        [
+            (1, 1, " Card ", "paid", Decimal("12.50"), "eur", "gw_abc", D0, D0, D0),
+            (2, 2, "cash", "paid", Decimal("-3.00"), "EURO", None, D0, D0, D0),
+        ],
+        PAYMENTS_DDL,
+    )
+    J.bronze_ingest(lake, C.TRIPS, trips, now=D1)
+    J.bronze_ingest(lake, C.PAYMENTS, payments, now=D1)
+    J.silver_apply(lake, C.TRIPS)
+    J.silver_apply(lake, C.PAYMENTS)
+    J.build_dim_date(lake)
+    J.build_dim_payment_method(lake)
+    J.build_fact_payments(lake)
+
+    dim_date = lake.table("gold", "dim_date").read()
+    assert dim_date.filter("date_key = 0").count() == 1  # UNKNOWN row
+    assert dim_date.count() >= 2
+
+    dim = {r["method"]: r["payment_method_key"]
+           for r in lake.table("gold", "dim_payment_method").read().collect()}
+    assert "card" in dim and "cash" in dim and dim["unknown"] == 0
+
+    fact = {r["payment_id"]: r for r in
+            lake.table("gold", "fact_payments").read().collect()}
+    assert fact[1]["payment_method_key"] == dim["card"]  # validated FK
+    assert fact[2]["amount"] is None        # negative clamped in silver
+    cur = {r["payment_id"]: r for r in
+           J.silver_current(lake, "payments").collect()}
+    assert cur[2]["currency"] is None       # len != 3 clamped
+    assert cur[1]["currency"] == "EUR"      # upper(trim)

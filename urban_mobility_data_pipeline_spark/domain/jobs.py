@@ -456,3 +456,116 @@ def run_retention(
         silver = lake.table("silver", name)
         if silver.exists():
             apply_retention(silver, closed_history_predicate(silver_days, now))
+
+
+# ---------------------------------------------------------------------------
+# remaining gold pieces: dim_date, dim_payment_method, fact_payments
+# ---------------------------------------------------------------------------
+def build_dim_date(lake: Lakehouse) -> None:
+    """Static dim_date rebuild (static/dim_date.py:24-170): date range
+    inferred from silver trips timestamps (A4), sequence+explode spine,
+    attributes, UNKNOWN row (date_key=0)."""
+    from urban_mobility_data_pipeline_spark.operators.star import (
+        calendar_attributes,
+        with_unknown_row,
+    )
+
+    trips = silver_current(lake, "trips")
+    bounds = trips.agg(
+        F.min(F.to_date("requested_at")).alias("s"),
+        F.max(F.to_date("requested_at")).alias("e"),
+    )
+    spine = bounds.select(
+        F.explode(F.sequence("s", "e", F.expr("interval 1 day"))).alias("date")
+    )
+    dim = with_unknown_row(
+        calendar_attributes(spine, "date"),
+        {
+            "date": F.to_date(F.lit("1900-01-01")),
+            "date_key": F.lit(0),
+            "year": F.lit(0),
+            "month": F.lit(0),
+            "day": F.lit(0),
+            "week_of_year": F.lit(0),
+            "day_of_week": F.lit(0),
+            "day_name": F.lit("UNKNOWN"),
+            "quarter": F.lit(0),
+            "is_weekend": F.lit(False),
+        },
+    )
+    lake.table("gold", "dim_date").create(dim)
+
+
+def build_dim_payment_method(lake: Lakehouse) -> None:
+    """dim_payment_method (static/dim_payment.py:58-148): distinct
+    normalized methods from Silver current + xxhash64 surrogate key +
+    UNKNOWN row (key 0)."""
+    from urban_mobility_data_pipeline_spark.functions.hashing import (
+        surrogate_int_key,
+    )
+    from urban_mobility_data_pipeline_spark.operators.star import (
+        with_unknown_row,
+    )
+
+    cur = silver_current(lake, "payments")
+    dim = (
+        cur.groupBy("method")
+        .agg(F.max("raw_loaded_at").alias("last_seen_at"))
+        .select(
+            surrogate_int_key(["method"]).alias("payment_method_key"),
+            "method",
+            "last_seen_at",
+        )
+    )
+    dim = with_unknown_row(
+        dim,
+        {
+            "payment_method_key": F.lit(0),
+            "method": F.lit("unknown"),
+            "last_seen_at": F.lit(None).cast("timestamp"),
+        },
+    )
+    lake.table("gold", "dim_payment_method").create(dim)
+
+
+def build_fact_payments(lake: Lakehouse) -> None:
+    """fact_payments (fact_payments.py:59-231 analogue): current Silver
+    payments, W1 dedup, hashed method key validated against
+    dim_payment_method (J2, orphans → 0), SCD1 merge."""
+    from urban_mobility_data_pipeline_spark.functions.hashing import (
+        surrogate_int_key,
+    )
+
+    target = lake.table("gold", "fact_payments")
+    wm = target_max_watermark(target, "raw_loaded_at")
+    cur = silver_current(lake, "payments").filter(
+        F.col("raw_loaded_at") > F.lit(wm)
+    )
+    if cur.isEmpty():
+        return
+    latest = latest_per_key(cur, ["payment_id"], ["raw_loaded_at", "updated_at"])
+    conformed = latest.select(
+        "payment_id",
+        "trip_id",
+        surrogate_int_key(["method"]).alias("payment_method_key"),
+        "status",
+        F.col("amount").cast("double").alias("amount"),
+        "currency",
+        F.coalesce(
+            F.date_format("paid_at", "yyyyMMdd").cast("int"), F.lit(0)
+        ).alias("paid_date_key"),
+        "scd_hash",
+        "raw_loaded_at",
+    )
+    dim = lake.table("gold", "dim_payment_method")
+    if dim.exists():
+        conformed = validate_fk(
+            conformed,
+            dim.read(),
+            fact_key="payment_method_key",
+            dim_key="payment_method_key",
+        )
+    scd1_upsert(
+        target, conformed, keys=["payment_id"], order_col="raw_loaded_at",
+        hash_col="scd_hash",
+    )
