@@ -144,3 +144,24 @@ def test_scd3_shift_and_insert(spark, tmp_path):
                ["id"], "raw_loaded_at", tracked_cols=["name", "city"])
     r1 = {r["id"]: r for r in t.read().collect()}[1]
     assert r1["prev_name"] == "a"  # hash unchanged → no shift
+
+
+def test_scd2_fused_equals_two_phase(spark, tmp_path):
+    """The fused single-rewrite SCD2 must produce exactly the reference's
+    two-sequential-MERGE outcome over a churny batch sequence."""
+    batches = [
+        [(1, "a", "x", T0), (2, "b", "y", T0)],
+        [(1, "a2", "x", T1), (2, "b", "y", T1), (3, "c", "z", T1)],
+        [(1, "a2", "x", T2), (3, "c3", "z3", T2), (4, "d", "w", T2)],
+    ]
+    fused_t = MergeTable(spark, str(tmp_path / "fused"))
+    twophase_t = MergeTable(spark, str(tmp_path / "twophase"))
+    for rows in batches:
+        scd2_apply(fused_t, _batch(spark, rows), ["id"], "raw_loaded_at",
+                   fused=True)
+        scd2_apply(twophase_t, _batch(spark, rows), ["id"], "raw_loaded_at",
+                   fused=False)
+    cols = ["id", "name", "city", "valid_from", "valid_to", "is_current"]
+    a = sorted(tuple(r[c] for c in cols) for r in fused_t.read().collect())
+    b = sorted(tuple(r[c] for c in cols) for r in twophase_t.read().collect())
+    assert a == b

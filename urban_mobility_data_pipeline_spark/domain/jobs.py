@@ -99,7 +99,12 @@ def bronze_ingest(
             target.append(stamped, partition_by=["load_date"])
         else:
             target.create(stamped, partition_by=["load_date"])
-        written = target.read().filter(F.col("batch_id") == batch_id)
+        # load_date equality prunes to today's partition before the
+        # batch_id filter — the read-back never scans historical days
+        written = target.read().filter(
+            (F.col("load_date") == F.lit(now.date()))
+            & (F.col("batch_id") == batch_id)
+        )
         row = written.agg(
             F.count(F.lit(1)).alias("n"), F.max(cfg.watermark_col).alias("m")
         ).first()
@@ -167,10 +172,17 @@ def silver_apply(lake: Lakehouse, cfg: TableConfig) -> int:
             .withColumn("valid_to", F.lit(None).cast("timestamp"))
             .withColumn("is_current", F.lit(True))
         )
-        scd2_apply(target, batch, [cfg.business_key], "raw_loaded_at")
-        new_wm = batch.agg(F.max("raw_loaded_at")).first()[0]
+        # the batch plan (clean+dedup+hash over bronze) feeds the merge,
+        # the watermark agg, and the returned count — cache it once
+        batch = batch.persist()
+        try:
+            scd2_apply(target, batch, [cfg.business_key], "raw_loaded_at")
+            new_wm = batch.agg(F.max("raw_loaded_at")).first()[0]
+            n = batch.count()
+        finally:
+            batch.unpersist()
         lake.control.upsert(job, new_wm, "OK")
-        return batch.count()
+        return n
     except Exception as exc:
         lake.control.upsert(job, None, f"FAIL: {exc}")
         raise

@@ -88,12 +88,18 @@ class MergeTable:
         update_set: Mapping[str, Column] | None = None,
         insert: bool = False,
         insert_values: Mapping[str, Column] | None = None,
+        insert_companion_condition: Column | None = None,
     ) -> None:
         """Delta-style MERGE (reference S8/M1-M10 surface).
 
         ``extra_match``/``update_condition``/``update_set``/
         ``insert_values`` may reference columns as ``F.col("t.x")`` /
         ``F.col("s.x")``.
+
+        ``insert_companion_condition``: for MATCHED rows satisfying it,
+        additionally emit the source row as an insert (next to the
+        updated target row) — the fused-SCD2 primitive that Delta needs
+        two sequential MERGE commits for.
         """
         t_marker, s_marker = "__t_present", "__s_present"
         raw_target = self.read()
@@ -115,6 +121,11 @@ class MergeTable:
         if update_condition is not None:
             do_update = do_update & F.coalesce(update_condition, F.lit(False))
 
+        def insert_expr(c: str) -> Column:
+            if insert_values and c in insert_values:
+                return insert_values[c]
+            return F.col(f"s.{c}") if c in source.columns else F.lit(None)
+
         out_cols = []
         for c in t_cols:
             keep = F.col(f"t.{c}")
@@ -122,18 +133,19 @@ class MergeTable:
             if update_set and c in update_set:
                 val = F.when(do_update, update_set[c]).otherwise(keep)
             if insert:
-                ins = (
-                    insert_values[c]
-                    if insert_values and c in insert_values
-                    else (F.col(f"s.{c}") if c in src.columns else F.lit(None))
-                )
                 val = F.when(
-                    ~t_matched & F.col(s_marker).isNotNull(), ins
+                    ~t_matched & F.col(s_marker).isNotNull(), insert_expr(c)
                 ).otherwise(val)
             out_cols.append(val.alias(c))
 
         keep_row = t_matched | (F.col(s_marker).isNotNull() & F.lit(insert))
-        self._rewrite(joined.filter(keep_row).select(*out_cols))
+        result = joined.filter(keep_row).select(*out_cols)
+        if insert_companion_condition is not None:
+            companions = joined.filter(
+                matched & F.coalesce(insert_companion_condition, F.lit(False))
+            ).select(*[insert_expr(c).alias(c) for c in t_cols])
+            result = result.unionByName(companions)
+        self._rewrite(result)
 
     def update(
         self, set_map: Mapping[str, Column], condition: Column

@@ -83,9 +83,10 @@ def scd2_apply(
     keys: Sequence[str],
     order_col: str,
     hash_col: str = "scd_hash",
+    fused: bool = True,
 ) -> None:
-    """M2+M3 SCD2 two-phase merge, preserving the reference's healing
-    semantics (``silver/trips:347-432``):
+    """M2+M3 SCD2 merge, preserving the reference's healing semantics
+    (``silver/trips:347-432``):
 
     Phase 1 (close-current): match ``key AND t.is_current``; when the
     source is newer and the hash differs, set
@@ -96,6 +97,14 @@ def scd2_apply(
     both adds the new version closed in phase 1 AND resurrects keys left
     current-less by a crash between the two phases (reference comment at
     ``silver/trips:364``).
+
+    ``fused=True`` (default) computes both phases in ONE copy-on-write
+    rewrite: a source row inserts iff its key has no current target row
+    OR that row is being closed in the same pass — provably the same
+    outcome as the sequential merges (pinned by the lifecycle/healing/
+    idempotence tests), at half the rewrite cost and atomically (no
+    crash window between the commits, SURVEY §7 risk 1). ``fused=False``
+    keeps the reference's literal two-commit shape.
     """
     if not table.exists():
         table.create(source)
@@ -104,6 +113,25 @@ def scd2_apply(
     newer_and_changed = (
         F.col(f"s.{order_col}") > F.col(f"t.{order_col}")
     ) & (F.col(f"s.{hash_col}") != F.col(f"t.{hash_col}"))
+
+    if fused:
+        closing = F.coalesce(newer_and_changed, F.lit(False))
+        table.merge(
+            source,
+            keys=keys,
+            extra_match=is_current_t,
+            update_condition=newer_and_changed,
+            update_set={
+                "valid_to": F.col("s.valid_from"),
+                "is_current": F.lit(False),
+            },
+            insert=True,
+            # insert when: no current row matched (new key / healing) —
+            # handled by merge() for unmatched source rows — PLUS the
+            # matched-and-closing case, via insert_companion below.
+            insert_companion_condition=closing,
+        )
+        return
 
     table.merge(  # phase 1: close current on change
         source,

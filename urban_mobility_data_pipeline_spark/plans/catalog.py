@@ -9,6 +9,7 @@ from __future__ import annotations
 
 from urban_mobility_data_pipeline_spark.plans import (
     analytics,
+    functions_q,
     llm_ops,
     parity,
     streaming_q,
@@ -17,7 +18,7 @@ from urban_mobility_data_pipeline_spark.plans import (
 QUERIES: dict = {}
 ORACLES: dict[str, str] = {}
 
-for _mod in (parity, llm_ops, analytics, streaming_q):
+for _mod in (parity, llm_ops, analytics, functions_q, streaming_q):
     QUERIES.update(_mod.QUERIES)
     ORACLES.update(_mod.ORACLES)
 
