@@ -1,0 +1,119 @@
+"""Property-based tests (hypothesis) for engine invariants that golden
+fixtures can't sweep: SCD2 under arbitrary batch sequences, cleaning
+idempotence, Jaccard bounds."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from urban_mobility_data_pipeline_spark.operators.merge import MergeTable
+from urban_mobility_data_pipeline_spark.operators.scd import (
+    scd2_apply,
+    with_scd2_columns,
+)
+
+_slow = settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+# a "run" = list of batches; each batch maps key -> value version
+_batches = st.lists(
+    st.dictionaries(
+        st.integers(min_value=1, max_value=4),  # keys
+        st.sampled_from(["a", "b", "c"]),       # values (hash input)
+        min_size=1,
+        max_size=4,
+    ),
+    min_size=1,
+    max_size=4,
+)
+
+
+@_slow
+@given(batches=_batches)
+def test_scd2_invariants_hold_for_any_batch_sequence(spark, tmp_path_factory, batches):
+    """For EVERY sequence of batches: ≤1 current row per key; closed
+    rows' valid_to equals a later version's valid_from; latest value
+    wins; version count per key ≤ number of distinct value changes."""
+    t = MergeTable(spark, str(tmp_path_factory.mktemp("scd2prop") / "t"))
+    t0 = dt.datetime(2024, 1, 1)
+    latest_value: dict[int, str] = {}
+    for i, batch in enumerate(batches):
+        ts = t0 + dt.timedelta(days=i)
+        rows = [(k, v, "z", ts) for k, v in sorted(batch.items())]
+        df = with_scd2_columns(
+            spark.createDataFrame(
+                rows, "id long, name string, city string, raw_loaded_at timestamp"
+            ),
+            hash_cols=["name", "city"],
+            order_col="raw_loaded_at",
+        )
+        scd2_apply(t, df, ["id"], "raw_loaded_at")
+        latest_value.update(batch)
+
+    out = t.read().collect()
+    by_key: dict[int, list] = {}
+    for r in out:
+        by_key.setdefault(r["id"], []).append(r)
+    for k, versions in by_key.items():
+        currents = [r for r in versions if r["is_current"]]
+        assert len(currents) == 1, f"key {k}: {len(currents)} currents"
+        assert currents[0]["name"] == latest_value[k]
+        # history chain: every closed row ends where another begins
+        closed = sorted(
+            (r for r in versions if not r["is_current"]),
+            key=lambda r: r["valid_from"],
+        )
+        for r in closed:
+            assert r["valid_to"] is not None
+            assert any(
+                v["valid_from"] == r["valid_to"] for v in versions
+            ), f"key {k}: dangling valid_to"
+
+
+@given(
+    s=st.text(
+        alphabet=st.characters(blacklist_categories=["Cs"]), max_size=40
+    )
+)
+@settings(max_examples=30, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_scrub_null_likes_idempotent(spark, s):
+    """scrub(scrub(x)) == scrub(x) for arbitrary unicode input."""
+    from urban_mobility_data_pipeline_spark.operators.cleaning import (
+        scrub_null_likes,
+    )
+
+    df = spark.createDataFrame([(s,)], "x string")
+    once = df.select(scrub_null_likes("x").alias("x"))
+    twice = once.select(scrub_null_likes("x").alias("x"))
+    assert once.first()["x"] == twice.first()["x"]
+
+
+def test_jaccard_bounds_and_symmetry(spark, sf_dir):
+    """0 ≤ J ≤ 1; J(a,a) = 1; J symmetric — on real document shingles."""
+    from urban_mobility_data_pipeline_spark.extensions.dedup import (
+        jaccard,
+        shingles_df,
+    )
+
+    sh = shingles_df(spark.read.parquet(f"{sf_dir}/documents.parquet").limit(30))
+    a = sh.select(F.col("doc_id").alias("ia"), F.col("shingles").alias("sa"))
+    b = sh.select(F.col("doc_id").alias("ib"), F.col("shingles").alias("sb"))
+    pairs = a.crossJoin(b).select(
+        "ia", "ib",
+        jaccard(F.col("sa"), F.col("sb")).alias("jab"),
+        jaccard(F.col("sb"), F.col("sa")).alias("jba"),
+    )
+    rows = pairs.collect()
+    for r in rows:
+        assert 0.0 <= r["jab"] <= 1.0
+        assert r["jab"] == r["jba"]
+        if r["ia"] == r["ib"]:
+            assert r["jab"] == 1.0

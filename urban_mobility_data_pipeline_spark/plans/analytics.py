@@ -351,3 +351,71 @@ def approx_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.approx_count_distinct("user_id").alias("approx_users"),
         F.countDistinct("user_id").alias("exact_users"),
     )
+
+
+# ---------------------------------------------------------------------------
+# parts catalog: LIKE patterns + in-list pruning (TPC-H Q16 vibes)
+# ---------------------------------------------------------------------------
+@register(
+    "parts_by_brand_type",
+    oracle="""
+    SELECT p_brand,
+           CAST(sum(CASE WHEN p_type LIKE '%BRASS%' THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_brass,
+           CAST(sum(CASE WHEN p_size IN (1, 5, 9, 14, 23) THEN 1 ELSE 0 END)
+               AS BIGINT) AS n_select_sizes,
+           round(avg(p_retailprice), 4) AS avg_price,
+           count(*) AS n_parts
+    FROM part
+    WHERE p_name NOT LIKE 'forest%'
+    GROUP BY p_brand
+    """,
+)
+def parts_by_brand_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LIKE / NOT LIKE / IN-list predicates over the parts catalog —
+    pattern predicates push down as StringContains/StartsWith filters."""
+    p = table(spark, sf_dir, "part")
+    return (
+        p.filter(~F.col("p_name").like("forest%"))
+        .groupBy("p_brand")
+        .agg(
+            F.sum(F.when(F.col("p_type").like("%BRASS%"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_brass"),
+            F.sum(F.when(F.col("p_size").isin(1, 5, 9, 14, 23), 1).otherwise(0))
+            .cast("long")
+            .alias("n_select_sizes"),
+            F.round(F.avg("p_retailprice"), 4).alias("avg_price"),
+            F.count(F.lit(1)).alias("n_parts"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# supplier rollup joined through nation (completes table coverage)
+# ---------------------------------------------------------------------------
+@register(
+    "supplier_nation_summary",
+    oracle="""
+    SELECT n.n_name AS nation,
+           count(*) AS n_suppliers,
+           round(sum(s.s_acctbal), 2) AS total_acctbal,
+           round(max(s.s_acctbal), 2) AS max_acctbal
+    FROM supplier s
+    JOIN nation n ON s.s_nationkey = n.n_nationkey
+    GROUP BY n.n_name
+    """,
+)
+def supplier_nation_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Supplier→nation broadcast join + rollup."""
+    s = table(spark, sf_dir, "supplier")
+    n = F.broadcast(table(spark, sf_dir, "nation"))
+    return (
+        s.join(n, s["s_nationkey"] == n["n_nationkey"])
+        .groupBy(F.col("n_name").alias("nation"))
+        .agg(
+            F.count(F.lit(1)).alias("n_suppliers"),
+            F.round(F.sum("s_acctbal"), 2).alias("total_acctbal"),
+            F.round(F.max("s_acctbal"), 2).alias("max_acctbal"),
+        )
+    )
