@@ -165,3 +165,60 @@ def test_scd2_fused_equals_two_phase(spark, tmp_path):
     a = sorted(tuple(r[c] for c in cols) for r in fused_t.read().collect())
     b = sorted(tuple(r[c] for c in cols) for r in twophase_t.read().collect())
     assert a == b
+
+
+def test_merge_schema_evolution(spark, tmp_path):
+    """autoMerge parity (silver/trips:340-345): a source with a new
+    column widens the target; old rows get NULL."""
+    t = MergeTable(spark, str(tmp_path / "t"))
+    t.create(_df(spark, [(1, "a", "x", T0)]))
+    wider = spark.createDataFrame(
+        [(1, "a2", "x", T1, "vip"), (2, "b", "y", T1, None)],
+        DDL + ", tier string",
+    )
+    t.merge(
+        wider,
+        keys=["id"],
+        update_condition=F.col("s.raw_loaded_at") > F.col("t.raw_loaded_at"),
+        update_set={"name": F.col("s.name"), "tier": F.col("s.tier")},
+        insert=True,
+        evolve_schema=True,
+    )
+    got = {r["id"]: (r["name"], r["tier"]) for r in t.read().collect()}
+    assert got == {1: ("a2", "vip"), 2: ("b", None)}
+    # without evolve_schema, the new column is ignored (Delta default)
+    t2 = MergeTable(spark, str(tmp_path / "t2"))
+    t2.create(_df(spark, [(1, "a", "x", T0)]))
+    t2.merge(wider, keys=["id"], insert=True)
+    assert "tier" not in t2.read().columns
+
+
+def test_compact_reduces_files(spark, tmp_path):
+    import glob
+
+    t = MergeTable(spark, str(tmp_path / "t"))
+    t.create(spark.range(100).repartition(16).selectExpr("id"))
+    for _ in range(3):  # small appends accumulate files
+        t.append(spark.range(10).repartition(4).selectExpr("id"))
+    before = len(glob.glob(str(tmp_path / "t" / "*.parquet")))
+    n = t.read().count()
+    t.compact(target_partitions=2)
+    after = len(glob.glob(str(tmp_path / "t" / "*.parquet")))
+    assert after < before and after <= 2
+    assert t.read().count() == n
+
+
+def test_scd2_schema_evolution_across_batches(spark, tmp_path):
+    """A widened bronze batch evolves silver (autoMerge dev default):
+    new column appears, historical rows carry NULL."""
+    t = MergeTable(spark, str(tmp_path / "t"))
+    scd2_apply(t, _batch(spark, [(1, "a", "x", T0)]), ["id"], "raw_loaded_at")
+    wider = spark.createDataFrame(
+        [(1, "a2", "x", T1, "gold-tier")], DDL + ", tier string"
+    )
+    batch2 = with_scd2_columns(wider, hash_cols=["name", "city"],
+                               order_col="raw_loaded_at")
+    scd2_apply(t, batch2, ["id"], "raw_loaded_at")
+    rows = sorted(t.read().collect(), key=lambda r: r["valid_from"])
+    assert rows[0]["tier"] is None and rows[0]["is_current"] is False
+    assert rows[1]["tier"] == "gold-tier" and rows[1]["is_current"] is True

@@ -144,7 +144,9 @@ def silver_apply(lake: Lakehouse, cfg: TableConfig) -> int:
     job = f"{cfg.name}_silver"
     try:
         wm = lake.control.read_watermark(job)
-        bronze = lake.table("bronze", cfg.name).read()
+        # mergeSchema: bronze is append-only and its OLTP source may have
+        # widened over time (autoMerge parity, SURVEY §1.2)
+        bronze = lake.table("bronze", cfg.name).read(merge_schema=True)
         target = lake.table("silver", cfg.name)
         sliced = (
             incremental_slice(bronze, wm, "raw_loaded_at", "load_date")

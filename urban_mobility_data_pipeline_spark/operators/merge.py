@@ -42,15 +42,35 @@ class MergeTable:
     # -- existence / IO ----------------------------------------------------
     def exists(self) -> bool:
         """S4 existence probe (reference ``DeltaTable.isDeltaTable``,
-        ``src/bronze/trips_oltp_to_bronze.py:32``)."""
+        ``src/bronze/trips_oltp_to_bronze.py:32``).
+
+        Checks the filesystem directly when the path is local (avoids a
+        JVM AnalysisException + stack-trace log per probe); falls back to
+        a schema read for remote filesystems."""
+        import glob
+
+        if "://" not in self.path or self.path.startswith("file://"):
+            local = self.path.removeprefix("file://")
+            if not os.path.isdir(local):
+                return False
+            return bool(
+                glob.glob(os.path.join(local, "**", "*.parquet"), recursive=True)
+            ) or bool(glob.glob(os.path.join(local, "_SUCCESS")))
         try:
             self.spark.read.parquet(self.path).schema
             return True
         except Exception:
             return False
 
-    def read(self) -> DataFrame:
-        return self.spark.read.parquet(self.path)
+    def read(self, merge_schema: bool = False) -> DataFrame:
+        """``merge_schema=True`` unions the schemas of all files — needed
+        on append tables whose writers evolved the schema over time
+        (bronze). Delta gets this from the transaction log; plain parquet
+        pays a footer-merge pass, so it's opt-in."""
+        reader = self.spark.read
+        if merge_schema:
+            reader = reader.option("mergeSchema", "true")
+        return reader.parquet(self.path)
 
     def create(self, df: DataFrame, partition_by: Sequence[str] = ()) -> None:
         """S6 first-run create (``silver/trips:326-332``)."""
@@ -89,6 +109,7 @@ class MergeTable:
         insert: bool = False,
         insert_values: Mapping[str, Column] | None = None,
         insert_companion_condition: Column | None = None,
+        evolve_schema: bool = False,
     ) -> None:
         """Delta-style MERGE (reference S8/M1-M10 surface).
 
@@ -100,10 +121,29 @@ class MergeTable:
         additionally emit the source row as an insert (next to the
         updated target row) — the fused-SCD2 primitive that Delta needs
         two sequential MERGE commits for.
+
+        ``evolve_schema``: source columns absent from the target are
+        appended to the table (NULL for pre-existing rows) — the
+        reference's ``spark.databricks.delta.schema.autoMerge.enabled``
+        behavior (``silver/trips:340-345``, SURVEY §1.2). Off by default,
+        like Delta: silent widening should be a per-call decision.
         """
         t_marker, s_marker = "__t_present", "__s_present"
         raw_target = self.read()
         t_cols = [c for c in raw_target.columns]
+        if evolve_schema:
+            new_cols = [
+                f for f in source.schema.fields if f.name not in t_cols
+            ]
+            if new_cols:
+                raw_target = raw_target.select(
+                    "*",
+                    *[
+                        F.lit(None).cast(f.dataType).alias(f.name)
+                        for f in new_cols
+                    ],
+                )
+                t_cols = list(raw_target.columns)
         target = raw_target.withColumn(t_marker, F.lit(True)).alias("t")
         src = source.withColumn(s_marker, F.lit(True)).alias("s")
         cond = reduce(
@@ -172,3 +212,17 @@ class MergeTable:
         leaves no stale files, so this is a documented no-op; under Delta
         it would call ``DeltaTable.vacuum``."""
         return None
+
+    def compact(self, target_partitions: int | None = None) -> None:
+        """Small-file compaction (Delta OPTIMIZE analogue). Streaming
+        foreachBatch appends and per-batch bronze appends accumulate
+        small files; periodic compaction keeps scan task counts sane at
+        100 TB. ``target_partitions`` defaults to AQE's advisory size by
+        letting coalesce pick 1 file per current partition worth of
+        data."""
+        df = self.read()
+        if target_partitions is not None:
+            df = df.coalesce(max(1, target_partitions))
+        else:
+            df = df.coalesce(max(1, df.rdd.getNumPartitions() // 8))
+        self._rewrite(df)

@@ -74,6 +74,7 @@ def scd1_upsert(
         update_condition=cond,
         update_set={c: F.col(f"s.{c}") for c in non_keys},
         insert=True,
+        evolve_schema=True,  # autoMerge parity (silver/trips:340-345)
     )
 
 
@@ -130,6 +131,7 @@ def scd2_apply(
             # handled by merge() for unmatched source rows — PLUS the
             # matched-and-closing case, via insert_companion below.
             insert_companion_condition=closing,
+            evolve_schema=True,  # autoMerge parity (silver/trips:340-345)
         )
         return
 
@@ -148,6 +150,7 @@ def scd2_apply(
         keys=keys,
         extra_match=is_current_t,
         insert=True,
+        evolve_schema=True,
     )
 
 
@@ -196,4 +199,5 @@ def scd3_apply(
         update_condition=changed,
         update_set=update_set,
         insert=True,
+        evolve_schema=True,
     )
