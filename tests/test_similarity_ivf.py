@@ -2,8 +2,6 @@
 
 from __future__ import annotations
 
-from pyspark.sql import functions as F
-
 from urban_mobility_data_pipeline_spark.extensions.similarity import (
     cosine_topk,
     ivf_assign,
