@@ -1,12 +1,13 @@
 from __future__ import annotations
 
+import os
 import tempfile
 
 import pytest
 
 from urban_mobility_data_pipeline_spark.session import get_spark
 
-SF_DIR = "/root/testdata/sf0.001"
+SF_DIR = os.environ.get("UMDP_TEST_SF_DIR", "/root/testdata/sf0.001")
 
 
 @pytest.fixture(scope="session")

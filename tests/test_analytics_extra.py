@@ -36,3 +36,39 @@ def test_topk_plans_take_ordered(spark, sf_dir):
     df = QUERIES["top_customers_by_spend"](spark, sf_dir)
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "TakeOrderedAndProject" in plan
+
+
+def test_flagship_plan_shape(spark, sf_dir):
+    """The flagship rollup must map-side combine (partial agg before the
+    exchange), push its date filter into the parquet scan, and stay
+    JVM-side (no Python eval)."""
+    df = QUERIES["pricing_summary"](spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "partial_sum" in plan
+    assert plan.index("partial_sum") > plan.index("Exchange")
+    assert "PushedFilters: [IsNotNull(l_shipdate)" in plan
+    assert "BatchEvalPython" not in plan
+
+
+def test_no_row_at_a_time_python_in_catalog(spark, sf_dir):
+    """No catalog query may fall back to row-at-a-time Python UDF
+    execution — Python is allowed only as Arrow-batched eval."""
+    for name, fn in sorted(QUERIES.items()):
+        if name.startswith("streaming_"):
+            continue  # streaming twins execute, not just plan
+        df = fn(spark, sf_dir)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "BatchEvalPython" not in plan, name
+
+
+def test_narrow_projection_prunes_scan_columns(spark, sf_dir):
+    """A 2-column query must not scan all 9 orders columns."""
+    df = QUERIES["latest_order_per_customer"](spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    import re
+
+    schemas = re.findall(r"ReadSchema: struct<([^>]*)>", plan)
+    assert schemas
+    for s in schemas:
+        cols = [c.split(":")[0] for c in s.split(",") if c]
+        assert len(cols) <= 6, cols
