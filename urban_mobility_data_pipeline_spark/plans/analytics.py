@@ -419,3 +419,109 @@ def supplier_nation_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.max("s_acctbal"), 2).alias("max_acctbal"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# as-of join (operators/temporal.py) — Spark has no built-in; DuckDB's
+# ASOF JOIN semantics expressed as a rank-1 window for the oracle
+# ---------------------------------------------------------------------------
+@register(
+    "events_asof_prior_purchase",
+    oracle="""
+    WITH l AS (
+        SELECT event_id, user_id, epoch_us(ts) AS ts_us, value
+        FROM events WHERE event_type = 'error'
+    ),
+    r0 AS (
+        SELECT user_id, epoch_us(ts) AS ts_us, value,
+               row_number() OVER (
+                   PARTITION BY user_id, epoch_us(ts)
+                   ORDER BY event_id DESC) AS rn
+        FROM events WHERE event_type = 'purchase'
+    ),
+    r AS (SELECT user_id, ts_us, value FROM r0 WHERE rn = 1),
+    m AS (
+        SELECT l.event_id, l.user_id, l.ts_us, l.value,
+               r.ts_us AS purchase_ts_us, r.value AS purchase_value,
+               row_number() OVER (
+                   PARTITION BY l.event_id ORDER BY r.ts_us DESC) AS rn
+        FROM l LEFT JOIN r
+          ON l.user_id = r.user_id AND r.ts_us <= l.ts_us
+    )
+    SELECT event_id, user_id, ts_us, value, purchase_ts_us, purchase_value
+    FROM m WHERE rn = 1
+    """,
+)
+def events_asof_prior_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """For each error event, the same user's most recent prior purchase
+    (backward as-of, exact match allowed). One shuffle on user_id via
+    union-sort-carry — no join amplification."""
+    from urban_mobility_data_pipeline_spark.operators.temporal import asof_join
+
+    ev = table(spark, sf_dir, "events")
+    err = ev.where(F.col("event_type") == "error").select(
+        "event_id", "user_id", "ts_us", "value"
+    )
+    dedup = Window.partitionBy("user_id", "ts_us").orderBy(
+        F.col("event_id").desc()
+    )
+    pur = (
+        ev.where(F.col("event_type") == "purchase")
+        .select("user_id", "ts_us", "value", "event_id")
+        .withColumn("rn", F.row_number().over(dedup))
+        .where(F.col("rn") == 1)
+        .select("user_id", "ts_us", "value")
+    )
+    return asof_join(
+        err,
+        pur,
+        on=["user_id"],
+        left_ts="ts_us",
+        right_ts="ts_us",
+        payload={"ts_us": "purchase_ts_us", "value": "purchase_value"},
+    )
+
+
+# ---------------------------------------------------------------------------
+# bucketed range join (operators/temporal.py) — inequality-only join
+# without the BroadcastNestedLoopJoin cross product
+# ---------------------------------------------------------------------------
+@register(
+    "events_range_join_error_counts",
+    oracle="""
+    WITH l AS (
+        SELECT event_id, epoch_us(ts) AS ts_us
+        FROM events WHERE event_type = 'signup'
+    ),
+    r AS (
+        SELECT epoch_us(ts) AS err_ts_us
+        FROM events WHERE event_type = 'error'
+    )
+    SELECT l.event_id, l.ts_us,
+           CAST(count(r.err_ts_us) AS BIGINT) AS n_errors
+    FROM l LEFT JOIN r
+      ON r.err_ts_us >= l.ts_us AND r.err_ts_us < l.ts_us + 3600000000
+    GROUP BY l.event_id, l.ts_us
+    """,
+)
+def events_range_join_error_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Errors (any user) within 1h after each signup: bucketed range
+    join (hash join on the time bucket) + count, zero-count signups kept
+    via a left join back onto the signup set."""
+    from urban_mobility_data_pipeline_spark.operators.temporal import range_join
+
+    hour_us = 3600 * 1_000_000
+    ev = table(spark, sf_dir, "events")
+    sign = ev.where(F.col("event_type") == "signup").select("event_id", "ts_us")
+    err = ev.where(F.col("event_type") == "error").select(
+        F.col("ts_us").alias("err_ts_us")
+    )
+    pairs = range_join(
+        sign, err, left_ts="ts_us", right_ts="err_ts_us", window=hour_us
+    )
+    counts = pairs.groupBy("event_id").agg(F.count(F.lit(1)).alias("n_err"))
+    return sign.join(counts, "event_id", "left").select(
+        "event_id",
+        "ts_us",
+        F.coalesce(F.col("n_err"), F.lit(0).cast("long")).alias("n_errors"),
+    )
