@@ -525,3 +525,85 @@ def events_range_join_error_counts(spark: SparkSession, sf_dir: str) -> DataFram
         "ts_us",
         F.coalesce(F.col("n_err"), F.lit(0).cast("long")).alias("n_errors"),
     )
+
+
+# ---------------------------------------------------------------------------
+# rollup cascade (operators/rollup.py) — daily derived from hourly
+# partials; oracle aggregates daily directly from raw (must agree)
+# ---------------------------------------------------------------------------
+@register(
+    "daily_event_rollup_from_hourly",
+    oracle="""
+    SELECT (epoch_us(ts) // 86400000000) * 86400000000 AS bucket,
+           event_type,
+           CAST(count(value) AS BIGINT) AS n_value,
+           round(sum(value), 2) AS total_value,
+           round(min(value), 2) AS min_value,
+           round(max(value), 2) AS max_value,
+           round(round(sum(value), 2) / count(value), 2) AS avg_value
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def daily_event_rollup_from_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Continuous-aggregate cascade: raw -> hourly partial states ->
+    daily (re-aggregating partials, no raw rescan) -> finalize. The
+    oracle computes daily straight from raw; equality proves the
+    algebraic decomposition."""
+    from urban_mobility_data_pipeline_spark.operators.rollup import (
+        cascade,
+        finalize,
+        partial_rollup,
+    )
+
+    hour_us = 3600 * 1_000_000
+    day_us = 24 * hour_us
+    ev = table(spark, sf_dir, "events")
+    hourly = partial_rollup(
+        ev, ts="ts_us", grain=hour_us, keys=["event_type"], measures=["value"]
+    )
+    daily = cascade(
+        hourly, grain=day_us, keys=["event_type"], measures=["value"]
+    )
+    return finalize(daily, keys=["event_type"], measures=["value"])
+
+
+# ---------------------------------------------------------------------------
+# deterministic train/test split (extensions/sampling.py) — md5
+# fingerprint, reproducible in any engine
+# ---------------------------------------------------------------------------
+@register(
+    "documents_train_test_split",
+    oracle="""
+    WITH tagged AS (
+        SELECT lang, n_chars,
+               CASE WHEN CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4))
+                          AS INT) % 100 < 20
+                    THEN 'test' ELSE 'train' END AS split
+        FROM documents
+    )
+    SELECT split, lang,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_chars) AS BIGINT) AS total_chars
+    FROM tagged
+    GROUP BY split, lang
+    """,
+)
+def documents_train_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Split documents 80/20 by doc_id fingerprint and profile the
+    splits. Membership is a pure function of doc_id — stable across
+    runs, partitionings, and engines (the oracle reproduces the same
+    split in DuckDB)."""
+    from urban_mobility_data_pipeline_spark.extensions.sampling import (
+        train_test_split,
+    )
+
+    docs = table(spark, sf_dir, "documents")
+    return (
+        train_test_split(docs, key="doc_id", test_pct=20)
+        .groupBy("split", "lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("total_chars"),
+        )
+    )
