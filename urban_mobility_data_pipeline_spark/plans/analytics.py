@@ -607,3 +607,59 @@ def documents_train_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("n_chars").alias("total_chars"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# interval join batch twin (streaming/joins.py) — same function drives
+# the stream-stream join; the oracle pins its semantics
+# ---------------------------------------------------------------------------
+@register(
+    "events_interval_join_purchases",
+    oracle="""
+    WITH l AS (
+        SELECT event_id AS signup_id, user_id, epoch_us(ts) AS signup_us
+        FROM events WHERE event_type = 'signup'
+    ),
+    r AS (
+        SELECT event_id AS purchase_id, user_id, epoch_us(ts) AS purchase_us
+        FROM events WHERE event_type = 'purchase'
+    )
+    SELECT l.signup_id, l.user_id, l.signup_us, r.purchase_id, r.purchase_us
+    FROM l JOIN r
+      ON l.user_id = r.user_id
+     AND r.purchase_us >= l.signup_us
+     AND r.purchase_us <= l.signup_us + 7200000000
+    """,
+)
+def events_interval_join_purchases(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Purchases within 2h of a signup by the same user — the batch twin
+    of streaming/joins.py interval_join (identical code path; watermarks
+    are no-ops in batch)."""
+    from urban_mobility_data_pipeline_spark.streaming.joins import interval_join
+
+    ev = table(spark, sf_dir, "events")
+    sign = ev.where(F.col("event_type") == "signup").select(
+        F.col("event_id").alias("signup_id"),
+        "user_id",
+        F.timestamp_micros(F.col("ts_us")).alias("signup_ts"),
+    )
+    pur = ev.where(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        F.col("user_id"),
+        F.timestamp_micros(F.col("ts_us")).alias("purchase_ts"),
+    )
+    return interval_join(
+        sign,
+        pur,
+        on=["user_id"],
+        left_ts="signup_ts",
+        right_ts="purchase_ts",
+        lower="0 seconds",
+        upper="2 hours",
+    ).select(
+        "signup_id",
+        "user_id",
+        F.unix_micros(F.col("signup_ts")).alias("signup_us"),
+        "purchase_id",
+        F.unix_micros(F.col("purchase_ts")).alias("purchase_us"),
+    )
