@@ -72,3 +72,40 @@ def test_fingerprint_bucket_range(spark):
         ).collect()[0]
     )
     assert mn >= 0 and mx <= 6
+
+
+def test_hll_sketch_cascade_within_tolerance(spark, sf_dir):
+    """Daily distinct users derived by unioning hourly HLL sketches must
+    track the exact daily distinct count (non-algebraic aggregate made
+    cascade-safe via mergeable sketch states)."""
+    from urban_mobility_data_pipeline_spark.operators.rollup import (
+        sketch_cascade,
+        sketch_estimate,
+        sketch_rollup,
+    )
+    from urban_mobility_data_pipeline_spark.plans._helpers import table
+
+    hour_us = 3600 * 1_000_000
+    day_us = 24 * hour_us
+    ev = table(spark, sf_dir, "events")
+    hourly = sketch_rollup(
+        ev, ts="ts_us", grain=hour_us, keys=[], distinct_cols=["user_id"]
+    )
+    daily = sketch_cascade(
+        hourly, grain=day_us, keys=[], distinct_cols=["user_id"]
+    )
+    got = {
+        r["bucket"]: r["approx_distinct_user_id"]
+        for r in sketch_estimate(daily, distinct_cols=["user_id"]).collect()
+    }
+    exact = {
+        r["bucket"]: r["exact"]
+        for r in ev.groupBy(
+            ((ev.ts_us - ev.ts_us % day_us)).alias("bucket")
+        )
+        .agg(F.countDistinct("user_id").alias("exact"))
+        .collect()
+    }
+    assert set(got) == set(exact)
+    for b, est in got.items():
+        assert abs(est - exact[b]) / max(exact[b], 1) < 0.05, (b, est, exact[b])

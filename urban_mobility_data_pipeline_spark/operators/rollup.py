@@ -98,3 +98,54 @@ def finalize(
             ).alias(f"avg_{m}"),
         ]
     return partials.select(*cols)
+
+
+def sketch_rollup(
+    df: DataFrame,
+    *,
+    ts: str,
+    grain: int,
+    keys: Sequence[str],
+    distinct_cols: Sequence[str],
+    lg_k: int = 12,
+) -> DataFrame:
+    """Per-bucket HLL sketches for distinct counts — the cascade-safe
+    form of the ONE aggregate the plain rollup cannot carry:
+    count-distinct is not algebraic (distinct-of-day != sum of
+    distinct-of-hours), but its Datasketches HLL state is mergeable, so
+    sketches cascade exactly like sums. ~2^lg_k bytes per sketch,
+    relative error ~1.04/sqrt(2^lg_k) (~1.6% at the default)."""
+    aggs = [
+        F.hll_sketch_agg(F.col(c), F.lit(lg_k)).alias(f"{c}_hll")
+        for c in distinct_cols
+    ]
+    return df.groupBy(time_bucket(ts, grain), *keys).agg(*aggs)
+
+
+def sketch_cascade(
+    sketches: DataFrame,
+    *,
+    grain: int,
+    keys: Sequence[str],
+    distinct_cols: Sequence[str],
+) -> DataFrame:
+    """Union finer-grain HLL sketches to a coarser grain (lossless merge
+    of the sketch states — no raw rescan)."""
+    aggs = [
+        F.hll_union_agg(F.col(f"{c}_hll")).alias(f"{c}_hll")
+        for c in distinct_cols
+    ]
+    return sketches.groupBy(time_bucket("bucket", grain), *keys).agg(*aggs)
+
+
+def sketch_estimate(
+    sketches: DataFrame, *, distinct_cols: Sequence[str]
+) -> DataFrame:
+    """Close HLL states into approximate distinct counts."""
+    out = sketches
+    for c in distinct_cols:
+        out = out.withColumn(
+            f"approx_distinct_{c}",
+            F.hll_sketch_estimate(F.col(f"{c}_hll")),
+        ).drop(f"{c}_hll")
+    return out

@@ -663,3 +663,26 @@ def events_interval_join_purchases(spark: SparkSession, sf_dir: str) -> DataFram
         "purchase_id",
         F.unix_micros(F.col("purchase_ts")).alias("purchase_us"),
     )
+
+
+@register("daily_distinct_users_sketch")  # no oracle: Datasketches HLL
+def daily_distinct_users_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily distinct users by unioning hourly HLL sketch states
+    (operators/rollup.py sketch cascade) — count-distinct made
+    cascade-safe; accuracy pinned by test_rollup_sampling.py against
+    the exact count (<5% rel err)."""
+    from urban_mobility_data_pipeline_spark.operators.rollup import (
+        sketch_cascade,
+        sketch_estimate,
+        sketch_rollup,
+    )
+
+    hour_us = 3600 * 1_000_000
+    ev = table(spark, sf_dir, "events")
+    hourly = sketch_rollup(
+        ev, ts="ts_us", grain=hour_us, keys=[], distinct_cols=["user_id"]
+    )
+    daily = sketch_cascade(
+        hourly, grain=24 * hour_us, keys=[], distinct_cols=["user_id"]
+    )
+    return sketch_estimate(daily, distinct_cols=["user_id"])
