@@ -98,6 +98,19 @@ def test_generated_end_to_end(spark, tmp_path):
     assert p1.filter("full_name <> 'ANONYMIZED'").count() == 0
     d2 = lake.table("gold", "dim_driver").read().filter("driver_id = 2").first()
     assert d2["license_number"] is None and d2["status"] == "inactive"
+    # every SCD2 history version in the gold hist dim is anonymized too —
+    # a redaction must hit every version (gdpr:725-869); guards the
+    # ':hist' registration key in run_gdpr
+    hist1 = (
+        lake.table("gold", "dim_passenger_hist")
+        .read()
+        .filter("passenger_id = 1")
+    )
+    assert hist1.count() > 0
+    assert hist1.filter(
+        "full_name <> 'ANONYMIZED' OR email IS NOT NULL "
+        "OR phone IS NOT NULL OR city IS NOT NULL"
+    ).count() == 0
 
     # ---- retention keeps currents ----
     J.run_retention(lake, bronze_days=0, silver_days=0,

@@ -401,7 +401,11 @@ def run_gdpr(
             layer_tables["gold"][entity] = dim
         hist = lake.table("gold", f"dim_{entity[:-1]}_hist")
         if hist.exists():
-            layer_tables["gold"][f"{entity}#hist"] = hist
+            # ':hist' (not '#hist'): propagate_erasure splits entity keys
+            # on ':' — any flavor other than 'prev' gets the base set-map,
+            # which is exactly what SCD2 history rows need (every version
+            # of an erased subject must be anonymized, gdpr:725-869)
+            layer_tables["gold"][f"{entity}:hist"] = hist
         scd3 = lake.table("gold", f"dim_{entity[:-1]}_scd3")
         if scd3.exists():
             layer_tables["gold"][f"{entity}:prev"] = scd3
