@@ -61,7 +61,10 @@ class ControlTable:
         instead of a distributed MERGE (join + rewrite ≈ 3 Spark jobs)
         the upsert collects it, merges driver-side, and writes once —
         same semantics, ~5× less per-job overhead. Under Delta this
-        would be the reference's 1-row MERGE.
+        would be the reference's 1-row MERGE. The write goes through the
+        staged swap (``MergeTable.replace``), never an in-place
+        overwrite: a crash mid-write must not lose every job's
+        watermark.
         """
         self._ensure()
         now = dt.datetime.utcnow()
@@ -81,7 +84,7 @@ class ControlTable:
             now if status == "OK" else prev[2],
             status,
         ]
-        self.table.create(
+        self.table.replace(
             self.spark.createDataFrame(
                 [tuple(v) for v in rows.values()], CONTROL_SCHEMA
             )
