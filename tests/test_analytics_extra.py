@@ -72,3 +72,19 @@ def test_narrow_projection_prunes_scan_columns(spark, sf_dir):
     for s in schemas:
         cols = [c.split(":")[0] for c in s.split(",") if c]
         assert len(cols) <= 6, cols
+
+
+def test_near_dup_pairs_stages_shingles_once(spark, sf_dir):
+    """The shingle table must be computed once (persisted stage) and the
+    candidate pairs broadcast into the verify joins — the corpus text is
+    tokenized a single time, never reshuffled (extensions/dedup.py
+    near_dup_pairs)."""
+    df = QUERIES["doc_near_dup_pairs"](spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    # staged shingles + staged band keys serve every consumer
+    assert plan.count("InMemoryTableScan") >= 4
+    # candidates broadcast into both verify joins
+    assert plan.count("BroadcastHashJoin") >= 2
+    # every documents FileScan in the text sits inside a cached-relation
+    # repr: outside the two in-memory stages nothing rescans the corpus
+    assert plan.count("InMemoryRelation") >= plan.count("FileScan parquet") - 1

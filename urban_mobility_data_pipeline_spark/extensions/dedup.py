@@ -79,13 +79,16 @@ def shingles_df(
 
 
 def exploded_shingles(
-    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingles: DataFrame | None = None,
 ) -> DataFrame:
     """(id, shingle) rows — the corpus-scale layout for signature
-    building."""
-    return shingles_df(docs, id_col, text_col).select(
-        F.col(id_col), F.explode("shingles").alias("shingle")
-    )
+    building. Pass a precomputed ``shingles`` frame to avoid re-running
+    the tokenizer (multi-stage pipelines stage it once)."""
+    src = shingles if shingles is not None else shingles_df(docs, id_col, text_col)
+    return src.select(F.col(id_col), F.explode("shingles").alias("shingle"))
 
 
 #: Each minhash j reads 8 hex chars (32 bits) of the doubled digest
@@ -96,7 +99,10 @@ MINHASH_SLICE_CHARS = 8
 
 
 def minhash_signatures(
-    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingles: DataFrame | None = None,
 ) -> DataFrame:
     """doc_id + mh_0..mh_{K-1} signature table.
 
@@ -110,7 +116,7 @@ def minhash_signatures(
     estimator.
     """
     w = MINHASH_SLICE_CHARS
-    digested = exploded_shingles(docs, id_col, text_col).select(
+    digested = exploded_shingles(docs, id_col, text_col, shingles=shingles).select(
         F.col(id_col),
         F.concat(
             F.md5(F.concat(F.lit("0|"), F.col("shingle"))),
@@ -147,11 +153,22 @@ def lsh_band_keys(sigs: DataFrame, id_col: str = "doc_id") -> DataFrame:
     ).select(id_col, "band.band_id", "band.band_key")
 
 
-def lsh_candidate_pairs(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+def lsh_candidate_pairs(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingles: DataFrame | None = None,
+) -> DataFrame:
     """Distinct candidate pairs (a < b) sharing at least one LSH band.
     The self-join is on (band_id, band_key) — a co-partitioned shuffle
-    join whose width is the bucket sizes, not the corpus."""
-    keys = lsh_band_keys(minhash_signatures(docs, id_col, text_col), id_col)
+    join whose width is the bucket sizes, not the corpus. The band-key
+    table (docs × B short rows) is persisted so the minhash aggregation
+    runs once, not once per self-join side."""
+    from pyspark import StorageLevel
+
+    keys = lsh_band_keys(
+        minhash_signatures(docs, id_col, text_col, shingles=shingles), id_col
+    ).persist(StorageLevel.MEMORY_AND_DISK)
     a = keys.alias("a")
     b = keys.alias("b")
     return (
@@ -184,13 +201,23 @@ def near_dup_pairs(
     threshold: float = 0.3,
 ) -> DataFrame:
     """LSH candidates verified with exact n-gram Jaccard ≥ threshold.
-    Shingles are recomputed per side via a re-join of the docs table —
-    at scale the candidate list is tiny relative to the corpus, so the
-    two joins broadcast the candidates, never reshuffling the corpus."""
-    cands = lsh_candidate_pairs(docs, id_col, text_col)
-    sh = shingles_df(docs, id_col, text_col)
+
+    The shingle table is computed ONCE and persisted (memory-and-disk —
+    the moral equivalent of staging it to a scratch table), then serves
+    all three consumers: signature building and both sides of the verify
+    join. Without the stage each consumer would re-tokenize the corpus —
+    three full text scans instead of one. The candidate list is tiny
+    relative to the corpus, so it is broadcast into the verify joins
+    explicitly: the corpus-side shingle stage is never reshuffled."""
+    from pyspark import StorageLevel
+
+    sh = shingles_df(docs, id_col, text_col).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    cands = lsh_candidate_pairs(docs, id_col, text_col, shingles=sh)
     paired = (
-        cands.join(
+        F.broadcast(cands)
+        .join(
             sh.select(
                 F.col(id_col).alias("doc_a"), F.col("shingles").alias("sh_a")
             ),
