@@ -56,6 +56,34 @@ def main() -> None:
             timings[name] = -1.0
 
     total = round(sum(t for t in timings.values() if t >= 0), 4)
+
+    # regression check against the committed previous-round bench (same
+    # sf only): any query >2x its prior time is flagged — visible in the
+    # JSON and loudly on stderr, so a slow round can't pass silently
+    regressions: dict[str, dict[str, float]] = {}
+    baseline_path = os.environ.get("SPARK_GRAFT_BENCH_BASELINE")
+    if baseline_path is None:
+        here = os.path.dirname(os.path.abspath(__file__))
+        rounds = sorted(
+            f for f in os.listdir(here) if re.fullmatch(r"BENCH_r\d+\.json", f)
+        )
+        baseline_path = os.path.join(here, rounds[-1]) if rounds else None
+    if baseline_path and os.path.isfile(baseline_path):
+        try:
+            with open(baseline_path) as f:
+                base = json.load(f)
+            if base.get("sf") == sf:
+                for name, t in timings.items():
+                    prev = base.get("queries", {}).get(name, -1.0)
+                    if prev > 0.05 and t > 2 * prev:
+                        regressions[name] = {"prev": prev, "now": t}
+                        print(
+                            f"bench: REGRESSION {name}: {prev}s -> {t}s",
+                            file=sys.stderr,
+                        )
+        except Exception as exc:
+            print(f"bench: baseline compare failed: {exc}", file=sys.stderr)
+
     print(
         json.dumps(
             {
@@ -64,6 +92,7 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": sf,
+                "regressions": regressions,
             }
         )
     )

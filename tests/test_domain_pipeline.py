@@ -334,3 +334,109 @@ def test_payments_star_and_dim_date(spark, tmp_path):
            J.silver_current(lake, "payments").collect()}
     assert cur[2]["currency"] is None       # len != 3 clamped
     assert cur[1]["currency"] == "EUR"      # upper(trim)
+
+
+# ---------------------------------------------------------------------------
+# Gold dim flavor matrix: snapshot/hist/scd3 × passenger/driver/vehicle —
+# mirrors the reference's 9 run scripts
+# (scripts/run/gold/_conformed/{snapshot,hist,scd3}/run_dim_*.sh)
+# ---------------------------------------------------------------------------
+
+DRIVERS_DDL = (
+    "driver_id long, full_name string, license_number string, "
+    "status string, is_deleted boolean, created_at timestamp, "
+    "updated_at timestamp"
+)
+VEHICLES_DDL = (
+    "vehicle_id long, driver_id long, plate_number string, "
+    "vehicle_type string, make string, model string, year int, "
+    "status string, created_at timestamp, updated_at timestamp"
+)
+
+_DIM_CASES = {
+    "passengers": (
+        C.PASSENGERS,
+        PASSENGERS_DDL,
+        # (key, tracked-col value, fill...) — batch rows built below
+        lambda v, upd: [
+            (1, v, "a@x.com", "111", "Rome", False, None, D0, upd),
+            (2, "Stay S", "s@x.com", "222", "Oslo", False, None, D0, upd),
+        ],
+        "full_name",
+        ["full_name", "email", "city"],
+    ),
+    "drivers": (
+        C.DRIVERS,
+        DRIVERS_DDL,
+        lambda v, upd: [
+            (1, v, "LIC-1", "active", False, D0, upd),
+            (2, "Stay S", "LIC-2", "active", False, D0, upd),
+        ],
+        "full_name",
+        ["full_name", "status"],
+    ),
+    "vehicles": (
+        C.VEHICLES,
+        VEHICLES_DDL,
+        lambda v, upd: [
+            (1, 1, "AB123", "sedan", v, "M3", 2020, "active", D0, upd),
+            (2, 1, "CD456", "sedan", "Stay", "M5", 2021, "active", D0, upd),
+        ],
+        "make",
+        ["make", "status"],
+    ),
+}
+
+
+@pytest.mark.parametrize("entity", ["passengers", "drivers", "vehicles"])
+def test_gold_dim_flavors_all_entities(spark, tmp_path, entity):
+    cfg, ddl, mk_rows, tracked_col, scd3_tracked = _DIM_CASES[entity]
+    lake = J.Lakehouse(spark, str(tmp_path / "lake"))
+    key = cfg.business_key
+    ent = cfg.name[:-1]
+
+    # run 1: two keys; run 2: key 1 changes the tracked column
+    b1 = spark.createDataFrame(mk_rows("Old V", D0), ddl)
+    assert J.bronze_ingest(lake, cfg, b1, now=D1) == 2
+    J.silver_apply(lake, cfg)
+    for flavor in ("snapshot", "hist", "scd3"):
+        if flavor == "snapshot":
+            J.build_snapshot_dim(lake, cfg, f"dim_{ent}")
+        elif flavor == "hist":
+            J.build_hist_dim(lake, cfg, f"dim_{ent}_hist")
+        else:
+            J.build_scd3_dim(lake, cfg, f"dim_{ent}_scd3", scd3_tracked)
+
+    changed = spark.createDataFrame(mk_rows("New V", D2)[:1], ddl)
+    assert J.bronze_ingest(lake, cfg, changed, now=D2) == 1
+    J.silver_apply(lake, cfg)
+    J.build_snapshot_dim(lake, cfg, f"dim_{ent}")
+    J.build_hist_dim(lake, cfg, f"dim_{ent}_hist")
+    J.build_scd3_dim(lake, cfg, f"dim_{ent}_scd3", scd3_tracked)
+
+    # vehicles' tracked col is normalized by silver scrub only (trim) —
+    # values survive as written; passengers/drivers likewise
+    new_v, old_v = "New V", "Old V"
+
+    # snapshot (SCD1): one row per key, key 1 updated
+    snap = {r[key]: r[tracked_col]
+            for r in lake.table("gold", f"dim_{ent}").read().collect()}
+    assert snap == {1: new_v, 2: "Stay S"} if entity != "vehicles" else \
+        snap == {1: new_v, 2: "Stay"}
+
+    # hist (SCD2): key 1 has closed old + current new; key 2 one current
+    hist = lake.table("gold", f"dim_{ent}_hist").read()
+    k1 = hist.filter(F.col(key) == 1).collect()
+    assert len(k1) == 2
+    cur = [r for r in k1 if r["is_current"]]
+    old = [r for r in k1 if not r["is_current"]]
+    assert len(cur) == 1 and cur[0][tracked_col] == new_v
+    assert len(old) == 1 and old[0][tracked_col] == old_v
+    assert old[0]["valid_to"] is not None
+    assert hist.filter(F.col(key) == 2).count() == 1
+
+    # scd3: key 1 current=new, prev=old; key 2 prev NULL
+    scd3 = {r[key]: (r[tracked_col], r[f"prev_{tracked_col}"])
+            for r in lake.table("gold", f"dim_{ent}_scd3").read().collect()}
+    assert scd3[1] == (new_v, old_v)
+    assert scd3[2][1] is None

@@ -87,3 +87,26 @@ def test_surrogate_keys_deterministic_and_in_range(spark):
 
     for k, v in m.items():
         assert v == expect(k)
+
+
+def test_salted_agg_phase1_deterministic(spark):
+    """Salt must be a pure function of (keys, input partition): two runs
+    over the same input produce identical phase-1 partials — stable
+    under task retry, unlike a monotonically_increasing_id salt."""
+    from urban_mobility_data_pipeline_spark.operators.skew import SALT_COL
+
+    df = _skewed(spark)
+    salted = df.withColumn(
+        SALT_COL,
+        F.pmod(
+            F.xxhash64(F.col("user_id"), F.spark_partition_id()),
+            F.lit(16),
+        ),
+    )
+    p1 = lambda: sorted(  # noqa: E731
+        tuple(r)
+        for r in salted.groupBy("user_id", SALT_COL)
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("v"))
+        .collect()
+    )
+    assert p1() == p1()

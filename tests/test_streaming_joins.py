@@ -78,3 +78,28 @@ def test_stream_stream_execution_matches_batch(spark, tmp_path):
         for r in spark.sql("SELECT * FROM ssij").collect()
     }
     assert got == EXPECTED
+
+
+def test_outer_interval_join_single_key_column(spark):
+    """Outer modes must emit ONE coalesced key column, not an ambiguous
+    pair of identically-named columns (left-only rows carry the left
+    key, right-only rows the right key)."""
+    trips, pays = _fixture(spark)
+    out = interval_join(
+        trips,
+        pays,
+        on=["user_id"],
+        left_ts="trip_ts",
+        right_ts="pay_ts",
+        lower="0 seconds",
+        upper="20 minutes",
+        how="full_outer",
+    )
+    assert out.columns.count("user_id") == 1
+    rows = out.collect()
+    assert all(r["user_id"] is not None for r in rows)
+    matched = {(r["trip_id"], r["pay_id"]) for r in rows
+               if r["trip_id"] is not None and r["pay_id"] is not None}
+    assert matched == EXPECTED
+    # unmatched rows from either side survive with their key intact
+    assert any(r["trip_id"] is None or r["pay_id"] is None for r in rows)

@@ -33,8 +33,15 @@ def salted_agg(
             "mx":  (F.max("value"),     F.max("mx")),
         })
     """
+    # deterministic salt: hash of (keys, input partition) — stable under
+    # task retry and across runs for the same file layout, unlike
+    # monotonically_increasing_id, which renumbers on every attempt
     salted = df.withColumn(
-        SALT_COL, F.pmod(F.monotonically_increasing_id(), F.lit(buckets))
+        SALT_COL,
+        F.pmod(
+            F.xxhash64(*[F.col(k) for k in keys], F.spark_partition_id()),
+            F.lit(buckets),
+        ),
     )
     phase1 = salted.groupBy(*keys, SALT_COL).agg(
         *[expr.alias(name) for name, (expr, _) in partials.items()]

@@ -6,10 +6,11 @@ Reference: full-table JDBC scans with a post-hoc watermark filter
 pushdown subquery for the GDPR request feed
 (``gdpr/gdpr_propagate_erasure.py:288-326``).
 
-Untestable in this environment (no database, no JDBC driver jar); the
-API is exercised structurally and kept import-safe. At scale, prefer
-``partition_column``/``num_partitions`` so the read parallelizes across
-executors instead of funneling through one connection.
+Tested end-to-end against embedded Derby (bundled with the Spark
+distribution) in ``tests/test_jdbc_smoke.py``: scan, watermark predicate
+pushdown, subquery-as-dbtable, and partitioned range reads. At scale,
+prefer ``partition_column``/``num_partitions`` so the read parallelizes
+across executors instead of funneling through one connection.
 """
 
 from __future__ import annotations

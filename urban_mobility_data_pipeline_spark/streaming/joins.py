@@ -53,6 +53,13 @@ def interval_join(
     dup = [c for c in right.columns if c in left.columns and c not in on]
     if dup:
         raise ValueError(f"non-key columns present on both sides: {dup}")
-    return left.join(right, cond, how).drop(
-        *[right[k] for k in on] if how == "inner" else []
-    )
+    joined = left.join(right, cond, how)
+    if how == "inner":
+        return joined.drop(*[right[k] for k in on])
+    # outer modes: both sides' key columns survive the join and one may
+    # be NULL — emit a single coalesced key so downstream references are
+    # unambiguous
+    sel = [F.coalesce(left[k], right[k]).alias(k) for k in on]
+    sel += [left[c] for c in left.columns if c not in on]
+    sel += [right[c] for c in right.columns if c not in on]
+    return joined.select(*sel)
