@@ -62,8 +62,26 @@ class Lakehouse:
     def path(self, layer: str, name: str) -> str:
         return os.path.join(self.root, layer, name)
 
-    def table(self, layer: str, name: str) -> MergeTable:
-        return MergeTable(self.spark, self.path(layer, name))
+    def table(
+        self,
+        layer: str,
+        name: str,
+        bucket_keys: tuple[str, ...] | list[str] = (),
+        num_buckets: int = 32,
+    ) -> MergeTable:
+        """``bucket_keys`` is a creation spec: when the handle first
+        creates the table it is hive-partitioned by a hidden key-hash
+        bucket, so every later MERGE keyed on those columns rewrites only
+        touched buckets (O(batch), not O(table)). Existing tables keep
+        their persisted layout regardless of the spec. Size
+        ``num_buckets`` so table_size/num_buckets is a few hundred MB at
+        the deployed scale."""
+        return MergeTable(
+            self.spark,
+            self.path(layer, name),
+            bucket_keys=bucket_keys,
+            num_buckets=num_buckets,
+        )
 
 
 # ---------------------------------------------------------------------------
@@ -147,7 +165,11 @@ def silver_apply(lake: Lakehouse, cfg: TableConfig) -> int:
         # mergeSchema: bronze is append-only and its OLTP source may have
         # widened over time (autoMerge parity, SURVEY §1.2)
         bronze = lake.table("bronze", cfg.name).read(merge_schema=True)
-        target = lake.table("silver", cfg.name)
+        # bucketed on the business key: the SCD2 merge (and later GDPR
+        # anonymize merges on the same key) rewrite only touched buckets
+        target = lake.table(
+            "silver", cfg.name, bucket_keys=[cfg.business_key]
+        )
         sliced = (
             incremental_slice(bronze, wm, "raw_loaded_at", "load_date")
             if target.exists()
@@ -213,7 +235,7 @@ def build_snapshot_dim(
         "valid_from", "valid_to", "is_current"
     )
     scd1_upsert(
-        lake.table("gold", dim_name),
+        lake.table("gold", dim_name, bucket_keys=[cfg.business_key]),
         cur,
         keys=[cfg.business_key],
         order_col="raw_loaded_at",
@@ -229,7 +251,7 @@ def build_scd3_dim(
 ) -> None:
     """SCD3 dim: seed current+prev from 2-deep Silver history (J7,
     scd3/dim_passenger.py:63-95), then shift-merge increments (M5)."""
-    table = lake.table("gold", dim_name)
+    table = lake.table("gold", dim_name, bucket_keys=[cfg.business_key])
     silver = lake.table("silver", cfg.name).read()
     if not table.exists():
         seeded = current_and_previous(
@@ -257,7 +279,7 @@ def build_hist_dim(lake: Lakehouse, cfg: TableConfig, dim_name: str) -> None:
     (hist/dim_passenger.py:136-299)."""
     cur = silver_current(lake, cfg.name)
     scd2_apply(
-        lake.table("gold", dim_name),
+        lake.table("gold", dim_name, bucket_keys=[cfg.business_key]),
         cur,
         keys=[cfg.business_key],
         order_col="raw_loaded_at",
@@ -268,7 +290,7 @@ def build_fact_trips(lake: Lakehouse) -> None:
     """fact_trips (reference fact_trips.py:59-231): target-derived
     watermark, current filter, W1 dedup, conform date_key, J1 dim
     validation (orphans→0), M4 SCD1 merge."""
-    target = lake.table("gold", "fact_trips")
+    target = lake.table("gold", "fact_trips", bucket_keys=["trip_id"])
     wm = target_max_watermark(target, "raw_loaded_at")
     cur = silver_current(lake, "trips").filter(
         F.col("raw_loaded_at") > F.lit(wm)
@@ -316,7 +338,9 @@ def build_fact_trips(lake: Lakehouse) -> None:
 def build_agg_trips_daily(lake: Lakehouse) -> None:
     """agg_trips_daily (agg_trips_daily.py:51-190): self-describing
     watermark, affected-date recompute, conditional measures, MERGE."""
-    target = lake.table("gold", "agg_trips_daily")
+    target = lake.table(
+        "gold", "agg_trips_daily", bucket_keys=["request_date_key"]
+    )
     fact = lake.table("gold", "fact_trips").read()
     wm = target_max_watermark(target, "max_raw_loaded_at")
     inc = fact.filter(F.col("raw_loaded_at") > F.lit(wm))
@@ -346,7 +370,11 @@ def build_agg_trips_daily(lake: Lakehouse) -> None:
 def build_agg_driver_daily(lake: Lakehouse) -> None:
     """agg_driver_daily (agg_driver_daily.py:51-282): date×driver grain,
     countDistinct measures."""
-    target = lake.table("gold", "agg_driver_daily")
+    target = lake.table(
+        "gold",
+        "agg_driver_daily",
+        bucket_keys=["request_date_key", "driver_key"],
+    )
     fact = lake.table("gold", "fact_trips").read()
     wm = target_max_watermark(target, "max_raw_loaded_at")
     inc = fact.filter(F.col("raw_loaded_at") > F.lit(wm))

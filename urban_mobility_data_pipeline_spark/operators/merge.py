@@ -344,14 +344,19 @@ class MergeTable:
         meta = self._meta()
         pcols: list[str] = list(meta["partition_by"])
         bucketed = bool(meta["bucket_keys"]) and pcols == [BUCKET_COL]
-        if bucketed:
+        # the source only gets a bucket column when the bucket keys are
+        # part of the merge keys (a merge on other columns — e.g. a GDPR
+        # scrub by trip_id on a rating_id-bucketed table — can't place
+        # source rows in buckets and takes the full-rewrite path, where
+        # bucket membership is recomputed from the merged result)
+        if bucketed and set(meta["bucket_keys"]) <= set(keys):
             source = source.withColumn(BUCKET_COL, self._bucket_expr(meta))
 
         assigned = set((update_set or {}).keys()) | set(
             (insert_values or {}).keys()
         )
         if bucketed:
-            prunable = set(meta["bucket_keys"]) <= set(keys) and not (
+            prunable = BUCKET_COL in source.columns and not (
                 assigned & ({BUCKET_COL} | set(meta["bucket_keys"]))
             )
         else:
