@@ -203,6 +203,9 @@ def test_compact_reduces_files(spark, tmp_path):
     before = len(glob.glob(str(tmp_path / "t" / "*.parquet")))
     n = t.read().count()
     t.compact(target_partitions=2)
+    # the snapshot now reads ≤2 files; old files persist until vacuum
+    # (Delta OPTIMIZE + VACUUM two-step)
+    t.vacuum()
     after = len(glob.glob(str(tmp_path / "t" / "*.parquet")))
     assert after < before and after <= 2
     assert t.read().count() == n

@@ -1,0 +1,292 @@
+"""Manifest transaction log: atomic commits, snapshot isolation, time
+travel, restore, physical VACUUM, pruned DELETE/UPDATE, concurrency.
+
+The reference gets all of this from Delta's ``_delta_log``
+(``src/bronze/trips_oltp_to_bronze.py:79-94``,
+``retention/bronze_retention_cleanup.py:81-86``); ``MergeTable``
+re-implements the storage contract natively on parquet.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+import glob
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from urban_mobility_data_pipeline_spark.operators.merge import (
+    ConcurrentWriteError,
+    MergeTable,
+)
+
+D1, D2, D3 = (dt.date(2024, 1, d) for d in (1, 2, 3))
+
+
+def _file_identity(root: str) -> dict[str, tuple[int, int, int]]:
+    out = {}
+    for dirpath, _dirs, files in os.walk(root):
+        if "_graft_log" in dirpath:
+            continue
+        for f in files:
+            if not f.endswith(".parquet"):
+                continue
+            full = os.path.join(dirpath, f)
+            st = os.stat(full)
+            out[os.path.relpath(full, root)] = (
+                st.st_ino,
+                st.st_mtime_ns,
+                st.st_size,
+            )
+    return out
+
+
+def _days_table(spark, path) -> MergeTable:
+    t = MergeTable(spark, str(path))
+    t.create(
+        spark.createDataFrame(
+            [(i, D1 if i < 4 else (D2 if i < 8 else D3), f"v{i}")
+             for i in range(12)],
+            "id int, load_date date, payload string",
+        ),
+        partition_by=["load_date"],
+    )
+    return t
+
+
+def test_time_travel_and_history(spark, tmp_path):
+    t = MergeTable(spark, str(tmp_path / "t"))
+    t.create(spark.createDataFrame([(1, "a")], "id int, v string"))
+    t.merge(
+        spark.createDataFrame([(2, "b")], "id int, v string"),
+        keys=["id"],
+        insert=True,
+    )
+    assert {r["v"] for r in t.read().collect()} == {"a", "b"}
+    assert {r["v"] for r in t.read(version=1).collect()} == {"a"}
+    hist = t.history()
+    assert [h["op"] for h in hist] == ["merge", "create"]
+    assert [h["version"] for h in hist] == [2, 1]
+
+
+def test_restore_rolls_back(spark, tmp_path):
+    t = MergeTable(spark, str(tmp_path / "t"))
+    t.create(spark.createDataFrame([(1, "a")], "id int, v string"))
+    t.replace(spark.createDataFrame([(9, "z")], "id int, v string"))
+    t.restore(1)
+    assert {r["v"] for r in t.read().collect()} == {"a"}
+    # restore is a new commit, not history surgery
+    assert t.history()[0]["op"] == "restore"
+
+
+def test_snapshot_isolation_across_mutation(spark, tmp_path):
+    """A DataFrame handle taken before a merge still reads the old
+    snapshot afterwards (old files aren't touched until vacuum) — the
+    property the old rename-swap rewrite could not provide."""
+    t = MergeTable(spark, str(tmp_path / "t"))
+    t.create(spark.createDataFrame([(1, "a")], "id int, v string"))
+    old = t.read()
+    t.merge(
+        spark.createDataFrame([(1, "a2")], "id int, v string"),
+        keys=["id"],
+        update_set={"v": F.col("s.v")},
+    )
+    assert [r["v"] for r in old.collect()] == ["a"]
+    assert [r["v"] for r in t.read().collect()] == ["a2"]
+
+
+def test_vacuum_makes_gdpr_erasure_physical(spark, tmp_path):
+    """An anonymize UPDATE is logical at commit; VACUUM removes the PII
+    bytes from disk (Delta's documented GDPR contract — reference
+    ``retention/bronze_retention_cleanup.py:84-86``)."""
+    path = str(tmp_path / "t")
+    t = MergeTable(spark, path)
+    t.create(
+        spark.createDataFrame(
+            [(1, "alice@example.com"), (2, "bob@example.com")],
+            "id int, email string",
+        )
+    )
+
+    def disk_has(needle: bytes) -> bool:
+        return any(
+            needle in open(f, "rb").read()
+            for f in glob.glob(os.path.join(path, "**", "*.parquet"),
+                               recursive=True)
+        )
+
+    t.update({"email": F.lit("ANON")}, F.col("id") == 1)
+    assert disk_has(b"alice@example.com")  # old snapshot still on disk
+    removed = t.vacuum()
+    assert removed > 0
+    assert not disk_has(b"alice@example.com")
+    assert {r["email"] for r in t.read().collect()} == {
+        "ANON", "bob@example.com"
+    }
+    with pytest.raises(Exception):
+        t.read(version=1).collect()
+
+
+def test_vacuum_retention_window_keeps_time_travel(spark, tmp_path):
+    t = MergeTable(spark, str(tmp_path / "t"))
+    t.create(spark.createDataFrame([(1, "a")], "id int, v string"))
+    t.replace(spark.createDataFrame([(2, "b")], "id int, v string"))
+    assert t.vacuum(retain_hours=1.0) == 0  # v1 is inside the window
+    assert [r["v"] for r in t.read(version=1).collect()] == ["a"]
+
+
+def test_pruned_delete_whole_partition(spark, tmp_path):
+    t = _days_table(spark, tmp_path / "t")
+    before = _file_identity(str(tmp_path / "t"))
+    t.delete(F.col("load_date") == F.lit(D2))
+    after = _file_identity(str(tmp_path / "t"))
+    # untouched days: byte-identical file identity
+    for day in ("load_date=2024-01-01", "load_date=2024-01-03"):
+        assert {k: v for k, v in before.items() if k.startswith(day)} == {
+            k: v for k, v in after.items() if k.startswith(day)
+        }, day
+    assert t.read().filter(F.col("load_date") == D2).count() == 0
+    assert t.read().count() == 8
+    # physical removal of the dropped partition
+    t.vacuum()
+    assert not glob.glob(
+        os.path.join(str(tmp_path / "t"), "load_date=2024-01-02", "*")
+    )
+
+
+def test_pruned_delete_partial_partition(spark, tmp_path):
+    t = _days_table(spark, tmp_path / "t")
+    before = _file_identity(str(tmp_path / "t"))
+    t.delete((F.col("load_date") == F.lit(D2)) & (F.col("id") == 5))
+    after = _file_identity(str(tmp_path / "t"))
+    for day in ("load_date=2024-01-01", "load_date=2024-01-03"):
+        assert {k: v for k, v in before.items() if k.startswith(day)} == {
+            k: v for k, v in after.items() if k.startswith(day)
+        }, day
+    got = {r["id"] for r in t.read().collect()}
+    assert got == set(range(12)) - {5}
+
+
+def test_delete_matching_nothing_is_noop_commit_free(spark, tmp_path):
+    t = _days_table(spark, tmp_path / "t")
+    v_before = t.history()[0]["version"]
+    t.delete(F.col("id") == 999)
+    assert t.history()[0]["version"] == v_before
+    assert t.read().count() == 12
+
+
+def test_delete_all_leaves_readable_empty_table(spark, tmp_path):
+    t = _days_table(spark, tmp_path / "t")
+    t.delete(F.lit(True))
+    assert t.read().count() == 0
+    assert t.read().columns == ["id", "load_date", "payload"]
+
+
+def test_pruned_update_touches_one_partition(spark, tmp_path):
+    t = _days_table(spark, tmp_path / "t")
+    before = _file_identity(str(tmp_path / "t"))
+    t.update(
+        {"payload": F.lit("X")},
+        (F.col("load_date") == F.lit(D2)) & (F.col("id") == 4),
+    )
+    after = _file_identity(str(tmp_path / "t"))
+    for day in ("load_date=2024-01-01", "load_date=2024-01-03"):
+        assert {k: v for k, v in before.items() if k.startswith(day)} == {
+            k: v for k, v in after.items() if k.startswith(day)
+        }, day
+    got = {(r["id"], r["payload"]) for r in t.read().collect()}
+    assert (4, "X") in got and (5, "v5") in got and len(got) == 12
+
+
+def test_commit_race_raises(spark, tmp_path):
+    t = MergeTable(spark, str(tmp_path / "t"))
+    t.create(spark.createDataFrame([(1, "a")], "id int, v string"))
+    m, v = t._load()
+    t._commit(dict(m, op="other-writer"), v)
+    with pytest.raises(ConcurrentWriteError):
+        t._commit(dict(m, op="loser"), v)
+
+
+def test_append_retries_lost_race(spark, tmp_path, monkeypatch):
+    t = MergeTable(spark, str(tmp_path / "t"))
+    t.create(spark.createDataFrame([(1, "a")], "id int, v string"))
+    real_commit = t._commit
+    calls = {"n": 0}
+
+    def flaky(manifest, parent):
+        calls["n"] += 1
+        if calls["n"] == 1:
+            # another writer takes our version right before us
+            real_commit(dict(manifest, op="other-writer"), parent)
+        return real_commit(manifest, parent)
+
+    monkeypatch.setattr(t, "_commit", flaky)
+    t.append(spark.createDataFrame([(2, "b")], "id int, v string"))
+    assert {r["v"] for r in t.read().collect()} == {"a", "b"}
+
+
+def test_adopts_plain_spark_directory(spark, tmp_path):
+    path = str(tmp_path / "t")
+    spark.createDataFrame(
+        [(1, D1, "a"), (2, D2, "b")], "id int, load_date date, payload string"
+    ).write.partitionBy("load_date").parquet(path)
+    t = MergeTable(spark, path)
+    assert t.exists()
+    assert t.read().count() == 2
+    t.append(
+        spark.createDataFrame(
+            [(3, D3, "c")], "id int, load_date date, payload string"
+        )
+    )
+    assert t.read().count() == 3
+    # adopted into the log: subsequent mutations are versioned
+    assert t.history()[0]["op"] == "append"
+    t.merge(
+        spark.createDataFrame(
+            [(1, D1, "a2")], "id int, load_date date, payload string"
+        ),
+        keys=["id", "load_date"],
+        update_set={"payload": F.col("s.payload")},
+    )
+    got = {(r["id"], r["payload"]) for r in t.read().collect()}
+    assert got == {(1, "a2"), (2, "b"), (3, "c")}
+
+
+def test_vacuum_cleans_crashed_staging(spark, tmp_path):
+    path = tmp_path / "t"
+    t = MergeTable(spark, str(path))
+    t.create(spark.createDataFrame([(1, "a")], "id int, v string"))
+    junk = path / "_staged-deadbeef"
+    junk.mkdir()
+    (junk / "part-junk.parquet").write_bytes(b"not a parquet file")
+    t.vacuum()
+    assert not junk.exists()
+    assert [r["v"] for r in t.read().collect()] == ["a"]
+
+
+def test_schema_evolution_is_log_side_and_pruned(spark, tmp_path):
+    """evolve_schema on a pruned merge: untouched partitions are not
+    rewritten yet read NULL for the new column (manifest schema is
+    authoritative)."""
+    t = _days_table(spark, tmp_path / "t")
+    before = _file_identity(str(tmp_path / "t"))
+    t.merge(
+        spark.createDataFrame(
+            [(4, D2, "v4-new", "extra")],
+            "id int, load_date date, payload string, tag string",
+        ),
+        keys=["id", "load_date"],
+        update_set={"payload": F.col("s.payload"), "tag": F.col("s.tag")},
+        insert=True,
+        evolve_schema=True,
+    )
+    after = _file_identity(str(tmp_path / "t"))
+    for day in ("load_date=2024-01-01", "load_date=2024-01-03"):
+        assert {k: v for k, v in before.items() if k.startswith(day)} == {
+            k: v for k, v in after.items() if k.startswith(day)
+        }, day
+    df = t.read()
+    assert "tag" in df.columns
+    rows = {r["id"]: r["tag"] for r in df.collect()}
+    assert rows[4] == "extra" and rows[0] is None and rows[8] is None

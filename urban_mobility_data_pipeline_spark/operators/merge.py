@@ -1,29 +1,53 @@
-"""MERGE-capable managed table on Parquet (SURVEY.md §2.4, §7 fallback).
+"""MERGE-capable managed table on Parquet with a manifest transaction
+log (SURVEY.md §2.4, §7 fallback).
 
 The reference runs on Delta Lake and drives everything through
 ``DeltaTable.merge`` (e.g. ``src/bronze/trips_oltp_to_bronze.py:79-94``).
 delta-spark is unavailable in this environment, so ``MergeTable``
-implements the same MERGE semantics as a read → join → rewrite (staging
-dir + atomic swap), which is exactly Delta's copy-on-write physical plan
-minus the transaction log. Semantics are identical for a single writer;
-the docstrings note where Delta would add optimistic concurrency. On a
-real deployment, swap the I/O layer for Delta and every operator above
-this module is unchanged.
+implements the same storage contract natively on parquet:
 
-Incremental cost (the 100 TB property): like Delta's dynamic file
-pruning, ``merge``/``delete`` only read and rewrite the *partitions the
-source (or predicate) touches* when the physical layout allows it:
+- **Manifest log.** Every table version is a JSON manifest in
+  ``<table>/_graft_log/<n>.json`` listing the data files of that
+  snapshot plus layout (partition columns, key-hash bucketing) and
+  schema. A commit writes the next-numbered manifest via hard-link
+  publication (``os.link`` fails if the name exists), so commits are
+  **atomic and totally ordered** — the moral core of Delta's
+  ``_delta_log``.
+- **Snapshot isolation / copy-on-write.** Mutations write *new* files
+  and flip the manifest; files of the previous version are untouched on
+  disk until ``vacuum``. Readers pinned to a version never see a
+  half-applied mutation (the old ``_swap_partitions`` per-directory
+  rename crash window is gone).
+- **Dynamic file pruning.** ``merge``/``update``/``delete`` rewrite only
+  the partitions the source or predicate touches when the layout allows
+  it: hive partition columns that are part of the merge keys (bronze
+  ``load_date``), or the hidden ``__kb = pmod(xxhash64(keys), N)``
+  bucket added by ``bucket_keys`` at ``create`` — an SCD upsert of B
+  rows rewrites at most ``min(N, B)`` buckets, never the whole history.
+  Untouched files are not read, not rewritten, not even renamed.
+- **Time travel & audit.** ``read(version=n)``, ``history()``,
+  ``restore(n)`` — parquet-native equivalents of Delta's
+  ``versionAsOf`` / ``DESCRIBE HISTORY`` / ``RESTORE``.
+- **VACUUM (S12).** Physically deletes files no manifest inside the
+  retention window references (reference
+  ``retention/bronze_retention_cleanup.py:84-86``). Like Delta, a GDPR
+  anonymize/delete is only *logically* complete at commit; ``vacuum``
+  is what removes the PII bytes from disk.
+- **Concurrent-writer detection.** A lost commit race raises
+  ``ConcurrentWriteError``; blind appends retry against the new head
+  (they commute), conflicting mutations surface to the caller —
+  single-log optimistic concurrency, same model as Delta, scoped to a
+  shared POSIX filesystem.
 
-- tables partitioned by a column that is part of the merge keys (bronze
-  ``load_date``) prune to the source's distinct partition values;
-- for merges keyed on non-partition business keys (silver/gold dims),
-  ``bucket_keys`` at ``create`` adds a hidden ``__kb =
-  pmod(xxhash64(keys), N)`` hive partition, so an SCD upsert of B rows
-  rewrites at most ``min(N, B)`` buckets, never the whole history.
+Directories written by plain Spark jobs (no log) are still readable and
+are adopted into the log on their first mutation. On a real deployment,
+swap this I/O layer for Delta and every operator above this module is
+unchanged.
 
-The layout is recorded in a ``_graft_table_meta.json`` sidecar (the
-underscore prefix makes Spark's file listing ignore it, like
-``_SUCCESS``) — the moral equivalent of Delta's table metadata.
+Schema evolution (``autoMerge`` parity, SURVEY §1.2) is log-cheap: the
+manifest schema is the source of truth and readers apply it explicitly,
+so files from before a column was added simply read NULL for it — no
+footer-merge pass, no rewrite of old partitions.
 
 MERGE contract (mirrors Delta):
 
@@ -40,30 +64,46 @@ import glob
 import json
 import os
 import shutil
+import time
 import uuid
 from collections.abc import Mapping, Sequence
 from functools import reduce
+from urllib.parse import unquote
 
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.types import StructType
 
 META_FILE = "_graft_table_meta.json"
+LOG_DIR = "_graft_log"
 BUCKET_COL = "__kb"
 #: beyond this many touched partitions a pruned rewrite stops paying for
-#: itself (driver-side value list + per-dir swaps) — fall back to one
-#: full rewrite, which is what Delta's MERGE does past its DFP threshold.
+#: itself (driver-side value list + manifest bookkeeping) — fall back to
+#: one full rewrite, which is what Delta's MERGE does past its DFP
+#: threshold.
 MAX_PRUNED_PARTITIONS = 4096
+#: partition-column types whose hive directory encoding round-trips
+#: through ``str(python_value)`` — the set for which a pruned DELETE can
+#: map predicate values to existing directories without a Spark write.
+_PRUNABLE_DELETE_TYPES = {
+    "string", "integer", "long", "short", "byte", "date",
+}
+
+
+class ConcurrentWriteError(RuntimeError):
+    """Another writer committed the version this transaction targeted."""
 
 
 class MergeTable:
-    """A path-addressed Parquet table supporting create / merge / update /
-    delete with overwrite-swap durability.
+    """A path-addressed parquet table with a manifest transaction log
+    supporting create / append / merge / update / delete / vacuum /
+    time travel.
 
-    ``bucket_keys``/``num_buckets`` apply at ``create`` time: the table is
-    hive-partitioned by a hidden ``__kb`` key-hash bucket so later merges
-    on those keys rewrite only touched buckets. Once a table exists its
-    persisted metadata wins; the constructor args are only a creation
-    spec.
+    ``bucket_keys``/``num_buckets`` apply at ``create`` time: the table
+    is hive-partitioned by a hidden ``__kb`` key-hash bucket so later
+    merges on those keys rewrite only touched buckets. Once a table
+    exists its persisted metadata wins; the constructor args are only a
+    creation spec.
     """
 
     def __init__(
@@ -78,29 +118,99 @@ class MergeTable:
         self.bucket_keys = list(bucket_keys)
         self.num_buckets = num_buckets
 
-    # -- layout metadata ----------------------------------------------------
+    # -- log ---------------------------------------------------------------
     def _local_path(self) -> str:
         return self.path.removeprefix("file://")
 
-    def _write_meta(self, meta: Mapping[str, object]) -> None:
-        tmp = os.path.join(self._local_path(), f".{META_FILE}.{uuid.uuid4().hex[:8]}")
-        with open(tmp, "w") as f:
-            json.dump(meta, f)
-        os.replace(tmp, os.path.join(self._local_path(), META_FILE))
+    def _log_dir(self) -> str:
+        return os.path.join(self._local_path(), LOG_DIR)
 
-    def _meta(self) -> dict:
-        """Table layout: sidecar if present, else inferred from the hive
-        directory structure (covers tables written by plain Spark jobs
-        without going through ``create``)."""
-        p = os.path.join(self._local_path(), META_FILE)
-        if os.path.isfile(p):
-            with open(p) as f:
-                return json.load(f)
+    def _versions(self) -> list[int]:
+        d = self._log_dir()
+        if not os.path.isdir(d):
+            return []
+        return sorted(
+            int(f[:-5])
+            for f in os.listdir(d)
+            if f.endswith(".json") and f[:-5].isdigit()
+        )
+
+    def _manifest_path(self, version: int) -> str:
+        return os.path.join(self._log_dir(), f"{version:08d}.json")
+
+    def _data_files(self) -> list[str]:
+        """Relative paths of all parquet files under the table dir,
+        excluding internal (``_``-prefixed) directories."""
+        local = self._local_path()
+        out: list[str] = []
+        for dirpath, dirs, files in os.walk(local):
+            dirs[:] = [d for d in dirs if not d.startswith(("_", "."))]
+            for f in files:
+                if f.endswith(".parquet"):
+                    out.append(
+                        os.path.relpath(os.path.join(dirpath, f), local)
+                    )
+        return out
+
+    def _adopted_manifest(self) -> dict:
+        """Snapshot of an unlogged directory (plain Spark writer or a
+        pre-log table): file listing + sidecar/inferred layout. Never
+        committed by readers; the first mutation commits it as v1."""
+        meta_path = os.path.join(self._local_path(), META_FILE)
+        if os.path.isfile(meta_path):
+            with open(meta_path) as f:
+                meta = json.load(f)
+        else:
+            meta = {
+                "partition_by": self._infer_partition_cols(),
+                "bucket_keys": [],
+                "num_buckets": 0,
+            }
         return {
-            "partition_by": self._infer_partition_cols(),
-            "bucket_keys": [],
-            "num_buckets": 0,
+            "op": "adopt",
+            "files": self._data_files(),
+            "partition_by": meta.get("partition_by", []),
+            "bucket_keys": meta.get("bucket_keys", []),
+            "num_buckets": meta.get("num_buckets", 0),
+            "schema": meta.get("schema"),
+            "ts": time.time(),
         }
+
+    def _load(self, version: int | None = None) -> tuple[dict, int]:
+        """(manifest, version). Version 0 = adopted/unlogged snapshot."""
+        versions = self._versions()
+        if not versions:
+            if version is not None:
+                raise ValueError(f"table at {self.path} has no version log")
+            return self._adopted_manifest(), 0
+        v = versions[-1] if version is None else version
+        if v not in versions:
+            raise ValueError(
+                f"version {v} not in log (have {versions[0]}..{versions[-1]})"
+            )
+        with open(self._manifest_path(v)) as f:
+            return json.load(f), v
+
+    def _commit(self, manifest: dict, parent: int) -> int:
+        """Atomically publish ``manifest`` as version ``parent+1``.
+        Hard-link publication: ``os.link`` onto an existing name raises,
+        so exactly one of two racing writers wins the version."""
+        os.makedirs(self._log_dir(), exist_ok=True)
+        manifest.setdefault("ts", time.time())
+        tmp = os.path.join(self._log_dir(), f".tmp-{uuid.uuid4().hex}")
+        with open(tmp, "w") as f:
+            json.dump(manifest, f)
+        target = self._manifest_path(parent + 1)
+        try:
+            os.link(tmp, target)
+        except FileExistsError:
+            raise ConcurrentWriteError(
+                f"version {parent + 1} of {self.path} was committed by "
+                "another writer"
+            ) from None
+        finally:
+            os.unlink(tmp)
+        return parent + 1
 
     def _infer_partition_cols(self) -> list[str]:
         """Walk the directory tree collecting ``col=value`` levels."""
@@ -127,21 +237,109 @@ class MergeTable:
             F.lit(meta["num_buckets"]),
         ).cast("int")
 
+    # -- data-file IO ------------------------------------------------------
+    def _write_files(
+        self, df: DataFrame, pcols: Sequence[str]
+    ) -> tuple[list[str], set[str]]:
+        """Write ``df`` into the table directory as *new uniquely named
+        files* (staged under ``_staged-*`` then moved — same filesystem,
+        so the moves are metadata-only) and return (relative file paths,
+        leaf partition dirs). Nothing is visible to readers until the
+        manifest referencing these files commits."""
+        local = self._local_path()
+        os.makedirs(local, exist_ok=True)
+        stage_name = f"_staged-{uuid.uuid4().hex[:8]}"
+        staging = os.path.join(self.path, stage_name)
+        staging_local = os.path.join(local, stage_name)
+        w = df.write.mode("overwrite")
+        if pcols:
+            w = w.partitionBy(*pcols)
+        w.parquet(staging)
+        rels: list[str] = []
+        leafs: set[str] = set()
+        for dirpath, _dirs, files in os.walk(staging_local):
+            for fn in files:
+                if not fn.endswith(".parquet"):
+                    continue
+                rel = os.path.relpath(os.path.join(dirpath, fn), staging_local)
+                dst = os.path.join(local, rel)
+                os.makedirs(os.path.dirname(dst) or local, exist_ok=True)
+                os.rename(os.path.join(dirpath, fn), dst)
+                rels.append(rel)
+                parent = os.path.dirname(rel)
+                if parent:
+                    leafs.add(parent)
+        shutil.rmtree(staging_local)
+        return rels, leafs
+
+    def _read_snapshot(
+        self, manifest: Mapping[str, object], include_internal: bool = False
+    ) -> DataFrame:
+        files = manifest["files"]
+        schema_json = manifest.get("schema")
+        if not files:
+            if not schema_json:
+                raise FileNotFoundError(
+                    f"empty table at {self.path} with no recorded schema"
+                )
+            df = self.spark.createDataFrame(
+                [], StructType.fromJson(json.loads(schema_json))
+            )
+        else:
+            reader = self.spark.read.option("basePath", self.path)
+            if schema_json:
+                # manifest schema is authoritative: files written before
+                # a column was added read NULL for it (log-side schema
+                # evolution — no footer merge, no old-file rewrite)
+                reader = reader.schema(
+                    StructType.fromJson(json.loads(schema_json))
+                )
+            df = reader.parquet(
+                *[os.path.join(self.path, f) for f in files]
+            )
+        if not include_internal and BUCKET_COL in df.columns:
+            df = df.drop(BUCKET_COL)
+        return df
+
+    @staticmethod
+    def _merge_schemas(old_json: str | None, new: StructType) -> str:
+        """Union of field sets, old field order first (append-table
+        widening; type conflicts are a caller error)."""
+        if not old_json:
+            return new.json()
+        old = StructType.fromJson(json.loads(old_json))
+        by_name = {f.name: f for f in old.fields}
+        merged = list(old.fields)
+        for f in new.fields:
+            prev = by_name.get(f.name)
+            if prev is None:
+                merged.append(f)
+            elif (
+                prev.dataType.simpleString() != f.dataType.simpleString()
+            ):
+                # nullability differences are fine (simpleString ignores
+                # them); true type conflicts are a caller error
+                raise ValueError(
+                    f"schema conflict on '{f.name}': "
+                    f"{prev.dataType} vs {f.dataType}"
+                )
+        return StructType(merged).json()
+
     # -- existence / IO ----------------------------------------------------
     def exists(self) -> bool:
         """S4 existence probe (reference ``DeltaTable.isDeltaTable``,
-        ``src/bronze/trips_oltp_to_bronze.py:32``).
-
-        Checks the filesystem directly when the path is local (avoids a
-        JVM AnalysisException + stack-trace log per probe); falls back to
-        a schema read for remote filesystems."""
+        ``src/bronze/trips_oltp_to_bronze.py:32``). A committed log is
+        authoritative; otherwise fall back to a filesystem data probe
+        (plain-Spark-written directories)."""
+        if self._versions():
+            return True
         if "://" not in self.path or self.path.startswith("file://"):
             local = self._local_path()
             if not os.path.isdir(local):
                 return False
-            return bool(
-                glob.glob(os.path.join(local, "**", "*.parquet"), recursive=True)
-            ) or bool(glob.glob(os.path.join(local, "_SUCCESS")))
+            return bool(self._data_files()) or bool(
+                glob.glob(os.path.join(local, "_SUCCESS"))
+            )
         try:
             self.spark.read.parquet(self.path).schema
             return True
@@ -149,45 +347,76 @@ class MergeTable:
             return False
 
     def read(
-        self, merge_schema: bool = False, include_internal: bool = False
+        self,
+        merge_schema: bool = False,
+        include_internal: bool = False,
+        version: int | None = None,
     ) -> DataFrame:
-        """``merge_schema=True`` unions the schemas of all files — needed
-        on append tables whose writers evolved the schema over time
-        (bronze). Delta gets this from the transaction log; plain parquet
-        pays a footer-merge pass, so it's opt-in.
+        """Snapshot read. ``version`` pins a historic snapshot (Delta
+        ``versionAsOf``); files must not have been vacuumed yet.
+
+        ``merge_schema`` is honored for unlogged directories (footer
+        merge); logged tables always read with the manifest schema,
+        which subsumes it.
 
         The hidden ``__kb`` bucket column is dropped unless
-        ``include_internal=True`` (mutation paths need it to preserve the
-        physical layout)."""
-        reader = self.spark.read
-        if merge_schema:
-            reader = reader.option("mergeSchema", "true")
-        try:
+        ``include_internal=True`` (mutation paths need it to preserve
+        the physical layout)."""
+        manifest, v = self._load(version)
+        if v == 0 and manifest["files"]:
+            # unlogged directory: plain Spark read (schema inference /
+            # optional footer merge), exactly what a non-managed job
+            # would see
+            reader = self.spark.read
+            if merge_schema:
+                reader = reader.option("mergeSchema", "true")
             df = reader.parquet(self.path)
-        except Exception:
-            # a delete-all leaves a partitioned table with zero data
-            # files (dynamic partitioning writes nothing for an empty
-            # frame) — recover the schema from the sidecar, like Delta
-            # serves an empty snapshot from its log
-            schema_json = self._meta().get("schema")
-            if not schema_json:
-                raise
-            from pyspark.sql.types import StructType
+            if not include_internal and BUCKET_COL in df.columns:
+                df = df.drop(BUCKET_COL)
+            return df
+        return self._read_snapshot(manifest, include_internal)
 
-            df = self.spark.createDataFrame(
-                [], StructType.fromJson(json.loads(schema_json))
+    def history(self) -> list[dict]:
+        """Commit log, newest first (Delta ``DESCRIBE HISTORY``)."""
+        out = []
+        for v in reversed(self._versions()):
+            m, _ = self._load(v)
+            out.append(
+                {
+                    "version": v,
+                    "op": m.get("op"),
+                    "ts": m.get("ts"),
+                    "n_files": len(m["files"]),
+                }
             )
-        if not include_internal and BUCKET_COL in df.columns:
-            df = df.drop(BUCKET_COL)
-        return df
+        return out
+
+    def restore(self, version: int) -> None:
+        """Roll the table back to ``version`` by committing its file
+        list as the new head (Delta ``RESTORE``). Fails if the files
+        were vacuumed."""
+        manifest, v = self._load(version)
+        head, parent = self._load()
+        local = self._local_path()
+        missing = [
+            f
+            for f in manifest["files"]
+            if not os.path.isfile(os.path.join(local, f))
+        ]
+        if missing:
+            raise FileNotFoundError(
+                f"cannot restore version {version}: {len(missing)} files "
+                f"vacuumed (first: {missing[0]})"
+            )
+        restored = {k: v for k, v in manifest.items() if k != "ts"}
+        restored["op"] = "restore"
+        self._commit(restored, parent)
 
     def create(self, df: DataFrame, partition_by: Sequence[str] = ()) -> None:
         """S6 first-run create (``silver/trips:326-332``)."""
-        meta = {
-            "partition_by": list(partition_by),
-            "bucket_keys": [],
-            "num_buckets": 0,
-        }
+        pcols = list(partition_by)
+        bucket_keys: list[str] = []
+        num_buckets = 0
         if self.bucket_keys and not partition_by:
             df = df.withColumn(
                 BUCKET_COL,
@@ -196,112 +425,137 @@ class MergeTable:
                     F.lit(self.num_buckets),
                 ).cast("int"),
             )
-            meta = {
-                "partition_by": [BUCKET_COL],
-                "bucket_keys": self.bucket_keys,
-                "num_buckets": self.num_buckets,
-            }
-        meta["schema"] = df.schema.json()
-        w = df.write.mode("overwrite")
-        if meta["partition_by"]:
-            w = w.partitionBy(*meta["partition_by"])
-        w.parquet(self.path)
-        self._write_meta(meta)
+            pcols = [BUCKET_COL]
+            bucket_keys = self.bucket_keys
+            num_buckets = self.num_buckets
+        schema_json = df.schema.json()
+        files, _ = self._write_files(df, pcols)
+        versions = self._versions()
+        parent = versions[-1] if versions else 0
+        self._commit(
+            {
+                "op": "create",
+                "files": files,
+                "partition_by": pcols,
+                "bucket_keys": bucket_keys,
+                "num_buckets": num_buckets,
+                "schema": schema_json,
+            },
+            parent,
+        )
 
-    def append(self, df: DataFrame, partition_by: Sequence[str] = ()) -> None:
-        """S5/S7 append sink (``bronze/trips:146-153``)."""
-        meta = self._meta() if self.exists() else None
-        if meta and meta["bucket_keys"] and BUCKET_COL not in df.columns:
-            df = df.withColumn(BUCKET_COL, self._bucket_expr(meta))
-        pcols = list(partition_by) or (meta["partition_by"] if meta else [])
-        w = df.write.mode("append")
-        if pcols:
-            w = w.partitionBy(*pcols)
-        w.parquet(self.path)
-        if meta is None:
-            self._write_meta(
-                {
-                    "partition_by": pcols,
-                    "bucket_keys": [],
-                    "num_buckets": 0,
-                    "schema": df.schema.json(),
-                }
-            )
+    def append(
+        self,
+        df: DataFrame,
+        partition_by: Sequence[str] = (),
+        _retries: int = 5,
+    ) -> None:
+        """S5/S7 append sink (``bronze/trips:146-153``). Appends commute,
+        so a lost commit race is retried against the new head rather
+        than surfaced."""
+        if not self.exists():
+            self.create(df, partition_by)
+            return
+        manifest, parent = self._load()
+        if parent == 0 and manifest["files"] and not manifest.get("schema"):
+            # adopting a plain-Spark directory: pin its current schema so
+            # the manifest read doesn't narrow old files to this batch's
+            # columns
+            manifest["schema"] = self.read(merge_schema=True).schema.json()
+        if manifest["bucket_keys"] and BUCKET_COL not in df.columns:
+            df = df.withColumn(BUCKET_COL, self._bucket_expr(manifest))
+        pcols = list(partition_by) or list(manifest["partition_by"])
+        new_files, _ = self._write_files(df, pcols)
+        schema_json = self._merge_schemas(manifest.get("schema"), df.schema)
+        for attempt in range(_retries):
+            try:
+                self._commit(
+                    {
+                        "op": "append",
+                        "files": list(manifest["files"]) + new_files,
+                        "partition_by": pcols,
+                        "bucket_keys": manifest["bucket_keys"],
+                        "num_buckets": manifest["num_buckets"],
+                        "schema": schema_json,
+                    },
+                    parent,
+                )
+                return
+            except ConcurrentWriteError:
+                if attempt == _retries - 1:
+                    raise
+                manifest, parent = self._load()
+                schema_json = self._merge_schemas(
+                    manifest.get("schema"), df.schema
+                )
 
     def replace(self, df: DataFrame) -> None:
-        """Atomic full overwrite: stage + swap, never an in-place
-        ``mode("overwrite")`` on the live directory (a crash mid-write
-        must not lose the previous version — the control table relies on
-        this)."""
+        """Atomic full overwrite (new files + manifest flip; the
+        previous snapshot stays readable via time travel until vacuum —
+        the control table relies on a crash never losing the last
+        committed version)."""
         if not self.exists():
             self.create(df)
             return
-        self._rewrite(df)
+        self._commit_rewrite(df, op="replace")
 
-    def _rewrite(
-        self, df: DataFrame, partition_by: Sequence[str] | None = None
+    def _commit_rewrite(
+        self,
+        df: DataFrame,
+        pcols: Sequence[str] | None = None,
+        op: str = "replace",
     ) -> None:
-        """Copy-on-write full rewrite: stage to a sibling dir, swap, drop
-        old. Preserves the table's hive/bucket partition layout
-        (``partition_by=None`` → read it from the sidecar).
+        """Full copy-on-write: write all rows as new files, flip the
+        manifest. Old files await vacuum."""
+        manifest, parent = self._load()
+        cols = list(pcols) if pcols is not None else list(
+            manifest["partition_by"]
+        )
+        files, _ = self._write_files(df, cols)
+        self._commit(
+            {
+                "op": op,
+                "files": files,
+                "partition_by": cols,
+                "bucket_keys": manifest["bucket_keys"],
+                "num_buckets": manifest["num_buckets"],
+                "schema": df.schema.json(),
+            },
+            parent,
+        )
 
-        Delta equivalent: one transactional commit. Single-writer only —
-        documented deviation (SURVEY.md §7 phase 0)."""
-        meta = self._meta()
-        meta["schema"] = df.schema.json()
-        pcols = list(partition_by) if partition_by is not None else meta["partition_by"]
-        staging = f"{self.path}__stage_{uuid.uuid4().hex[:8]}"
-        w = df.write.mode("overwrite")
-        if pcols:
-            w = w.partitionBy(*pcols)
-        w.parquet(staging)
-        backup = f"{self.path}__old_{uuid.uuid4().hex[:8]}"
-        os.rename(self.path, backup)
-        os.rename(staging, self.path)
-        shutil.rmtree(backup)
-        self._write_meta(meta)
-
-    def _leaf_partition_dirs(self, base: str, depth: int) -> list[str]:
-        """Relative ``col=val[/col2=val2...]`` paths at partition depth."""
-        if depth == 0:
-            return []
-        out: list[str] = []
-
-        def walk(cur: str, rel: str, d: int) -> None:
-            for entry in os.listdir(cur):
-                full = os.path.join(cur, entry)
-                if "=" not in entry or not os.path.isdir(full):
-                    continue
-                nxt = os.path.join(rel, entry) if rel else entry
-                if d == 1:
-                    out.append(nxt)
-                else:
-                    walk(full, nxt, d - 1)
-
-        walk(base, "", depth)
-        return out
-
-    def _swap_partitions(self, staging: str, pcols: Sequence[str]) -> None:
-        """Move only the partition dirs present in ``staging`` into the
-        live table; everything else is untouched (bytes, mtimes, file
-        identity). Crash window: the per-dir renames are not one atomic
-        commit — same exposure as Hive dynamic-partition overwrite;
-        Delta's transaction log is what this emulation trades away."""
-        live = self._local_path()
-        backups: list[str] = []
-        for rel in self._leaf_partition_dirs(staging, len(pcols)):
-            dst = os.path.join(live, rel)
-            parent = os.path.dirname(dst)
-            if parent != live:
-                os.makedirs(parent, exist_ok=True)
-            if os.path.exists(dst):
-                bak = f"{dst}__old_{uuid.uuid4().hex[:8]}"
-                os.rename(dst, bak)
-                backups.append(bak)
-            os.rename(os.path.join(staging, rel), dst)
-        for bak in backups:
-            shutil.rmtree(bak)
-        shutil.rmtree(staging)
+    def _commit_pruned(
+        self,
+        result: DataFrame,
+        manifest: dict,
+        parent: int,
+        replaced_leafs: set[str],
+        op: str,
+        schema_json: str | None = None,
+    ) -> None:
+        """Commit ``result`` as the new content of ``replaced_leafs``
+        partition dirs: old files under them are dereferenced, files of
+        every other partition carry over untouched (not read, not
+        renamed — file-level pruning)."""
+        pcols = list(manifest["partition_by"])
+        new_files, new_leafs = self._write_files(result, pcols)
+        drop = {os.path.join(d, "") for d in replaced_leafs | new_leafs}
+        kept = [
+            f
+            for f in manifest["files"]
+            if not any(f.startswith(d) for d in drop)
+        ]
+        self._commit(
+            {
+                "op": op,
+                "files": kept + new_files,
+                "partition_by": pcols,
+                "bucket_keys": manifest["bucket_keys"],
+                "num_buckets": manifest["num_buckets"],
+                "schema": schema_json or manifest.get("schema"),
+            },
+            parent,
+        )
 
     # -- mutations ----------------------------------------------------------
     def merge(
@@ -330,49 +584,45 @@ class MergeTable:
         ``evolve_schema``: source columns absent from the target are
         appended to the table (NULL for pre-existing rows) — the
         reference's ``spark.databricks.delta.schema.autoMerge.enabled``
-        behavior (``silver/trips:340-345``, SURVEY §1.2). Off by default,
-        like Delta: silent widening should be a per-call decision.
+        behavior (``silver/trips:340-345``, SURVEY §1.2). Off by
+        default, like Delta: silent widening should be a per-call
+        decision. Widening is manifest-side, so it composes with
+        pruning: untouched old files are simply read with the new
+        schema (NULL column) from then on.
 
         Incremental cost: when the table's partition columns (hive cols
         or the ``__kb`` key-hash bucket) are derivable from the merge
-        keys — and no update/insert expression reassigns them — only the
-        partitions holding the source's key values are read, joined, and
-        rewritten (Delta dynamic file pruning analogue). A one-day batch
-        into a years-deep ``load_date``-partitioned table costs O(batch),
-        not O(table).
+        keys — and no update/insert expression reassigns them — only
+        the partitions holding the source's key values are read,
+        joined, and rewritten (Delta dynamic file pruning analogue). A
+        one-day batch into a years-deep ``load_date``-partitioned table
+        costs O(batch), not O(table).
         """
-        meta = self._meta()
-        pcols: list[str] = list(meta["partition_by"])
-        bucketed = bool(meta["bucket_keys"]) and pcols == [BUCKET_COL]
+        manifest, parent = self._load()
+        pcols: list[str] = list(manifest["partition_by"])
+        bucketed = bool(manifest["bucket_keys"]) and pcols == [BUCKET_COL]
         # the source only gets a bucket column when the bucket keys are
         # part of the merge keys (a merge on other columns — e.g. a GDPR
         # scrub by trip_id on a rating_id-bucketed table — can't place
         # source rows in buckets and takes the full-rewrite path, where
         # bucket membership is recomputed from the merged result)
-        if bucketed and set(meta["bucket_keys"]) <= set(keys):
-            source = source.withColumn(BUCKET_COL, self._bucket_expr(meta))
+        if bucketed and set(manifest["bucket_keys"]) <= set(keys):
+            source = source.withColumn(BUCKET_COL, self._bucket_expr(manifest))
 
         assigned = set((update_set or {}).keys()) | set(
             (insert_values or {}).keys()
         )
         if bucketed:
             prunable = BUCKET_COL in source.columns and not (
-                assigned & ({BUCKET_COL} | set(meta["bucket_keys"]))
+                assigned & ({BUCKET_COL} | set(manifest["bucket_keys"]))
             )
         else:
             prunable = bool(pcols) and set(pcols) <= set(keys) and not (
                 assigned & set(pcols)
             )
-
-        t_marker, s_marker = "__t_present", "__s_present"
-        raw_target = self.read(include_internal=True)
-        if evolve_schema and prunable:
-            # adding a column must touch every file — plain parquet has
-            # no transaction log to reconcile per-partition schemas
-            prunable = not [
-                f for f in source.schema.fields
-                if f.name not in raw_target.columns
-            ]
+        # an unlogged directory has no file list to prune against —
+        # adopt it with one full rewrite, pruned from the next commit on
+        prunable = prunable and parent > 0
 
         part_vals: list[tuple] = []
         if prunable:
@@ -390,23 +640,15 @@ class MergeTable:
                 # dir — not worth special-casing; full rewrite is correct.
                 prunable = False
 
+        raw_target = (
+            self._read_snapshot(manifest, include_internal=True)
+            if parent > 0
+            else self.read(include_internal=True)
+        )
         if prunable:
-            if len(pcols) == 1:
-                pred = F.col(pcols[0]).isin([t[0] for t in part_vals])
-            else:
-                pred = reduce(
-                    lambda a, b: a | b,
-                    [
-                        reduce(
-                            lambda a, b: a & b,
-                            [F.col(c) == F.lit(v) for c, v in zip(pcols, t)],
-                        )
-                        for t in part_vals
-                    ],
-                )
-            raw_target = raw_target.filter(pred)
+            raw_target = raw_target.filter(self._vals_pred(pcols, part_vals))
 
-        t_cols = [c for c in raw_target.columns]
+        t_cols = list(raw_target.columns)
         if evolve_schema:
             new_cols = [
                 f for f in source.schema.fields if f.name not in t_cols
@@ -420,6 +662,8 @@ class MergeTable:
                     ],
                 )
                 t_cols = list(raw_target.columns)
+
+        t_marker, s_marker = "__t_present", "__s_present"
         target = raw_target.withColumn(t_marker, F.lit(True)).alias("t")
         src = source.withColumn(s_marker, F.lit(True)).alias("s")
         cond = reduce(
@@ -463,64 +707,208 @@ class MergeTable:
             result = result.unionByName(companions)
 
         if prunable:
-            staging = f"{self.path}__stage_{uuid.uuid4().hex[:8]}"
-            result.write.mode("overwrite").partitionBy(*pcols).parquet(staging)
-            self._swap_partitions(staging, pcols)
+            # a MERGE keeps every target row, so each touched partition
+            # that had files re-emits rows — the staged leaf dirs (plus
+            # brand-new insert partitions) are exactly the replaced set
+            self._commit_pruned(
+                result,
+                manifest,
+                parent,
+                set(),
+                "merge",
+                schema_json=result.schema.json(),
+            )
             return
         if bucketed:
             # an update may have reassigned a bucket-key column (that is
             # why this path isn't prunable) — recompute bucket membership
-            result = result.withColumn(BUCKET_COL, self._bucket_expr(meta))
-        self._rewrite(result, pcols)
+            result = result.withColumn(BUCKET_COL, self._bucket_expr(manifest))
+        self._commit_rewrite(result, pcols, op="merge")
+
+    @staticmethod
+    def _vals_pred(pcols: Sequence[str], part_vals: list[tuple]) -> Column:
+        if len(pcols) == 1:
+            return F.col(pcols[0]).isin([t[0] for t in part_vals])
+        return reduce(
+            lambda a, b: a | b,
+            [
+                reduce(
+                    lambda a, b: a & b,
+                    [F.col(c) == F.lit(v) for c, v in zip(pcols, t)],
+                )
+                for t in part_vals
+            ],
+        )
+
+    def _dirs_for_vals(
+        self, manifest: Mapping[str, object], part_vals: list[tuple]
+    ) -> set[str] | None:
+        """Leaf partition dirs of the current manifest whose decoded
+        values match ``part_vals``, or None when the column types don't
+        round-trip through ``str`` (caller falls back to full rewrite).
+        Used by DELETE, where a fully-emptied partition writes no staged
+        dir yet its old files must still be dereferenced."""
+        pcols = list(manifest["partition_by"])
+        pfields = {}
+        if manifest.get("schema"):
+            schema = StructType.fromJson(json.loads(manifest["schema"]))
+            pfields = {f.name: f.dataType.simpleString() for f in schema.fields}
+        if any(pfields.get(c) not in _PRUNABLE_DELETE_TYPES for c in pcols):
+            return None
+        wanted = {tuple(str(v) for v in t) for t in part_vals}
+        out: set[str] = set()
+        for f in manifest["files"]:
+            leaf = os.path.dirname(f)
+            if not leaf:
+                return None
+            parts = leaf.split(os.sep)
+            if len(parts) != len(pcols):
+                return None
+            vals = tuple(unquote(p.split("=", 1)[1]) for p in parts)
+            if vals in wanted:
+                out.add(leaf)
+        return out
 
     def update(
         self, set_map: Mapping[str, Column], condition: Column
     ) -> None:
-        """Delta UPDATE-where (used by GDPR flag-consistency passes)."""
-        meta = self._meta()
-        df = self.read(include_internal=True)
-        cond = F.coalesce(condition, F.lit(False))
-        out = df.withColumns(
-            {
-                c: F.when(cond, v).otherwise(F.col(c))
-                for c, v in set_map.items()
-            }
+        """Delta UPDATE-where (used by GDPR flag-consistency passes).
+        Partition-pruned: only partitions containing matching rows are
+        rewritten, unless the update reassigns a partition/bucket
+        column (rows could move partitions)."""
+        manifest, parent = self._load()
+        pcols = list(manifest["partition_by"])
+        df = (
+            self._read_snapshot(manifest, include_internal=True)
+            if parent > 0
+            else self.read(include_internal=True)
         )
-        if meta["bucket_keys"] and set(set_map) & set(meta["bucket_keys"]):
-            out = out.withColumn(BUCKET_COL, self._bucket_expr(meta))
-        self._rewrite(out)
+        cond = F.coalesce(condition, F.lit(False))
+
+        def apply(frame: DataFrame) -> DataFrame:
+            return frame.withColumns(
+                {
+                    c: F.when(cond, v).otherwise(F.col(c))
+                    for c, v in set_map.items()
+                }
+            )
+
+        moving = set(set_map) & (
+            set(pcols) | set(manifest["bucket_keys"])
+        )
+        if pcols and not moving and parent > 0:
+            part_vals = [
+                tuple(r)
+                for r in df.filter(cond)
+                .select(*pcols)
+                .distinct()
+                .limit(MAX_PRUNED_PARTITIONS + 1)
+                .collect()
+            ]
+            if not part_vals:
+                return  # nothing matches — zero-cost no-op
+            if len(part_vals) <= MAX_PRUNED_PARTITIONS and not any(
+                v is None for t in part_vals for v in t
+            ):
+                sub = df.filter(self._vals_pred(pcols, part_vals))
+                self._commit_pruned(
+                    apply(sub), manifest, parent, set(), "update"
+                )
+                return
+        out = apply(df)
+        if manifest["bucket_keys"] and moving:
+            out = out.withColumn(BUCKET_COL, self._bucket_expr(manifest))
+        self._commit_rewrite(out, pcols, op="update")
 
     def delete(self, condition: Column) -> None:
         """S11 retention DELETE (reference
-        ``retention/bronze_retention_cleanup.py:81-82``)."""
-        self._rewrite(
-            self.read(include_internal=True).filter(
-                ~F.coalesce(condition, F.lit(False))
-            )
+        ``retention/bronze_retention_cleanup.py:81-82``).
+        Partition-pruned: only partitions containing matching rows are
+        rewritten; a partition whose rows all match is dropped without
+        being read twice. Deletion is logical until ``vacuum`` removes
+        the bytes — same two-step contract as Delta."""
+        manifest, parent = self._load()
+        pcols = list(manifest["partition_by"])
+        df = (
+            self._read_snapshot(manifest, include_internal=True)
+            if parent > 0
+            else self.read(include_internal=True)
         )
+        cond = F.coalesce(condition, F.lit(False))
+        if pcols and parent > 0:
+            part_vals = [
+                tuple(r)
+                for r in df.filter(cond)
+                .select(*pcols)
+                .distinct()
+                .limit(MAX_PRUNED_PARTITIONS + 1)
+                .collect()
+            ]
+            if not part_vals:
+                return  # nothing matches — zero-cost no-op
+            if len(part_vals) <= MAX_PRUNED_PARTITIONS and not any(
+                v is None for t in part_vals for v in t
+            ):
+                replaced = self._dirs_for_vals(manifest, part_vals)
+                if replaced is not None:
+                    remain = df.filter(
+                        self._vals_pred(pcols, part_vals)
+                    ).filter(~cond)
+                    self._commit_pruned(
+                        remain, manifest, parent, replaced, "delete"
+                    )
+                    return
+        self._commit_rewrite(df.filter(~cond), pcols, op="delete")
 
-    def vacuum(self) -> None:
-        """S12 VACUUM (``retention/bronze:84-86``). The rewrite strategy
-        leaves no stale files, so this is a documented no-op; under Delta
-        it would call ``DeltaTable.vacuum``."""
-        return None
+    def vacuum(self, retain_hours: float = 0.0) -> int:
+        """S12 VACUUM (``retention/bronze:84-86``): physically delete
+        data files referenced only by versions older than
+        ``retain_hours`` (plus leftover staging dirs from crashed
+        writers), returning the number of files removed. The current
+        version is always retained. Like Delta, this is the step that
+        makes a GDPR DELETE/anonymize physical; until it runs, old
+        snapshots remain time-travel readable."""
+        versions = self._versions()
+        if not versions:
+            return 0
+        local = self._local_path()
+        horizon = time.time() - retain_hours * 3600.0
+        keep: set[str] = set()
+        for v in versions:
+            m, _ = self._load(v)
+            if v == versions[-1] or (m.get("ts") or 0) >= horizon:
+                keep.update(m["files"])
+        removed = 0
+        for rel in self._data_files():
+            if rel not in keep:
+                os.unlink(os.path.join(local, rel))
+                removed += 1
+        for entry in os.listdir(local):
+            if entry.startswith("_staged-"):
+                shutil.rmtree(os.path.join(local, entry))
+        # drop now-empty partition dirs so directory listings stay clean
+        for dirpath, dirs, files in os.walk(local, topdown=False):
+            if dirpath == local:
+                continue
+            base = os.path.basename(dirpath)
+            if base.startswith(("_", ".")):
+                continue
+            if not os.listdir(dirpath):
+                os.rmdir(dirpath)
+        return removed
 
     def compact(self, target_partitions: int | None = None) -> None:
         """Small-file compaction (Delta OPTIMIZE analogue). Streaming
         foreachBatch appends and per-batch bronze appends accumulate
         small files; periodic compaction keeps scan task counts sane at
-        100 TB. Without an explicit target, aims for ~1 output file per 8
-        current data files (file count from a listing, not an RDD
-        materialization — planning stays no-cost)."""
+        100 TB. Without an explicit target, aims for ~1 output file per
+        8 current data files (file count straight from the manifest —
+        planning stays no-cost)."""
+        manifest, _ = self._load()
         df = self.read(include_internal=True)
         if target_partitions is not None:
             df = df.coalesce(max(1, target_partitions))
         else:
-            n_files = len(
-                glob.glob(
-                    os.path.join(self._local_path(), "**", "*.parquet"),
-                    recursive=True,
-                )
-            )
+            n_files = len(manifest["files"]) or len(self._data_files())
             df = df.coalesce(max(1, n_files // 8))
-        self._rewrite(df)
+        self._commit_rewrite(df, op="compact")
