@@ -290,3 +290,52 @@ def test_schema_evolution_is_log_side_and_pruned(spark, tmp_path):
     assert "tag" in df.columns
     rows = {r["id"]: r["tag"] for r in df.collect()}
     assert rows[4] == "extra" and rows[0] is None and rows[8] is None
+
+
+def test_read_changes_append_only_incremental(spark, tmp_path):
+    """CDF analogue: appended batches are recoverable exactly, by
+    version, with no timestamp watermark (Delta ``startingVersion``)."""
+    t = MergeTable(spark, str(tmp_path / "t"))
+    t.create(spark.createDataFrame([(1, "a")], "id int, v string"))
+    v1 = t.history()[0]["version"]
+    t.append(spark.createDataFrame([(2, "b")], "id int, v string"))
+    t.append(spark.createDataFrame([(3, "c")], "id int, v string"))
+    assert {r["id"] for r in t.read_changes(v1).collect()} == {2, 3}
+    v2 = v1 + 1
+    assert {r["id"] for r in t.read_changes(v2).collect()} == {3}
+    # since 0 = everything
+    assert t.read_changes(0).count() == 3
+    with pytest.raises(ValueError):
+        t.read_changes(99)
+
+
+def test_read_changes_sees_new_schema(spark, tmp_path):
+    t = MergeTable(spark, str(tmp_path / "t"))
+    t.create(spark.createDataFrame([(1, "a")], "id int, v string"))
+    v1 = t.history()[0]["version"]
+    t.append(spark.createDataFrame([(2, "b", 7)], "id int, v string, n int"))
+    got = t.read_changes(v1).collect()
+    assert [(r["id"], r["n"]) for r in got] == [(2, 7)]
+
+
+def test_compact_sort_by_clusters_row_groups(spark, tmp_path):
+    import pyarrow.parquet as pq
+
+    t = MergeTable(spark, str(tmp_path / "t"))
+    # write deliberately interleaved key ranges across many files
+    t.create(spark.range(10_000).selectExpr("id % 100 as k", "id as v")
+             .repartition(8))
+    t.compact(target_partitions=2, sort_by=["k"])
+    t.vacuum()
+    files = glob.glob(os.path.join(str(tmp_path / "t"), "*.parquet"))
+    assert 0 < len(files) <= 2
+    # within each file, row groups must be non-overlapping on k
+    for f in files:
+        md = pq.ParquetFile(f).metadata
+        ranges = []
+        for i in range(md.num_row_groups):
+            col = md.row_group(i).column(0)
+            ranges.append((col.statistics.min, col.statistics.max))
+        for (a_min, a_max), (b_min, b_max) in zip(ranges, ranges[1:]):
+            assert a_max <= b_min
+    assert t.read().count() == 10_000

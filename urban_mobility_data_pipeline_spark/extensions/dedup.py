@@ -282,3 +282,60 @@ def simhash_signatures(
         )
         fingerprint = term if fingerprint is None else fingerprint + term
     return sums.select(F.col(id_col), fingerprint.alias(out_col))
+
+
+def connected_components(
+    edges: DataFrame,
+    nodes: DataFrame,
+    id_col: str = "doc_id",
+    a_col: str = "doc_a",
+    b_col: str = "doc_b",
+    max_iterations: int = 20,
+) -> DataFrame:
+    """Connected components over an undirected edge list → one
+    ``(node, label)`` row per node, label = min node id in the
+    component. This is what turns near-dup *pairs* into dedup
+    *clusters*: keep ``node == label`` as the representative, drop the
+    rest.
+
+    Algorithm: iterative min-label propagation. Each round is one
+    shuffle join (edges ⋈ labels) plus one map-side-combined min
+    aggregation; rounds needed = component diameter, and LSH near-dup
+    clusters are shallow (dup groups are cliques or near-cliques, so
+    2-3 rounds converge). Lineage is truncated with an eager
+    ``localCheckpoint`` per round, and convergence is detected with a
+    ``limit(1)`` probe, not a full count. For adversarial
+    long-path graphs swap in alternating large-star/small-star
+    (Kiveris et al., "Connected Components in MapReduce and Beyond",
+    2014) — same join/agg primitives, O(log n) rounds.
+    """
+    sym = edges.select(
+        F.col(a_col).alias("src"), F.col(b_col).alias("dst")
+    ).unionByName(
+        edges.select(F.col(b_col).alias("src"), F.col(a_col).alias("dst"))
+    )
+    labels = nodes.select(
+        F.col(id_col).alias("node"), F.col(id_col).alias("label")
+    )
+    for _ in range(max_iterations):
+        prop = sym.join(labels, F.col("src") == F.col("node")).select(
+            F.col("dst").alias("node"), F.col("label")
+        )
+        new = (
+            labels.unionByName(prop)
+            .groupBy("node")
+            .agg(F.min("label").alias("label"))
+            .localCheckpoint()
+        )
+        # min-label is monotone, so any strict decrease means not done
+        changed = (
+            new.alias("n")
+            .join(labels.alias("o"), "node")
+            .filter(F.col("n.label") < F.col("o.label"))
+            .limit(1)
+            .count()
+        )
+        labels = new
+        if changed == 0:
+            break
+    return labels

@@ -391,6 +391,28 @@ class MergeTable:
             )
         return out
 
+    def read_changes(self, since_version: int) -> DataFrame:
+        """Rows in files added after ``since_version`` (Delta
+        ``readChangeFeed``/``startingVersion`` analogue, driven by the
+        manifest diff).
+
+        For append-only tables (bronze) this is exactly the rows
+        appended since that version — an incremental source with no
+        timestamp watermark and no re-scan of old partitions. For
+        tables that rewrite (merge/update), added files also re-emit
+        the untouched rows of rewritten partitions, so callers must
+        dedup by key downstream; true row-level CDC needs Delta's row
+        tracking."""
+        head, v = self._load()
+        if since_version > v:
+            raise ValueError(f"version {since_version} is ahead of head {v}")
+        old_files: set[str] = (
+            set() if since_version == 0
+            else set(self._load(since_version)[0]["files"])
+        )
+        new_files = sorted(set(head["files"]) - old_files)
+        return self._read_snapshot({**head, "files": new_files})
+
     def restore(self, version: int) -> None:
         """Roll the table back to ``version`` by committing its file
         list as the new head (Delta ``RESTORE``). Fails if the files
@@ -897,13 +919,22 @@ class MergeTable:
                 os.rmdir(dirpath)
         return removed
 
-    def compact(self, target_partitions: int | None = None) -> None:
+    def compact(
+        self,
+        target_partitions: int | None = None,
+        sort_by: Sequence[str] = (),
+    ) -> None:
         """Small-file compaction (Delta OPTIMIZE analogue). Streaming
         foreachBatch appends and per-batch bronze appends accumulate
         small files; periodic compaction keeps scan task counts sane at
         100 TB. Without an explicit target, aims for ~1 output file per
         8 current data files (file count straight from the manifest —
-        planning stays no-cost)."""
+        planning stays no-cost).
+
+        ``sort_by`` clusters rows within each output file by the given
+        columns (Z-ORDER-lite): parquet row-group min/max stats become
+        disjoint on those columns, so later filtered scans skip row
+        groups — worth running on the columns your queries filter by."""
         manifest, _ = self._load()
         df = self.read(include_internal=True)
         if target_partitions is not None:
@@ -911,4 +942,6 @@ class MergeTable:
         else:
             n_files = len(manifest["files"]) or len(self._data_files())
             df = df.coalesce(max(1, n_files // 8))
+        if sort_by:
+            df = df.sortWithinPartitions(*sort_by)
         self._commit_rewrite(df, op="compact")

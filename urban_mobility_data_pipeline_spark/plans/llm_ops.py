@@ -460,3 +460,72 @@ def embedding_near_dup_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = table(spark, sf_dir, "embeddings")
     return embedding_near_dup_pairs(emb, dim=_EMB_DIM, threshold=0.35)
+
+
+# ---------------------------------------------------------------------------
+# near-dup clusters (connected components over verified pairs)
+# ---------------------------------------------------------------------------
+@register(
+    "doc_dup_clusters",
+    oracle=f"""
+    WITH RECURSIVE
+    sh AS (SELECT doc_id, {_SHINGLES} AS shingles FROM documents),
+    sigs AS (SELECT doc_id, {_MH_COLS_SQL} FROM sh),
+    keys AS (
+{_BAND_SELECTS}
+    ),
+    cands AS (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM keys a JOIN keys b
+          ON a.band_id = b.band_id AND a.band_key = b.band_key
+         AND a.doc_id < b.doc_id
+    ),
+    verified AS (
+        SELECT c.doc_a, c.doc_b
+        FROM cands c
+        JOIN sh sa ON sa.doc_id = c.doc_a
+        JOIN sh sb ON sb.doc_id = c.doc_b
+        WHERE len(list_filter(sa.shingles, x -> list_contains(sb.shingles, x)))
+              / CAST(len(sa.shingles) + len(sb.shingles)
+                     - len(list_filter(sa.shingles,
+                                       x -> list_contains(sb.shingles, x)))
+                     AS DOUBLE) >= 0.1
+    ),
+    edges AS (
+        SELECT doc_a AS src, doc_b AS dst FROM verified
+        UNION ALL
+        SELECT doc_b, doc_a FROM verified
+    ),
+    reach(node, lab) AS (
+        SELECT doc_id, doc_id FROM documents
+        UNION
+        SELECT e.dst, r.lab FROM reach r JOIN edges e ON e.src = r.node
+    ),
+    comp AS (SELECT node AS doc_id, MIN(lab) AS cluster_id
+             FROM reach GROUP BY node)
+    SELECT doc_id, cluster_id,
+           COUNT(*) OVER (PARTITION BY cluster_id) AS cluster_size
+    FROM comp
+    """,
+)
+def doc_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fuzzy-dedup endgame: LSH+Jaccard near-dup pairs folded into
+    connected components — every document labeled with its dup-cluster
+    id (min doc_id of the cluster) and the cluster size. Keeping
+    ``doc_id == cluster_id`` rows is the dedup'd corpus; the oracle
+    replays the component closure with a recursive CTE."""
+    from pyspark.sql import Window
+
+    from urban_mobility_data_pipeline_spark.extensions.dedup import (
+        connected_components,
+    )
+
+    docs = table(spark, sf_dir, "documents")
+    pairs = near_dup_pairs(docs, threshold=0.1)
+    labels = connected_components(pairs, docs)
+    return labels.select(
+        F.col("node").alias("doc_id"), F.col("label").alias("cluster_id")
+    ).withColumn(
+        "cluster_size",
+        F.count("*").over(Window.partitionBy("cluster_id")),
+    )
