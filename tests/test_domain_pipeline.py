@@ -265,6 +265,17 @@ def test_run_gdpr_and_retention_full_lake(spark, tmp_path):
     # audit rows exist and carry no raw ids
     audit = lake.table("gdpr", "audit").read().collect()
     assert audit and all(a["subject_fingerprint"] != "10" for a in audit)
+    # physical erasure: run_gdpr vacuums mutated tables, so no silver or
+    # gold parquet file still holds the subject's PII bytes (the
+    # pre-anonymization snapshots are deleted, not just dereferenced)
+    import glob as _glob
+    import os as _os
+    for layer in ("silver", "gold"):
+        for f in _glob.glob(
+            _os.path.join(str(tmp_path / "lake2"), layer, "**", "*.parquet"),
+            recursive=True,
+        ):
+            assert b"Target T" not in open(f, "rb").read(), f
 
     # retention: everything is recent vs now=D2 → nothing deleted
     before = lake.table("bronze", "trips").read().count()

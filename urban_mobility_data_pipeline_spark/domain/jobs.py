@@ -404,12 +404,20 @@ def run_gdpr(
     lake: Lakehouse,
     requests: DataFrame,
     salt: str,
+    vacuum_pii: bool = True,
 ) -> dict[str, int]:
     """Full erasure propagation across every existing layer/flavor
     (gdpr_propagate_erasure.py:725-869): entity anonymize MERGEs on
     silver + gold (incl. scd3 prev_*), then free-text scrubs on
     ratings.comment / trips.cancel_note / payments.provider_ref via the
-    affected-trip-id semi-join, each audited with salted fingerprints."""
+    affected-trip-id semi-join, each audited with salted fingerprints.
+
+    ``vacuum_pii`` (default on): vacuum every mutated table afterwards
+    so the pre-erasure snapshots holding the PII are physically deleted,
+    not just dereferenced — anonymization is only logically complete at
+    commit, exactly as on Delta, where the reference's retention jobs
+    pair mutations with VACUUM
+    (``retention/bronze_retention_cleanup.py:84-86``)."""
     from urban_mobility_data_pipeline_spark.operators.gdpr import (
         AuditLog,
         affected_trip_ids,
@@ -475,6 +483,22 @@ def run_gdpr(
                     scrub_column(t, ids, key, col)
                     audit.record(layer, name, ids.select(
                         F.col(key).alias("subject_id")), [col])
+
+    if vacuum_pii:
+        # physical erasure: drop the dereferenced pre-anonymization
+        # snapshots (and the scratch id table) from disk
+        for tables in layer_tables.values():
+            for t in tables.values():
+                t.vacuum()
+        for layer, name in (
+            ("silver", "ratings"),
+            ("silver", "trips"),
+            ("silver", "payments"),
+            ("gdpr", "_affected_trip_ids"),
+        ):
+            t = lake.table(layer, name)
+            if t.exists():
+                t.vacuum()
     return counts
 
 

@@ -144,7 +144,14 @@ class MergeTable:
         local = self._local_path()
         out: list[str] = []
         for dirpath, dirs, files in os.walk(local):
-            dirs[:] = [d for d in dirs if not d.startswith(("_", "."))]
+            # prune internal dirs (_graft_log, _staged-*) but NOT hive
+            # partition dirs, whose names contain '=' — the hidden
+            # bucket column's dirs are underscore-prefixed (__kb=7)
+            dirs[:] = [
+                d
+                for d in dirs
+                if "=" in d or not d.startswith(("_", "."))
+            ]
             for f in files:
                 if f.endswith(".parquet"):
                     out.append(
@@ -913,7 +920,7 @@ class MergeTable:
             if dirpath == local:
                 continue
             base = os.path.basename(dirpath)
-            if base.startswith(("_", ".")):
+            if "=" not in base and base.startswith(("_", ".")):
                 continue
             if not os.listdir(dirpath):
                 os.rmdir(dirpath)
