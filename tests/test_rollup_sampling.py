@@ -109,3 +109,32 @@ def test_hll_sketch_cascade_within_tolerance(spark, sf_dir):
     assert set(got) == set(exact)
     for b, est in got.items():
         assert abs(est - exact[b]) / max(exact[b], 1) < 0.05, (b, est, exact[b])
+
+
+def test_stratified_sample_deterministic_and_balanced(spark, sf_dir):
+    from urban_mobility_data_pipeline_spark.extensions.sampling import (
+        stratified_sample,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    kept = stratified_sample(
+        docs, key="doc_id", strata_col="lang",
+        fractions={"en": 25}, default_pct=75,
+    )
+    ids = {r["doc_id"] for r in kept.select("doc_id").collect()}
+    # identical membership under a different partition layout
+    ids2 = {
+        r["doc_id"]
+        for r in stratified_sample(
+            docs.repartition(13), key="doc_id", strata_col="lang",
+            fractions={"en": 25}, default_pct=75,
+        ).select("doc_id").collect()
+    }
+    assert ids == ids2
+    # strata are actually sampled at different rates
+    tot = {r["lang"]: r["n"] for r in docs.groupBy("lang")
+           .agg(F.count(F.lit(1)).alias("n")).collect()}
+    got = {r["lang"]: r["n"] for r in kept.groupBy("lang")
+           .agg(F.count(F.lit(1)).alias("n")).collect()}
+    assert got["en"] / tot["en"] < 0.45
+    assert all(got[lg] / tot[lg] > 0.55 for lg in tot if lg != "en")

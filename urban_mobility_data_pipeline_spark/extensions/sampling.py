@@ -58,3 +58,34 @@ def deterministic_sample(df: DataFrame, *, key: str, pct: int) -> DataFrame:
     """Keep ~pct% of rows, chosen by key fingerprint (stable across
     runs/partitionings, unlike ``df.sample``)."""
     return df.where(fingerprint_bucket(key) < F.lit(int(pct)))
+
+
+def stratified_sample(
+    df: DataFrame,
+    *,
+    key: str,
+    strata_col: str,
+    fractions: dict[str, int],
+    default_pct: int = 100,
+) -> DataFrame:
+    """Per-stratum deterministic sampling: keep ~pct% of each stratum,
+    chosen by key fingerprint. The corpus-balancing primitive (e.g.
+    downsample an over-represented language) with the same stability
+    contract as :func:`deterministic_sample` — membership is a pure
+    function of (key, stratum percentages), so re-runs, appends, and
+    engine swaps reproduce the exact sample. Unlike ``df.sampleBy``,
+    no seed and no partition-layout sensitivity."""
+    threshold = None
+    for stratum, pct in fractions.items():
+        cond = F.col(strata_col) == F.lit(stratum)
+        threshold = (
+            F.when(cond, F.lit(int(pct)))
+            if threshold is None
+            else threshold.when(cond, F.lit(int(pct)))
+        )
+    threshold = (
+        threshold.otherwise(F.lit(int(default_pct)))
+        if threshold is not None
+        else F.lit(int(default_pct))
+    )
+    return df.where(fingerprint_bucket(key) < threshold)

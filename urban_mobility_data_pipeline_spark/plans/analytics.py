@@ -686,3 +686,47 @@ def daily_distinct_users_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
         hourly, grain=24 * hour_us, keys=[], distinct_cols=["user_id"]
     )
     return sketch_estimate(daily, distinct_cols=["user_id"])
+
+
+# ---------------------------------------------------------------------------
+# stratified (corpus-balancing) sample — per-stratum deterministic pct
+# ---------------------------------------------------------------------------
+@register(
+    "documents_stratified_sample",
+    oracle="""
+    WITH kept AS (
+        SELECT lang, n_chars
+        FROM documents
+        WHERE CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4))
+                   AS INT) % 100
+              < CASE lang WHEN 'en' THEN 25 ELSE 75 END
+    )
+    SELECT lang,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_chars) AS BIGINT) AS total_chars
+    FROM kept
+    GROUP BY lang
+    """,
+)
+def documents_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus balancing: downsample over-represented English to 25%,
+    keep other languages at 75%, membership decided per doc_id
+    fingerprint — deterministic across runs/partitionings/engines
+    (unlike ``sampleBy``), append-stable, and leakage-free when the key
+    is the grouping entity."""
+    from urban_mobility_data_pipeline_spark.extensions.sampling import (
+        stratified_sample,
+    )
+
+    docs = table(spark, sf_dir, "documents")
+    kept = stratified_sample(
+        docs,
+        key="doc_id",
+        strata_col="lang",
+        fractions={"en": 25},
+        default_pct=75,
+    )
+    return kept.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").alias("total_chars"),
+    )
