@@ -451,3 +451,44 @@ def test_gold_dim_flavors_all_entities(spark, tmp_path, entity):
             for r in lake.table("gold", f"dim_{ent}_scd3").read().collect()}
     assert scd3[1] == (new_v, old_v)
     assert scd3[2][1] is None
+
+
+def test_silver_apply_changes_matches_watermark_path(spark, tmp_path):
+    """The version-cursor Bronze→Silver (read_changes off the manifest
+    log) produces the same silver state as the timestamp-watermark path
+    across two incremental batches, and drains nothing when re-run."""
+    lake_wm = J.Lakehouse(spark, str(tmp_path / "wm"))
+    lake_cdf = J.Lakehouse(spark, str(tmp_path / "cdf"))
+    cfg = C.PASSENGERS
+
+    b1 = spark.createDataFrame(
+        [(1, "Ann A", "a@x.com", "1", "Rome", False, None, D0, D0),
+         (2, "Bob B", "b@x.com", "2", "Oslo", False, None, D0, D0)],
+        PASSENGERS_DDL,
+    )
+    b2 = spark.createDataFrame(
+        [(1, "Ann Moved", "a@x.com", "1", "Paris", False, None, D0, D2)],
+        PASSENGERS_DDL,
+    )
+    for lk in (lake_wm, lake_cdf):
+        J.bronze_ingest(lk, cfg, b1, now=D1)
+    assert J.silver_apply(lake_wm, cfg) == 2
+    assert J.silver_apply_changes(lake_cdf, cfg) == 2
+    for lk in (lake_wm, lake_cdf):
+        J.bronze_ingest(lk, cfg, b2, now=D2)
+    assert J.silver_apply(lake_wm, cfg) == 1
+    assert J.silver_apply_changes(lake_cdf, cfg) == 1
+    # cursor drained: an immediate re-run consumes nothing
+    assert J.silver_apply_changes(lake_cdf, cfg) == 0
+
+    cols = ["passenger_id", "full_name", "city", "is_current", "valid_to"]
+    wm_rows = sorted(
+        tuple(r[c] for c in cols)
+        for r in lake_wm.table("silver", cfg.name).read().collect()
+    )
+    cdf_rows = sorted(
+        tuple(r[c] for c in cols)
+        for r in lake_cdf.table("silver", cfg.name).read().collect()
+    )
+    assert wm_rows == cdf_rows
+    assert len(wm_rows) == 3  # 2 current + 1 closed SCD2 version

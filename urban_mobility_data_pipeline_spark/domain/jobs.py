@@ -44,6 +44,7 @@ from urban_mobility_data_pipeline_spark.operators.scd import (
 from urban_mobility_data_pipeline_spark.operators.star import validate_fk
 from urban_mobility_data_pipeline_spark.operators.watermark import (
     ControlTable,
+    VersionCursor,
     incremental_slice,
     target_max_watermark,
 )
@@ -58,6 +59,7 @@ class Lakehouse:
         self.spark = spark
         self.root = root
         self.control = ControlTable(spark, os.path.join(root, "etl_control"))
+        self.cursor = VersionCursor(spark, os.path.join(root, "etl_cursor"))
 
     def path(self, layer: str, name: str) -> str:
         return os.path.join(self.root, layer, name)
@@ -156,6 +158,42 @@ def clean_conform(cfg: TableConfig, df: DataFrame) -> DataFrame:
     )
 
 
+def _silver_merge_batch(cfg: TableConfig, target, sliced: DataFrame):
+    """Shared Bronze→Silver batch body: clean → W1 dedup → DQ flags →
+    redactions → SCD2 merge. Returns (rows merged, max raw_loaded_at),
+    (0, None) for an empty slice."""
+    cleaned = clean_conform(cfg, sliced)
+    if cleaned.isEmpty():
+        return 0, None
+    latest = latest_per_key(
+        cleaned,
+        keys=[cfg.business_key],
+        order_desc=["raw_loaded_at", cfg.watermark_col, "batch_id"],
+    )
+    if cfg.derive:
+        latest = cfg.derive(latest)
+    if cfg.dq_flags:
+        latest = latest.withColumns(cfg.dq_flags(latest))
+    if cfg.redact:
+        latest = cfg.redact(latest)
+    batch = (
+        latest.withColumn("scd_hash", scd_hash(list(cfg.scd_hash_cols)))
+        .withColumn("valid_from", F.col("raw_loaded_at"))
+        .withColumn("valid_to", F.lit(None).cast("timestamp"))
+        .withColumn("is_current", F.lit(True))
+    )
+    # the batch plan (clean+dedup+hash over bronze) feeds the merge,
+    # the watermark agg, and the returned count — cache it once
+    batch = batch.persist()
+    try:
+        scd2_apply(target, batch, [cfg.business_key], "raw_loaded_at")
+        new_wm = batch.agg(F.max("raw_loaded_at")).first()[0]
+        n = batch.count()
+    finally:
+        batch.unpersist()
+    return n, new_wm
+
+
 def silver_apply(lake: Lakehouse, cfg: TableConfig) -> int:
     """Incremental Bronze→Silver: prune+slice → clean → W1 dedup → DQ
     flags → redactions → SCD2 merge → watermark (silver/trips:97-436)."""
@@ -175,40 +213,44 @@ def silver_apply(lake: Lakehouse, cfg: TableConfig) -> int:
             if target.exists()
             else bronze
         )
-        cleaned = clean_conform(cfg, sliced)
-        if cleaned.isEmpty():
-            lake.control.upsert(job, None, "OK")
-            return 0
-        latest = latest_per_key(
-            cleaned,
-            keys=[cfg.business_key],
-            order_desc=["raw_loaded_at", cfg.watermark_col, "batch_id"],
-        )
-        if cfg.derive:
-            latest = cfg.derive(latest)
-        if cfg.dq_flags:
-            latest = latest.withColumns(cfg.dq_flags(latest))
-        if cfg.redact:
-            latest = cfg.redact(latest)
-        batch = (
-            latest.withColumn("scd_hash", scd_hash(list(cfg.scd_hash_cols)))
-            .withColumn("valid_from", F.col("raw_loaded_at"))
-            .withColumn("valid_to", F.lit(None).cast("timestamp"))
-            .withColumn("is_current", F.lit(True))
-        )
-        # the batch plan (clean+dedup+hash over bronze) feeds the merge,
-        # the watermark agg, and the returned count — cache it once
-        batch = batch.persist()
-        try:
-            scd2_apply(target, batch, [cfg.business_key], "raw_loaded_at")
-            new_wm = batch.agg(F.max("raw_loaded_at")).first()[0]
-            n = batch.count()
-        finally:
-            batch.unpersist()
+        n, new_wm = _silver_merge_batch(cfg, target, sliced)
         lake.control.upsert(job, new_wm, "OK")
         return n
     except Exception as exc:
         lake.control.upsert(job, None, f"FAIL: {exc}")
+        raise
+
+
+def silver_apply_changes(lake: Lakehouse, cfg: TableConfig) -> int:
+    """Bronze→Silver off the change feed: consume exactly the bronze
+    rows committed after this job's version cursor
+    (``MergeTable.read_changes``), then advance the cursor to the head
+    version — the log-position alternative to the timestamp watermark
+    in :func:`silver_apply`. No ``raw_loaded_at`` predicate, no coarse
+    partition-prune clause: bronze is append-only, so the manifest diff
+    IS the incremental slice (and at 100 TB the slice cost is the new
+    files, never a re-scan of old partitions).
+
+    Both control styles intentionally coexist: the watermark path is
+    reference parity (``etl_control``, §3.1); this path is what the
+    same job looks like once storage itself is versioned."""
+    job = f"{cfg.name}_silver_cdf"
+    bronze_t = lake.table("bronze", cfg.name)
+    try:
+        cur = lake.cursor.read_version(job)
+        hist = bronze_t.history() if bronze_t.exists() else []
+        head = hist[0]["version"] if hist else 0
+        if head <= cur:
+            lake.cursor.upsert(job, None, "OK")
+            return 0
+        target = lake.table(
+            "silver", cfg.name, bucket_keys=[cfg.business_key]
+        )
+        n, _ = _silver_merge_batch(cfg, target, bronze_t.read_changes(cur))
+        lake.cursor.upsert(job, head, "OK")
+        return n
+    except Exception as exc:
+        lake.cursor.upsert(job, None, f"FAIL: {exc}")
         raise
 
 

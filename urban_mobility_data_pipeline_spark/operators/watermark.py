@@ -120,3 +120,56 @@ def target_max_watermark(
         return EPOCH
     row = table.read().agg(F.max(ts_col)).first()
     return row[0] if row and row[0] is not None else EPOCH
+
+
+CURSOR_SCHEMA = "job_name string, last_version long, last_status string"
+
+
+class VersionCursor:
+    """Log-position control: per-job last consumed ``MergeTable``
+    version — the change-feed twin of :class:`ControlTable` (offsets
+    instead of timestamps, like a streaming checkpoint). Pairs with
+    ``MergeTable.read_changes``: a consumer reads exactly the rows
+    committed after its cursor, with no timestamp column and no coarse
+    partition-prune predicate needed at all.
+
+    Same driver-side upsert strategy and M1 never-regress semantics as
+    ControlTable: a FAIL (NULL version) keeps the old cursor so the
+    next run re-reads the failed slice."""
+
+    def __init__(self, spark: SparkSession, path: str):
+        self.spark = spark
+        self.table = MergeTable(spark, path)
+
+    def _ensure(self) -> None:
+        if not self.table.exists():
+            self.table.create(self.spark.createDataFrame([], CURSOR_SCHEMA))
+
+    def read_version(self, job_name: str) -> int:
+        self._ensure()
+        row = (
+            self.table.read()
+            .filter(F.col("job_name") == job_name)
+            .select("last_version")
+            .first()
+        )
+        return int(row[0]) if row and row[0] is not None else 0
+
+    def upsert(
+        self, job_name: str, version: int | None, status: str
+    ) -> None:
+        self._ensure()
+        rows = {
+            r["job_name"]: [r["job_name"], r["last_version"], r["last_status"]]
+            for r in self.table.read().collect()
+        }
+        prev = rows.get(job_name, [job_name, None, None])
+        kept = prev[1]
+        if version is not None:
+            kept = version if kept is None else max(int(kept), int(version))
+        rows[job_name] = [job_name, kept, status]
+        self.table.replace(
+            self.spark.createDataFrame(
+                [tuple(v) for v in rows.values()], CURSOR_SCHEMA
+            )
+        )
