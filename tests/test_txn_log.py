@@ -375,3 +375,15 @@ def test_streaming_sink_feeds_change_feed(spark, tmp_path):
         lambda df, _bid: bronze.append(df),
     )
     assert {r["id"] for r in bronze.read_changes(v1).collect()} == {3}
+
+
+def test_detail_reports_layout_and_size(spark, tmp_path):
+    t = MergeTable(spark, str(tmp_path / "t"), bucket_keys=["id"],
+                   num_buckets=4)
+    t.create(spark.createDataFrame([(i, "x") for i in range(20)],
+                                   "id int, v string"))
+    d = t.detail()
+    assert d["version"] == 1 and d["num_files"] > 0
+    assert d["size_bytes"] > 0
+    assert d["partition_by"] == ["__kb"] and d["bucket_keys"] == ["id"]
+    assert d["num_buckets"] == 4

@@ -302,21 +302,39 @@ def connected_components(
     shuffle join (edges ⋈ labels) plus one map-side-combined min
     aggregation; rounds needed = component diameter, and LSH near-dup
     clusters are shallow (dup groups are cliques or near-cliques, so
-    2-3 rounds converge). Lineage is truncated with an eager
-    ``localCheckpoint`` per round, and convergence is detected with a
-    ``limit(1)`` probe, not a full count. For adversarial
-    long-path graphs swap in alternating large-star/small-star
-    (Kiveris et al., "Connected Components in MapReduce and Beyond",
-    2014) — same join/agg primitives, O(log n) rounds.
+    2-3 rounds converge). Each round's labels are persisted and the
+    previous round's are explicitly unpersisted — NOT
+    ``localCheckpoint``, whose blocks live outside the catalog cache
+    and linger until JVM garbage collection, starving whatever runs
+    next in the session. Convergence is a ``limit(1)`` probe, not a
+    full count. For adversarial long-path graphs swap in alternating
+    large-star/small-star (Kiveris et al., "Connected Components in
+    MapReduce and Beyond", 2014) — same join/agg primitives, O(log n)
+    rounds.
     """
-    sym = edges.select(
-        F.col(a_col).alias("src"), F.col(b_col).alias("dst")
-    ).unionByName(
-        edges.select(F.col(b_col).alias("src"), F.col(a_col).alias("dst"))
+    from pyspark import StorageLevel
+
+    # the edge list is consumed once per round — persist it so the
+    # upstream plan (e.g. the whole LSH+verify pipeline) runs once
+    sym = (
+        edges.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
+        .unionByName(
+            edges.select(
+                F.col(b_col).alias("src"), F.col(a_col).alias("dst")
+            )
+        )
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
     labels = nodes.select(
         F.col(id_col).alias("node"), F.col(id_col).alias("label")
     )
+    def label_sum(df: DataFrame):
+        return df.agg(
+            F.sum(F.col("label").cast("decimal(38,0)"))
+        ).first()[0]
+
+    prev_sum = label_sum(labels)
+    persisted = None
     for _ in range(max_iterations):
         prop = sym.join(labels, F.col("src") == F.col("node")).select(
             F.col("dst").alias("node"), F.col("label")
@@ -325,17 +343,18 @@ def connected_components(
             labels.unionByName(prop)
             .groupBy("node")
             .agg(F.min("label").alias("label"))
-            .localCheckpoint()
+            .persist(StorageLevel.MEMORY_AND_DISK)
         )
-        # min-label is monotone, so any strict decrease means not done
-        changed = (
-            new.alias("n")
-            .join(labels.alias("o"), "node")
-            .filter(F.col("n.label") < F.col("o.label"))
-            .limit(1)
-            .count()
-        )
-        labels = new
-        if changed == 0:
+        # labels only ever decrease, so the total strictly drops until
+        # the fixpoint — one agg over the just-persisted round, no join
+        cur_sum = label_sum(new)
+        if persisted is not None:
+            persisted.unpersist(False)
+        persisted = labels = new
+        if cur_sum == prev_sum:
             break
+        prev_sum = cur_sum
+    # the final labels round is materialized (label_sum ran on it), so
+    # the edge cache is no longer needed by the returned plan
+    sym.unpersist(False)
     return labels

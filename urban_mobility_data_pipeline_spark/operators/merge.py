@@ -383,6 +383,26 @@ class MergeTable:
             return df
         return self._read_snapshot(manifest, include_internal)
 
+    def detail(self) -> dict:
+        """Table facts (Delta ``DESCRIBE DETAIL``): current version,
+        file count, on-disk bytes of the live snapshot, layout."""
+        manifest, v = self._load()
+        local = self._local_path()
+        size = 0
+        for f in manifest["files"]:
+            try:
+                size += os.path.getsize(os.path.join(local, f))
+            except OSError:
+                pass
+        return {
+            "version": v,
+            "num_files": len(manifest["files"]),
+            "size_bytes": size,
+            "partition_by": list(manifest["partition_by"]),
+            "bucket_keys": list(manifest["bucket_keys"]),
+            "num_buckets": manifest["num_buckets"],
+        }
+
     def history(self) -> list[dict]:
         """Commit log, newest first (Delta ``DESCRIBE HISTORY``)."""
         out = []
