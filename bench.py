@@ -39,7 +39,7 @@ def main() -> None:
     )
     spark.sparkContext.setLogLevel("WARN")
 
-    def run(name: str) -> float:
+    def run_once(name: str) -> float:
         t0 = time.perf_counter()
         df = QUERIES[name](spark, sf_dir)
         df.write.format("noop").mode("overwrite").save()
@@ -50,15 +50,25 @@ def main() -> None:
         spark.catalog.clearCache()
         return elapsed
 
-    run(FLAGSHIP)  # JVM/codegen warmup, uncounted
+    # best-of-N: per-query minimum over N passes. The noop-sink work is
+    # identical each pass, so the minimum estimates the true cost with
+    # transient host contention (shared-VM CPU steal) filtered out.
+    repeats = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "2")))
+
+    run_once(FLAGSHIP)  # JVM/codegen warmup, uncounted
 
     timings: dict[str, float] = {}
-    for name in sorted(QUERIES):
-        try:
-            timings[name] = round(run(name), 4)
-        except Exception as exc:  # a broken query must not hide the rest
-            print(f"bench: {name} failed: {exc}", file=sys.stderr)
-            timings[name] = -1.0
+    for _ in range(repeats):
+        for name in sorted(QUERIES):
+            try:
+                t = run_once(name)
+            except Exception as exc:  # a broken query must not hide the rest
+                print(f"bench: {name} failed: {exc}", file=sys.stderr)
+                timings[name] = -1.0
+                continue
+            prev = timings.get(name)
+            if prev is None or (prev > 0 and t < prev):
+                timings[name] = round(t, 4)
 
     total = round(sum(t for t in timings.values() if t >= 0), 4)
 
