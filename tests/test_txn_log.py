@@ -387,3 +387,33 @@ def test_detail_reports_layout_and_size(spark, tmp_path):
     assert d["size_bytes"] > 0
     assert d["partition_by"] == ["__kb"] and d["bucket_keys"] == ["id"]
     assert d["num_buckets"] == 4
+
+
+def test_concurrent_appends_all_land(spark, tmp_path):
+    """Optimistic concurrency under real contention: parallel writers
+    race on version numbers; losers retry against the new head and
+    every batch lands exactly once."""
+    import threading
+
+    t = MergeTable(spark, str(tmp_path / "t"))
+    t.create(spark.createDataFrame([(0, -1)], "writer int, batch int"))
+    errors: list[Exception] = []
+
+    def writer(w: int) -> None:
+        try:
+            for b in range(3):
+                MergeTable(spark, str(tmp_path / "t")).append(
+                    spark.createDataFrame([(w, b)], "writer int, batch int")
+                )
+        except Exception as exc:  # pragma: no cover
+            errors.append(exc)
+
+    threads = [threading.Thread(target=writer, args=(w,)) for w in range(4)]
+    for th in threads:
+        th.start()
+    for th in threads:
+        th.join()
+    assert not errors
+    rows = {(r["writer"], r["batch"]) for r in t.read().collect()}
+    assert rows == {(0, -1)} | {(w, b) for w in range(4) for b in range(3)}
+    assert t.read().count() == 13  # exactly once each
