@@ -497,15 +497,40 @@ class MergeTable:
         self,
         df: DataFrame,
         partition_by: Sequence[str] = (),
+        txn_app_id: str | None = None,
+        txn_version: int | None = None,
         _retries: int = 5,
     ) -> None:
         """S5/S7 append sink (``bronze/trips:146-153``). Appends commute,
         so a lost commit race is retried against the new head rather
-        than surfaced."""
+        than surfaced.
+
+        ``txn_app_id``/``txn_version`` make the append idempotent
+        (Delta's ``txnAppId``/``txnVersion``): the manifest carries the
+        highest committed version per app id, and an append at or below
+        it is skipped — so a replayed streaming ``foreachBatch`` (pass
+        the checkpoint's ``batch_id``) commits exactly once even when a
+        crash lands between the sink write and the checkpoint advance."""
+        if (txn_app_id is None) != (txn_version is None):
+            raise ValueError("txn_app_id and txn_version go together")
         if not self.exists():
             self.create(df, partition_by)
+            if txn_app_id is not None:
+                # record the txn as a no-data marker commit on top of
+                # the create, so a replay of this first batch is skipped
+                manifest, parent = self._load()
+                marker = {
+                    k: v for k, v in manifest.items() if k != "ts"
+                }
+                marker["op"] = "txn"
+                marker["txn"] = {txn_app_id: int(txn_version)}
+                self._commit(marker, parent)
             return
         manifest, parent = self._load()
+        if txn_app_id is not None:
+            seen = (manifest.get("txn") or {}).get(txn_app_id)
+            if seen is not None and int(txn_version) <= int(seen):
+                return  # replayed batch — already committed
         if parent == 0 and manifest["files"] and not manifest.get("schema"):
             # adopting a plain-Spark directory: pin its current schema so
             # the manifest read doesn't narrow old files to this batch's
@@ -517,6 +542,15 @@ class MergeTable:
         new_files, _ = self._write_files(df, pcols)
         schema_json = self._merge_schemas(manifest.get("schema"), df.schema)
         for attempt in range(_retries):
+            txn = dict(manifest.get("txn") or {})
+            if txn_app_id is not None:
+                seen = txn.get(txn_app_id)
+                if seen is not None and int(txn_version) <= int(seen):
+                    # lost a race to a writer that committed this very
+                    # batch — the rows are in; our staged files are
+                    # orphans for vacuum
+                    return
+                txn[txn_app_id] = int(txn_version)
             try:
                 self._commit(
                     {
@@ -526,6 +560,7 @@ class MergeTable:
                         "bucket_keys": manifest["bucket_keys"],
                         "num_buckets": manifest["num_buckets"],
                         "schema": schema_json,
+                        "txn": txn,
                     },
                     parent,
                 )
@@ -569,6 +604,7 @@ class MergeTable:
                 "bucket_keys": manifest["bucket_keys"],
                 "num_buckets": manifest["num_buckets"],
                 "schema": df.schema.json(),
+                "txn": manifest.get("txn") or {},
             },
             parent,
         )
@@ -602,6 +638,7 @@ class MergeTable:
                 "bucket_keys": manifest["bucket_keys"],
                 "num_buckets": manifest["num_buckets"],
                 "schema": schema_json or manifest.get("schema"),
+                "txn": manifest.get("txn") or {},
             },
             parent,
         )
