@@ -969,3 +969,66 @@ def surrogate_keys_xxhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
         .select("priority", surrogate_int_key(["priority"]).alias("priority_key"))
     )
+
+
+# ---------------------------------------------------------------------------
+# 26. order_fulfilment_kpis — the reference's v_trip_kpis view
+#     (db/mobility_oltp.sql:308-320): per-trip wait/duration seconds via
+#     epoch subtraction. Our testdata has no trips table, so the analogue
+#     is per-order: wait = first ship - order date, duration = shipping
+#     span, both EXTRACT(EPOCH ...)-style BIGINT seconds, with the fare
+#     passthrough the view keeps.
+# ---------------------------------------------------------------------------
+@register(
+    "order_fulfilment_kpis",
+    oracle="""
+    SELECT o.o_orderkey,
+           o.o_orderstatus,
+           strftime(CAST(o.o_orderdate AS DATE), '%Y-%m-%d')  AS requested_at,
+           strftime(s.first_ship, '%Y-%m-%d')                 AS started_at,
+           strftime(s.last_ship, '%Y-%m-%d')                  AS ended_at,
+           CAST(EXTRACT(EPOCH FROM (CAST(s.first_ship AS TIMESTAMP)
+                - CAST(o.o_orderdate AS TIMESTAMP))) AS BIGINT) AS wait_time_sec,
+           CAST(EXTRACT(EPOCH FROM (CAST(s.last_ship AS TIMESTAMP)
+                - CAST(s.first_ship AS TIMESTAMP))) AS BIGINT)  AS trip_duration_sec,
+           o.o_totalprice                                      AS fare_amount,
+           s.n_lines
+    FROM orders o
+    JOIN (SELECT l_orderkey,
+                 min(CAST(l_shipdate AS DATE)) AS first_ship,
+                 max(CAST(l_shipdate AS DATE)) AS last_ship,
+                 CAST(count(*) AS BIGINT)      AS n_lines
+          FROM lineitem GROUP BY l_orderkey) s
+      ON o.o_orderkey = s.l_orderkey
+    """,
+)
+def order_fulfilment_kpis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """v_trip_kpis parity (reference db/mobility_oltp.sql:308-320):
+    row-per-entity KPI projection with two epoch-second deltas. Scale
+    shape: one partial-agg shuffle on the fact key, then an equi-join
+    already co-partitioned on that key — no extra exchange."""
+    o = table(spark, sf_dir, "orders")
+    li = table(spark, sf_dir, "lineitem")
+    spans = li.groupBy("l_orderkey").agg(
+        F.min(F.to_date("l_shipdate")).alias("first_ship"),
+        F.max(F.to_date("l_shipdate")).alias("last_ship"),
+        F.count(F.lit(1)).alias("n_lines"),
+    )
+    ordts = F.to_timestamp(F.col("o_orderdate"))
+    first_ts = F.col("first_ship").cast("timestamp")
+    last_ts = F.col("last_ship").cast("timestamp")
+    return o.join(spans, o.o_orderkey == spans.l_orderkey).select(
+        "o_orderkey",
+        "o_orderstatus",
+        date_str(F.col("o_orderdate")).alias("requested_at"),
+        date_str(F.col("first_ship")).alias("started_at"),
+        date_str(F.col("last_ship")).alias("ended_at"),
+        (F.unix_timestamp(first_ts) - F.unix_timestamp(ordts)).alias(
+            "wait_time_sec"
+        ),
+        (F.unix_timestamp(last_ts) - F.unix_timestamp(first_ts)).alias(
+            "trip_duration_sec"
+        ),
+        F.col("o_totalprice").alias("fare_amount"),
+        "n_lines",
+    )

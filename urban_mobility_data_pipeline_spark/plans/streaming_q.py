@@ -16,7 +16,7 @@ import uuid
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from urban_mobility_data_pipeline_spark.plans._helpers import date_str
+from urban_mobility_data_pipeline_spark.plans._helpers import date_str, events_ts_us
 from urban_mobility_data_pipeline_spark.session import configure_session
 from urban_mobility_data_pipeline_spark.streaming.windows import tumbling_agg
 
@@ -52,18 +52,22 @@ def streaming_hourly_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame
     batch aggregation — which is exactly what the DuckDB oracle
     asserts."""
     configure_session(spark)
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     # schema must be pinned for a streaming file source; the source wants
-    # a directory, so glob-filter the sf dir down to the events file
-    schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    # a directory, so glob-filter the sf dir down to the events file.
+    # ts has shipped as both TIMESTAMP(NANOS) and TIMESTAMP(MICROS)
+    # across testdata generations — adapt like _helpers.table().
+    try:
+        schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    except Exception:
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    ts_type = schema["ts"].dataType.simpleString()
     stream = (
         spark.readStream.schema(schema)
         .option("pathGlobFilter", "events.parquet")
         .parquet(sf_dir)
     )
-    ev = stream.withColumn(
-        "event_ts", F.timestamp_micros(F.expr("ts div 1000"))
-    )
+    ev = stream.withColumn("event_ts", F.timestamp_micros(events_ts_us(ts_type)))
     agg = tumbling_agg(
         ev,
         "event_ts",
