@@ -6,13 +6,17 @@ frame-sample) runs as Arrow-batched pandas iterators via
 ``mapInPandas`` — the only place this engine leaves the JVM, and it does
 so in columnar batches, never per-row.
 
-The actual codecs (PIL/ffmpeg/librosa) are NOT available in this
-container, so the decode kernels are stubbed: ``decode_media`` raises
-``NotImplementedError`` unless ``fake=True``, in which case a
-deterministic pseudo-decoder (seeded from the payload bytes) produces
-stable features. The Spark-side plumbing — schema, partition sizing,
-UDF signature, batch shape — is real and tested; swapping in a real
-codec changes only the inner function body.
+Decode support is per-format:
+
+- **Real decoders** (stdlib-only, no external codecs): ``wav`` (RIFF
+  PCM via :mod:`wave` — channels, sample rate, duration, mean
+  amplitude) and ``ppm`` (binary P6 — width, height, mean pixel
+  intensity). These run end-to-end with ``fake=False``.
+- **Stubbed formats** (``png``/``jpeg``/``mp4`` — PIL/ffmpeg are NOT
+  available in this container): raise ``NotImplementedError`` inside
+  the decode kernel unless ``fake=True``, in which case a deterministic
+  pseudo-decoder (seeded from the payload bytes) produces stable
+  features so the distributed plumbing stays testable.
 
 Scale notes: payloads should be size-bucketed before ``mapInPandas``
 (``spark.sql.files.maxPartitionBytes`` governs scan partitions, but a
@@ -26,16 +30,21 @@ the filter projects only metadata).
 from __future__ import annotations
 
 import hashlib
+import io
+import wave
 from collections.abc import Iterator
 
+import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-#: Feature schema produced by the (fake) decoder.
+#: Feature schema produced by the decoders. width/height are NULL for
+#: audio; sample_rate/duration_sec are NULL for images.
 MEDIA_FEATURES_SCHEMA = (
     "media_id long, format string, n_bytes int, width int, height int, "
-    "mean_intensity double, phash string"
+    "sample_rate int, duration_sec double, mean_intensity double, "
+    "phash string"
 )
 
 #: Frame-sample output: one row per sampled frame.
@@ -43,7 +52,8 @@ FRAME_SAMPLE_SCHEMA = (
     "media_id long, frame_index int, frame_phash string"
 )
 
-_DECODABLE = {"png", "jpeg", "wav", "mp4"}
+#: Formats the FAKE decoder accepts (plumbing tests).
+_DECODABLE = {"png", "jpeg", "wav", "mp4", "ppm"}
 
 
 def attach_binary_payload(
@@ -64,15 +74,83 @@ def attach_binary_payload(
     )
 
 
+def _decode_wav(payload: bytes) -> dict:
+    """Real RIFF/PCM WAV decode via the stdlib :mod:`wave` module:
+    sample rate, duration, mean absolute amplitude (normalized to
+    [0, 1]), and a content hash of the raw sample data."""
+    with wave.open(io.BytesIO(payload), "rb") as w:
+        sampwidth = w.getsampwidth()
+        framerate = w.getframerate()
+        n_frames = w.getnframes()
+        raw = w.readframes(n_frames)
+    if sampwidth == 2:
+        samples = np.frombuffer(raw, dtype="<i2").astype(np.float64) / 32768.0
+    elif sampwidth == 1:
+        # 8-bit WAV is unsigned, centered at 128
+        samples = (
+            np.frombuffer(raw, dtype=np.uint8).astype(np.float64) - 128.0
+        ) / 128.0
+    else:
+        raise NotImplementedError(f"{sampwidth * 8}-bit PCM WAV")
+    mean_amp = float(np.abs(samples).mean()) if samples.size else 0.0
+    return {
+        "width": None,
+        "height": None,
+        "sample_rate": framerate,
+        "duration_sec": round(n_frames / framerate, 6) if framerate else None,
+        "mean_intensity": round(mean_amp, 6),
+        "phash": hashlib.sha256(raw).hexdigest()[:16],
+    }
+
+
+def _decode_ppm(payload: bytes) -> dict:
+    """Real binary-PPM (P6) decode: whitespace/comment-tolerant header
+    parse, then mean pixel intensity over the raw RGB plane."""
+    if payload[:2] != b"P6":
+        raise ValueError("not a binary PPM (missing P6 magic)")
+    # header = magic, width, height, maxval as whitespace-separated
+    # tokens, with '#'-to-EOL comments allowed between them
+    pos, tokens = 2, []
+    while len(tokens) < 3:
+        while pos < len(payload) and payload[pos : pos + 1].isspace():
+            pos += 1
+        if payload[pos : pos + 1] == b"#":
+            while pos < len(payload) and payload[pos : pos + 1] != b"\n":
+                pos += 1
+            continue
+        start = pos
+        while pos < len(payload) and not payload[pos : pos + 1].isspace():
+            pos += 1
+        tokens.append(int(payload[start:pos]))
+    pos += 1  # single whitespace byte after maxval, then raw pixels
+    width, height, maxval = tokens
+    pixels = np.frombuffer(payload, dtype=np.uint8, count=width * height * 3, offset=pos)
+    return {
+        "width": width,
+        "height": height,
+        "sample_rate": None,
+        "duration_sec": None,
+        "mean_intensity": round(float(pixels.mean()) / maxval, 6)
+        if pixels.size
+        else 0.0,
+        "phash": hashlib.sha256(pixels.tobytes()).hexdigest()[:16],
+    }
+
+
+#: Formats with a REAL stdlib decode path.
+REAL_DECODERS = {"wav": _decode_wav, "ppm": _decode_ppm}
+
+
 def _fake_decode(payload: bytes, fmt: str) -> dict:
     """Deterministic pseudo-decode seeded from the payload digest —
     stands in for PIL/ffmpeg so the distributed plumbing is testable in
     this container."""
     digest = hashlib.sha256(payload).digest()
     return {
-        "n_bytes": len(payload),
         "width": 64 + digest[0] % 192,
         "height": 64 + digest[1] % 192,
+        "sample_rate": None,
+        "duration_sec": None,
         "mean_intensity": round(sum(digest[:16]) / (16 * 255), 6),
         "phash": digest[:8].hex(),
     }
@@ -80,16 +158,24 @@ def _fake_decode(payload: bytes, fmt: str) -> dict:
 
 def decode_media(df: DataFrame, fake: bool = False) -> DataFrame:
     """Decode/feature-extract every payload via ``mapInPandas`` (Arrow
-    batches). ``fake=False`` requires real codecs — not available here:
-    raises ``NotImplementedError`` at plan-build time, by design."""
-    if not fake:
-        raise NotImplementedError(
-            "real media codecs (PIL/ffmpeg) are not installed in this "
-            "environment; call decode_media(df, fake=True) for the "
-            "deterministic test decoder"
-        )
+    batches). With ``fake=False``, formats in :data:`REAL_DECODERS`
+    (wav, ppm) decode for real; other formats raise
+    ``NotImplementedError`` in the kernel — PIL/ffmpeg are not
+    installed here, by design. ``fake=True`` routes every decodable
+    format through the deterministic pseudo-decoder instead."""
 
     def decode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = [
+            "media_id",
+            "format",
+            "n_bytes",
+            "width",
+            "height",
+            "sample_rate",
+            "duration_sec",
+            "mean_intensity",
+            "phash",
+        ]
         for pdf in batches:
             feats = []
             for media_id, payload, meta in zip(
@@ -98,30 +184,19 @@ def decode_media(df: DataFrame, fake: bool = False) -> DataFrame:
                 fmt = meta["format"] if isinstance(meta, dict) else meta.format
                 if fmt not in _DECODABLE:
                     continue  # undecodable formats are dropped, not fatal
-                d = _fake_decode(bytes(payload), fmt)
-                feats.append(
-                    {
-                        "media_id": media_id,
-                        "format": fmt,
-                        "n_bytes": d["n_bytes"],
-                        "width": d["width"],
-                        "height": d["height"],
-                        "mean_intensity": d["mean_intensity"],
-                        "phash": d["phash"],
-                    }
-                )
-            yield pd.DataFrame(
-                feats,
-                columns=[
-                    "media_id",
-                    "format",
-                    "n_bytes",
-                    "width",
-                    "height",
-                    "mean_intensity",
-                    "phash",
-                ],
-            )
+                data = bytes(payload)
+                if fake:
+                    d = _fake_decode(data, fmt)
+                elif fmt in REAL_DECODERS:
+                    d = REAL_DECODERS[fmt](data)
+                else:
+                    raise NotImplementedError(
+                        f"no real codec for format {fmt!r} in this "
+                        "environment (PIL/ffmpeg not installed); use "
+                        "decode_media(df, fake=True) or a wav/ppm payload"
+                    )
+                feats.append({"media_id": media_id, "format": fmt, "n_bytes": len(data), **d})
+            yield pd.DataFrame(feats, columns=cols)
 
     return df.mapInPandas(decode_batches, MEDIA_FEATURES_SCHEMA)
 
