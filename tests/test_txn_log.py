@@ -417,3 +417,80 @@ def test_concurrent_appends_all_land(spark, tmp_path):
     rows = {(r["writer"], r["batch"]) for r in t.read().collect()}
     assert rows == {(0, -1)} | {(w, b) for w in range(4) for b in range(3)}
     assert t.read().count() == 13  # exactly once each
+
+
+def test_racing_merges_disjoint_partitions_both_land_pruned(
+    spark, tmp_path, monkeypatch
+):
+    """Two writers merge into DISJOINT partitions: the loser of the
+    commit race gets ConcurrentWriteError, retries against the new
+    head, and both changes land via the pruned path — the partition
+    neither touched is byte-identical through all three commits
+    (VERDICT r3 item 8)."""
+    path = tmp_path / "t"
+    t1 = _days_table(spark, path)
+    t2 = MergeTable(spark, str(path))
+    schema = "id int, load_date date, payload string"
+    src1 = spark.createDataFrame([(1, D1, "m1")], schema)
+    src2 = spark.createDataFrame([(5, D2, "m2")], schema)
+    kwargs = dict(
+        keys=["id", "load_date"],
+        update_set={"payload": F.col("s.payload")},
+        insert=True,
+    )
+    before = _file_identity(str(path))
+    real_commit = t1._commit
+    state = {"hijacked": False}
+
+    def hijack(manifest, parent):
+        if not state["hijacked"]:
+            state["hijacked"] = True
+            t2.merge(src2, **kwargs)  # the other writer lands first
+        return real_commit(manifest, parent)
+
+    monkeypatch.setattr(t1, "_commit", hijack)
+    with pytest.raises(ConcurrentWriteError):
+        t1.merge(src1, **kwargs)
+    t1.merge(src1, **kwargs)  # clean retry against the new head
+    after = _file_identity(str(path))
+    day3 = "load_date=2024-01-03"
+    assert {k: v for k, v in before.items() if k.startswith(day3)} == {
+        k: v for k, v in after.items() if k.startswith(day3)
+    }, "untouched partition must carry over byte-identical (pruned commits)"
+    got = {(r["id"], r["payload"]) for r in t1.read().collect()}
+    assert (1, "m1") in got and (5, "m2") in got and len(got) == 12
+    assert [h["op"] for h in t1.history()[:2]] == ["merge", "merge"]
+
+
+def test_racing_merges_same_partition_conflict_then_clean_retry(
+    spark, tmp_path, monkeypatch
+):
+    """Two writers merge into the SAME partition: one
+    ConcurrentWriteError, then a clean retry that sees the winner's
+    rows — both updates survive, nothing is lost or doubled."""
+    path = tmp_path / "t"
+    t1 = _days_table(spark, path)
+    t2 = MergeTable(spark, str(path))
+    schema = "id int, load_date date, payload string"
+    src_a = spark.createDataFrame([(0, D1, "A")], schema)
+    src_b = spark.createDataFrame([(1, D1, "B")], schema)
+    kwargs = dict(
+        keys=["id", "load_date"],
+        update_set={"payload": F.col("s.payload")},
+        insert=True,
+    )
+    real_commit = t1._commit
+    state = {"hijacked": False}
+
+    def hijack(manifest, parent):
+        if not state["hijacked"]:
+            state["hijacked"] = True
+            t2.merge(src_b, **kwargs)
+        return real_commit(manifest, parent)
+
+    monkeypatch.setattr(t1, "_commit", hijack)
+    with pytest.raises(ConcurrentWriteError):
+        t1.merge(src_a, **kwargs)
+    t1.merge(src_a, **kwargs)
+    got = {(r["id"], r["payload"]) for r in t1.read().collect()}
+    assert (0, "A") in got and (1, "B") in got and len(got) == 12

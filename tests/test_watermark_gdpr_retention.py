@@ -47,6 +47,52 @@ def test_watermark_never_regresses(spark, tmp_path):
     assert ct.read_watermark("job") == T2
 
 
+def test_concurrent_control_upserts_both_survive(spark, tmp_path):
+    """Two jobs racing upserts into one control table: the loser of the
+    commit race retries against the new head, so BOTH control rows
+    survive (VERDICT r3 item 5 — MergeTable-backed optimistic
+    concurrency, not read-modify-replace)."""
+    import threading
+
+    ct = ControlTable(spark, str(tmp_path / "ctl_race"))
+    ct.upsert("seed", T0, "OK")  # shared starting head for both racers
+    errs = []
+
+    def run(job):
+        try:
+            ct.upsert(job, T1, "OK")
+        except Exception as e:  # pragma: no cover - failure detail
+            errs.append((job, e))
+
+    threads = [threading.Thread(target=run, args=(j,)) for j in ("a", "b")]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert not errs, errs
+    rows = {r["job_name"]: r for r in ct.table.read().collect()}
+    assert set(rows) == {"seed", "a", "b"}
+    assert rows["a"]["last_loaded_ts"] == T1
+    assert rows["b"]["last_loaded_ts"] == T1
+
+
+def test_version_cursor_never_regresses(spark, tmp_path):
+    from urban_mobility_data_pipeline_spark.operators.watermark import (
+        VersionCursor,
+    )
+
+    vc = VersionCursor(spark, str(tmp_path / "cursor"))
+    assert vc.read_version("job") == 0
+    vc.upsert("job", 5, "OK")
+    assert vc.read_version("job") == 5
+    vc.upsert("job", None, "FAIL")  # NULL keeps the cursor
+    assert vc.read_version("job") == 5
+    vc.upsert("job", 3, "OK")  # stale version can't regress
+    assert vc.read_version("job") == 5
+    vc.upsert("job", 9, "OK")
+    assert vc.read_version("job") == 9
+
+
 def test_incremental_slice_filters(spark):
     df = spark.createDataFrame(
         [(1, T0, dt.date(2024, 1, 1)), (2, T2, dt.date(2024, 1, 3))],
