@@ -1,0 +1,127 @@
+"""CLI job dispatcher (VERDICT r3 item 6): the analogue of the
+reference's scripts/run/*.sh tree, driven bronze → silver → gold
+against a tmp lake."""
+
+from __future__ import annotations
+
+import datetime as dt
+import subprocess
+import sys
+
+from pyspark.sql import functions as F
+
+from urban_mobility_data_pipeline_spark.domain import jobs as J
+from urban_mobility_data_pipeline_spark.run import build_registry, main
+
+D0 = dt.datetime(2024, 3, 1, 8, 0)
+
+TRIPS_DDL = (
+    "trip_id long, passenger_id long, driver_id long, vehicle_id long, "
+    "pickup_zone_id long, dropoff_zone_id long, status string, "
+    "requested_at timestamp, accepted_at timestamp, started_at timestamp, "
+    "ended_at timestamp, canceled_at timestamp, cancel_reason string, "
+    "cancel_by string, cancel_note string, estimated_distance_km double, "
+    "actual_distance_km double, fare_amount double, start_lat double, "
+    "start_lng double, end_lat double, end_lng double, "
+    "created_at timestamp, updated_at timestamp"
+)
+
+PASSENGERS_DDL = (
+    "passenger_id long, full_name string, email string, phone string, "
+    "city string, is_deleted boolean, deleted_at timestamp, "
+    "created_at timestamp, updated_at timestamp"
+)
+
+ZONES_DDL = (
+    "zone_id long, zone_name string, city string, region string, "
+    "created_at timestamp"
+)
+
+
+def test_registry_covers_reference_script_tree():
+    """Every reference scripts/run entry point has a job name: per-table
+    bronze+silver, gold conformed/marts, gdpr, retention, migration."""
+    names = set(build_registry())
+    for t in ("trips", "passengers", "drivers", "vehicles", "payments",
+              "ratings", "zones"):
+        assert {f"{t}_bronze", f"{t}_silver", f"{t}_silver_cdf"} <= names
+    assert {
+        "dim_date", "dim_payment_method", "dim_zone", "dim_passenger",
+        "dim_passenger_hist", "dim_passenger_scd3", "fact_trips",
+        "fact_payments", "agg_trips_daily", "agg_driver_daily",
+        "gdpr_propagate_erasure", "retention_cleanup",
+        "create_control_tables",
+    } <= names
+
+
+def test_cli_list_via_subprocess():
+    """The real `python -m` entry: --list needs no Spark session."""
+    out = subprocess.run(
+        [sys.executable, "-m", "urban_mobility_data_pipeline_spark.run",
+         "--list"],
+        capture_output=True, text=True, timeout=120, cwd="/root/repo",
+    )
+    assert out.returncode == 0, out.stderr
+    assert "trips_bronze" in out.stdout and "fact_trips" in out.stdout
+
+
+def test_cli_drives_bronze_silver_gold(spark, tmp_path, capsys):
+    """bronze → silver → gold through the CLI dispatcher against a tmp
+    lake, with staged parquet as the OLTP source."""
+    lake_dir = str(tmp_path / "lake")
+    stage = tmp_path / "stage"
+
+    def _trip(tid, pid, zid):
+        return (
+            tid, pid, 1, 1, zid, zid, "completed",
+            D0, D0 + dt.timedelta(minutes=2), D0 + dt.timedelta(minutes=5),
+            D0 + dt.timedelta(minutes=25), None, None, None, None,
+            5.0, 6.0, 12.5, 41.1, 2.1, 41.2, 2.2, D0, D0,
+        )
+
+    spark.createDataFrame(
+        [_trip(1, 1, 1), _trip(2, 2, 2)], TRIPS_DDL
+    ).write.parquet(str(stage / "trips"))
+    spark.createDataFrame(
+        [
+            (1, "Alice A", "alice@x.com", "111", "Rome", False, None, D0, D0),
+            (2, "Bob B", "bob@x.com", "222", "Oslo", False, None, D0, D0),
+        ],
+        PASSENGERS_DDL,
+    ).write.parquet(str(stage / "passengers"))
+    spark.createDataFrame(
+        [(1, "Centre", "Rome", "EU", D0), (2, "Port", "Rome", "EU", D0)],
+        ZONES_DDL,
+    ).write.parquet(str(stage / "zones"))
+
+    def cli(*argv):
+        assert main([*argv, "--lake", lake_dir], spark=spark) == 0
+        return capsys.readouterr().out
+
+    assert "ready" in cli("create_control_tables")
+    assert "ingested 2 rows" in cli(
+        "trips_bronze", "--source", str(stage / "trips")
+    )
+    cli("passengers_bronze", "--source", str(stage / "passengers"))
+    cli("zones_bronze", "--source", str(stage / "zones"))
+    assert "applied" in cli("trips_silver")
+    cli("passengers_silver")
+    cli("zones_silver")
+    cli("dim_zone")
+    cli("dim_passenger")
+    cli("fact_trips")
+    cli("agg_trips_daily")
+
+    lake = J.Lakehouse(spark, lake_dir)
+    assert lake.table("bronze", "trips").read().count() == 2
+    silver = lake.table("silver", "trips").read()
+    assert silver.filter(F.col("is_current")).count() == 2
+    fact = lake.table("gold", "fact_trips").read()
+    assert fact.count() == 2
+    agg = lake.table("gold", "agg_trips_daily").read()
+    assert agg.agg(F.sum("total_trips")).first()[0] == 2
+    assert lake.table("gold", "dim_passenger").read().count() == 2
+
+    # unknown job exits 2, --list exits 0
+    assert main(["definitely_not_a_job", "--lake", lake_dir], spark=spark) == 2
+    assert main(["--list"], spark=spark) == 0

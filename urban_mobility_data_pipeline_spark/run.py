@@ -1,0 +1,206 @@
+"""CLI job runner — the analogue of the reference's 30+
+``scripts/run/*.sh`` spark-submit entry points (e.g.
+``scripts/run/run_trips_bronze.sh:6-10``,
+``scripts/run/gdpr/run_gdpr_propagate_erasure.sh``,
+``scripts/run/retention/run_bronze_retention_cleanup.sh``), collapsed
+into one parameterized dispatcher over :mod:`.domain.jobs`:
+
+    python -m urban_mobility_data_pipeline_spark.run --list
+    python -m urban_mobility_data_pipeline_spark.run trips_bronze \\
+        --lake /data/lake --source /staging/trips.parquet
+    python -m urban_mobility_data_pipeline_spark.run trips_silver --lake /data/lake
+    python -m urban_mobility_data_pipeline_spark.run fact_trips --lake /data/lake
+    python -m urban_mobility_data_pipeline_spark.run gdpr_propagate_erasure \\
+        --lake /data/lake --requests /staging/requests.parquet --salt s3cret
+    python -m urban_mobility_data_pipeline_spark.run retention_cleanup \\
+        --lake /data/lake --bronze-days 30 --silver-days 365
+
+Where the reference wires one hard-coded script per table per layer,
+jobs here are config-driven (``domain.config.ALL_TABLES``): the
+``<table>_bronze`` / ``<table>_silver`` / ``<table>_silver_cdf`` names
+are generated from the same registry the engine uses, so a new table
+needs a TableConfig, not a new script.
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+
+from urban_mobility_data_pipeline_spark.domain import config as C
+from urban_mobility_data_pipeline_spark.domain import jobs as J
+
+#: entity -> (dim flavor builders) mirrored from the reference's
+#: gold/_conformed {snapshot,hist,scd3} script tree; tracked SCD3
+#: columns follow each entity's reference dim (scd3/dim_passenger.py).
+_SCD3_TRACKED = {
+    "passengers": ["full_name", "email", "city"],
+    "drivers": ["full_name", "status"],
+    "vehicles": ["make", "status"],
+}
+
+
+def _bronze_job(cfg: C.TableConfig):
+    def run(lake: J.Lakehouse, args) -> str:
+        if not args.source:
+            raise SystemExit(f"{cfg.name}_bronze requires --source PATH")
+        src = lake.spark.read.format(args.source_format).load(args.source)
+        n = J.bronze_ingest(lake, cfg, src)
+        return f"ingested {n} rows into bronze/{cfg.name}"
+
+    return run
+
+
+def _silver_job(cfg: C.TableConfig, cdf: bool):
+    def run(lake: J.Lakehouse, args) -> str:
+        n = (
+            J.silver_apply_changes(lake, cfg)
+            if cdf
+            else J.silver_apply(lake, cfg)
+        )
+        mode = "change-feed" if cdf else "watermark"
+        return f"applied {n} rows to silver/{cfg.name} ({mode})"
+
+    return run
+
+
+def _gold_jobs() -> dict:
+    jobs = {
+        "dim_date": lambda lake, a: (J.build_dim_date(lake), "built dim_date")[1],
+        "dim_payment_method": lambda lake, a: (
+            J.build_dim_payment_method(lake),
+            "built dim_payment_method",
+        )[1],
+        "dim_zone": lambda lake, a: (
+            J.build_static_dim(
+                lake,
+                "dim_zone",
+                J.silver_current(lake, "zones").select(
+                    "zone_id", "zone_name", "city", "region"
+                ),
+            ),
+            "built dim_zone",
+        )[1],
+        "fact_trips": lambda lake, a: (J.build_fact_trips(lake), "built fact_trips")[1],
+        "fact_payments": lambda lake, a: (
+            J.build_fact_payments(lake),
+            "built fact_payments",
+        )[1],
+        "agg_trips_daily": lambda lake, a: (
+            J.build_agg_trips_daily(lake),
+            "built agg_trips_daily",
+        )[1],
+        "agg_driver_daily": lambda lake, a: (
+            J.build_agg_driver_daily(lake),
+            "built agg_driver_daily",
+        )[1],
+    }
+    for ent_tbl, tracked in _SCD3_TRACKED.items():
+        cfg = C.ALL_TABLES[ent_tbl]
+        ent = ent_tbl[:-1]
+        jobs[f"dim_{ent}"] = (
+            lambda lake, a, c=cfg, e=ent: (
+                J.build_snapshot_dim(lake, c, f"dim_{e}"),
+                f"built dim_{e} (snapshot)",
+            )[1]
+        )
+        jobs[f"dim_{ent}_hist"] = (
+            lambda lake, a, c=cfg, e=ent: (
+                J.build_hist_dim(lake, c, f"dim_{e}_hist"),
+                f"built dim_{e}_hist (scd2)",
+            )[1]
+        )
+        jobs[f"dim_{ent}_scd3"] = (
+            lambda lake, a, c=cfg, e=ent, t=tracked: (
+                J.build_scd3_dim(lake, c, f"dim_{e}_scd3", t),
+                f"built dim_{e}_scd3",
+            )[1]
+        )
+    return jobs
+
+
+def _gdpr_job(lake: J.Lakehouse, args) -> str:
+    if not args.requests or not args.salt:
+        raise SystemExit("gdpr_propagate_erasure requires --requests and --salt")
+    reqs = lake.spark.read.format(args.source_format).load(args.requests)
+    counts = J.run_gdpr(lake, reqs, salt=args.salt, vacuum_pii=not args.no_vacuum)
+    return f"erasure propagated: {counts}"
+
+
+def _retention_job(lake: J.Lakehouse, args) -> str:
+    J.run_retention(
+        lake, bronze_days=args.bronze_days, silver_days=args.silver_days
+    )
+    return (
+        f"retention applied (bronze>{args.bronze_days}d, "
+        f"closed silver>{args.silver_days}d)"
+    )
+
+
+def _control_tables_job(lake: J.Lakehouse, args) -> str:
+    """Migration 000 analogue (reference
+    migrations/000_create_control_tables.py): materialize the control
+    stores so first-run jobs find them."""
+    lake.control._ensure()
+    lake.cursor._ensure()
+    return "control tables ready (etl_control, etl_cursor)"
+
+
+def build_registry() -> dict:
+    registry: dict = {}
+    for name, cfg in C.ALL_TABLES.items():
+        registry[f"{name}_bronze"] = _bronze_job(cfg)
+        registry[f"{name}_silver"] = _silver_job(cfg, cdf=False)
+        registry[f"{name}_silver_cdf"] = _silver_job(cfg, cdf=True)
+    registry.update(_gold_jobs())
+    registry["gdpr_propagate_erasure"] = _gdpr_job
+    registry["retention_cleanup"] = _retention_job
+    registry["create_control_tables"] = _control_tables_job
+    return registry
+
+
+def main(argv: list[str] | None = None, spark=None) -> int:
+    """``spark=None`` (the CLI path) builds and owns a session; an
+    injected session (tests, notebooks) is left running."""
+    registry = build_registry()
+    p = argparse.ArgumentParser(
+        prog="python -m urban_mobility_data_pipeline_spark.run",
+        description=__doc__.split("\n\n")[0],
+    )
+    p.add_argument("job", nargs="?", help="job name (see --list)")
+    p.add_argument("--lake", default=os.environ.get("UMDP_LAKE", "./lake"))
+    p.add_argument("--source", help="input path for *_bronze / gdpr jobs")
+    p.add_argument("--source-format", default="parquet")
+    p.add_argument("--requests", help="erasure requests path (gdpr)")
+    p.add_argument("--salt", help="fingerprint salt (gdpr)")
+    p.add_argument("--no-vacuum", action="store_true")
+    p.add_argument("--bronze-days", type=int, default=30)
+    p.add_argument("--silver-days", type=int, default=365)
+    p.add_argument("--master", default=os.environ.get("UMDP_MASTER", "local[*]"))
+    p.add_argument("--list", action="store_true", help="list jobs and exit")
+    args = p.parse_args(argv)
+
+    if args.list or not args.job:
+        for name in sorted(registry):
+            print(name)
+        return 0
+    if args.job not in registry:
+        print(f"unknown job {args.job!r}; --list shows all", file=sys.stderr)
+        return 2
+
+    owns_session = spark is None
+    if owns_session:
+        from urban_mobility_data_pipeline_spark.session import get_spark
+
+        spark = get_spark(app_name=f"umdp-{args.job}", master=args.master)
+    try:
+        print(registry[args.job](J.Lakehouse(spark, args.lake), args))
+    finally:
+        if owns_session:
+            spark.stop()
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
