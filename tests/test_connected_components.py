@@ -1,0 +1,74 @@
+"""Connected-components algorithms (VERDICT r3 item 7): min-label
+propagation vs alternating large-star/small-star, which must agree and
+the star variant must converge in O(log n) rounds on a chain — the
+adversarial case for label propagation (O(diameter))."""
+
+from __future__ import annotations
+
+import random
+
+from pyspark.sql import functions as F
+
+from urban_mobility_data_pipeline_spark.extensions.dedup import (
+    connected_components,
+)
+
+
+def _labels(df) -> dict[int, int]:
+    return {r["node"]: r["label"] for r in df.collect()}
+
+
+def _run(spark, edge_rows, node_ids, algorithm, stats=None):
+    edges = spark.createDataFrame(
+        edge_rows or [(None, None)], "doc_a long, doc_b long"
+    )
+    if not edge_rows:
+        edges = edges.filter(F.col("doc_a").isNotNull())
+    nodes = spark.createDataFrame([(n,) for n in node_ids], "doc_id long")
+    return _labels(
+        connected_components(
+            edges, nodes, algorithm=algorithm, stats=stats,
+            max_iterations=50,
+        )
+    )
+
+
+def test_star_chain_graph_logarithmic_rounds(spark):
+    """50-node chain: label propagation needs ~diameter rounds; the
+    large-star/small-star variant must finish in <=7."""
+    chain = [(i, i + 1) for i in range(49)]
+    stats: dict = {}
+    got = _run(spark, chain, range(50), "star", stats)
+    assert got == {i: 0 for i in range(50)}
+    assert stats["algorithm"] == "star"
+    assert stats["rounds"] <= 7, stats
+
+
+def test_star_and_label_agree_on_random_graph(spark):
+    rng = random.Random(7)
+    nodes = list(range(60))
+    edges = [
+        (rng.randrange(60), rng.randrange(60)) for _ in range(45)
+    ]
+    a = _run(spark, edges, nodes, "label")
+    b = _run(spark, edges, nodes, "star")
+    assert a == b
+    # labels are component minima: every label labels itself
+    assert all(a[lbl] == lbl for lbl in set(a.values()))
+
+
+def test_isolated_nodes_label_themselves(spark):
+    got = _run(spark, [(1, 2)], [1, 2, 3, 4], "star")
+    assert got == {1: 1, 2: 1, 3: 3, 4: 4}
+    got = _run(spark, [(1, 2)], [1, 2, 3, 4], "label")
+    assert got == {1: 1, 2: 1, 3: 3, 4: 4}
+
+
+def test_two_cliques_bridge(spark):
+    """Two 4-cliques joined by one bridge edge form one component."""
+    cl1 = [(a, b) for a in range(4) for b in range(a + 1, 4)]
+    cl2 = [(a, b) for a in range(10, 14) for b in range(a + 1, 14)]
+    bridge = [(3, 10)]
+    for alg in ("label", "star"):
+        got = _run(spark, cl1 + cl2 + bridge, list(range(4)) + list(range(10, 14)), alg)
+        assert set(got.values()) == {0}, (alg, got)

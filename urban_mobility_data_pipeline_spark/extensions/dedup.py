@@ -291,6 +291,8 @@ def connected_components(
     a_col: str = "doc_a",
     b_col: str = "doc_b",
     max_iterations: int = 20,
+    algorithm: str = "label",
+    stats: dict | None = None,
 ) -> DataFrame:
     """Connected components over an undirected edge list → one
     ``(node, label)`` row per node, label = min node id in the
@@ -298,63 +300,206 @@ def connected_components(
     *clusters*: keep ``node == label`` as the representative, drop the
     rest.
 
-    Algorithm: iterative min-label propagation. Each round is one
-    shuffle join (edges ⋈ labels) plus one map-side-combined min
-    aggregation; rounds needed = component diameter, and LSH near-dup
-    clusters are shallow (dup groups are cliques or near-cliques, so
-    2-3 rounds converge). Each round's labels are persisted and the
-    previous round's are explicitly unpersisted — NOT
-    ``localCheckpoint``, whose blocks live outside the catalog cache
-    and linger until JVM garbage collection, starving whatever runs
-    next in the session. Convergence is a ``limit(1)`` probe, not a
-    full count. For adversarial long-path graphs swap in alternating
-    large-star/small-star (Kiveris et al., "Connected Components in
-    MapReduce and Beyond", 2014) — same join/agg primitives, O(log n)
-    rounds.
-    """
-    from pyspark import StorageLevel
+    Two interchangeable algorithms (``algorithm=``):
 
-    # the edge list is consumed once per round — persist it so the
+    - ``"label"`` (default): iterative min-label propagation. Each
+      round is one shuffle join (edges ⋈ labels) plus one
+      map-side-combined min aggregation; rounds needed = component
+      diameter. LSH near-dup clusters are shallow (dup groups are
+      cliques or near-cliques), so 2-3 rounds converge — the right
+      default for dedup.
+    - ``"star"``: alternating large-star/small-star edge contraction
+      (Kiveris et al., "Connected Components in MapReduce and Beyond",
+      2014) — O(log n) rounds regardless of diameter. The scale path
+      for adversarial long-chain graphs where label propagation would
+      need O(diameter) rounds.
+
+    Every round of either algorithm is materialized to scratch parquet
+    (see :func:`_round_scratch`) — exactly like the original MapReduce
+    formulations materialize between jobs. This is deliberate, not a
+    local-mode workaround: iterating lazily (even with ``.persist``,
+    which caches block data but does NOT truncate the logical plan)
+    grows the analyzed plan every round, and past ~10 rounds the
+    analyzer and accumulated broadcasts — not the data — become the
+    bottleneck. Materializing keeps every round O(current edge/label
+    set), makes rounds independently fault-tolerant, and lets the
+    driver probe convergence from a tiny finished table. The
+    convergence probe is additionally batched (every 2nd round): one
+    extra cheap round costs less than a driver round-trip per round on
+    a latency-bound iterative job.
+
+    ``stats``: pass a dict to receive ``{"rounds": n, "algorithm": …}``.
+    """
+    if algorithm == "star":
+        return _star_components(
+            edges, nodes, id_col, a_col, b_col, max_iterations, stats
+        )
+    if algorithm != "label":
+        raise ValueError(f"unknown algorithm {algorithm!r}")
+
+    spark = edges.sparkSession
+    materialize = _round_scratch(spark)
+    # the edge list is consumed once per round — stage it so the
     # upstream plan (e.g. the whole LSH+verify pipeline) runs once
-    sym = (
+    sym = materialize(
         edges.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
         .unionByName(
             edges.select(
                 F.col(b_col).alias("src"), F.col(a_col).alias("dst")
             )
-        )
-        .persist(StorageLevel.MEMORY_AND_DISK)
+        ),
+        "edges",
     )
-    labels = nodes.select(
-        F.col(id_col).alias("node"), F.col(id_col).alias("label")
+    labels = materialize(
+        nodes.select(
+            F.col(id_col).alias("node"), F.col(id_col).alias("label")
+        ),
+        "labels_0",
     )
+
     def label_sum(df: DataFrame):
         return df.agg(
             F.sum(F.col("label").cast("decimal(38,0)"))
         ).first()[0]
 
     prev_sum = label_sum(labels)
-    persisted = None
-    for _ in range(max_iterations):
+    rounds = 0
+    for i in range(max_iterations):
         prop = sym.join(labels, F.col("src") == F.col("node")).select(
             F.col("dst").alias("node"), F.col("label")
         )
-        new = (
+        labels = materialize(
             labels.unionByName(prop)
             .groupBy("node")
-            .agg(F.min("label").alias("label"))
-            .persist(StorageLevel.MEMORY_AND_DISK)
+            .agg(F.min("label").alias("label")),
+            f"labels_{i + 1}",
         )
+        rounds += 1
         # labels only ever decrease, so the total strictly drops until
-        # the fixpoint — one agg over the just-persisted round, no join
-        cur_sum = label_sum(new)
-        if persisted is not None:
-            persisted.unpersist(False)
-        persisted = labels = new
-        if cur_sum == prev_sum:
-            break
-        prev_sum = cur_sum
-    # the final labels round is materialized (label_sum ran on it), so
-    # the edge cache is no longer needed by the returned plan
-    sym.unpersist(False)
+        # the fixpoint — equality across a probe gap means no node
+        # changed in ANY gap round. Probe every 2nd round (and the
+        # last): halves driver round-trips on the convergent tail.
+        if (i % 2 == 1) or (i == max_iterations - 1):
+            cur_sum = label_sum(labels)
+            if cur_sum == prev_sum:
+                break
+            prev_sum = cur_sum
+    if stats is not None:
+        stats.update({"rounds": rounds, "algorithm": "label"})
     return labels
+
+
+def _round_scratch(spark):
+    """Per-call scratch store for iterative rounds: returns a
+    ``materialize(df, tag)`` that writes the round to parquet and
+    returns a fresh scan of it, truncating lineage. The returned label
+    plan reads the final round's files, so the scratch dir must outlive
+    the call — it is reclaimed at interpreter exit."""
+    import atexit
+    import shutil
+    import tempfile
+
+    scratch = tempfile.mkdtemp(prefix="umdp_cc_rounds_")
+    atexit.register(shutil.rmtree, scratch, ignore_errors=True)
+
+    def materialize(df: DataFrame, tag: str) -> DataFrame:
+        path = f"{scratch}/{tag}"
+        df.write.mode("overwrite").parquet(path)
+        return spark.read.parquet(path)
+
+    return materialize
+
+
+def _star_components(
+    edges: DataFrame,
+    nodes: DataFrame,
+    id_col: str,
+    a_col: str,
+    b_col: str,
+    max_iterations: int,
+    stats: dict | None,
+) -> DataFrame:
+    """Alternating large-star/small-star (Kiveris et al. 2014 §3).
+
+    Each round contracts the edge set toward stars centered on
+    component minima: **large-star** connects every neighbor larger
+    than ``u`` to ``min(Γ(u) ∪ {u})``; **small-star** re-points ``u``
+    and its not-larger neighbors at that minimum. Both are one
+    groupBy-min + one self-join per pass — the same shuffle primitives
+    as label propagation, but the edge set (not a label table)
+    contracts, giving O(log n) rounds on any topology. Convergence =
+    the canonical edge set's (count, hash-sum) fingerprint is stable
+    across a round; at fixpoint every edge is ``(node, component
+    min)``. Rounds are materialized via :func:`_round_scratch` — a
+    star round references its input ~8× (two symmetrize unions + two
+    self-joins), so lazy chaining would grow the plan geometrically."""
+
+    def large_star(e: DataFrame) -> DataFrame:
+        sym = e.unionByName(
+            e.select(F.col("b").alias("a"), F.col("a").alias("b"))
+        )
+        mins = sym.groupBy("a").agg(
+            F.least(F.min("b"), F.first("a")).alias("m")
+        )
+        return (
+            sym.join(mins, "a")
+            .filter(F.col("b") > F.col("a"))
+            .select(F.col("b").alias("a"), F.col("m").alias("b"))
+            .distinct()
+        )
+
+    def small_star(e: DataFrame) -> DataFrame:
+        d = (
+            e.select(
+                F.greatest("a", "b").alias("a"), F.least("a", "b").alias("b")
+            )
+            .filter(F.col("a") != F.col("b"))
+            .distinct()
+        )
+        mins = d.groupBy("a").agg(F.min("b").alias("m"))
+        return (
+            d.join(mins, "a")
+            .select(F.col("b").alias("a"), F.col("m").alias("b"))
+            .unionByName(mins.select("a", F.col("m").alias("b")))
+            .filter(F.col("a") != F.col("b"))
+            .distinct()
+        )
+
+    def fingerprint(e: DataFrame) -> tuple:
+        row = e.select(
+            F.greatest("a", "b").alias("a"), F.least("a", "b").alias("b")
+        ).agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.xxhash64("a", "b").cast("decimal(38,0)")).alias("h"),
+        ).first()
+        return (row["n"], row["h"])
+
+    spark = edges.sparkSession
+    materialize = _round_scratch(spark)
+    cur = materialize(
+        edges.select(F.col(a_col).alias("a"), F.col(b_col).alias("b"))
+        .filter(F.col("a") != F.col("b"))
+        .distinct(),
+        "round_0",
+    )
+    prev_fp, rounds = fingerprint(cur), 0
+    for i in range(max_iterations):
+        cur = materialize(small_star(large_star(cur)), f"round_{i + 1}")
+        rounds += 1
+        fp = fingerprint(cur)
+        if fp == prev_fp:
+            break
+        prev_fp = fp
+    if stats is not None:
+        stats.update({"rounds": rounds, "algorithm": "star"})
+    # at fixpoint every edge is (node, component-min); minima and
+    # isolated nodes label themselves
+    owners = cur.groupBy("a").agg(F.min("b").alias("lbl"))
+    out = (
+        nodes.select(F.col(id_col).alias("node"))
+        .join(owners, F.col("node") == F.col("a"), "left")
+        .select(
+            "node", F.coalesce(F.col("lbl"), F.col("node")).alias("label")
+        )
+    )
+    return out
