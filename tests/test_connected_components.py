@@ -72,3 +72,27 @@ def test_two_cliques_bridge(spark):
     for alg in ("label", "star"):
         got = _run(spark, cl1 + cl2 + bridge, list(range(4)) + list(range(10, 14)), alg)
         assert set(got.values()) == {0}, (alg, got)
+
+
+def test_auto_shallow_graph_stays_label(spark):
+    """Shallow dup-clique graph: auto converges inside the label probe
+    and never pays the star fallback."""
+    cl = [(a, b) for a in range(5) for b in range(a + 1, 5)]
+    stats: dict = {}
+    got = _run(spark, cl, range(5), "auto", stats)
+    assert got == {i: 0 for i in range(5)}
+    assert stats["algorithm"] == "auto+label"
+    assert stats["converged"] and stats["rounds"] <= 4
+
+
+def test_auto_deep_chain_falls_back_to_star(spark):
+    """80-node chain: the 8-round label probe can't converge; auto
+    contracts through the partial labels and star finishes — total
+    rounds stay far below the 79-round label cost."""
+    chain = [(i, i + 1) for i in range(79)]
+    stats: dict = {}
+    got = _run(spark, chain, range(80), "auto", stats)
+    assert got == {i: 0 for i in range(80)}
+    assert stats["algorithm"] == "auto+star"
+    assert stats["converged"]
+    assert stats["rounds"] <= 18, stats  # 8 probe + O(log n) star; vs 79 label-only

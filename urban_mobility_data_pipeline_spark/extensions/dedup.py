@@ -313,6 +313,12 @@ def connected_components(
       2014) — O(log n) rounds regardless of diameter. The scale path
       for adversarial long-chain graphs where label propagation would
       need O(diameter) rounds.
+    - ``"auto"``: the cheap heuristic for unknown topology — run label
+      propagation up to 8 rounds (covers every realistic dup-cluster
+      graph); if still unconverged, contract edges through the current
+      labels and finish with star on the (strictly smaller) contracted
+      graph, composing the two label maps. Pays one bounded probe
+      instead of guessing the diameter up front.
 
     Every round of either algorithm is materialized to scratch parquet
     (see :func:`_round_scratch`) — exactly like the original MapReduce
@@ -328,10 +334,15 @@ def connected_components(
     extra cheap round costs less than a driver round-trip per round on
     a latency-bound iterative job.
 
-    ``stats``: pass a dict to receive ``{"rounds": n, "algorithm": …}``.
+    ``stats``: pass a dict to receive
+    ``{"rounds": n, "algorithm": …, "converged": bool}``.
     """
     if algorithm == "star":
         return _star_components(
+            edges, nodes, id_col, a_col, b_col, max_iterations, stats
+        )
+    if algorithm == "auto":
+        return _auto_components(
             edges, nodes, id_col, a_col, b_col, max_iterations, stats
         )
     if algorithm != "label":
@@ -363,7 +374,7 @@ def connected_components(
         ).first()[0]
 
     prev_sum = label_sum(labels)
-    rounds = 0
+    rounds, converged = 0, False
     for i in range(max_iterations):
         prop = sym.join(labels, F.col("src") == F.col("node")).select(
             F.col("dst").alias("node"), F.col("label")
@@ -382,11 +393,70 @@ def connected_components(
         if (i % 2 == 1) or (i == max_iterations - 1):
             cur_sum = label_sum(labels)
             if cur_sum == prev_sum:
+                converged = True
                 break
             prev_sum = cur_sum
     if stats is not None:
-        stats.update({"rounds": rounds, "algorithm": "label"})
+        stats.update(
+            {"rounds": rounds, "algorithm": "label", "converged": converged}
+        )
     return labels
+
+
+def _auto_components(
+    edges: DataFrame,
+    nodes: DataFrame,
+    id_col: str,
+    a_col: str,
+    b_col: str,
+    max_iterations: int,
+    stats: dict | None,
+) -> DataFrame:
+    """``algorithm="auto"``: bounded label probe, then star fallback on
+    the label-contracted graph. Label work is never wasted — the
+    contracted graph has one node per surviving label, so star runs on
+    a strictly smaller problem and the final map composes both."""
+    PROBE_ROUNDS = 8
+    label_stats: dict = {}
+    labels = connected_components(
+        edges, nodes, id_col, a_col, b_col,
+        max_iterations=PROBE_ROUNDS, algorithm="label", stats=label_stats,
+    )
+    if label_stats["converged"]:
+        if stats is not None:
+            stats.update(dict(label_stats, algorithm="auto+label"))
+        return labels
+    # contract: every edge's endpoints become their current labels
+    la = labels.withColumnRenamed("node", "__n")
+    contracted = (
+        edges.select(F.col(a_col).alias("ea"), F.col(b_col).alias("eb"))
+        .join(la, F.col("ea") == F.col("__n"))
+        .select(F.col("label").alias("ca"), "eb")
+        .join(
+            la.withColumnRenamed("label", "lb"), F.col("eb") == F.col("__n")
+        )
+        .select(F.col("ca").alias("doc_a"), F.col("lb").alias("doc_b"))
+        .filter(F.col("doc_a") != F.col("doc_b"))
+        .distinct()
+    )
+    meta_nodes = labels.select(F.col("label").alias("doc_id")).distinct()
+    star_stats: dict = {}
+    meta = _star_components(
+        contracted, meta_nodes, "doc_id", "doc_a", "doc_b",
+        max_iterations, star_stats,
+    ).withColumnsRenamed({"node": "__mn", "label": "__ml"})
+    out = labels.join(meta, F.col("label") == F.col("__mn")).select(
+        "node", F.col("__ml").alias("label")
+    )
+    if stats is not None:
+        stats.update(
+            {
+                "rounds": label_stats["rounds"] + star_stats["rounds"],
+                "algorithm": "auto+star",
+                "converged": star_stats["converged"],
+            }
+        )
+    return out
 
 
 def _round_scratch(spark):
@@ -482,16 +552,19 @@ def _star_components(
         .distinct(),
         "round_0",
     )
-    prev_fp, rounds = fingerprint(cur), 0
+    prev_fp, rounds, converged = fingerprint(cur), 0, False
     for i in range(max_iterations):
         cur = materialize(small_star(large_star(cur)), f"round_{i + 1}")
         rounds += 1
         fp = fingerprint(cur)
         if fp == prev_fp:
+            converged = True
             break
         prev_fp = fp
     if stats is not None:
-        stats.update({"rounds": rounds, "algorithm": "star"})
+        stats.update(
+            {"rounds": rounds, "algorithm": "star", "converged": converged}
+        )
     # at fixpoint every edge is (node, component-min); minima and
     # isolated nodes label themselves
     owners = cur.groupBy("a").agg(F.min("b").alias("lbl"))

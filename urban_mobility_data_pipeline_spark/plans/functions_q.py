@@ -183,3 +183,51 @@ def order_scalar_functions_showcase(
         F.when(p >= 100000, "big").otherwise("small").alias("size_flag"),
         F.col("o_orderpriority").isNotNull().alias("has_priority"),
     )
+
+
+@register(
+    "event_regex_map_showcase",
+    oracle=r"""
+    SELECT event_id,
+           -- regex surface
+           regexp_extract(event_type, '^([a-z]+)', 1)        AS type_word,
+           regexp_replace(event_type, '[aeiou]', '_', 'g')   AS devoweled,
+           regexp_matches(event_type, '^(purchase|signup)$') AS is_conversion,
+           -- map surface (props is a 1-key JSON object {"k": int})
+           CAST(props->>'$.k' AS INTEGER)                    AS k_value,
+           'k'                                               AS first_key,
+           CAST(1 AS INTEGER)                                AS n_keys,
+           -- struct surface
+           event_type                                        AS s_type,
+           CAST(props->>'$.k' AS INTEGER) * 2                AS s_doubled
+    FROM events
+    """,
+)
+def event_regex_map_showcase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """regexp_extract/regexp_replace/rlike + from_json→map
+    (map_keys/size/element_at) + named_struct field access — the
+    regex/map/struct surface in one map-only projection. No driver
+    slot (slots are capped at 50); bench + oracle-parity tested."""
+    ev = table(spark, sf_dir, "events")
+    m = F.from_json(F.col("props"), "map<string,int>")
+    s = F.named_struct(
+        F.lit("typ"), F.col("event_type"),
+        F.lit("doubled"), F.element_at(m, "k") * 2,
+    )
+    return ev.select(
+        "event_id",
+        F.regexp_extract(F.col("event_type"), r"^([a-z]+)", 1).alias(
+            "type_word"
+        ),
+        F.regexp_replace(F.col("event_type"), "[aeiou]", "_").alias(
+            "devoweled"
+        ),
+        F.col("event_type").rlike("^(purchase|signup)$").alias(
+            "is_conversion"
+        ),
+        F.element_at(m, "k").alias("k_value"),
+        F.element_at(F.map_keys(m), 1).alias("first_key"),
+        F.size(m).alias("n_keys"),
+        s.getField("typ").alias("s_type"),
+        s.getField("doubled").alias("s_doubled"),
+    )
