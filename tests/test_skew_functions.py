@@ -110,3 +110,51 @@ def test_salted_agg_phase1_deterministic(spark):
         .collect()
     )
     assert p1() == p1()
+
+
+def test_salted_join_matches_plain(spark):
+    """Salted equi-join equals the plain join on a hot-key dataset, for
+    inner and left, with the salt column never escaping."""
+    from urban_mobility_data_pipeline_spark.operators.skew import salted_join
+
+    # one hot key (90% of rows) + a key with no match on the right
+    big = spark.range(0, 2000).select(
+        F.when(F.col("id") % 10 < 9, 1).otherwise(F.col("id") % 50).alias("k"),
+        F.col("id").alias("payload"),
+    )
+    small = spark.createDataFrame(
+        [(k, f"dim{k}") for k in range(0, 40)], "k long, attr string"
+    )
+    for how in ("inner", "left"):
+        plain = big.join(small, ["k"], how)
+        salted = salted_join(big, small, ["k"], buckets=8, how=how)
+        assert salted.columns == plain.columns
+        a = sorted(map(tuple, salted.collect()))
+        b = sorted(map(tuple, plain.collect()))
+        assert a == b, how
+
+
+def test_salted_join_splits_hot_key(spark):
+    """The physical join key includes the salt, so the hot key's rows
+    spread across `buckets` distinct join-key values."""
+    from urban_mobility_data_pipeline_spark.operators.skew import (
+        SALT_COL,
+        salted_join,
+    )
+
+    big = spark.range(0, 1000).select(F.lit(1).alias("k"), F.col("id").alias("p"))
+    big = big.repartition(8)  # multiple input partitions -> salt spread
+    small = spark.createDataFrame([(1, "hot")], "k long, attr string")
+    out = salted_join(big, small, ["k"], buckets=8)
+    assert out.count() == 1000
+    assert SALT_COL not in out.columns
+    n_salts = (
+        big.withColumn(
+            SALT_COL,
+            F.pmod(F.xxhash64(F.col("k"), F.spark_partition_id()), F.lit(8)),
+        )
+        .select(SALT_COL)
+        .distinct()
+        .count()
+    )
+    assert n_salts > 1  # hot key genuinely split across join keys

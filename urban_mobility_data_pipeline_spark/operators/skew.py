@@ -1,11 +1,14 @@
-"""Skew-aware aggregation (100 TB design note, SURVEY.md §7 phase 6).
+"""Skew-aware aggregation and joins (100 TB design note, SURVEY.md §7
+phase 6).
 
-AQE's skew-join splitting handles joins; for *aggregations* over hot
-keys (the classic: one user_id is 30% of events), two-phase salted
-aggregation bounds any single task's input: phase 1 aggregates
-(key, salt) partials, phase 2 merges per key. Correct for any
-algebraic aggregate (sum/count/min/max); count-distinct needs the
-two-level exact form below.
+AQE's skew-join splitting handles oversized shuffle partitions of a
+sort-merge join; :func:`salted_join` covers the case it can't — one hot
+KEY that must be split by changing the join key itself. For
+*aggregations* over hot keys (the classic: one user_id is 30% of
+events), two-phase salted aggregation bounds any single task's input:
+phase 1 aggregates (key, salt) partials, phase 2 merges per key.
+Correct for any algebraic aggregate (sum/count/min/max);
+count-distinct needs the two-level exact form below.
 """
 
 from __future__ import annotations
@@ -49,6 +52,41 @@ def salted_agg(
     return phase1.groupBy(*keys).agg(
         *[merge.alias(name) for name, (_, merge) in partials.items()]
     )
+
+
+def salted_join(
+    big: DataFrame,
+    small: DataFrame,
+    keys: Sequence[str],
+    buckets: int = 16,
+    how: str = "inner",
+) -> DataFrame:
+    """Explicit salted equi-join for hot keys in the window AQE's
+    skew-split doesn't cover: AQE splits an oversized *shuffle
+    partition* of a sort-merge join, but a single hot KEY inside one
+    partition can't be split without changing the join key — which is
+    exactly what salting does. The big side gets a deterministic
+    per-row salt appended to the key; the small side is replicated
+    across all ``buckets`` salt values, so every (key, salt) pair still
+    matches. Cost: |small| × buckets rows shuffled — use when the small
+    side is too big to broadcast but modest enough to replicate.
+
+    Supports ``inner`` and ``left`` (big side preserved) joins; the
+    salt column never escapes."""
+    if how not in ("inner", "left"):
+        raise ValueError("salted_join supports how='inner'|'left'")
+    salted_big = big.withColumn(
+        SALT_COL,
+        F.pmod(
+            F.xxhash64(*[F.col(k) for k in keys], F.spark_partition_id()),
+            F.lit(buckets),
+        ),
+    )
+    replicated = small.withColumn(
+        SALT_COL, F.explode(F.sequence(F.lit(0), F.lit(buckets - 1)))
+    ).withColumn(SALT_COL, F.col(SALT_COL).cast("long"))
+    out = salted_big.join(replicated, [*keys, SALT_COL], how)
+    return out.drop(SALT_COL)
 
 
 def salted_count_distinct(
