@@ -529,3 +529,75 @@ def doc_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         "cluster_size",
         F.count("*").over(Window.partitionBy("cluster_id")),
     )
+
+
+@register(
+    "embedding_ivf_topk",
+    oracle="""
+    WITH ex AS (
+        SELECT vec_id, label,
+               list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        FROM embeddings
+    ),
+    comp AS (
+        SELECT label AS cell, pos, round(avg(c), 6) AS m
+        FROM (SELECT label, unnest(v) AS c,
+                     unnest(range(1, len(v) + 1)) AS pos
+              FROM ex)
+        GROUP BY 1, 2
+    ),
+    cent AS (SELECT cell, list(m ORDER BY pos) AS centroid FROM comp GROUP BY 1),
+    q AS (SELECT v AS qv FROM ex WHERE vec_id = 0),
+    cellrank AS (
+        SELECT cell
+        FROM cent, q
+        ORDER BY list_dot_product(centroid, qv)
+                 / (sqrt(list_dot_product(centroid, centroid))
+                    * sqrt(list_dot_product(qv, qv))) DESC,
+                 cell
+        LIMIT 3
+    ),
+    assigned AS (
+        SELECT e.vec_id, e.v, c.cell,
+               row_number() OVER (
+                   PARTITION BY e.vec_id
+                   ORDER BY list_dot_product(e.v, c.centroid)
+                            / (sqrt(list_dot_product(e.v, e.v))
+                               * sqrt(list_dot_product(c.centroid, c.centroid))) DESC,
+                            c.cell
+               ) AS rn
+        FROM ex e CROSS JOIN cent c
+    ),
+    cand AS (
+        SELECT a.vec_id, a.v
+        FROM assigned a JOIN cellrank USING (cell)
+        WHERE a.rn = 1 AND a.vec_id <> 0
+    )
+    SELECT c.vec_id,
+           round(list_dot_product(c.v, q.qv)
+                 / (sqrt(list_dot_product(c.v, c.v))
+                    * sqrt(list_dot_product(q.qv, q.qv))), 6) AS cosine
+    FROM cand c, q
+    ORDER BY cosine DESC, vec_id ASC
+    LIMIT 10
+    """,
+)
+def embedding_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF search end-to-end with REAL cell pruning (nprobe=3 of 10
+    cells): deterministic mean-per-label coarse quantizer (components
+    rounded to 6dp in BOTH engines so the quantizer can't drift
+    cross-engine), nearest-cell assignment, probe-cell candidate scan,
+    exact cosine inside. The DuckDB oracle replays the whole IVF
+    pipeline in SQL — not just the final ranking — so assignment and
+    pruning are hash-checked too. No driver slot (slots capped at 50);
+    bench + oracle-parity tested."""
+    from urban_mobility_data_pipeline_spark.extensions.similarity import (
+        ivf_centroids,
+        ivf_topk,
+    )
+
+    emb = table(spark, sf_dir, "embeddings")
+    cents = ivf_centroids(emb).select(
+        "cell", F.transform("centroid", lambda x: F.round(x, 6)).alias("centroid")
+    )
+    return ivf_topk(emb, cents, query_vec_id=0, k=10, nprobe=3)
