@@ -361,11 +361,10 @@ def connected_components(
         ),
         "edges",
     )
-    labels = materialize(
-        nodes.select(
-            F.col(id_col).alias("node"), F.col(id_col).alias("label")
-        ),
-        "labels_0",
+    # the initial label table is a pure projection of nodes — not worth
+    # a materialization job; round 1's write anchors the iteration
+    labels = nodes.select(
+        F.col(id_col).alias("node"), F.col(id_col).alias("label")
     )
 
     def label_sum(df: DataFrame):
@@ -388,9 +387,11 @@ def connected_components(
         rounds += 1
         # labels only ever decrease, so the total strictly drops until
         # the fixpoint — equality across a probe gap means no node
-        # changed in ANY gap round. Probe every 2nd round (and the
-        # last): halves driver round-trips on the convergent tail.
-        if (i % 2 == 1) or (i == max_iterations - 1):
+        # changed in ANY gap round. Probe rounds 1-2 densely (dup
+        # cliques converge by round 2 — the common case must detect it
+        # immediately), then every 2nd round to halve driver
+        # round-trips on a deep graph's convergent tail.
+        if i < 2 or (i % 2 == 1) or (i == max_iterations - 1):
             cur_sum = label_sum(labels)
             if cur_sum == prev_sum:
                 converged = True
