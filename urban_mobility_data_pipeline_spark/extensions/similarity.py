@@ -19,7 +19,7 @@ from __future__ import annotations
 
 import hashlib
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from urban_mobility_data_pipeline_spark.functions.vectors import (
@@ -204,11 +204,16 @@ def ivf_assign(
         F.col("cell"),
         cosine(vec_col, "centroid").alias("__sim"),
     )
-    w = Window.partitionBy(id_col).orderBy(F.col("__sim").desc(), F.col("cell"))
-    return (
-        scored.withColumn("__rn", F.row_number().over(w))
-        .filter(F.col("__rn") == 1)
-        .select(id_col, vec_col, "cell")
+    # argmax by (similarity, then smallest cell id) as a map-side-
+    # combined aggregate: the shuffle carries one partial row per
+    # vector per partition, where a row_number window would sort and
+    # shuffle the full corpus × cells expansion. The negated cell in
+    # the ordering struct reproduces the ASC tiebreak of the
+    # equivalent (sim DESC, cell ASC) rank.
+    order = F.struct(F.col("__sim").alias("s"), (-F.col("cell")).alias("c"))
+    return scored.groupBy(id_col).agg(
+        F.any_value(F.col(vec_col)).alias(vec_col),
+        F.max_by(F.col("cell"), order).alias("cell"),
     )
 
 
