@@ -96,3 +96,34 @@ def test_auto_deep_chain_falls_back_to_star(spark):
     assert stats["algorithm"] == "auto+star"
     assert stats["converged"]
     assert stats["rounds"] <= 18, stats  # 8 probe + O(log n) star; vs 79 label-only
+
+
+def _union_find_reference(n_nodes, edge_rows):
+    """Plain-Python union-find with min-label canonicalization."""
+    parent = list(range(n_nodes))
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edge_rows:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    return {i: find(i) for i in range(n_nodes)}
+
+
+def test_randomized_cross_check_vs_union_find(spark):
+    """Both distributed algorithms match a sequential union-find on
+    random graphs across densities (sparse forest → near-complete)."""
+    for seed, n, m in ((11, 30, 12), (12, 40, 40), (13, 25, 140)):
+        rng = random.Random(seed)
+        edge_rows = [
+            (rng.randrange(n), rng.randrange(n)) for _ in range(m)
+        ]
+        expected = _union_find_reference(n, edge_rows)
+        for alg in ("label", "star"):
+            got = _run(spark, edge_rows, range(n), alg)
+            assert got == expected, (seed, alg)
