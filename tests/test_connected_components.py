@@ -127,3 +127,47 @@ def test_randomized_cross_check_vs_union_find(spark):
         for alg in ("label", "star"):
             got = _run(spark, edge_rows, range(n), alg)
             assert got == expected, (seed, alg)
+
+
+def test_unconverged_without_stats_raises(spark):
+    """Exhausting max_iterations with stats=None must raise, not hand
+    back partial labels indistinguishable from correct output
+    (ADVICE r4)."""
+    import pytest
+
+    chain = [(i, i + 1) for i in range(30)]
+    edges = spark.createDataFrame(chain, "doc_a long, doc_b long")
+    nodes = spark.createDataFrame([(n,) for n in range(31)], "doc_id long")
+    with pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(
+            edges, nodes, algorithm="label", max_iterations=3
+        )
+    # opting in via stats returns the partial labels + converged=False
+    stats: dict = {}
+    connected_components(
+        edges, nodes, algorithm="label", max_iterations=3, stats=stats
+    )
+    assert stats["converged"] is False
+
+
+def test_scratch_rounds_reclaimed_eagerly(spark, tmp_path, monkeypatch):
+    """Only the final round's scratch (plus pinned stage inputs) may
+    remain on disk after a call — intermediate rounds are deleted as
+    soon as the next round supersedes them (ADVICE/VERDICT r4)."""
+    import os
+    import tempfile
+
+    monkeypatch.setattr(tempfile, "tempdir", str(tmp_path))
+    chain = [(i, i + 1) for i in range(8)]
+    edges = spark.createDataFrame(chain, "doc_a long, doc_b long")
+    nodes = spark.createDataFrame([(n,) for n in range(9)], "doc_id long")
+    out = connected_components(edges, nodes, algorithm="label")
+    assert {r["label"] for r in out.collect()} == {0}
+    scratch_dirs = [
+        d for d in os.listdir(tmp_path) if d.startswith("umdp_cc_rounds_")
+    ]
+    assert len(scratch_dirs) == 1
+    contents = sorted(os.listdir(tmp_path / scratch_dirs[0]))
+    # pinned symmetrized edge table + exactly ONE surviving label round
+    assert contents[0] == "edges"
+    assert len(contents) == 2 and contents[1].startswith("labels_"), contents

@@ -123,10 +123,10 @@ def test_multimodal_undecodable_format_dropped(spark, sf_dir):
 
 
 def test_multimodal_real_codec_is_explicit_stub(spark, sf_dir):
-    """Formats with no stdlib codec (png) still fail loudly in real
+    """Formats with no stdlib codec (jpeg) still fail loudly in real
     mode — in the kernel, since dispatch is per-row by format."""
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet").limit(1)
-    media = attach_binary_payload(docs, "text", "doc_id", "png")
+    media = attach_binary_payload(docs, "text", "doc_id", "jpeg")
     with pytest.raises(Exception, match="no real codec"):
         decode_media(media).collect()
     with pytest.raises(NotImplementedError):
@@ -149,6 +149,69 @@ def _wav_bytes(freq_hz: float, sample_rate: int, n_frames: int) -> bytes:
 def _ppm_bytes(width: int, height: int, rgb: tuple[int, int, int]) -> bytes:
     header = f"P6\n# test image\n{width} {height}\n255\n".encode()
     return header + bytes(rgb) * (width * height)
+
+
+def _png_bytes(width: int, height: int, bit_depth: int = 8) -> bytes:
+    """Minimal genuine PNG: signature + CRC'd IHDR + 1 IDAT + IEND."""
+    import struct as _struct
+    import zlib as _zlib
+
+    def chunk(ctype: bytes, data: bytes) -> bytes:
+        return (
+            _struct.pack(">I", len(data))
+            + ctype
+            + data
+            + _struct.pack(">I", _zlib.crc32(ctype + data) & 0xFFFFFFFF)
+        )
+
+    ihdr = _struct.pack(">IIBBBBB", width, height, bit_depth, 2, 0, 0, 0)
+    raw = b"".join(b"\x00" + b"\x80" * (width * 3) for _ in range(height))
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", _zlib.compress(raw))
+        + chunk(b"IEND", b"")
+    )
+
+
+def test_multimodal_real_png_header_decode(spark):
+    """End-to-end REAL PNG header decode: width/height from a genuine
+    CRC-verified IHDR, through the same mapInPandas kernel."""
+    rows = [
+        (1, bytearray(_png_bytes(320, 200))),
+        (2, bytearray(_png_bytes(16, 4))),
+    ]
+    df = spark.createDataFrame(rows, "media_id long, raw binary")
+    media = attach_binary_payload(df, "raw", "media_id", "png")
+    feats = {r["media_id"]: r for r in decode_media(media).collect()}
+    assert (feats[1]["width"], feats[1]["height"]) == (320, 200)
+    assert (feats[2]["width"], feats[2]["height"]) == (16, 4)
+    for r in feats.values():
+        assert r["mean_intensity"] is None  # header-only decode
+        assert len(r["phash"]) == 16
+
+
+def test_multimodal_png_crc_corruption_raises(spark):
+    """A flipped IHDR byte must fail the CRC check, not decode quietly."""
+    good = bytearray(_png_bytes(32, 32))
+    good[17] ^= 0xFF  # first byte of IHDR width field
+    df = spark.createDataFrame(
+        [(1, good)], "media_id long, raw binary"
+    )
+    media = attach_binary_payload(df, "raw", "media_id", "png")
+    with pytest.raises(Exception, match="CRC mismatch"):
+        decode_media(media).collect()
+
+
+def test_multimodal_16bit_ppm_rejected(spark):
+    """maxval > 255 (2 bytes/sample) must raise, not silently read half
+    the pixel plane as uint8 (ADVICE r4)."""
+    header = b"P6\n4 4\n65535\n"
+    payload = bytearray(header + b"\x01\x02" * (4 * 4 * 3))
+    df = spark.createDataFrame([(1, payload)], "media_id long, raw binary")
+    media = attach_binary_payload(df, "raw", "media_id", "ppm")
+    with pytest.raises(Exception, match="16-bit"):
+        decode_media(media).collect()
 
 
 def test_multimodal_real_wav_decode(spark):
@@ -195,10 +258,11 @@ def test_multimodal_real_ppm_decode(spark):
 
 
 def test_multimodal_mixed_real_formats_one_pass(spark):
-    """wav and ppm payloads decode together in one mapInPandas pass."""
+    """wav, ppm and png payloads decode together in one mapInPandas pass."""
     rows = [
         (1, bytearray(_wav_bytes(440.0, 8000, 800)), "wav"),
         (2, bytearray(_ppm_bytes(4, 4, (10, 20, 30))), "ppm"),
+        (3, bytearray(_png_bytes(64, 48)), "png"),
     ]
     df = spark.createDataFrame(rows, "media_id long, raw binary, fmt string")
     media = df.select(
@@ -211,6 +275,7 @@ def test_multimodal_mixed_real_formats_one_pass(spark):
     feats = {r["media_id"]: r for r in decode_media(media).collect()}
     assert feats[1]["duration_sec"] == pytest.approx(0.1)
     assert (feats[2]["width"], feats[2]["height"]) == (4, 4)
+    assert (feats[3]["width"], feats[3]["height"]) == (64, 48)
 
 
 def test_frame_sample_fans_out(spark, sf_dir):

@@ -383,6 +383,7 @@ def connected_components(
             .groupBy("node")
             .agg(F.min("label").alias("label")),
             f"labels_{i + 1}",
+            rotate=True,
         )
         rounds += 1
         # labels only ever decrease, so the total strictly drops until
@@ -397,6 +398,7 @@ def connected_components(
                 converged = True
                 break
             prev_sum = cur_sum
+    _require_converged(converged, rounds, stats)
     if stats is not None:
         stats.update(
             {"rounds": rounds, "algorithm": "label", "converged": converged}
@@ -449,6 +451,9 @@ def _auto_components(
     out = labels.join(meta, F.col("label") == F.col("__mn")).select(
         "node", F.col("__ml").alias("label")
     )
+    _require_converged(
+        star_stats["converged"], label_stats["rounds"] + star_stats["rounds"], stats
+    )
     if stats is not None:
         stats.update(
             {
@@ -462,23 +467,49 @@ def _auto_components(
 
 def _round_scratch(spark):
     """Per-call scratch store for iterative rounds: returns a
-    ``materialize(df, tag)`` that writes the round to parquet and
-    returns a fresh scan of it, truncating lineage. The returned label
-    plan reads the final round's files, so the scratch dir must outlive
-    the call — it is reclaimed at interpreter exit."""
+    ``materialize(df, tag, rotate=)`` that writes the round to parquet
+    and returns a fresh scan of it, truncating lineage.
+
+    ``rotate=True`` marks the write as superseding the previous rotating
+    write (round N replaces round N-1): once round N's files are on
+    disk, nothing references round N-1, so its directory is deleted
+    immediately. A repeated-CC session therefore holds O(1) scratch per
+    live call — only the pinned (non-rotating) stage inputs plus the
+    latest round — instead of every round of every call. The returned
+    label plan reads the final round's files, so the scratch dir itself
+    must outlive the call; atexit reclaims it as the backstop."""
     import atexit
     import shutil
     import tempfile
 
     scratch = tempfile.mkdtemp(prefix="umdp_cc_rounds_")
     atexit.register(shutil.rmtree, scratch, ignore_errors=True)
+    prev_rotating: list[str | None] = [None]
 
-    def materialize(df: DataFrame, tag: str) -> DataFrame:
+    def materialize(df: DataFrame, tag: str, rotate: bool = False) -> DataFrame:
         path = f"{scratch}/{tag}"
         df.write.mode("overwrite").parquet(path)
-        return spark.read.parquet(path)
+        out = spark.read.parquet(path)
+        if rotate:
+            if prev_rotating[0] is not None:
+                shutil.rmtree(prev_rotating[0], ignore_errors=True)
+            prev_rotating[0] = path
+        return out
 
     return materialize
+
+
+def _require_converged(converged: bool, rounds: int, stats: dict | None) -> None:
+    """Partial labels from an exhausted iteration cap are
+    indistinguishable from correct output — a caller that did not opt
+    into inspection via ``stats`` must not silently receive split
+    clusters."""
+    if not converged and stats is None:
+        raise RuntimeError(
+            f"connected_components did not converge within {rounds} rounds; "
+            "raise max_iterations, use algorithm='auto'/'star' (O(log n) "
+            "rounds), or pass stats={} to opt into inspecting partial labels"
+        )
 
 
 def _star_components(
@@ -552,16 +583,20 @@ def _star_components(
         .filter(F.col("a") != F.col("b"))
         .distinct(),
         "round_0",
+        rotate=True,
     )
     prev_fp, rounds, converged = fingerprint(cur), 0, False
     for i in range(max_iterations):
-        cur = materialize(small_star(large_star(cur)), f"round_{i + 1}")
+        cur = materialize(
+            small_star(large_star(cur)), f"round_{i + 1}", rotate=True
+        )
         rounds += 1
         fp = fingerprint(cur)
         if fp == prev_fp:
             converged = True
             break
         prev_fp = fp
+    _require_converged(converged, rounds, stats)
     if stats is not None:
         stats.update(
             {"rounds": rounds, "algorithm": "star", "converged": converged}

@@ -10,9 +10,11 @@ Decode support is per-format:
 
 - **Real decoders** (stdlib-only, no external codecs): ``wav`` (RIFF
   PCM via :mod:`wave` — channels, sample rate, duration, mean
-  amplitude) and ``ppm`` (binary P6 — width, height, mean pixel
-  intensity). These run end-to-end with ``fake=False``.
-- **Stubbed formats** (``png``/``jpeg``/``mp4`` — PIL/ffmpeg are NOT
+  amplitude), ``ppm`` (binary P6 — width, height, mean pixel
+  intensity), and ``png`` (signature + IHDR width/height/bit-depth via
+  :mod:`struct`, CRC-verified). These run end-to-end with
+  ``fake=False``.
+- **Stubbed formats** (``jpeg``/``mp4`` — PIL/ffmpeg are NOT
   available in this container): raise ``NotImplementedError`` inside
   the decode kernel unless ``fake=True``, in which case a deterministic
   pseudo-decoder (seeded from the payload bytes) produces stable
@@ -31,7 +33,9 @@ from __future__ import annotations
 
 import hashlib
 import io
+import struct
 import wave
+import zlib
 from collections.abc import Iterator
 
 import numpy as np
@@ -124,6 +128,11 @@ def _decode_ppm(payload: bytes) -> dict:
         tokens.append(int(payload[start:pos]))
     pos += 1  # single whitespace byte after maxval, then raw pixels
     width, height, maxval = tokens
+    if maxval > 255:
+        # 16-bit P6 stores 2 bytes/sample; reading it as uint8 would
+        # silently cover half the pixel plane — refuse, like _decode_wav
+        # does for unsupported PCM widths
+        raise NotImplementedError(f"{maxval}-maxval (16-bit) PPM")
     pixels = np.frombuffer(payload, dtype=np.uint8, count=width * height * 3, offset=pos)
     return {
         "width": width,
@@ -137,8 +146,42 @@ def _decode_ppm(payload: bytes) -> dict:
     }
 
 
+_PNG_SIGNATURE = b"\x89PNG\r\n\x1a\n"
+
+
+def _decode_png(payload: bytes) -> dict:
+    """Real PNG header decode, stdlib-only: signature check, IHDR chunk
+    parse (width/height/bit-depth via :mod:`struct`) with CRC-32
+    verification (:func:`zlib.crc32` over chunk type + data, per the PNG
+    spec). Pixel decode needs inflate + per-scanline defiltering, so
+    ``mean_intensity`` stays NULL; ``phash`` hashes the full payload."""
+    if payload[:8] != _PNG_SIGNATURE:
+        raise ValueError("not a PNG (bad signature)")
+    # first chunk MUST be IHDR: length(4) type(4) data(13) crc(4)
+    (length,) = struct.unpack(">I", payload[8:12])
+    ctype = payload[12:16]
+    if ctype != b"IHDR" or length != 13:
+        raise ValueError(f"first PNG chunk is {ctype!r} len={length}, not IHDR")
+    data = payload[16 : 16 + 13]
+    (crc,) = struct.unpack(">I", payload[16 + 13 : 16 + 17])
+    if zlib.crc32(ctype + data) & 0xFFFFFFFF != crc:
+        raise ValueError("PNG IHDR CRC mismatch (corrupt header)")
+    width, height, bit_depth, color_type = struct.unpack(">IIBB", data[:10])
+    if bit_depth not in (1, 2, 4, 8, 16):
+        raise ValueError(f"invalid PNG bit depth {bit_depth}")
+    del color_type  # parsed + validated by unpack; not in the feature schema
+    return {
+        "width": width,
+        "height": height,
+        "sample_rate": None,
+        "duration_sec": None,
+        "mean_intensity": None,  # needs inflate+defilter; header-only decode
+        "phash": hashlib.sha256(payload).hexdigest()[:16],
+    }
+
+
 #: Formats with a REAL stdlib decode path.
-REAL_DECODERS = {"wav": _decode_wav, "ppm": _decode_ppm}
+REAL_DECODERS = {"wav": _decode_wav, "ppm": _decode_ppm, "png": _decode_png}
 
 
 def _fake_decode(payload: bytes, fmt: str) -> dict:
@@ -159,7 +202,7 @@ def _fake_decode(payload: bytes, fmt: str) -> dict:
 def decode_media(df: DataFrame, fake: bool = False) -> DataFrame:
     """Decode/feature-extract every payload via ``mapInPandas`` (Arrow
     batches). With ``fake=False``, formats in :data:`REAL_DECODERS`
-    (wav, ppm) decode for real; other formats raise
+    (wav, ppm, png) decode for real; other formats raise
     ``NotImplementedError`` in the kernel — PIL/ffmpeg are not
     installed here, by design. ``fake=True`` routes every decodable
     format through the deterministic pseudo-decoder instead."""

@@ -21,6 +21,27 @@ from pyspark.sql import functions as F
 SALT_COL = "__salt"
 
 
+def _row_salt(keys: Sequence[str], buckets: int) -> Column:
+    """Per-ROW salt: hash of (keys, monotonically_increasing_id).
+
+    A per-partition salt (hash of keys + spark_partition_id) degenerates
+    when the hot key arrives in few input partitions — one big file or a
+    post-coalesce stage gives every hot-key row the same salt and the
+    split never happens. The row-id component spreads hot-key rows across
+    all ``buckets`` regardless of input layout. Which bucket a row lands
+    in never affects results (aggregation merges all buckets; the join's
+    small side is replicated across all buckets), so the id's
+    partition-layout sensitivity is harmless; for file-based scans the
+    ids are stable under task retry (partition index + row order).
+    """
+    return F.pmod(
+        F.xxhash64(
+            *[F.col(k) for k in keys], F.monotonically_increasing_id()
+        ),
+        F.lit(buckets),
+    )
+
+
 def salted_agg(
     df: DataFrame,
     keys: Sequence[str],
@@ -36,16 +57,7 @@ def salted_agg(
             "mx":  (F.max("value"),     F.max("mx")),
         })
     """
-    # deterministic salt: hash of (keys, input partition) — stable under
-    # task retry and across runs for the same file layout, unlike
-    # monotonically_increasing_id, which renumbers on every attempt
-    salted = df.withColumn(
-        SALT_COL,
-        F.pmod(
-            F.xxhash64(*[F.col(k) for k in keys], F.spark_partition_id()),
-            F.lit(buckets),
-        ),
-    )
+    salted = df.withColumn(SALT_COL, _row_salt(keys, buckets))
     phase1 = salted.groupBy(*keys, SALT_COL).agg(
         *[expr.alias(name) for name, (expr, _) in partials.items()]
     )
@@ -75,13 +87,7 @@ def salted_join(
     salt column never escapes."""
     if how not in ("inner", "left"):
         raise ValueError("salted_join supports how='inner'|'left'")
-    salted_big = big.withColumn(
-        SALT_COL,
-        F.pmod(
-            F.xxhash64(*[F.col(k) for k in keys], F.spark_partition_id()),
-            F.lit(buckets),
-        ),
-    )
+    salted_big = big.withColumn(SALT_COL, _row_salt(keys, buckets))
     replicated = small.withColumn(
         SALT_COL, F.explode(F.sequence(F.lit(0), F.lit(buckets - 1)))
     ).withColumn(SALT_COL, F.col(SALT_COL).cast("long"))

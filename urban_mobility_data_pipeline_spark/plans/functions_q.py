@@ -193,21 +193,25 @@ def order_scalar_functions_showcase(
            regexp_extract(event_type, '^([a-z]+)', 1)        AS type_word,
            regexp_replace(event_type, '[aeiou]', '_', 'g')   AS devoweled,
            regexp_matches(event_type, '^(purchase|signup)$') AS is_conversion,
-           -- map surface (props is a 1-key JSON object {"k": int})
-           CAST(props->>'$.k' AS INTEGER)                    AS k_value,
-           'k'                                               AS first_key,
-           CAST(1 AS INTEGER)                                AS n_keys,
+           -- map surface, derived from the JSON itself (mirrors Spark's
+           -- from_json: NULL/malformed/non-object props -> NULL map)
+           CASE WHEN json_valid(props) AND json_type(props::JSON) = 'OBJECT'
+                THEN CAST(props->>'$.k' AS INTEGER) END      AS k_value,
+           CASE WHEN json_valid(props) AND json_type(props::JSON) = 'OBJECT'
+                THEN json_keys(props)[1] END                 AS first_key,
+           CASE WHEN json_valid(props) AND json_type(props::JSON) = 'OBJECT'
+                THEN CAST(len(json_keys(props)) AS INTEGER) END AS n_keys,
            -- struct surface
            event_type                                        AS s_type,
-           CAST(props->>'$.k' AS INTEGER) * 2                AS s_doubled
+           CASE WHEN json_valid(props) AND json_type(props::JSON) = 'OBJECT'
+                THEN CAST(props->>'$.k' AS INTEGER) * 2 END  AS s_doubled
     FROM events
     """,
 )
 def event_regex_map_showcase(spark: SparkSession, sf_dir: str) -> DataFrame:
     """regexp_extract/regexp_replace/rlike + from_json→map
     (map_keys/size/element_at) + named_struct field access — the
-    regex/map/struct surface in one map-only projection. No driver
-    slot (slots are capped at 50); bench + oracle-parity tested."""
+    regex/map/struct surface in one map-only projection."""
     ev = table(spark, sf_dir, "events")
     m = F.from_json(F.col("props"), "map<string,int>")
     s = F.named_struct(

@@ -522,7 +522,10 @@ def doc_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = table(spark, sf_dir, "documents")
     pairs = near_dup_pairs(docs, threshold=0.1)
-    labels = connected_components(pairs, docs)
+    # "auto" bounds rounds at O(log n) even on adversarially deep dup
+    # graphs; with default stats=None an unconverged result raises
+    # instead of silently yielding split clusters
+    labels = connected_components(pairs, docs, algorithm="auto")
     return labels.select(
         F.col("node").alias("doc_id"), F.col("label").alias("cluster_id")
     ).withColumn(
@@ -655,8 +658,7 @@ def documents_fuzzy_dedup_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     PRODUCT — MinHash-LSH candidates → Jaccard verify → connected
     components → keep one representative (min doc_id) per dup cluster,
     re-joined to the corpus with the cluster size it absorbed. Keeping
-    these rows IS the dedup'd training corpus. No driver slot (slots
-    capped at 50); bench + oracle-parity tested."""
+    these rows IS the dedup'd training corpus."""
     from pyspark.sql import Window
 
     from urban_mobility_data_pipeline_spark.extensions.dedup import (
@@ -665,7 +667,7 @@ def documents_fuzzy_dedup_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = table(spark, sf_dir, "documents")
     pairs = near_dup_pairs(docs, threshold=0.1)
-    labels = connected_components(pairs, docs)
+    labels = connected_components(pairs, docs, algorithm="auto")
     reps = labels.withColumn(
         "cluster_size", F.count("*").over(Window.partitionBy("label"))
     ).filter(F.col("node") == F.col("label"))
