@@ -27,10 +27,37 @@ FLAGSHIP = "pricing_summary"
 # ---------------------------------------------------------------------------
 # Driver slots: the correctness driver records at most 50 rows, taken in
 # dict order from __spark_entry__.queries(). Curate which 50 (VERDICT r3
-# item 2): every SURVEY §2 component keeps at least one slot, the three
-# temporal joins / rollup / sampling / streaming queries that previously
-# fell past the cap get slots, and redundant or rows-only entries are
-# covered by bench + tests/test_parity_oracle.py instead.
+# item 2): every SURVEY §2 component keeps at least one slot; redundant
+# or rows-only entries are covered by bench + tests/test_parity_oracle.py
+# (parametrized over ALL oracles) instead.
+#
+# Round-5 rotation (VERDICT r4 item 1): the 11 oracle-backed queries that
+# had never held a driver slot rotate IN (documents_fuzzy_dedup_corpus,
+# embedding_ivf_topk, customer_order_analytics, customers_without_orders,
+# top_customers_by_spend, supplier_nation_summary, parts_by_brand_type,
+# hourly_event_windows, sliding_event_windows, gdpr_subject_fingerprints,
+# event_regex_map_showcase). Rotated OUT, each with its SURVEY coverage
+# retained elsewhere:
+#   incremental_order_slice        P1 kept by watermark_bounds
+#   doc_text_functions_showcase    §2.9 strings kept by
+#                                  order_scalar_functions_showcase +
+#                                  event_regex_map_showcase (in)
+#   daily_sales_calendar           sibling of calendar_dim (VERDICT r4);
+#                                  J5 enrich join -> pytest oracle-parity
+#   documents_train_test_split     sampling kept by stratified_sample
+#   doc_minhash_signatures         stage verified transitively by
+#   doc_lsh_band_keys              doc_near_dup_pairs + fuzzy corpus (in)
+#   embedding_ann_buckets          stage of embedding_near_dup_pairs;
+#                                  IVF top-k (in) is the scale ANN path
+#   doc_fingerprints               text family keeps lang/quality/tokens;
+#                                  hashing kept by customer_scd_hash +
+#                                  gdpr_subject_fingerprints (in)
+#   customer_only_nations          0-row anti-pattern; overlap row stays
+#   events_interval_join_purchases temporal family keeps asof + range
+#   revenue_by_region              multi-way join kept by
+#                                  supplier_nation_summary (in)
+# All rotated-out queries remain green in tests/test_parity_oracle.py and
+# timed in bench.py every round.
 # ---------------------------------------------------------------------------
 DRIVER_QUERY_NAMES: tuple[str, ...] = (
     # parity core (SURVEY §2 operator inventory)
@@ -47,45 +74,45 @@ DRIVER_QUERY_NAMES: tuple[str, ...] = (
     "daily_user_activity",
     "error_user_activity",
     "customer_scd_hash",
-    "incremental_order_slice",
+    "gdpr_subject_fingerprints",
     "events_dq_flags",
     "customers_masked",
     "events_retention_filter",
     "event_props_json",
     "union_distinct_customers",
     "user_session_windows",
-    "daily_sales_calendar",
+    "top_customers_by_spend",
     "order_fulfilment_kpis",
     # LLM-pipeline extensions
     "dedup_exact_docs",
-    "doc_minhash_signatures",
-    "doc_lsh_band_keys",
     "doc_near_dup_pairs",
     "doc_simhash",
+    "doc_dup_clusters",
+    "documents_fuzzy_dedup_corpus",
     "embedding_cosine_topk",
-    "embedding_ann_buckets",
+    "embedding_ivf_topk",
+    "embedding_near_dup_pairs",
     "doc_lang_id",
     "doc_quality_scores",
     "doc_token_counts",
-    "doc_fingerprints",
-    "embedding_near_dup_pairs",
-    "doc_dup_clusters",
-    "documents_train_test_split",
     "documents_stratified_sample",
     # analytics / temporal
-    "revenue_by_region",
+    "customer_order_analytics",
+    "customers_without_orders",
+    "supplier_nation_summary",
+    "parts_by_brand_type",
     "order_rollup_totals",
     "order_value_percentiles",
     "priority_status_pivot",
     "nation_customer_supplier_overlap",
-    "customer_only_nations",
     "events_asof_prior_purchase",
     "events_range_join_error_counts",
-    "events_interval_join_purchases",
+    "hourly_event_windows",
+    "sliding_event_windows",
     "daily_event_rollup_from_hourly",
     # scalar-function surface
-    "doc_text_functions_showcase",
     "order_scalar_functions_showcase",
+    "event_regex_map_showcase",
     # structured streaming (real readStream execution)
     "streaming_hourly_event_counts",
 )
