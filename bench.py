@@ -8,6 +8,17 @@
 Each query is forced end-to-end with the noop sink (full computation, no
 driver collect). Stdout carries only the JSON line; Spark chatter goes to
 stderr.
+
+The driver captures only the LAST 2000 chars of stdout, and the full
+per-query map for the 64-query catalog exceeds that — every recorded
+``BENCH_r{N}.json`` through r4 had ``parsed: null`` and a
+head-truncated ``tail``. Two-part fix (VERDICT r4 item 2): the complete
+per-query map is written to a committed ``BENCH_LOCAL_r{N}.json``
+beside this file, and the stdout line self-trims (slowest queries
+first, a ``queries_omitted`` count, and a ``full`` pointer to the local
+artifact) until it fits the capture window, so ``parsed`` is real JSON
+again. Baseline comparison prefers the complete local artifacts over
+driver-truncated tails.
 """
 
 from __future__ import annotations
@@ -72,17 +83,31 @@ def main() -> None:
 
     total = round(sum(t for t in timings.values() if t >= 0), 4)
 
+    here = os.path.dirname(os.path.abspath(__file__))
+    driver_rounds = [
+        int(re.fullmatch(r"BENCH_r(\d+)\.json", f).group(1))
+        for f in os.listdir(here)
+        if re.fullmatch(r"BENCH_r\d+\.json", f)
+    ]
+    this_round = (max(driver_rounds) + 1) if driver_rounds else 1
+
     # regression check against the committed previous-round bench (same
     # sf only): any query >2x its prior time is flagged — visible in the
-    # JSON and loudly on stderr, so a slow round can't pass silently
+    # JSON and loudly on stderr, so a slow round can't pass silently.
+    # Prefer our own BENCH_LOCAL (complete per-query map) over the
+    # driver's BENCH_r (2000-char-truncated tail).
     regressions: dict[str, dict[str, float]] = {}
     baseline_path = os.environ.get("SPARK_GRAFT_BENCH_BASELINE")
     if baseline_path is None:
-        here = os.path.dirname(os.path.abspath(__file__))
-        rounds = sorted(
-            f for f in os.listdir(here) if re.fullmatch(r"BENCH_r\d+\.json", f)
+        candidates = sorted(
+            f
+            for f in os.listdir(here)
+            if re.fullmatch(r"BENCH_(LOCAL_)?r\d+\.json", f)
+            and f != f"BENCH_LOCAL_r{this_round:02d}.json"
         )
-        baseline_path = os.path.join(here, rounds[-1]) if rounds else None
+        local = [f for f in candidates if f.startswith("BENCH_LOCAL_")]
+        pick = local[-1] if local else (candidates[-1] if candidates else None)
+        baseline_path = os.path.join(here, pick) if pick else None
     if baseline_path and os.path.isfile(baseline_path):
         try:
             with open(baseline_path) as f:
@@ -110,18 +135,44 @@ def main() -> None:
         except Exception as exc:
             print(f"bench: baseline compare failed: {exc}", file=sys.stderr)
 
-    print(
-        json.dumps(
-            {
-                "metric": "catalog_wall_sec",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": sf,
-                "regressions": regressions,
-            }
+    result = {
+        "metric": "catalog_wall_sec",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+        "regressions": regressions,
+    }
+
+    # durable, complete artifact (committed per round)
+    local_name = f"BENCH_LOCAL_r{this_round:02d}.json"
+    with open(os.path.join(here, local_name), "w") as f:
+        json.dump(
+            dict(result, round=this_round, cpus=int(cpus)),
+            f,
+            indent=1,
+            sort_keys=True,
         )
-    )
+        f.write("\n")
+
+    # stdout line, trimmed to the driver's 2000-char tail capture:
+    # slowest queries survive (they're what perf review reads), the
+    # rest are counted and deferred to the local artifact
+    STDOUT_BUDGET = 1900
+    payload = dict(result)
+    line = json.dumps(payload, separators=(",", ":"))
+    if len(line) > STDOUT_BUDGET:
+        by_cost = sorted(timings, key=lambda n: -timings[n])
+        payload["full"] = local_name
+        k = len(by_cost)
+        while k > 0 and len(line) > STDOUT_BUDGET:
+            k -= 1
+            payload["queries"] = {
+                n: timings[n] for n in sorted(by_cost[:k])
+            }
+            payload["queries_omitted"] = len(timings) - k
+            line = json.dumps(payload, separators=(",", ":"))
+    print(line)
     spark.stop()
 
 
