@@ -1,0 +1,107 @@
+"""GDPR erasure across the LLM-corpus extension derivatives.
+
+The reference's invariant is "a redaction hits every layer"
+(``gdpr/gdpr_propagate_erasure.py:725+``): one subject request fans out
+to every table holding a trace of that subject, with an audit row per
+action. The LLM extension surface — the ``documents`` corpus and its
+derived tables (MinHash signatures, LSH band keys, near-dup pairs,
+dup-cluster labels, the dedup'd corpus) — sits outside the mobility
+entity tables that :mod:`operators.gdpr` reaches, so erasure-by-doc_id
+is its own propagation:
+
+- **DELETE**, not anonymize: a training corpus must not retain the
+  document row at all, nor any derivative keyed by it (a MinHash
+  signature or SimHash fingerprint of erased text is still derived
+  personal data).
+- **Pair tables match on either endpoint** (``doc_a``/``doc_b``) — an
+  edge touching the erased doc leaks its existence.
+- **VACUUM after DELETE**: the copy-on-write log keeps prior versions
+  readable (time travel); erasure is only physical once dereferenced
+  files are vacuumed (same reasoning as ``run_gdpr`` on the mobility
+  tables, SURVEY §2.1 build note).
+- **Audit** every table touched with salted fingerprints, never raw
+  ids (reference ``gdpr:177-209``).
+
+Scale shape: the id set of an erasure batch is request-driven small
+(thousands), so the DELETE predicate is an ``isin`` literal that pushes
+into parquet row-group pruning; each table rewrite is file-pruned by
+the MergeTable log. No corpus-wide shuffle occurs.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Mapping, Sequence
+
+from pyspark.sql import SparkSession
+from pyspark.sql import functions as F
+
+from urban_mobility_data_pipeline_spark.operators.gdpr import AuditLog
+from urban_mobility_data_pipeline_spark.operators.merge import MergeTable
+
+#: Canonical derivative-table id columns: table name -> columns that
+#: carry a doc_id (pair tables carry two).
+CORPUS_ID_COLS: dict[str, tuple[str, ...]] = {
+    "documents": ("doc_id",),
+    "minhash_signatures": ("doc_id",),
+    "lsh_band_keys": ("doc_id",),
+    "near_dup_pairs": ("doc_a", "doc_b"),
+    "dup_clusters": ("doc_id",),
+    "dedup_corpus": ("doc_id",),
+}
+
+
+def erase_document_ids(
+    spark: SparkSession,
+    doc_ids: Sequence[int],
+    tables: Mapping[str, MergeTable],
+    id_cols: Mapping[str, Sequence[str]] | None = None,
+    audit: AuditLog | None = None,
+    vacuum: bool = True,
+) -> dict[str, int]:
+    """Erase ``doc_ids`` from every corpus table: DELETE rows whose id
+    column (any of them, for pair tables) matches, audit each table,
+    and physically vacuum dereferenced files. Returns per-table deleted
+    row counts.
+
+    ``tables`` maps a name from :data:`CORPUS_ID_COLS` (or any name
+    present in ``id_cols``) to its :class:`MergeTable`.
+    """
+    ids = sorted(set(int(i) for i in doc_ids))
+    if not ids:
+        return {}
+    col_map = dict(CORPUS_ID_COLS)
+    if id_cols:
+        col_map.update({k: tuple(v) for k, v in id_cols.items()})
+    deleted: dict[str, int] = {}
+    subjects = None
+    if audit is not None:
+        subjects = spark.createDataFrame(
+            [(i,) for i in ids], "subject_id long"
+        )
+    for name, table in tables.items():
+        if name not in col_map:
+            raise KeyError(
+                f"no id columns registered for corpus table {name!r}; "
+                "pass id_cols={name: [...]}"
+            )
+        if not table.exists():
+            deleted[name] = 0
+            continue
+        cond = None
+        for c in col_map[name]:
+            term = F.col(c).isin(ids)
+            cond = term if cond is None else (cond | term)
+        before = table.read().filter(cond).count()
+        if before:
+            table.delete(cond)
+            if vacuum:
+                table.vacuum(0.0)
+        deleted[name] = before
+        if audit is not None and subjects is not None:
+            audit.record(
+                "corpus",
+                name,
+                subjects,
+                [f"{c}:row-deleted" for c in col_map[name]],
+            )
+    return deleted
