@@ -14,6 +14,23 @@ complete lifecycle on a tmp lake:
 Prints ONE JSON line: {"metric": "domain_wall_sec", "value": N,
 "unit": "sec", "stages": {...}}. Compare against the reference's 30
 sequential spark-submit JVM launches of the same volume.
+
+Extra sections (VERDICT r4 items 3 and 6):
+
+- ``--skew``: hot-key proof under data — one user holds 30% of a 16M-row
+  event table; measures the naive sort-merge join / exact
+  count-distinct against ``operators.skew``'s salted variants (AQE off,
+  broadcast off, best-of-2) and asserts (a) the salted layout's max
+  post-shuffle task input undercuts the naive layout's by ≥2.5×
+  (deterministic — this is the property that matters at 100 TB, where
+  the hot task is an executor OOM, not a slow local thread) and (b) the
+  naive/salted join wall-clock ratio ≥ 1.2.
+- ``--soak``: 10× the anchor volume (100k trips) + 3 identical
+  incremental churn→silver→gold cycles; asserts the per-cycle latency
+  stays flat (last ≤ 1.6 × first) — the materialized-rounds /
+  file-pruned-MERGE design must not accrete per-cycle cost.
+- ``--all``: run every section and write the committed
+  ``BENCH_DOMAIN_r{N}.json`` artifact.
 """
 
 from __future__ import annotations
@@ -44,7 +61,15 @@ def _ts(base: dt.datetime, offset_col) -> F.Column:
     return F.lit(base).cast("timestamp") + F.make_interval(secs=offset_col)
 
 
-def gen_trips(spark: SparkSession, n: int, start_id: int, upd: dt.datetime) -> DataFrame:
+def gen_trips(
+    spark: SparkSession,
+    n: int,
+    start_id: int,
+    upd: dt.datetime,
+    n_pass: int = N_PASS,
+    n_drv: int = N_DRV,
+    n_veh: int = N_VEH,
+) -> DataFrame:
     """Reference-generator-shaped trips (scripts/generate_oltp_data:
     statuses, coords, distances, fares), built JVM-side via range()."""
     r = spark.range(start_id, start_id + n).withColumnRenamed("id", "trip_id")
@@ -57,9 +82,9 @@ def gen_trips(spark: SparkSession, n: int, start_id: int, upd: dt.datetime) -> D
     t0 = _ts(D0, (F.col("trip_id") % 3600).cast("double"))
     return r.select(
         "trip_id",
-        (h % N_PASS + 1).alias("passenger_id"),
-        (h % N_DRV + 1).alias("driver_id"),
-        (h % N_VEH + 1).alias("vehicle_id"),
+        (h % n_pass + 1).alias("passenger_id"),
+        (h % n_drv + 1).alias("driver_id"),
+        (h % n_veh + 1).alias("vehicle_id"),
         (h % N_ZONES + 1).alias("pickup_zone_id"),
         ((h + 7) % N_ZONES + 1).alias("dropoff_zone_id"),
         status.alias("status"),
@@ -123,11 +148,11 @@ def gen_drivers(spark, n, upd):
     )
 
 
-def gen_vehicles(spark, n, upd):
+def gen_vehicles(spark, n, upd, n_drv: int = N_DRV):
     r = spark.range(1, n + 1).withColumnRenamed("id", "vehicle_id")
     return r.select(
         "vehicle_id",
-        (F.col("vehicle_id") % N_DRV + 1).alias("driver_id"),
+        (F.col("vehicle_id") % n_drv + 1).alias("driver_id"),
         F.concat(F.lit("PL"), F.lpad(F.col("vehicle_id").cast("string"), 5, "0")).alias("plate_number"),
         F.lit("sedan").alias("vehicle_type"),
         F.element_at(
@@ -153,19 +178,8 @@ def gen_zones(spark, n):
     )
 
 
-def main() -> None:
-    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
-    from urban_mobility_data_pipeline_spark.session import get_spark
-
-    spark = get_spark(
-        app_name="umdp-domain-bench",
-        master=f"local[{cpus}]",
-        extra_conf={
-            "spark.sql.shuffle.partitions": str(max(int(cpus), 8)),
-            "spark.ui.enabled": "false",
-        },
-    )
-    spark.sparkContext.setLogLevel("WARN")
+def run_anchor(spark: SparkSession) -> dict:
+    """Reference-volume lifecycle (the original anchor)."""
     root = tempfile.mkdtemp(prefix="umdp_domain_bench_")
     lake = J.Lakehouse(spark, root)
     stages: dict[str, float] = {}
@@ -215,19 +229,261 @@ def main() -> None:
 
     n_fact = lake.table("gold", "fact_trips").read().count()
     assert n_fact >= N_TRIPS, n_fact
-    print(
-        json.dumps(
-            {
-                "metric": "domain_wall_sec",
-                "value": total,
-                "unit": "sec",
-                "stages": stages,
-                "fact_rows": n_fact,
-            }
-        )
-    )
     shutil.rmtree(root, ignore_errors=True)
+    return {
+        "metric": "domain_wall_sec",
+        "value": total,
+        "unit": "sec",
+        "stages": stages,
+        "fact_rows": n_fact,
+    }
+
+
+SKEW_N = 16_000_000
+SKEW_HOT_FRAC = 0.3
+SKEW_USERS = 50_000
+SKEW_BUCKETS = 32
+
+
+def run_skew(spark: SparkSession) -> dict:
+    """Hot-key proof under data (VERDICT r4 item 3): one user holds 30%
+    of 16M events. AQE and auto-broadcast are disabled so the naive
+    plan is the genuine one-task-gets-the-hot-key sort-merge join /
+    exact count-distinct; best-of-2 timings filter shared-VM noise. The
+    deterministic teeth: max post-shuffle task input, naive vs salted
+    layout — the number that decides executor OOM at 100 TB."""
+    from urban_mobility_data_pipeline_spark.operators.skew import (
+        SALT_COL,
+        _row_salt,
+        salted_count_distinct,
+        salted_join,
+    )
+
+    h = F.abs(F.xxhash64("id"))
+    ev = (
+        spark.range(SKEW_N)
+        .select(
+            F.when(F.col("id") < int(SKEW_N * SKEW_HOT_FRAC), F.lit(0))
+            .otherwise(h % SKEW_USERS + 1)
+            .alias("user_id"),
+            (h % 1_000_000).alias("item_id"),
+            (F.col("id") % 1000).cast("double").alias("value"),
+        )
+        .repartition(8)
+        .persist()
+    )
+    ev.count()
+    dim = (
+        spark.range(SKEW_USERS + 1)
+        .select(
+            F.col("id").alias("user_id"), (F.col("id") % 5).alias("tier")
+        )
+        .persist()
+    )
+    dim.count()
+
+    prev_aqe = spark.conf.get("spark.sql.adaptive.enabled", "true")
+    prev_bc = spark.conf.get("spark.sql.autoBroadcastJoinThreshold", "10MB")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        def best_of(fn, n: int = 3) -> float:
+            # n=3: run 1 absorbs codegen warmup, min of the rest
+            # estimates true cost under shared-VM contention
+            runs = []
+            for _ in range(n):
+                t0 = time.perf_counter()
+                fn()
+                runs.append(time.perf_counter() - t0)
+            return round(min(runs), 2)
+
+        def naive_join():
+            ev.join(dim, "user_id").agg(
+                F.sum(F.col("value") * F.col("tier"))
+            ).collect()
+
+        def s_join():
+            salted_join(ev, dim, ["user_id"], buckets=SKEW_BUCKETS).agg(
+                F.sum(F.col("value") * F.col("tier"))
+            ).collect()
+
+        def naive_cd():
+            ev.groupBy("user_id").agg(
+                F.countDistinct("item_id").alias("nd")
+            ).agg(F.sum("nd")).collect()
+
+        def s_cd():
+            salted_count_distinct(ev, ["user_id"], "item_id").agg(
+                F.sum("n_distinct")
+            ).collect()
+
+        out = {
+            "metric": "skew_proof",
+            "rows": SKEW_N,
+            "hot_frac": SKEW_HOT_FRAC,
+            "buckets": SKEW_BUCKETS,
+            "join_naive_sec": best_of(naive_join),
+            "join_salted_sec": best_of(s_join),
+            "count_distinct_naive_sec": best_of(naive_cd, 2),
+            "count_distinct_salted_sec": best_of(s_cd, 2),
+        }
+
+        # deterministic max-task-input bound: shuffle the event table by
+        # the naive key vs (key, per-row salt) and compare the largest
+        # post-shuffle partition — the hot task's input
+        n_shuffle = int(spark.conf.get("spark.sql.shuffle.partitions"))
+
+        def max_part(df, *cols) -> int:
+            return (
+                df.repartition(n_shuffle, *cols)
+                .withColumn("__p", F.spark_partition_id())
+                .groupBy("__p")
+                .count()
+                .agg(F.max("count"))
+                .first()[0]
+            )
+
+        out["max_task_rows_naive"] = max_part(ev, "user_id")
+        out["max_task_rows_salted"] = max_part(
+            ev.withColumn(SALT_COL, _row_salt(["user_id"], SKEW_BUCKETS)),
+            "user_id",
+            SALT_COL,
+        )
+        bound_ratio = out["max_task_rows_naive"] / out["max_task_rows_salted"]
+        out["max_task_bound_ratio"] = round(bound_ratio, 2)
+        out["join_speedup"] = round(
+            out["join_naive_sec"] / max(out["join_salted_sec"], 1e-9), 2
+        )
+        # the committed floors: salting must bound the hot task's input
+        # by a wide margin, and must pay off in wall clock even in
+        # local mode, where skew only costs a slow thread, not an OOM
+        assert bound_ratio >= 2.5, out
+        assert out["join_speedup"] >= 1.2, out
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", prev_aqe)
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev_bc)
+        ev.unpersist()
+        dim.unpersist()
+    return out
+
+
+def run_soak(spark: SparkSession, scale: int = 10, cycles: int = 3) -> dict:
+    """10× volume + repeated identical incremental cycles (VERDICT r4
+    item 6): per-cycle latency must stay flat — the log-backed MERGE
+    prunes by watermark/partition, so cycle N must not pay for cycles
+    1..N-1's accumulated history."""
+    import resource
+
+    n_trips = N_TRIPS * scale
+    n_pass, n_drv, n_veh = N_PASS * scale, N_DRV * scale, N_VEH * scale
+    n_churn = N_CHURN * scale
+    root = tempfile.mkdtemp(prefix="umdp_domain_soak_")
+    lake = J.Lakehouse(spark, root)
+    try:
+        t0 = time.perf_counter()
+        batch1 = {
+            "trips": gen_trips(spark, n_trips, 1, D1, n_pass, n_drv, n_veh),
+            "passengers": gen_passengers(spark, n_pass, D1),
+            "drivers": gen_drivers(spark, n_drv, D1),
+            "vehicles": gen_vehicles(spark, n_veh, D1, n_drv),
+            "zones": gen_zones(spark, N_ZONES),
+        }
+        for t, df in batch1.items():
+            J.bronze_ingest(lake, C.ALL_TABLES[t], df, now=D1)
+        for t in batch1:
+            J.silver_apply(lake, C.ALL_TABLES[t])
+        J.build_fact_trips(lake)
+        J.build_agg_trips_daily(lake)
+        J.build_agg_driver_daily(lake)
+        initial_sec = round(time.perf_counter() - t0, 2)
+
+        cycle_secs: list[float] = []
+        next_new_id = n_trips + 1
+        for c in range(cycles):
+            when = D2 + dt.timedelta(days=c)
+            churn = gen_trips(
+                spark, n_churn // 2, 1 + c * 1000, when, n_pass, n_drv, n_veh
+            ).unionByName(
+                gen_trips(
+                    spark, n_churn // 2, next_new_id, when, n_pass, n_drv, n_veh
+                )
+            )
+            next_new_id += n_churn // 2
+            t0 = time.perf_counter()
+            J.bronze_ingest(lake, C.TRIPS, churn, now=when)
+            J.silver_apply(lake, C.TRIPS)
+            J.build_fact_trips(lake)
+            J.build_agg_trips_daily(lake)
+            J.build_agg_driver_daily(lake)
+            cycle_secs.append(round(time.perf_counter() - t0, 2))
+
+        n_fact = lake.table("gold", "fact_trips").read().count()
+        assert n_fact >= n_trips, n_fact
+        out = {
+            "metric": "domain_soak",
+            "scale": scale,
+            "trips": n_trips,
+            "initial_load_sec": initial_sec,
+            "cycle_secs": cycle_secs,
+            "fact_rows": n_fact,
+            # Python driver process only — the JVM is a child process;
+            # cycle-latency flatness is the actual no-accretion signal
+            "python_peak_rss_mb": round(
+                resource.getrusage(resource.RUSAGE_SELF).ru_maxrss / 1024
+            ),
+        }
+        # flatness: an identical churn cycle must not get slower as
+        # history accumulates (1.6 allows shared-VM noise, not growth)
+        assert cycle_secs[-1] <= cycle_secs[0] * 1.6, out
+        return out
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+def main() -> int:
+    args = set(sys.argv[1:])
+    run_all = "--all" in args
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    from urban_mobility_data_pipeline_spark.session import get_spark
+
+    spark = get_spark(
+        app_name="umdp-domain-bench",
+        master=f"local[{cpus}]",
+        extra_conf={
+            "spark.sql.shuffle.partitions": str(max(int(cpus), 8)),
+            "spark.ui.enabled": "false",
+            "spark.driver.memory": os.environ.get(
+                "SPARK_GRAFT_DRIVER_MEM", "16g"
+            ),
+        },
+    )
+    spark.sparkContext.setLogLevel("WARN")
+
+    sections: dict[str, dict] = {}
+    if run_all or not (args & {"--skew", "--soak"}):
+        sections["anchor"] = run_anchor(spark)
+    if run_all or "--skew" in args:
+        sections["skew"] = run_skew(spark)
+    if run_all or "--soak" in args:
+        sections["soak"] = run_soak(spark)
+
+    for payload in sections.values():
+        print(json.dumps(payload))
+    if run_all:
+        import re
+
+        here = os.path.dirname(os.path.abspath(__file__))
+        rounds = [
+            int(re.fullmatch(r"BENCH_r(\d+)\.json", f).group(1))
+            for f in os.listdir(here)
+            if re.fullmatch(r"BENCH_r\d+\.json", f)
+        ]
+        n = (max(rounds) + 1) if rounds else 1
+        with open(os.path.join(here, f"BENCH_DOMAIN_r{n:02d}.json"), "w") as f:
+            json.dump(sections, f, indent=1, sort_keys=True)
+            f.write("\n")
     spark.stop()
+    return 0
 
 
 if __name__ == "__main__":

@@ -134,27 +134,66 @@ def test_salted_join_matches_plain(spark):
         assert a == b, how
 
 
-def test_salted_join_splits_hot_key(spark):
-    """The physical join key includes the salt, so the hot key's rows
-    spread across `buckets` distinct join-key values."""
+def test_salted_join_splits_hot_key_even_in_one_partition(spark):
+    """The physical join key includes a per-ROW salt, so the hot key's
+    rows spread across `buckets` join-key values even when the big side
+    arrives in a SINGLE input partition — the exact case a
+    per-partition salt (hash of keys + spark_partition_id) degenerates
+    on (ADVICE r4)."""
     from urban_mobility_data_pipeline_spark.operators.skew import (
         SALT_COL,
+        _row_salt,
         salted_join,
     )
 
     big = spark.range(0, 1000).select(F.lit(1).alias("k"), F.col("id").alias("p"))
-    big = big.repartition(8)  # multiple input partitions -> salt spread
+    big = big.coalesce(1)  # the degenerate layout: one file, one partition
     small = spark.createDataFrame([(1, "hot")], "k long, attr string")
     out = salted_join(big, small, ["k"], buckets=8)
     assert out.count() == 1000
     assert SALT_COL not in out.columns
     n_salts = (
-        big.withColumn(
-            SALT_COL,
-            F.pmod(F.xxhash64(F.col("k"), F.spark_partition_id()), F.lit(8)),
-        )
+        big.withColumn(SALT_COL, _row_salt(["k"], 8))
         .select(SALT_COL)
         .distinct()
         .count()
     )
-    assert n_salts > 1  # hot key genuinely split across join keys
+    assert n_salts == 8  # hot key fully split despite 1 input partition
+
+
+def test_row_salt_bounds_max_task_input(spark):
+    """Deterministic statement of the skew guarantee: shuffling by
+    (key, salt) caps the largest post-shuffle partition well below the
+    hot key's full row count (which the naive key-shuffle concentrates
+    into one task)."""
+    from urban_mobility_data_pipeline_spark.operators.skew import (
+        SALT_COL,
+        _row_salt,
+    )
+
+    n, hot = 100_000, 0.3
+    h = F.abs(F.xxhash64("id"))
+    ev = spark.range(n).select(
+        F.when(F.col("id") < int(n * hot), F.lit(0))
+        .otherwise(h % 5000 + 1)
+        .alias("user_id")
+    )
+
+    def max_part(df, *cols) -> int:
+        return (
+            df.repartition(16, *cols)
+            .withColumn("__p", F.spark_partition_id())
+            .groupBy("__p")
+            .count()
+            .agg(F.max("count"))
+            .first()[0]
+        )
+
+    naive = max_part(ev, "user_id")
+    salted = max_part(
+        ev.withColumn(SALT_COL, _row_salt(["user_id"], 16)),
+        "user_id",
+        SALT_COL,
+    )
+    assert naive >= n * hot  # hot key concentrates in one task
+    assert naive / salted >= 2.5, (naive, salted)

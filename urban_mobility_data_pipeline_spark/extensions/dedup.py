@@ -284,6 +284,92 @@ def simhash_signatures(
     return sums.select(F.col(id_col), fingerprint.alias(out_col))
 
 
+#: SimHash banding: 4 bands × 8 bits. By pigeonhole, any pair within
+#: hamming distance 3 (< n_bands) agrees on at least one full band, so
+#: band-bucketing is EXACT candidate generation for max_hamming <= 3 —
+#: no recall loss, unlike MinHash-LSH banding.
+SIMHASH_BANDS = 4
+SIMHASH_BAND_BITS = SIMHASH_BITS // SIMHASH_BANDS
+
+
+def simhash_band_keys(
+    sigs: DataFrame, id_col: str = "doc_id", sim_col: str = "simhash32"
+) -> DataFrame:
+    """Explode each fingerprint into (band_id, band_val) bucket keys —
+    map-only, same shape as the MinHash :func:`lsh_band_keys`."""
+    mask = (1 << SIMHASH_BAND_BITS) - 1
+    return sigs.select(
+        F.col(id_col),
+        F.explode(
+            F.sequence(F.lit(0), F.lit(SIMHASH_BANDS - 1))
+        ).alias("band_id"),
+        F.col(sim_col),
+    ).select(
+        F.col(id_col),
+        "band_id",
+        F.expr(f"shiftright({sim_col}, band_id * {SIMHASH_BAND_BITS})")
+        .bitwiseAND(F.lit(mask))
+        .alias("band_val"),
+    )
+
+
+def simhash_near_dup_pairs(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_hamming: int = 3,
+) -> DataFrame:
+    """SimHash near-duplicate pairs: band-bucketed candidate self-join,
+    verified by exact hamming distance ``bit_count(a XOR b)``.
+
+    The missing second half of the SimHash flavor (fingerprints alone
+    don't find pairs): candidates are generated only within shared
+    (band_id, band_val) buckets — O(Σ bucket²) like the MinHash path,
+    never all-pairs — and for ``max_hamming < SIMHASH_BANDS`` the
+    banding is exact (see :data:`SIMHASH_BANDS`), so the verify step
+    only FILTERS, it cannot miss. One integer per doc shuffles; the
+    corpus text is read once by the signature aggregate.
+    """
+    if max_hamming >= SIMHASH_BANDS:
+        raise ValueError(
+            f"banding is only exact for max_hamming < {SIMHASH_BANDS}"
+        )
+    sigs = simhash_signatures(docs, id_col, text_col)
+    keys = simhash_band_keys(sigs, id_col)
+    cands = (
+        keys.alias("a")
+        .join(
+            keys.alias("b"),
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.band_val") == F.col("b.band_val"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("doc_a"),
+            F.col(f"b.{id_col}").alias("doc_b"),
+        )
+        .distinct()
+    )
+    sa = sigs.select(
+        F.col(id_col).alias("doc_a"), F.col("simhash32").alias("__ha")
+    )
+    sb = sigs.select(
+        F.col(id_col).alias("doc_b"), F.col("simhash32").alias("__hb")
+    )
+    return (
+        cands.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.bit_count(F.col("__ha").bitwiseXOR(F.col("__hb")))
+            .cast("int")
+            .alias("hamming"),
+        )
+        .filter(F.col("hamming") <= max_hamming)
+    )
+
+
 def connected_components(
     edges: DataFrame,
     nodes: DataFrame,

@@ -592,8 +592,7 @@ def embedding_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     cross-engine), nearest-cell assignment, probe-cell candidate scan,
     exact cosine inside. The DuckDB oracle replays the whole IVF
     pipeline in SQL — not just the final ranking — so assignment and
-    pruning are hash-checked too. No driver slot (slots capped at 50);
-    bench + oracle-parity tested."""
+    pruning are hash-checked too."""
     from urban_mobility_data_pipeline_spark.extensions.similarity import (
         ivf_centroids,
         ivf_topk,
@@ -673,4 +672,120 @@ def documents_fuzzy_dedup_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).filter(F.col("node") == F.col("label"))
     return docs.join(reps, docs.doc_id == reps.node).select(
         "doc_id", "lang", "source", "n_chars", "cluster_size"
+    )
+
+
+# ---------------------------------------------------------------------------
+# simhash near-dup pairs (banded candidates, exact hamming verify)
+# ---------------------------------------------------------------------------
+@register(
+    "doc_simhash_near_dup_pairs",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id,
+               list_transform({_WORDS},
+                   t -> {_duck_hex_to_long("substring(md5(t), 1, 8)")}) AS vals
+        FROM documents
+    ),
+    s AS (SELECT doc_id, CAST({_SIM_TERMS} AS BIGINT) AS simhash32 FROM toks),
+    keys AS (
+        SELECT doc_id, b.band_id,
+               (simhash32 >> (b.band_id * 8)) & 255 AS band_val
+        FROM s, (SELECT unnest(range(4)) AS band_id) b
+    ),
+    cands AS (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM keys a
+        JOIN keys b ON a.band_id = b.band_id
+                   AND a.band_val = b.band_val
+                   AND a.doc_id < b.doc_id
+    )
+    SELECT c.doc_a, c.doc_b,
+           CAST(bit_count(xor(sa.simhash32, sb.simhash32)) AS INTEGER)
+               AS hamming
+    FROM cands c
+    JOIN s sa ON sa.doc_id = c.doc_a
+    JOIN s sb ON sb.doc_id = c.doc_b
+    WHERE bit_count(xor(sa.simhash32, sb.simhash32)) <= 3
+    """,
+)
+def doc_simhash_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash pair detection — the second half of the SimHash dedup
+    flavor (fingerprints alone don't find pairs): 4×8-bit band buckets
+    generate candidates (EXACT for hamming <= 3 by pigeonhole — the
+    verify only filters, it cannot miss), bit_count(XOR) verifies."""
+    from urban_mobility_data_pipeline_spark.extensions.dedup import (
+        simhash_near_dup_pairs,
+    )
+
+    docs = table(spark, sf_dir, "documents")
+    return simhash_near_dup_pairs(docs, max_hamming=3)
+
+
+# ---------------------------------------------------------------------------
+# embedding dedup end product (pairs -> components -> representatives)
+# ---------------------------------------------------------------------------
+@register(
+    "embedding_dedup_corpus",
+    oracle=f"""
+    WITH RECURSIVE
+    v AS (SELECT vec_id,
+                 list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ve,
+                 CAST({_BUCKET_TERMS.replace("ve", "list_transform(embedding, x -> CAST(x AS DOUBLE))")} AS INTEGER) AS bucket
+          FROM embeddings),
+    pairs AS (
+        SELECT a.vec_id AS va, b.vec_id AS vb
+        FROM v a JOIN v b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+        WHERE {_COS} >= 0.35
+    ),
+    edges AS (SELECT va AS src, vb AS dst FROM pairs
+              UNION SELECT vb, va FROM pairs),
+    reach(node, lab) AS (
+        SELECT vec_id, vec_id FROM embeddings
+        UNION
+        SELECT e.dst, r.lab FROM reach r JOIN edges e ON e.src = r.node
+    ),
+    comp AS (SELECT node AS vec_id, MIN(lab) AS cluster_id
+             FROM reach GROUP BY node),
+    sz AS (SELECT cluster_id, CAST(count(*) AS BIGINT) AS cluster_size
+           FROM comp GROUP BY 1)
+    SELECT c.vec_id, CAST(e.label AS INTEGER) AS label, sz.cluster_size
+    FROM comp c
+    JOIN embeddings e ON e.vec_id = c.vec_id
+    JOIN sz ON sz.cluster_id = c.cluster_id
+    WHERE c.vec_id = c.cluster_id
+    """,
+)
+def embedding_dedup_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-side dedup END PRODUCT, the twin of
+    documents_fuzzy_dedup_corpus: bucketed cosine near-dup pairs →
+    connected components → one representative (min vec_id) per cluster
+    with the cluster size it absorbed. Keeping these rows is the
+    deduplicated embedding corpus."""
+    from pyspark.sql import Window
+
+    from urban_mobility_data_pipeline_spark.extensions.dedup import (
+        connected_components,
+    )
+    from urban_mobility_data_pipeline_spark.extensions.similarity import (
+        embedding_near_dup_pairs,
+    )
+
+    emb = table(spark, sf_dir, "embeddings")
+    pairs = embedding_near_dup_pairs(
+        emb, dim=_EMB_DIM, threshold=0.35
+    ).select("vec_a", "vec_b")
+    nodes = emb.select(F.col("vec_id").alias("doc_id"))
+    labels = connected_components(
+        pairs, nodes, a_col="vec_a", b_col="vec_b", algorithm="auto"
+    )
+    reps = (
+        labels.withColumn(
+            "cluster_size", F.count("*").over(Window.partitionBy("label"))
+        )
+        .filter(F.col("node") == F.col("label"))
+        .select("node", "cluster_size")  # CC label out: emb has its own
+    )
+    return emb.join(reps, emb.vec_id == reps.node).select(
+        "vec_id", F.col("label").cast("int").alias("label"), "cluster_size"
     )
