@@ -155,10 +155,21 @@ def main() -> None:
         )
         f.write("\n")
 
-    # stdout line, trimmed to the driver's 2000-char tail capture:
-    # slowest queries survive (they're what perf review reads), the
-    # rest are counted and deferred to the local artifact
-    STDOUT_BUDGET = 1900
+    print(fit_stdout_line(result, local_name))
+    spark.stop()
+
+
+#: The driver records only the LAST 2000 chars of stdout; stay inside
+#: it with margin so the recorded line is parseable JSON.
+STDOUT_BUDGET = 1900
+
+
+def fit_stdout_line(result: dict, local_name: str) -> str:
+    """Trim the stdout JSON line to the driver's tail-capture window:
+    slowest queries survive (they're what perf review reads), the rest
+    are counted in ``queries_omitted`` and deferred to the committed
+    ``local_name`` artifact via the ``full`` pointer."""
+    timings = result["queries"]
     payload = dict(result)
     line = json.dumps(payload, separators=(",", ":"))
     if len(line) > STDOUT_BUDGET:
@@ -172,8 +183,7 @@ def main() -> None:
             }
             payload["queries_omitted"] = len(timings) - k
             line = json.dumps(payload, separators=(",", ":"))
-    print(line)
-    spark.stop()
+    return line
 
 
 if __name__ == "__main__":

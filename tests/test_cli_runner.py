@@ -125,3 +125,44 @@ def test_cli_drives_bronze_silver_gold(spark, tmp_path, capsys):
     # unknown job exits 2, --list exits 0
     assert main(["definitely_not_a_job", "--lake", lake_dir], spark=spark) == 2
     assert main(["--list"], spark=spark) == 0
+
+
+def test_cli_corpus_erase(spark, sf_dir, tmp_path, capsys):
+    """corpus_erase drives extensions.gdpr_corpus end-to-end through
+    the dispatcher: build a corpus store, erase one id by --ids, and
+    audit with the given salt."""
+    import os
+
+    from urban_mobility_data_pipeline_spark.extensions.gdpr_corpus import (
+        CORPUS_ID_COLS,
+    )
+    from urban_mobility_data_pipeline_spark.operators.merge import MergeTable
+    from urban_mobility_data_pipeline_spark.run import main
+
+    root = str(tmp_path / "corpus")
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").limit(50)
+    MergeTable(spark, os.path.join(root, "documents")).create(docs)
+    victim = docs.select("doc_id").first()[0]
+
+    rc = main(
+        [
+            "corpus_erase",
+            "--lake", str(tmp_path / "lake"),
+            "--corpus", root,
+            "--ids", str(victim),
+            "--salt", "s3cret",
+        ],
+        spark=spark,
+    )
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "corpus erasure (1 subjects)" in out
+    remaining = MergeTable(spark, os.path.join(root, "documents")).read()
+    assert remaining.filter(remaining.doc_id == victim).count() == 0
+    # audit-per-action: only the one existing table was touched, so
+    # exactly one audit row (absent derivatives report deleted=0 and
+    # are not audited — nothing happened to them)
+    audit = MergeTable(spark, os.path.join(root, "gdpr_audit")).read()
+    rows = audit.collect()
+    assert len(rows) == 1 and rows[0]["entity"] == "documents"
+    assert len(CORPUS_ID_COLS) == 6  # all six derivatives stay registered

@@ -334,7 +334,15 @@ def simhash_near_dup_pairs(
         raise ValueError(
             f"banding is only exact for max_hamming < {SIMHASH_BANDS}"
         )
-    sigs = simhash_signatures(docs, id_col, text_col)
+    from pyspark import StorageLevel
+
+    # the signature table (one long per doc) serves three consumers —
+    # band keys and both verify sides; stage it once so the corpus-wide
+    # token explode+aggregate runs once, not three times (same pattern
+    # as near_dup_pairs' shingle stage; 3.7s -> ~1.7s at sf0.1)
+    sigs = simhash_signatures(docs, id_col, text_col).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
     keys = simhash_band_keys(sigs, id_col)
     cands = (
         keys.alias("a")

@@ -99,8 +99,14 @@ def bucketed_topk(
     """ANN: restrict the cosine scan to the query's LSH bucket. Recall is
     tunable via n_planes (fewer planes → bigger buckets → higher recall,
     more compute)."""
-    with_buckets = embeddings.join(
-        hyperplane_buckets(embeddings, dim, id_col, vec_col), id_col
+    # bucket is a pure map expression — project it inline; joining the
+    # corpus to hyperplane_buckets(corpus) would shuffle the whole
+    # table to recompute what one select produces for free
+    planes = deterministic_hyperplanes(dim, ANN_PLANES)
+    with_buckets = embeddings.select(
+        F.col(id_col),
+        F.col(vec_col),
+        hyperplane_sign_bucket(vec_col, planes).alias("bucket"),
     )
     q_bucket = with_buckets.filter(F.col(id_col) == query_vec_id).select(
         F.col("bucket").alias("__qb")
@@ -128,10 +134,14 @@ def embedding_near_dup_pairs(
     O(Σ bucket²) — with P planes buckets shrink geometrically, making
     this the corpus-scale path (vs O(n²) all-pairs). Cosine is the same
     ordered-fold recipe as cosine_topk, rounded for engine portability.
+    The bucket is projected inline (map-only) — no corpus self-join.
     """
-    with_buckets = embeddings.join(
-        hyperplane_buckets(embeddings, dim, id_col, vec_col, n_planes), id_col
-    ).select(id_col, vec_col, "bucket")
+    planes = deterministic_hyperplanes(dim, n_planes)
+    with_buckets = embeddings.select(
+        F.col(id_col),
+        F.col(vec_col),
+        hyperplane_sign_bucket(vec_col, planes).alias("bucket"),
+    )
     a = with_buckets.select(
         F.col(id_col).alias("vec_a"),
         F.col(vec_col).alias("va"),

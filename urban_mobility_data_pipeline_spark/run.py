@@ -128,6 +128,48 @@ def _gdpr_job(lake: J.Lakehouse, args) -> str:
     return f"erasure propagated: {counts}"
 
 
+def _corpus_erase_job(lake: J.Lakehouse, args) -> str:
+    """GDPR erasure over the LLM-corpus derivative tables (the
+    extension analogue of gdpr_propagate_erasure): doc ids come from
+    --ids or a --requests parquet with a doc_id column; tables live
+    under --corpus (default <lake>/corpus) by their canonical names."""
+    from urban_mobility_data_pipeline_spark.extensions.gdpr_corpus import (
+        CORPUS_ID_COLS,
+        erase_document_ids,
+    )
+    from urban_mobility_data_pipeline_spark.operators.gdpr import AuditLog
+    from urban_mobility_data_pipeline_spark.operators.merge import MergeTable
+
+    if not args.ids and not args.requests:
+        raise SystemExit("corpus_erase requires --ids N,N,... or --requests")
+    spark = lake.spark
+    if args.ids:
+        ids = [int(x) for x in args.ids.split(",") if x]
+    else:
+        ids = [
+            r[0]
+            for r in spark.read.format(args.source_format)
+            .load(args.requests)
+            .select("doc_id")
+            .distinct()
+            .collect()
+        ]
+    root = args.corpus or os.path.join(args.lake, "corpus")
+    tables = {
+        name: MergeTable(spark, os.path.join(root, name))
+        for name in CORPUS_ID_COLS
+    }
+    audit = (
+        AuditLog(spark, os.path.join(root, "gdpr_audit"), salt=args.salt)
+        if args.salt
+        else None
+    )
+    deleted = erase_document_ids(
+        spark, ids, tables, audit=audit, vacuum=not args.no_vacuum
+    )
+    return f"corpus erasure ({len(ids)} subjects): {deleted}"
+
+
 def _retention_job(lake: J.Lakehouse, args) -> str:
     J.run_retention(
         lake, bronze_days=args.bronze_days, silver_days=args.silver_days
@@ -155,6 +197,7 @@ def build_registry() -> dict:
         registry[f"{name}_silver_cdf"] = _silver_job(cfg, cdf=True)
     registry.update(_gold_jobs())
     registry["gdpr_propagate_erasure"] = _gdpr_job
+    registry["corpus_erase"] = _corpus_erase_job
     registry["retention_cleanup"] = _retention_job
     registry["create_control_tables"] = _control_tables_job
     return registry
@@ -174,6 +217,8 @@ def main(argv: list[str] | None = None, spark=None) -> int:
     p.add_argument("--source-format", default="parquet")
     p.add_argument("--requests", help="erasure requests path (gdpr)")
     p.add_argument("--salt", help="fingerprint salt (gdpr)")
+    p.add_argument("--ids", help="comma-separated doc ids (corpus_erase)")
+    p.add_argument("--corpus", help="corpus tables root (corpus_erase)")
     p.add_argument("--no-vacuum", action="store_true")
     p.add_argument("--bronze-days", type=int, default=30)
     p.add_argument("--silver-days", type=int, default=365)
