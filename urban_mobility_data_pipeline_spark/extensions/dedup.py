@@ -284,6 +284,75 @@ def simhash_signatures(
     return sums.select(F.col(id_col), fingerprint.alias(out_col))
 
 
+def cross_corpus_near_dups(
+    corpus_a: DataFrame,
+    corpus_b: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold: float = 0.3,
+) -> DataFrame:
+    """Near-duplicates ACROSS two corpora — the train/eval contamination
+    check every serious training-data pipeline runs before reporting
+    eval numbers: a doc in B (eval) that near-duplicates a doc in A
+    (train) inflates the metric.
+
+    Same MinHash-LSH shape as :func:`near_dup_pairs`, but the band-key
+    join is A×B instead of a self-join, so candidate cost is
+    O(Σ |bucket_A|·|bucket_B|) — never |A|×|B|. Each corpus's shingle
+    table is staged once and serves its signature build and its verify
+    side; the (tiny) candidate list broadcasts into both verify joins,
+    so neither corpus is reshuffled. Output:
+    ``(doc_a, doc_b, jaccard)`` with ``doc_a`` ∈ A, ``doc_b`` ∈ B.
+    """
+    from pyspark import StorageLevel
+
+    sh_a = shingles_df(corpus_a, id_col, text_col).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    sh_b = shingles_df(corpus_b, id_col, text_col).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    keys_a = lsh_band_keys(
+        minhash_signatures(corpus_a, id_col, text_col, shingles=sh_a), id_col
+    )
+    keys_b = lsh_band_keys(
+        minhash_signatures(corpus_b, id_col, text_col, shingles=sh_b), id_col
+    )
+    cands = (
+        keys_a.alias("a")
+        .join(
+            keys_b.alias("b"),
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.band_key") == F.col("b.band_key")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("doc_a"),
+            F.col(f"b.{id_col}").alias("doc_b"),
+        )
+        .distinct()
+    )
+    paired = (
+        F.broadcast(cands)
+        .join(
+            sh_a.select(
+                F.col(id_col).alias("doc_a"), F.col("shingles").alias("sh_a")
+            ),
+            "doc_a",
+        )
+        .join(
+            sh_b.select(
+                F.col(id_col).alias("doc_b"), F.col("shingles").alias("sh_b")
+            ),
+            "doc_b",
+        )
+    )
+    return paired.select(
+        "doc_a",
+        "doc_b",
+        F.round(jaccard(F.col("sh_a"), F.col("sh_b")), 6).alias("jaccard"),
+    ).filter(F.col("jaccard") >= threshold)
+
+
 #: SimHash banding: 4 bands × 8 bits. By pigeonhole, any pair within
 #: hamming distance 3 (< n_bands) agrees on at least one full band, so
 #: band-bucketing is EXACT candidate generation for max_hamming <= 3 —

@@ -26,6 +26,14 @@ Scale shape: the id set of an erasure batch is request-driven small
 (thousands), so the DELETE predicate is an ``isin`` literal that pushes
 into parquet row-group pruning; each table rewrite is file-pruned by
 the MergeTable log. No corpus-wide shuffle occurs.
+
+Representative semantics: erasure removes exactly the subject's rows.
+If the erased doc was a dup-cluster *representative*, the cluster is
+left unrepresented in ``dedup_corpus`` until the dedup pipeline next
+recomputes (derivative tables are rebuildable artifacts, and the
+surviving near-duplicates belong to other subjects — electing one
+in-place here would silently resurrect content the pipeline chose to
+drop, without its signatures/bands, breaking the derivation invariant).
 """
 
 from __future__ import annotations

@@ -789,3 +789,139 @@ def embedding_dedup_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     return emb.join(reps, emb.vec_id == reps.node).select(
         "vec_id", F.col("label").cast("int").alias("label"), "cluster_size"
     )
+
+
+# ---------------------------------------------------------------------------
+# train/eval contamination (cross-corpus near-dups over the split)
+# ---------------------------------------------------------------------------
+_CONTAM_BANDS = "\n    UNION ALL\n".join(
+    f"    SELECT doc_id, split, {b} AS band_id, "
+    f"md5(mh_{b * LSH_ROWS} || mh_{b * LSH_ROWS + 1}) AS band_key FROM sigs"
+    for b in range(LSH_BANDS)
+)
+
+
+@register(
+    "documents_train_eval_contamination",
+    oracle=f"""
+    WITH tagged AS (
+        SELECT doc_id, text,
+               CASE WHEN CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4))
+                          AS INT) % 100 < 20
+                    THEN 'test' ELSE 'train' END AS split
+        FROM documents
+    ),
+    sh AS (SELECT doc_id, split, {_SHINGLES} AS shingles FROM tagged),
+    sigs AS (SELECT doc_id, split, {_MH_COLS_SQL} FROM sh),
+    keys AS (
+{_CONTAM_BANDS}
+    ),
+    cands AS (
+        SELECT DISTINCT a.doc_id AS train_doc, b.doc_id AS eval_doc
+        FROM keys a JOIN keys b
+          ON a.band_id = b.band_id AND a.band_key = b.band_key
+        WHERE a.split = 'train' AND b.split = 'test'
+    ),
+    verified AS (
+        SELECT c.train_doc, c.eval_doc,
+               round(
+                 len(list_filter(sa.shingles, x -> list_contains(sb.shingles, x)))
+                 / CAST(len(sa.shingles) + len(sb.shingles)
+                        - len(list_filter(sa.shingles,
+                                          x -> list_contains(sb.shingles, x)))
+                        AS DOUBLE), 6) AS jaccard
+        FROM cands c
+        JOIN sh sa ON sa.doc_id = c.train_doc
+        JOIN sh sb ON sb.doc_id = c.eval_doc
+    )
+    SELECT * FROM verified WHERE jaccard >= 0.1
+    """,
+)
+def documents_train_eval_contamination(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Train/eval contamination check — the gate a training-data
+    pipeline runs before trusting eval numbers: split the corpus with
+    the deterministic fingerprint (same recipe as
+    documents_train_test_split), then find eval docs that near-dup a
+    train doc via cross-corpus MinHash-LSH + exact Jaccard verify.
+    Candidate cost is per-bucket A×B, never |train|×|eval|."""
+    from urban_mobility_data_pipeline_spark.extensions.dedup import (
+        cross_corpus_near_dups,
+    )
+    from urban_mobility_data_pipeline_spark.extensions.sampling import (
+        train_test_split,
+    )
+
+    docs = table(spark, sf_dir, "documents")
+    tagged = train_test_split(docs, key="doc_id", test_pct=20)
+    train = tagged.filter(F.col("split") == "train").select("doc_id", "text")
+    eval_ = tagged.filter(F.col("split") == "test").select("doc_id", "text")
+    return cross_corpus_near_dups(train, eval_, threshold=0.1).select(
+        F.col("doc_a").alias("train_doc"),
+        F.col("doc_b").alias("eval_doc"),
+        "jaccard",
+    )
+
+
+# ---------------------------------------------------------------------------
+# quality-filtered clean corpus (gates + exact dedup, the end product)
+# ---------------------------------------------------------------------------
+@register(
+    "documents_quality_filtered_corpus",
+    oracle=f"""
+    WITH feats AS (
+        SELECT doc_id, lang, source, text,
+               CAST(len({_WORDS}) AS INTEGER) AS n_words,
+               len(regexp_extract_all(text, '[^A-Za-z0-9\\s]'))
+                 / CAST(greatest(length(text), 1) AS DOUBLE) AS punct_ratio,
+               len(list_filter({_WORDS},
+                   w -> w IN ('the','and','of','to','a','in','is')))
+                 / CAST(greatest(len({_WORDS}), 1) AS DOUBLE) AS stopword_ratio
+        FROM documents
+    ),
+    kept AS (
+        SELECT * FROM feats
+        WHERE n_words >= 5 AND punct_ratio <= 0.1 AND stopword_ratio >= 0.05
+    ),
+    reps AS (SELECT min(doc_id) AS doc_id FROM kept GROUP BY md5(text))
+    SELECT k.doc_id, k.lang, k.source, k.n_words,
+           round(k.stopword_ratio, 6) AS stopword_ratio
+    FROM kept k JOIN reps r ON r.doc_id = k.doc_id
+    """,
+)
+def documents_quality_filtered_corpus(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Pre-training corpus cleaning END PRODUCT: quality gates
+    (min length, punctuation density cap, stopword-density floor — the
+    classic heuristic filters) composed with exact dedup (min doc_id
+    per content digest). The gates are pushed-down map predicates; the
+    dedup shuffles only 16-byte digests of the surviving rows."""
+    docs = table(spark, sf_dir, "documents")
+    staged = docs.select(
+        "doc_id", "lang", "source", "text", T.words("text").alias("__words")
+    )
+    feats = T.quality_features("text", words_col=F.col("__words"))
+    scored = staged.select(
+        "doc_id",
+        "lang",
+        "source",
+        "text",
+        feats["n_words"].alias("n_words"),
+        feats["punct_ratio"].alias("punct_ratio"),
+        feats["stopword_ratio"].alias("stopword_ratio"),
+    )
+    kept = scored.filter(
+        (F.col("n_words") >= 5)
+        & (F.col("punct_ratio") <= 0.1)
+        & (F.col("stopword_ratio") >= 0.05)
+    )
+    reps = kept.groupBy(F.md5("text")).agg(F.min("doc_id").alias("doc_id"))
+    return kept.join(reps.select("doc_id"), "doc_id").select(
+        "doc_id",
+        "lang",
+        "source",
+        "n_words",
+        F.round("stopword_ratio", 6).alias("stopword_ratio"),
+    )
