@@ -58,6 +58,14 @@ FLAGSHIP = "pricing_summary"
 #                                  supplier_nation_summary (in)
 # All rotated-out queries remain green in tests/test_parity_oracle.py and
 # timed in bench.py every round.
+#
+# The four queries NEW in round 5 (doc_simhash_near_dup_pairs,
+# embedding_dedup_corpus, documents_train_eval_contamination,
+# documents_quality_filtered_corpus) take slots immediately; to make
+# room, four extension-analytics queries with four green driver rounds
+# each rotate out (user_session_windows, order_value_percentiles,
+# priority_status_pivot, nation_customer_supplier_overlap) — none is a
+# SURVEY §2 component's only slot.
 # ---------------------------------------------------------------------------
 DRIVER_QUERY_NAMES: tuple[str, ...] = (
     # parity core (SURVEY §2 operator inventory)
@@ -80,18 +88,21 @@ DRIVER_QUERY_NAMES: tuple[str, ...] = (
     "events_retention_filter",
     "event_props_json",
     "union_distinct_customers",
-    "user_session_windows",
     "top_customers_by_spend",
     "order_fulfilment_kpis",
     # LLM-pipeline extensions
     "dedup_exact_docs",
     "doc_near_dup_pairs",
     "doc_simhash",
+    "doc_simhash_near_dup_pairs",
     "doc_dup_clusters",
     "documents_fuzzy_dedup_corpus",
+    "documents_train_eval_contamination",
+    "documents_quality_filtered_corpus",
     "embedding_cosine_topk",
     "embedding_ivf_topk",
     "embedding_near_dup_pairs",
+    "embedding_dedup_corpus",
     "doc_lang_id",
     "doc_quality_scores",
     "doc_token_counts",
@@ -102,9 +113,6 @@ DRIVER_QUERY_NAMES: tuple[str, ...] = (
     "supplier_nation_summary",
     "parts_by_brand_type",
     "order_rollup_totals",
-    "order_value_percentiles",
-    "priority_status_pivot",
-    "nation_customer_supplier_overlap",
     "events_asof_prior_purchase",
     "events_range_join_error_counts",
     "hourly_event_windows",
