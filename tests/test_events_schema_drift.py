@@ -54,3 +54,27 @@ def test_ts_us_identical_for_micros_and_nanos(spark):
     expected = [1704067200123456, 1718454645999999]
     assert _roundtrip(spark, "us") == expected
     assert _roundtrip(spark, "ns") == expected
+
+
+def test_documents_embeddings_schema_expectations(spark, sf_dir):
+    """The driver regenerated events.parquet with a different physical
+    type between rounds (handled adaptively in plans/_helpers.table);
+    this guard makes any documents/embeddings drift fail LOUDLY with
+    guidance instead of as 19 cryptic oracle mismatches. If it fires:
+    the LLM-ops oracles embed _EMB_DIM=64 hyperplane/centroid literals
+    (plans/llm_ops.py) and text recipes keyed to (doc_id, text, lang,
+    source, n_chars) — regenerate those constants to match."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    assert {f.name for f in docs.schema.fields} >= {
+        "doc_id", "text", "lang", "source", "n_chars"
+    }, f"documents schema drifted: {docs.schema.simpleString()}"
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    names = {f.name for f in emb.schema.fields}
+    assert names >= {"vec_id", "embedding", "label"}, (
+        f"embeddings schema drifted: {emb.schema.simpleString()}"
+    )
+    dim = emb.selectExpr("size(embedding) AS d").distinct().collect()
+    assert [r["d"] for r in dim] == [64], (
+        f"embedding dim drifted from 64: {dim} — update _EMB_DIM and the "
+        "generated plane/centroid oracle literals in plans/llm_ops.py"
+    )

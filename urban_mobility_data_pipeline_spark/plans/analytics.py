@@ -730,3 +730,75 @@ def documents_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_docs"),
         F.sum("n_chars").alias("total_chars"),
     )
+
+
+# ---------------------------------------------------------------------------
+# CUBE: every grouping combination in one pass
+# ---------------------------------------------------------------------------
+@register(
+    "order_priority_status_cube",
+    oracle="""
+    SELECT coalesce(o_orderpriority, '(all)') AS priority,
+           coalesce(o_orderstatus, '(all)')   AS status,
+           CAST(count(*) AS BIGINT)           AS n_orders,
+           round(sum(o_totalprice), 2)        AS total_price
+    FROM orders
+    GROUP BY CUBE (o_orderpriority, o_orderstatus)
+    """,
+)
+def order_priority_status_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE over (priority, status): all four grouping combinations —
+    detail, two marginals, grand total — in ONE shuffle via Spark's
+    Expand node (`df.cube`), where naive SQL unions four scans. The
+    NULL grouping markers are folded to '(all)' so both engines label
+    subtotal rows identically."""
+    o = table(spark, sf_dir, "orders")
+    return (
+        o.cube("o_orderpriority", "o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("total_price"),
+        )
+        .select(
+            F.coalesce(F.col("o_orderpriority"), F.lit("(all)")).alias(
+                "priority"
+            ),
+            F.coalesce(F.col("o_orderstatus"), F.lit("(all)")).alias(
+                "status"
+            ),
+            "n_orders",
+            "total_price",
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# RANGE window frame: rolling time window without a self-join
+# ---------------------------------------------------------------------------
+@register(
+    "events_rolling_hour_counts",
+    oracle="""
+    WITH ev AS (SELECT user_id, epoch_us(ts) AS ts_us FROM events)
+    SELECT user_id, ts_us,
+           CAST(count(*) OVER (
+               PARTITION BY user_id ORDER BY ts_us
+               RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW
+           ) AS BIGINT) AS n_last_hour
+    FROM ev
+    """,
+)
+def events_rolling_hour_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user rolling 1-hour event count via a RANGE window frame on
+    epoch-micros — one shuffle on user_id and a single sorted pass,
+    where the equivalent self-join (e ⋈ e ON ts BETWEEN ...) pays
+    O(rows × window_width) pairs. The frame bound is in the column's
+    own units (microseconds), so both engines share exact semantics."""
+    ev = table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts_us")
+        .rangeBetween(-3_600_000_000, Window.currentRow)
+    )
+    return ev.select(
+        "user_id", "ts_us", F.count(F.lit(1)).over(w).alias("n_last_hour")
+    )
