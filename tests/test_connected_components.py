@@ -200,3 +200,32 @@ def test_simhash_banding_candidates_are_exact(spark, sf_dir):
     }
     assert banded == brute
     assert len(brute) > 0  # the fixture genuinely exercises the path
+
+
+def test_cross_corpus_near_dups_matches_self_join_restriction(spark, sf_dir):
+    """Semantic pin for the contamination operator: splitting a corpus
+    into A (low ids) and B (high ids), cross_corpus_near_dups(A, B)
+    must equal the (a in A, b in B) restriction of the single-corpus
+    near_dup_pairs — same bands, same verify, different join shape."""
+    from urban_mobility_data_pipeline_spark.extensions.dedup import (
+        cross_corpus_near_dups,
+        near_dup_pairs,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    mid = 250
+    a = docs.filter(F.col("doc_id") < mid)
+    b = docs.filter(F.col("doc_id") >= mid)
+    cross = {
+        (r["doc_a"], r["doc_b"], r["jaccard"])
+        for r in cross_corpus_near_dups(a, b, threshold=0.1).collect()
+    }
+    # ids in A are all < ids in B, so near_dup_pairs' doc_a<doc_b cross
+    # pairs are exactly the (A, B)-sided ones
+    full = {
+        (r["doc_a"], r["doc_b"], r["jaccard"])
+        for r in near_dup_pairs(docs, threshold=0.1).collect()
+        if r["doc_a"] < mid <= r["doc_b"]
+    }
+    assert cross == full
+    assert len(cross) > 0  # the fixture genuinely exercises the path

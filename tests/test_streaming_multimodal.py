@@ -285,3 +285,39 @@ def test_frame_sample_fans_out(spark, sf_dir):
     pdf = frames.toPandas()
     assert pdf.groupby("media_id").size().max() <= 3
     assert (pdf["frame_index"] % 10 == 0).all()
+
+
+def test_streaming_dedup_within_watermark(spark, tmp_path):
+    """At-least-once ingestion: the same event_id re-delivered (with a
+    later timestamp, the retry case) must be emitted exactly once;
+    state is keyed + watermark-bounded, not stream-lifetime."""
+    from urban_mobility_data_pipeline_spark.streaming.dedup import (
+        dedup_within_watermark,
+    )
+
+    src_dir = str(tmp_path / "dsrc")
+    base = _events(spark, 50)
+    base.write.mode("append").parquet(src_dir)
+    # re-deliver 20 of the same event_ids, 30 seconds later
+    base.filter(F.col("event_id") < 20).withColumn(
+        "ts", F.col("ts") + F.expr("INTERVAL 30 SECONDS")
+    ).write.mode("append").parquet(src_dir)
+    schema = spark.read.parquet(src_dir).schema
+    assert spark.read.parquet(src_dir).count() == 70  # dupes on disk
+
+    stream = read_parquet_stream(spark, src_dir, schema)
+    deduped = dedup_within_watermark(
+        stream, ["event_id"], "ts", watermark="10 minutes"
+    )
+    q = (
+        deduped.writeStream.format("memory")
+        .queryName("dedup_out")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "dckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    out = spark.sql("select event_id from dedup_out")
+    assert out.count() == 50  # every duplicate dropped
+    assert out.distinct().count() == 50
