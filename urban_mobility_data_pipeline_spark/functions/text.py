@@ -107,6 +107,41 @@ def quality_features(
     }
 
 
+def word_bigrams(words_col: Column) -> Column:
+    """Adjacent word pairs ``"w_i w_{i+1}"`` of a token array (empty for
+    single-token docs). Pure array expression: ``zip_with`` over two
+    shifted slices, no explode, no shuffle."""
+    n = F.size(words_col)
+    return F.zip_with(
+        F.slice(words_col, F.lit(1), F.greatest(n - 1, F.lit(0))),
+        F.slice(words_col, F.lit(2), F.greatest(n - 1, F.lit(0))),
+        lambda a, b: F.concat(a, F.lit(" "), b),
+    )
+
+
+def repetition_features(words_col: Column) -> dict[str, Column]:
+    """Gopher-style repetition signals computable per-row (no shuffle):
+    distinct-word ratio and duplicate-bigram fraction. The remaining
+    signal — most-frequent-word share — needs a token-keyed aggregation
+    and lives in the ``doc_repetition_stats`` query, not here."""
+    n_words = F.size(words_col)
+    bg = word_bigrams(words_col)
+    n_bg = F.size(bg)
+    return {
+        "uniq_word_ratio": F.round(
+            F.size(F.array_distinct(words_col))
+            / F.greatest(n_words, F.lit(1)).cast("double"),
+            6,
+        ),
+        "dup_bigram_frac": F.round(
+            F.when(n_bg <= 0, F.lit(0.0)).otherwise(
+                1.0 - F.size(F.array_distinct(bg)) / n_bg.cast("double")
+            ),
+            6,
+        ),
+    }
+
+
 def rolling_fingerprint(text: Column | str, mod: int = FINGERPRINT_MOD) -> Column:
     """Order-sensitive document fingerprint: polynomial rolling hash over
     per-word codes ``7*len(word) + ascii(first_char)`` folded left with

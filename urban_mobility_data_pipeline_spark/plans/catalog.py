@@ -66,6 +66,17 @@ FLAGSHIP = "pricing_summary"
 # each rotate out (user_session_windows, order_value_percentiles,
 # priority_status_pivot, nation_customer_supplier_overlap) — none is a
 # SURVEY §2 component's only slot.
+#
+# Late round-5 additions (doc_repetition_stats, corpus_boilerplate_
+# shingles, corpus_language_stats) also take slots immediately; rotated
+# out to make room, each subsumed by an in-list consumer:
+#   doc_simhash                  signature stage consumed & verified by
+#                                doc_simhash_near_dup_pairs (in)
+#   daily_event_rollup_from_hourly  derived from hourly_event_windows
+#                                (in); pytest-oracle + bench retained
+#   embedding_cosine_topk        exact baseline; embedding_ivf_topk (in)
+#                                is recall-tested against it every run
+#                                (tests/test_similarity_ivf.py)
 # ---------------------------------------------------------------------------
 DRIVER_QUERY_NAMES: tuple[str, ...] = (
     # parity core (SURVEY §2 operator inventory)
@@ -93,13 +104,14 @@ DRIVER_QUERY_NAMES: tuple[str, ...] = (
     # LLM-pipeline extensions
     "dedup_exact_docs",
     "doc_near_dup_pairs",
-    "doc_simhash",
     "doc_simhash_near_dup_pairs",
     "doc_dup_clusters",
     "documents_fuzzy_dedup_corpus",
     "documents_train_eval_contamination",
     "documents_quality_filtered_corpus",
-    "embedding_cosine_topk",
+    "doc_repetition_stats",
+    "corpus_boilerplate_shingles",
+    "corpus_language_stats",
     "embedding_ivf_topk",
     "embedding_near_dup_pairs",
     "embedding_dedup_corpus",
@@ -117,7 +129,6 @@ DRIVER_QUERY_NAMES: tuple[str, ...] = (
     "events_range_join_error_counts",
     "hourly_event_windows",
     "sliding_event_windows",
-    "daily_event_rollup_from_hourly",
     # scalar-function surface
     "order_scalar_functions_showcase",
     "event_regex_map_showcase",

@@ -925,3 +925,177 @@ def documents_quality_filtered_corpus(
         "n_words",
         F.round("stopword_ratio", 6).alias("stopword_ratio"),
     )
+
+
+# ---------------------------------------------------------------------------
+# repetition stats (gopher-style quality signals)
+# ---------------------------------------------------------------------------
+_BIGRAMS = (
+    f"list_transform(generate_series(1, greatest(len(ws) - 1, 0)), "
+    f"i -> ws[i] || ' ' || ws[i+1])"
+)
+
+
+@register(
+    "doc_repetition_stats",
+    oracle=f"""
+    WITH w AS (SELECT doc_id, {_WORDS} AS ws FROM documents),
+    b AS (SELECT doc_id, ws, {_BIGRAMS} AS bg FROM w)
+    SELECT doc_id,
+           CAST(len(ws) AS INTEGER) AS n_words,
+           round(len(list_distinct(ws))
+                 / CAST(greatest(len(ws), 1) AS DOUBLE), 6) AS uniq_word_ratio,
+           round(list_max(list_transform(list_distinct(ws),
+                     x -> len(list_filter(ws, y -> y = x))))
+                 / CAST(greatest(len(ws), 1) AS DOUBLE), 6) AS top_word_frac,
+           round(CASE WHEN len(bg) <= 0 THEN 0.0
+                 ELSE 1.0 - len(list_distinct(bg)) / CAST(len(bg) AS DOUBLE)
+                 END, 6) AS dup_bigram_frac
+    FROM b
+    """,
+)
+def doc_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition filters (Rae et al. 2021 §A1.1): distinct
+    word ratio, most-frequent-word share, duplicate-bigram fraction.
+
+    The per-row signals (distinct ratio, dup bigrams) are pure array
+    expressions — map-only, codegen'd. The top-word share needs token
+    counts, computed the 100 TB way: explode -> two-stage aggregate
+    keyed (doc_id, word) with map-side combine (a doc's repeated words
+    collapse before the shuffle), then a doc_id-keyed rollup. Only the
+    token-count pairs shuffle, never the text."""
+    docs = table(spark, sf_dir, "documents")
+    staged = docs.select("doc_id", T.words("text").alias("__words"))
+    rep = T.repetition_features(F.col("__words"))
+    local = staged.select(
+        "doc_id",
+        F.size("__words").cast("int").alias("n_words"),
+        rep["uniq_word_ratio"].alias("uniq_word_ratio"),
+        rep["dup_bigram_frac"].alias("dup_bigram_frac"),
+    )
+    top = (
+        staged.select("doc_id", F.explode("__words").alias("w"))
+        .groupBy("doc_id", "w")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .groupBy("doc_id")
+        .agg(
+            F.max("cnt").alias("top_cnt"),
+            F.sum("cnt").alias("n"),
+        )
+        .select(
+            "doc_id",
+            F.round(
+                F.col("top_cnt") / F.greatest("n", F.lit(1)).cast("double"), 6
+            ).alias("top_word_frac"),
+        )
+    )
+    return local.join(top, "doc_id").select(
+        "doc_id", "n_words", "uniq_word_ratio", "top_word_frac",
+        "dup_bigram_frac",
+    )
+
+
+# ---------------------------------------------------------------------------
+# corpus-wide boilerplate shingles
+# ---------------------------------------------------------------------------
+BOILERPLATE_MIN_DOCS = 5
+
+
+@register(
+    "corpus_boilerplate_shingles",
+    oracle=f"""
+    WITH sh AS (SELECT doc_id, unnest({_SHINGLES}) AS shingle
+                FROM documents)
+    SELECT shingle,
+           count(*)    AS n_docs,
+           min(doc_id) AS first_doc_id
+    FROM sh
+    GROUP BY shingle
+    HAVING count(*) >= {BOILERPLATE_MIN_DOCS}
+    """,
+)
+def corpus_boilerplate_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-wide boilerplate detection: word 3-grams recurring across
+    >= {min_docs} distinct documents (headers, footers, license blurbs
+    in a real crawl). Shingles are distinct-per-doc at the source
+    (``shingles_df``), so count(*) after the explode IS the distinct
+    doc count — no count_distinct shuffle of (shingle, doc_id) pairs.
+    Map-side combine collapses each partition's repeats; only
+    (shingle, count, min_id) triples cross the wire."""
+    from urban_mobility_data_pipeline_spark.extensions.dedup import shingles_df
+
+    docs = table(spark, sf_dir, "documents")
+    sh = shingles_df(docs, id_col="doc_id")
+    return (
+        sh.select("doc_id", F.explode("shingles").alias("shingle"))
+        .groupBy("shingle")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min("doc_id").alias("first_doc_id"),
+        )
+        .filter(F.col("n_docs") >= BOILERPLATE_MIN_DOCS)
+    )
+
+
+corpus_boilerplate_shingles.__doc__ = corpus_boilerplate_shingles.__doc__.format(
+    min_docs=BOILERPLATE_MIN_DOCS
+)
+
+
+# ---------------------------------------------------------------------------
+# corpus language stats (the corpus-composition report)
+# ---------------------------------------------------------------------------
+@register(
+    "corpus_language_stats",
+    oracle=f"""
+    WITH scored AS (
+        SELECT doc_id, text, length(text) AS n_chars,
+               len({_WORDS}) AS n_words,
+               {", ".join(f"{expr} AS score_{lang}" for lang, expr in _SCORE_EXPRS.items())}
+        FROM documents
+    )
+    SELECT {_WINNER} AS predicted_lang,
+           count(*) AS n_docs,
+           CAST(sum(n_words) AS BIGINT) AS total_ws_tokens,
+           round(avg(CAST(n_chars AS DOUBLE)), 4) AS avg_chars
+    FROM scored
+    GROUP BY 1
+    """,
+)
+def corpus_language_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-composition report: docs / token totals / mean length per
+    predicted language — the sizing table a pre-training data team reads
+    before fixing language-mix weights. Language ID is the same staged
+    argmax as ``doc_lang_id`` (a per-row map), so the whole query is one
+    map + one low-cardinality groupBy (|langs|+1 groups; partial agg
+    does all the work map-side)."""
+    docs = table(spark, sf_dir, "documents")
+    scored = docs.select(
+        "doc_id",
+        F.length("text").alias("n_chars"),
+        T.whitespace_token_count("text").alias("n_words"),
+        *[
+            score.alias(f"score_{lang}")
+            for lang, score in T.lang_scores("text").items()
+        ],
+    )
+    score_cols = [F.col(f"score_{lang}") for lang, _ in _LANGS]
+    g = F.greatest(*score_cols)
+    pred = F.when(g <= 0, F.lit("und"))
+    for lang, _ in _LANGS:
+        pred = pred.when(F.col(f"score_{lang}") == g, F.lit(lang))
+    return (
+        scored.select(
+            pred.alias("predicted_lang"),
+            "n_chars",
+            "n_words",
+        )
+        .groupBy("predicted_lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.col("n_words").cast("long")).alias("total_ws_tokens"),
+            F.round(F.avg(F.col("n_chars").cast("double")), 4).alias(
+                "avg_chars"
+            ),
+        )
+    )
