@@ -77,6 +77,12 @@ FLAGSHIP = "pricing_summary"
 #   embedding_cosine_topk        exact baseline; embedding_ivf_topk (in)
 #                                is recall-tested against it every run
 #                                (tests/test_similarity_ivf.py)
+#   doc_lang_id                  same staged argmax aggregated by
+#                                corpus_language_stats (in)
+#   doc_quality_scores           same feature set gated by
+#                                documents_quality_filtered_corpus (in)
+# and documents_pii_audit / embedding_cluster_cohesion take the two
+# freed slots.
 # ---------------------------------------------------------------------------
 DRIVER_QUERY_NAMES: tuple[str, ...] = (
     # parity core (SURVEY §2 operator inventory)
@@ -112,11 +118,11 @@ DRIVER_QUERY_NAMES: tuple[str, ...] = (
     "doc_repetition_stats",
     "corpus_boilerplate_shingles",
     "corpus_language_stats",
+    "documents_pii_audit",
     "embedding_ivf_topk",
     "embedding_near_dup_pairs",
     "embedding_dedup_corpus",
-    "doc_lang_id",
-    "doc_quality_scores",
+    "embedding_cluster_cohesion",
     "doc_token_counts",
     "documents_stratified_sample",
     # analytics / temporal

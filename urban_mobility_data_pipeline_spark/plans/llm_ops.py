@@ -1099,3 +1099,127 @@ def corpus_language_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# PII audit + redaction over the corpus
+# ---------------------------------------------------------------------------
+def _pii_oracle() -> str:
+    from urban_mobility_data_pipeline_spark.functions.pii import (
+        PII_PATTERNS,
+        duck_pii_count_sql,
+    )
+
+    counts = duck_pii_count_sql("text")
+    count_cols = ",\n           ".join(
+        f"{expr} AS {name}" for name, expr in counts.items()
+    )
+    red = "text"
+    for _, pat, placeholder in PII_PATTERNS:
+        red = f"regexp_replace({red}, '{pat}', '{placeholder}', 'g')"
+    any_hit = " + ".join(counts[f"n_{kind}"] for kind, _, _ in PII_PATTERNS)
+    return f"""
+    SELECT doc_id,
+           {count_cols},
+           ({any_hit}) = 0 AS pii_free,
+           md5({red}) AS redacted_hash
+    FROM documents
+    """
+
+
+@register("documents_pii_audit", oracle=_pii_oracle())
+def documents_pii_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus PII audit + redaction (the free-text twin of the
+    reference's typed-column GDPR masking,
+    gdpr/gdpr_propagate_erasure.py): per-kind regexp counts, a
+    keep/route flag, and the digest of the redacted text (comparing the
+    digest — not the text — keeps driver rows narrow while still
+    pinning every replacement byte-for-byte across engines). Map-only,
+    one regexp pass per kind; at 100 TB this is the cheapest full-corpus
+    scan there is — no shuffle at all."""
+    from urban_mobility_data_pipeline_spark.functions.pii import (
+        PII_PATTERNS,
+        pii_counts,
+        redact_pii,
+    )
+
+    docs = table(spark, sf_dir, "documents")
+    counts = pii_counts("text")
+    total = None
+    for kind, _, _ in PII_PATTERNS:
+        c = counts[f"n_{kind}"]
+        total = c if total is None else total + c
+    return docs.select(
+        "doc_id",
+        *[c.alias(name) for name, c in counts.items()],
+        (total == 0).alias("pii_free"),
+        F.md5(redact_pii("text")).alias("redacted_hash"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# embedding cluster cohesion (centroid quality report)
+# ---------------------------------------------------------------------------
+@register(
+    "embedding_cluster_cohesion",
+    oracle="""
+    WITH v AS (
+        SELECT vec_id, label,
+               list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ve
+        FROM embeddings
+    ),
+    u AS (
+        SELECT label, t.i, ve[t.i] AS x
+        FROM v, unnest(generate_series(1, len(ve))) AS t(i)
+    ),
+    comp AS (SELECT label, i, avg(x) AS m FROM u GROUP BY label, i),
+    cent AS (SELECT label, list(m ORDER BY i) AS c FROM comp GROUP BY label),
+    scored AS (
+        SELECT v.label,
+               list_dot_product(v.ve, cent.c)
+                 / (sqrt(list_dot_product(v.ve, v.ve))
+                    * sqrt(list_dot_product(cent.c, cent.c))) AS cos
+        FROM v JOIN cent ON v.label = cent.label
+    )
+    SELECT s.label,
+           count(*) AS n_vecs,
+           round(sqrt(list_dot_product(cent.c, cent.c)), 4) AS centroid_norm,
+           round(avg(s.cos), 4) AS avg_cos_to_centroid
+    FROM scored s JOIN cent ON s.label = cent.label
+    GROUP BY s.label, cent.c
+    """,
+)
+def embedding_cluster_cohesion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster-cohesion report over the labeled embedding corpus:
+    per-label member count, centroid norm, and mean member-to-centroid
+    cosine — the health check run after any clustering / IVF (re)train.
+
+    Centroids come from ``ivf_centroids`` (posexplode -> (label, pos)
+    two-stage mean: the distributed vector-mean primitive — component
+    pairs shuffle, vectors never do). The |labels|-row centroid table is
+    broadcast back onto the corpus, so the scoring pass is map-only; the
+    final rollup groups on |labels| keys with map-side partial agg."""
+    from urban_mobility_data_pipeline_spark.extensions.similarity import (
+        ivf_centroids,
+    )
+    from urban_mobility_data_pipeline_spark.functions.vectors import cosine
+
+    emb = table(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        "label",
+        F.transform("embedding", lambda x: x.cast("double")).alias("ve"),
+    )
+    cents = ivf_centroids(emb, vec_col="ve", label_col="label").select(
+        F.col("cell").alias("label"), F.col("centroid").alias("c")
+    )
+    scored = emb.join(F.broadcast(cents), "label").select(
+        "label", cosine("ve", "c").alias("cos"), F.col("c")
+    )
+    norm = F.sqrt(
+        F.aggregate("c", F.lit(0.0), lambda a, x: a + x * x)
+    )
+    return scored.groupBy("label").agg(
+        F.count(F.lit(1)).alias("n_vecs"),
+        F.round(F.first(norm), 4).alias("centroid_norm"),
+        F.round(F.avg("cos"), 4).alias("avg_cos_to_centroid"),
+    )
