@@ -82,7 +82,9 @@ FLAGSHIP = "pricing_summary"
 #   doc_quality_scores           same feature set gated by
 #                                documents_quality_filtered_corpus (in)
 # and documents_pii_audit / embedding_cluster_cohesion take the two
-# freed slots.
+# freed slots. streaming_corpus_quality_gate (real readStream, second
+# streaming oracle row) stays pytest+bench-covered — first in line for
+# the round-6 rotation.
 # ---------------------------------------------------------------------------
 DRIVER_QUERY_NAMES: tuple[str, ...] = (
     # parity core (SURVEY §2 operator inventory)

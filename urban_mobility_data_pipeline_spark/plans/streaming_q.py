@@ -95,3 +95,85 @@ def streaming_hourly_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame
         "n_events",
         "total_value",
     )
+
+
+def _quality_gate_oracle() -> str:
+    from urban_mobility_data_pipeline_spark.functions.pii import PII_PATTERNS
+
+    words = r"string_split_regex(lower(trim(text)), '\s+')"
+    red = "text"
+    for _, pat, placeholder in PII_PATTERNS:
+        red = f"regexp_replace({red}, '{pat}', '{placeholder}', 'g')"
+    return f"""
+    WITH feats AS (
+        SELECT doc_id, lang, text,
+               CAST(len({words}) AS INTEGER) AS n_words,
+               len(regexp_extract_all(text, '[^A-Za-z0-9\\s]'))
+                 / CAST(greatest(length(text), 1) AS DOUBLE) AS punct_ratio,
+               len(list_filter({words},
+                   w -> w IN ('the','and','of','to','a','in','is')))
+                 / CAST(greatest(len({words}), 1) AS DOUBLE) AS stopword_ratio
+        FROM documents
+    )
+    SELECT doc_id, lang, n_words,
+           round(stopword_ratio, 6) AS stopword_ratio,
+           md5({red}) AS redacted_hash
+    FROM feats
+    WHERE n_words >= 5 AND punct_ratio <= 0.1 AND stopword_ratio >= 0.05
+    """
+
+
+@register("streaming_corpus_quality_gate", oracle=_quality_gate_oracle())
+def streaming_corpus_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The corpus-curation front door as a REAL stream: continuous crawl
+    ingest (readStream file source) → quality gates → PII redaction →
+    append-mode sink. The gates and the redactor are the SAME Column
+    builders the batch queries use (functions/text.py, functions/pii.py)
+    — one definition, both runtimes — and with availableNow the stream's
+    append output equals the batch query, which is what the oracle
+    asserts. Stateless map/filter: no watermark, no state store, scales
+    to any ingest rate."""
+    from urban_mobility_data_pipeline_spark.functions import text as T
+    from urban_mobility_data_pipeline_spark.functions.pii import redact_pii
+
+    configure_session(spark)
+    schema = spark.read.parquet(f"{sf_dir}/documents.parquet").schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", "documents.parquet")
+        .parquet(sf_dir)
+    )
+    staged = stream.select(
+        "doc_id", "lang", "text", T.words("text").alias("__words")
+    )
+    feats = T.quality_features("text", words_col=F.col("__words"))
+    gated = staged.select(
+        "doc_id",
+        "lang",
+        "text",
+        feats["n_words"].alias("n_words"),
+        feats["punct_ratio"].alias("punct_ratio"),
+        feats["stopword_ratio"].alias("stopword_ratio"),
+    ).filter(
+        (F.col("n_words") >= 5)
+        & (F.col("punct_ratio") <= 0.1)
+        & (F.col("stopword_ratio") >= 0.05)
+    )
+    out = gated.select(
+        "doc_id",
+        "lang",
+        "n_words",
+        F.round("stopword_ratio", 6).alias("stopword_ratio"),
+        F.md5(redact_pii("text")).alias("redacted_hash"),
+    )
+    sink_name = f"stream_gate_{uuid.uuid4().hex[:8]}"
+    query = (
+        out.writeStream.format("memory")
+        .queryName(sink_name)
+        .outputMode("append")
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="umdp_ckpt_"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination()
+    return spark.table(sink_name)
