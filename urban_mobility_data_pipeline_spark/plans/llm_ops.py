@@ -1223,3 +1223,182 @@ def embedding_cluster_cohesion(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.first(norm), 4).alias("centroid_norm"),
         F.round(F.avg("cos"), 4).alias("avg_cos_to_centroid"),
     )
+
+
+# ---------------------------------------------------------------------------
+# corpus vocabulary (document/collection frequency)
+# ---------------------------------------------------------------------------
+@register(
+    "corpus_vocabulary",
+    oracle=f"""
+    WITH toks AS (SELECT doc_id, unnest({_WORDS}) AS token FROM documents),
+    tf AS (SELECT doc_id, token, count(*) AS tf
+           FROM toks GROUP BY doc_id, token)
+    SELECT token,
+           count(*) AS df,
+           CAST(sum(tf) AS BIGINT) AS cf
+    FROM tf
+    GROUP BY token
+    """,
+)
+def corpus_vocabulary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus vocabulary table: per-token document frequency (df) and
+    collection frequency (cf) — the statistics behind IDF weighting,
+    stopword discovery, and tokenizer-vocab sizing. Explode -> two-stage
+    agg keyed (doc_id, token) then token: each partition's repeats
+    collapse map-side, so the shuffle carries (token, partial counts),
+    never positions or text."""
+    docs = table(spark, sf_dir, "documents")
+    tf = (
+        docs.select("doc_id", F.explode(T.words("text")).alias("token"))
+        .groupBy("doc_id", "token")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    return tf.groupBy("token").agg(
+        F.count(F.lit(1)).alias("df"),
+        F.sum("tf").alias("cf"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# per-doc TF-IDF keyword extraction
+# ---------------------------------------------------------------------------
+TFIDF_TOP_K = 3
+
+
+@register(
+    "doc_top_tfidf_terms",
+    oracle=f"""
+    WITH toks AS (SELECT doc_id, unnest({_WORDS}) AS token FROM documents),
+    tf AS (SELECT doc_id, token, count(*) AS tf
+           FROM toks GROUP BY doc_id, token),
+    df AS (SELECT token, count(*) AS df FROM tf GROUP BY token),
+    n AS (SELECT count(*) AS n_docs FROM documents),
+    scored AS (
+        SELECT tf.doc_id, tf.token,
+               round(tf.tf * ln((n.n_docs + 1.0) / (df.df + 1.0)), 6)
+                   AS tfidf,
+               row_number() OVER (
+                   PARTITION BY tf.doc_id
+                   ORDER BY tf.tf * ln((n.n_docs + 1.0) / (df.df + 1.0)) DESC,
+                            tf.token ASC
+               ) AS rk
+        FROM tf JOIN df ON tf.token = df.token CROSS JOIN n
+    )
+    SELECT doc_id, token, tfidf, CAST(rk AS INTEGER) AS rk
+    FROM scored WHERE rk <= {TFIDF_TOP_K}
+    """,
+)
+def doc_top_tfidf_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document keyword extraction: top-{k} terms by smoothed TF-IDF
+    (``tf * ln((N+1)/(df+1))``), ranked deterministically (score desc,
+    token asc). The df table joins back on ``token`` — a key-partitioned
+    shuffle join that AQE turns into a broadcast when the vocabulary is
+    small; N is a 1-row scalar broadcast into the plan. The final top-k
+    is a doc_id-partitioned window — never a global sort."""
+    from pyspark.sql import Window
+
+    docs = table(spark, sf_dir, "documents")
+    tf = (
+        docs.select("doc_id", F.explode(T.words("text")).alias("token"))
+        .groupBy("doc_id", "token")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    df_tbl = tf.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
+    n = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+    scored = (
+        tf.join(df_tbl, "token")
+        .join(F.broadcast(n))
+        .select(
+            "doc_id",
+            "token",
+            (
+                F.col("tf")
+                * F.log((F.col("n_docs") + 1.0) / (F.col("df") + 1.0))
+            ).alias("raw"),
+        )
+    )
+    w = (
+        Window.partitionBy("doc_id")
+        .orderBy(F.col("raw").desc(), F.col("token").asc())
+    )
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= TFIDF_TOP_K)
+        .select(
+            "doc_id",
+            "token",
+            F.round("raw", 6).alias("tfidf"),
+            F.col("rk").cast("int").alias("rk"),
+        )
+    )
+
+
+doc_top_tfidf_terms.__doc__ = doc_top_tfidf_terms.__doc__.format(k=TFIDF_TOP_K)
+
+
+# ---------------------------------------------------------------------------
+# token packing (training-sequence assembly)
+# ---------------------------------------------------------------------------
+PACK_SHARDS = 32
+PACK_CTX_TOKENS = 2048
+
+
+@register(
+    "documents_token_packing",
+    oracle=f"""
+    WITH sized AS (
+        SELECT doc_id,
+               CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4))
+                    AS INT) % {PACK_SHARDS} AS shard,
+               CAST(len({_WORDS}) AS INTEGER) AS n_tokens
+        FROM documents
+    )
+    SELECT doc_id, shard, n_tokens,
+           CAST(floor(
+               (sum(n_tokens) OVER (
+                    PARTITION BY shard ORDER BY doc_id
+                    ROWS UNBOUNDED PRECEDING) - n_tokens)
+               / {PACK_CTX_TOKENS}.0) AS INTEGER) AS bin
+    FROM sized
+    """,
+)
+def documents_token_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-sequence assembly: greedy token packing of documents
+    into {ctx}-token context windows. Docs are fingerprint-sharded
+    (same md5 recipe as the train/test split — deterministic, no RNG)
+    and packed by running token count WITHIN each shard, so the
+    prefix-sum window parallelizes across {shards} shards instead of
+    collapsing onto one global sort — a global pack order would
+    serialize the whole corpus through a single task at 100 TB. The
+    bin id is the window a doc's first token lands in."""
+    from pyspark.sql import Window
+
+    docs = table(spark, sf_dir, "documents")
+    sized = docs.select(
+        "doc_id",
+        (
+            F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 4), 16, 10)
+            .cast("int")
+            % PACK_SHARDS
+        ).alias("shard"),
+        T.whitespace_token_count("text").cast("int").alias("n_tokens"),
+    )
+    w = (
+        Window.partitionBy("shard")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return sized.select(
+        "doc_id",
+        "shard",
+        "n_tokens",
+        F.floor((F.sum("n_tokens").over(w) - F.col("n_tokens")) / PACK_CTX_TOKENS)
+        .cast("int")
+        .alias("bin"),
+    )
+
+
+documents_token_packing.__doc__ = documents_token_packing.__doc__.format(
+    ctx=PACK_CTX_TOKENS, shards=PACK_SHARDS
+)
