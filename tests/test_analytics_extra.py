@@ -88,3 +88,52 @@ def test_near_dup_pairs_stages_shingles_once(spark, sf_dir):
     # every documents FileScan in the text sits inside a cached-relation
     # repr: outside the two in-memory stages nothing rescans the corpus
     assert plan.count("InMemoryRelation") >= plan.count("FileScan parquet") - 1
+
+
+def test_pii_audit_is_map_only(spark, sf_dir):
+    """The corpus PII scan must stay a single map pass — any Exchange
+    means text got shuffled, which is wrong at any scale."""
+    df = QUERIES["documents_pii_audit"](spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+    assert "*(1) Project" in plan  # whole-stage-codegen'd single pass
+
+
+def test_cluster_cohesion_broadcasts_centroids(spark, sf_dir):
+    """Centroid re-scoring must broadcast the |labels|-row centroid
+    table back onto the corpus, never shuffle the vectors."""
+    df = QUERIES["embedding_cluster_cohesion"](spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+
+
+def test_vocabulary_combines_map_side(spark, sf_dir):
+    """df/cf aggregation must partial-agg before each exchange (token
+    repeats collapse map-side; only counts shuffle)."""
+    df = QUERIES["corpus_vocabulary"](spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "partial_count" in plan
+    assert plan.index("partial_count") > plan.index("Exchange")
+
+
+def test_token_packing_shards_not_global_sort(spark, sf_dir):
+    """The packing prefix-sum must partition by shard — a window over a
+    SinglePartition global sort would serialize the corpus through one
+    task."""
+    df = QUERIES["documents_token_packing"](spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange hashpartitioning(shard" in plan
+    assert "SinglePartition" not in plan
+
+
+def test_tfidf_no_cartesian(spark, sf_dir):
+    """The scalar doc-count joins in as a 1-row broadcast, never a
+    CartesianProduct; the top-k is a per-doc window, not a global
+    sort."""
+    df = QUERIES["doc_top_tfidf_terms"](spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    # the 1-row doc-count agg is the only SinglePartition exchange
+    # allowed; the top-k window itself must partition by doc_id.
+    assert plan.count("Exchange SinglePartition") <= 1
+    assert "Window" in plan and "hashpartitioning(doc_id" in plan
