@@ -83,9 +83,10 @@ FLAGSHIP = "pricing_summary"
 #                                documents_quality_filtered_corpus (in)
 # and documents_pii_audit / embedding_cluster_cohesion take the two
 # freed slots. streaming_corpus_quality_gate (real readStream, second
-# streaming oracle row), corpus_vocabulary, doc_top_tfidf_terms and
-# documents_token_packing stay pytest+bench-covered — first in line for
-# the round-6 rotation.
+# streaming oracle row), corpus_vocabulary, doc_top_tfidf_terms,
+# documents_token_packing, documents_chunked, corpus_source_quality and
+# embedding_int8_quantized stay pytest+bench-covered — first in line
+# for the round-6 rotation.
 # ---------------------------------------------------------------------------
 DRIVER_QUERY_NAMES: tuple[str, ...] = (
     # parity core (SURVEY §2 operator inventory)

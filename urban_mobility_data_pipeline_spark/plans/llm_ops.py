@@ -1402,3 +1402,211 @@ def documents_token_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
 documents_token_packing.__doc__ = documents_token_packing.__doc__.format(
     ctx=PACK_CTX_TOKENS, shards=PACK_SHARDS
 )
+
+
+# ---------------------------------------------------------------------------
+# document chunking (RAG / training-window prep)
+# ---------------------------------------------------------------------------
+CHUNK_TOKENS = 64
+CHUNK_STRIDE = 48
+
+
+@register(
+    "documents_chunked",
+    oracle=f"""
+    WITH w AS (SELECT doc_id, {_WORDS} AS ws FROM documents),
+    sized AS (
+        SELECT doc_id, ws, len(ws) AS n,
+               (greatest(len(ws) - {CHUNK_TOKENS}, 0) + {CHUNK_STRIDE} - 1)
+                   // {CHUNK_STRIDE} AS n_extra
+        FROM w
+    ),
+    chunks AS (
+        SELECT doc_id, ws, n, t.i AS chunk_id,
+               1 + t.i * {CHUNK_STRIDE} AS chunk_start
+        FROM sized, unnest(generate_series(0, n_extra)) AS t(i)
+    )
+    SELECT doc_id,
+           CAST(chunk_id AS INTEGER) AS chunk_id,
+           CAST(chunk_start AS INTEGER) AS chunk_start,
+           CAST(least({CHUNK_TOKENS}, n - chunk_start + 1) AS INTEGER)
+               AS n_chunk_tokens,
+           md5(array_to_string(
+               list_slice(ws, chunk_start,
+                          chunk_start + {CHUNK_TOKENS} - 1), ' '))
+               AS chunk_hash
+    FROM chunks
+    """,
+)
+def documents_chunked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window document chunking ({chunk} tokens, stride
+    {stride}) — the RAG-indexing / training-window prep step. The chunk
+    plan is a map-side explode over computed start offsets: sequence →
+    posexplode → slice+join, no shuffle anywhere; each output row
+    carries the chunk digest rather than the text (same narrow-row
+    discipline as the PII audit). Chunk count per doc is
+    ``1 + ceil(max(n-{chunk},0)/{stride})`` with pure integer math so
+    the oracle reproduces it exactly."""
+    docs = table(spark, sf_dir, "documents")
+    sized = docs.select(
+        "doc_id",
+        T.words("text").alias("ws"),
+    ).select(
+        "doc_id",
+        "ws",
+        F.size("ws").alias("n"),
+        F.floor(
+            (
+                F.greatest(F.size("ws") - CHUNK_TOKENS, F.lit(0))
+                + (CHUNK_STRIDE - 1)
+            )
+            / CHUNK_STRIDE
+        )
+        .cast("int")
+        .alias("n_extra"),
+    )
+    chunks = sized.select(
+        "doc_id",
+        "ws",
+        "n",
+        F.posexplode(F.sequence(F.lit(0), F.col("n_extra"))).alias(
+            "chunk_id", "_i"
+        ),
+    ).select(
+        "doc_id",
+        "ws",
+        "n",
+        F.col("chunk_id").cast("int").alias("chunk_id"),
+        (F.lit(1) + F.col("chunk_id") * CHUNK_STRIDE)
+        .cast("int")
+        .alias("chunk_start"),
+    )
+    return chunks.select(
+        "doc_id",
+        "chunk_id",
+        "chunk_start",
+        F.least(F.lit(CHUNK_TOKENS), F.col("n") - F.col("chunk_start") + 1)
+        .cast("int")
+        .alias("n_chunk_tokens"),
+        F.md5(
+            F.array_join(
+                F.slice(F.col("ws"), F.col("chunk_start"), F.lit(CHUNK_TOKENS)),
+                " ",
+            )
+        ).alias("chunk_hash"),
+    )
+
+
+documents_chunked.__doc__ = documents_chunked.__doc__.format(
+    chunk=CHUNK_TOKENS, stride=CHUNK_STRIDE
+)
+
+
+# ---------------------------------------------------------------------------
+# per-source corpus quality report
+# ---------------------------------------------------------------------------
+@register(
+    "corpus_source_quality",
+    oracle=f"""
+    WITH feats AS (
+        SELECT source,
+               md5(text) AS h,
+               len({_WORDS}) AS n_words,
+               len(list_filter({_WORDS},
+                   w -> w IN ('the','and','of','to','a','in','is')))
+                 / CAST(greatest(len({_WORDS}), 1) AS DOUBLE) AS stop_ratio
+        FROM documents
+    )
+    SELECT source,
+           count(*) AS n_docs,
+           round(1.0 - count(DISTINCT h) / CAST(count(*) AS DOUBLE), 6)
+               AS exact_dup_rate,
+           round(avg(CAST(n_words AS DOUBLE)), 4) AS avg_words,
+           round(avg(stop_ratio), 4) AS avg_stopword_ratio
+    FROM feats
+    GROUP BY source
+    """,
+)
+def corpus_source_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source corpus health report — the table a data team reads to
+    decide which crawls/feeds to keep, reweight, or drop: volume, exact
+    duplicate rate (1 − distinct digests/docs), mean length, mean
+    stopword density. GroupBy on the low-cardinality ``source`` key;
+    the count-distinct expands to (source, digest) internally — still
+    only 16-byte digests shuffling, never text."""
+    docs = table(spark, sf_dir, "documents")
+    staged = docs.select(
+        "source",
+        F.md5("text").alias("h"),
+        T.words("text").alias("__w"),
+    ).select(
+        "source",
+        "h",
+        F.size("__w").alias("n_words"),
+        (
+            F.size(F.filter("__w", lambda x: x.isin(*T.LANG_MARKERS["en"])))
+            / F.greatest(F.size("__w"), F.lit(1)).cast("double")
+        ).alias("stop_ratio"),
+    )
+    return staged.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.round(
+            1.0 - F.countDistinct("h") / F.count(F.lit(1)).cast("double"), 6
+        ).alias("exact_dup_rate"),
+        F.round(F.avg(F.col("n_words").cast("double")), 4).alias("avg_words"),
+        F.round(F.avg("stop_ratio"), 4).alias("avg_stopword_ratio"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# int8 embedding quantization (storage/bandwidth prep)
+# ---------------------------------------------------------------------------
+@register(
+    "embedding_int8_quantized",
+    oracle="""
+    WITH v AS (
+        SELECT vec_id,
+               list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ve
+        FROM embeddings
+    ),
+    scaled AS (
+        SELECT vec_id, ve,
+               list_aggregate(list_transform(ve, x -> abs(x)), 'max')
+                   AS max_abs
+        FROM v
+    )
+    SELECT vec_id,
+           round(max_abs / 127.0, 6) AS scale,
+           md5(array_to_string(
+               list_transform(ve, x -> CAST(
+                   CASE WHEN max_abs = 0 THEN 0
+                        ELSE floor(x * 127.0 / max_abs + 0.5) END
+                   AS BIGINT)), ',')) AS q_hash
+    FROM scaled
+    """,
+)
+def embedding_int8_quantized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric int8 quantization of the embedding column (per-vector
+    max-abs scale) — the 4× storage/bandwidth cut applied before
+    shipping vectors to an ANN index. Map-only array expressions;
+    rounding is ``floor(x+0.5)`` because IEEE ``floor`` is exact in
+    every engine while round()'s half-case tie-break is not. The driver
+    row carries the quantized vector's digest, not 64 ints."""
+    emb = table(spark, sf_dir, "embeddings")
+    ve = F.transform("embedding", lambda x: x.cast("double"))
+    staged = emb.select("vec_id", ve.alias("ve")).select(
+        "vec_id",
+        "ve",
+        F.array_max(F.transform("ve", F.abs)).alias("max_abs"),
+    )
+    q = F.transform(
+        "ve",
+        lambda x: F.when(F.col("max_abs") == 0, F.lit(0).cast("long")).otherwise(
+            F.floor(x * 127.0 / F.col("max_abs") + 0.5)
+        ),
+    )
+    return staged.select(
+        "vec_id",
+        F.round(F.col("max_abs") / 127.0, 6).alias("scale"),
+        F.md5(F.array_join(q, ",")).alias("q_hash"),
+    )
