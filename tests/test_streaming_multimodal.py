@@ -321,3 +321,84 @@ def test_streaming_dedup_within_watermark(spark, tmp_path):
     out = spark.sql("select event_id from dedup_out")
     assert out.count() == 50  # every duplicate dropped
     assert out.distinct().count() == 50
+
+
+def test_resize_ppm_real_nearest_neighbor(spark):
+    """REAL resize: a 4x4 quadrant-colored P6 downsamples to 2x2 with
+    one pixel per quadrant; output payload is itself a valid P6."""
+    import numpy as np
+
+    from urban_mobility_data_pipeline_spark.extensions.multimodal import (
+        _parse_ppm_header,
+        resize_media,
+    )
+
+    # quadrants: red | green / blue | white
+    px = np.zeros((4, 4, 3), dtype=np.uint8)
+    px[:2, :2] = (255, 0, 0)
+    px[:2, 2:] = (0, 255, 0)
+    px[2:, :2] = (0, 0, 255)
+    px[2:, 2:] = (255, 255, 255)
+    payload = b"P6\n4 4\n255\n" + px.tobytes()
+    df = spark.createDataFrame(
+        [(1, bytearray(payload))], "media_id long, raw binary"
+    )
+    media = attach_binary_payload(df, "raw", "media_id", "ppm")
+    (row,) = resize_media(media, 2, 2).collect()
+    assert (row.width, row.height) == (2, 2)
+    w, h, maxval, pos = _parse_ppm_header(bytes(row.payload))
+    assert (w, h, maxval) == (2, 2, 255)
+    out = np.frombuffer(bytes(row.payload), np.uint8, 12, pos).reshape(2, 2, 3)
+    assert tuple(out[0, 0]) == (255, 0, 0)
+    assert tuple(out[0, 1]) == (0, 255, 0)
+    assert tuple(out[1, 0]) == (0, 0, 255)
+    assert tuple(out[1, 1]) == (255, 255, 255)
+
+
+def test_resize_upscale_roundtrip_decodes(spark):
+    """Upscaled output stays a decodable PPM with the same mean
+    intensity (nearest-neighbor preserves the color histogram under
+    integer scale factors)."""
+    from urban_mobility_data_pipeline_spark.extensions.multimodal import (
+        resize_media,
+    )
+
+    df = spark.createDataFrame(
+        [(1, bytearray(_ppm_bytes(8, 8, (128, 64, 32))))],
+        "media_id long, raw binary",
+    )
+    media = attach_binary_payload(df, "raw", "media_id", "ppm")
+    resized = resize_media(media, 16, 16)
+    back = decode_media(
+        attach_binary_payload(resized, "payload", "media_id", "ppm")
+    )
+    (row,) = back.collect()
+    assert (row.width, row.height) == (16, 16)
+    assert row.mean_intensity == pytest.approx((128 + 64 + 32) / 3 / 255, abs=1e-4)
+
+
+def test_resize_fake_path_and_passthrough(spark):
+    """jpeg resizes only via the fake kernel (PIL absent); wav payloads
+    pass through untouched."""
+    from urban_mobility_data_pipeline_spark.extensions.multimodal import (
+        resize_media,
+    )
+
+    rows = [
+        (1, bytearray(b"\xff\xd8fakejpeg"), "jpeg"),
+        (2, bytearray(b"RIFFfakewav"), "wav"),
+    ]
+    df = spark.createDataFrame(rows, "media_id long, raw binary, fmt string")
+    jpeg = attach_binary_payload(df.filter("fmt = 'jpeg'"), "raw", "media_id", "jpeg")
+    wav = attach_binary_payload(df.filter("fmt = 'wav'"), "raw", "media_id", "wav")
+
+    with pytest.raises(Exception):  # NotImplementedError inside the kernel
+        resize_media(jpeg, 2, 2).collect()
+
+    (jrow,) = resize_media(jpeg, 2, 2, fake=True).collect()
+    assert (jrow.width, jrow.height) == (2, 2)
+    assert len(bytes(jrow.payload)) == 2 * 2 * 3
+
+    (wrow,) = resize_media(wav, 2, 2).collect()
+    assert wrow.width is None and wrow.height is None
+    assert bytes(wrow.payload) == b"RIFFfakewav"

@@ -56,6 +56,13 @@ FRAME_SAMPLE_SCHEMA = (
     "media_id long, frame_index int, frame_phash string"
 )
 
+#: Resize output: same row shape going back out — resized payload plus
+#: its new dimensions (the downstream table keeps the binary-column
+#: contract).
+RESIZED_MEDIA_SCHEMA = (
+    "media_id long, format string, width int, height int, payload binary"
+)
+
 #: Formats the FAKE decoder accepts (plumbing tests).
 _DECODABLE = {"png", "jpeg", "wav", "mp4", "ppm"}
 
@@ -107,9 +114,9 @@ def _decode_wav(payload: bytes) -> dict:
     }
 
 
-def _decode_ppm(payload: bytes) -> dict:
-    """Real binary-PPM (P6) decode: whitespace/comment-tolerant header
-    parse, then mean pixel intensity over the raw RGB plane."""
+def _parse_ppm_header(payload: bytes) -> tuple[int, int, int, int]:
+    """Parse a binary-PPM (P6) header: whitespace/comment-tolerant.
+    Returns ``(width, height, maxval, pixel_offset)``."""
     if payload[:2] != b"P6":
         raise ValueError("not a binary PPM (missing P6 magic)")
     # header = magic, width, height, maxval as whitespace-separated
@@ -133,6 +140,13 @@ def _decode_ppm(payload: bytes) -> dict:
         # silently cover half the pixel plane — refuse, like _decode_wav
         # does for unsupported PCM widths
         raise NotImplementedError(f"{maxval}-maxval (16-bit) PPM")
+    return width, height, maxval, pos
+
+
+def _decode_ppm(payload: bytes) -> dict:
+    """Real binary-PPM (P6) decode: header parse, then mean pixel
+    intensity over the raw RGB plane."""
+    width, height, maxval, pos = _parse_ppm_header(payload)
     pixels = np.frombuffer(payload, dtype=np.uint8, count=width * height * 3, offset=pos)
     return {
         "width": width,
@@ -277,3 +291,79 @@ def frame_sample(
             )
 
     return df.mapInPandas(sample_batches, FRAME_SAMPLE_SCHEMA)
+
+
+def _resize_ppm(payload: bytes, target_w: int, target_h: int) -> bytes:
+    """Real nearest-neighbor resize of a binary PPM (P6): pure numpy
+    index mapping over the RGB plane, re-emitted as a minimal P6."""
+    width, height, maxval, pos = _parse_ppm_header(payload)
+    pixels = np.frombuffer(
+        payload, dtype=np.uint8, count=width * height * 3, offset=pos
+    ).reshape(height, width, 3)
+    rows = (np.arange(target_h) * height) // target_h
+    cols = (np.arange(target_w) * width) // target_w
+    resized = pixels[rows][:, cols]
+    header = f"P6\n{target_w} {target_h}\n{maxval}\n".encode()
+    return header + resized.tobytes()
+
+
+def resize_media(
+    df: DataFrame, width: int, height: int, fake: bool = False
+) -> DataFrame:
+    """Resize image payloads to ``width``×``height`` via ``mapInPandas``
+    (Arrow batches — the per-item pixel work is exactly what belongs in
+    a Pandas kernel, not a row-at-a-time UDF). ``ppm`` resizes for REAL
+    (numpy nearest-neighbor, re-emitted as P6); other image formats
+    need PIL, which isn't installed — they raise unless ``fake=True``,
+    which emits a digest-derived payload with the target dimensions so
+    the plumbing (schema, batching, 1-row-in/1-row-out) is testable.
+    Non-image payloads (wav, mp4) pass through untouched with their
+    original metadata."""
+
+    def resize_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = ["media_id", "format", "width", "height", "payload"]
+        for pdf in batches:
+            rows = []
+            for media_id, payload, meta in zip(
+                pdf["media_id"], pdf["payload"], pdf["meta"]
+            ):
+                fmt = meta["format"] if isinstance(meta, dict) else meta.format
+                data = bytes(payload)
+                if fmt not in {"ppm", "png", "jpeg"}:
+                    rows.append(
+                        {
+                            "media_id": media_id,
+                            "format": fmt,
+                            "width": None,
+                            "height": None,
+                            "payload": data,
+                        }
+                    )
+                    continue
+                if fmt == "ppm" and not fake:
+                    out = _resize_ppm(data, width, height)
+                elif fake:
+                    digest = hashlib.sha256(
+                        data + f"{width}x{height}".encode()
+                    ).digest()
+                    out = (digest * (3 * width * height // len(digest) + 1))[
+                        : 3 * width * height
+                    ]
+                else:
+                    raise NotImplementedError(
+                        f"no real resize codec for format {fmt!r} (PIL not "
+                        "installed); use resize_media(df, fake=True) or a "
+                        "ppm payload"
+                    )
+                rows.append(
+                    {
+                        "media_id": media_id,
+                        "format": fmt,
+                        "width": width,
+                        "height": height,
+                        "payload": out,
+                    }
+                )
+            yield pd.DataFrame(rows, columns=cols)
+
+    return df.mapInPandas(resize_batches, RESIZED_MEDIA_SCHEMA)
