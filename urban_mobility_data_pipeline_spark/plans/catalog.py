@@ -86,7 +86,10 @@ FLAGSHIP = "pricing_summary"
 # streaming oracle row), corpus_vocabulary, doc_top_tfidf_terms,
 # documents_token_packing, documents_chunked, corpus_source_quality and
 # embedding_int8_quantized stay pytest+bench-covered — first in line
-# for the round-6 rotation.
+# for the round-6 rotation. corpus_training_manifest (the composed
+# gates→dedup→packing end product) takes dedup_exact_docs's slot: exact
+# dedup's digest-groupBy is verified inside BOTH in-list composites
+# (documents_quality_filtered_corpus and the manifest itself).
 # ---------------------------------------------------------------------------
 DRIVER_QUERY_NAMES: tuple[str, ...] = (
     # parity core (SURVEY §2 operator inventory)
@@ -112,7 +115,7 @@ DRIVER_QUERY_NAMES: tuple[str, ...] = (
     "top_customers_by_spend",
     "order_fulfilment_kpis",
     # LLM-pipeline extensions
-    "dedup_exact_docs",
+    "corpus_training_manifest",
     "doc_near_dup_pairs",
     "doc_simhash_near_dup_pairs",
     "doc_dup_clusters",

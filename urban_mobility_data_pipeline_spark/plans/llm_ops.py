@@ -1610,3 +1610,92 @@ def embedding_int8_quantized(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("max_abs") / 127.0, 6).alias("scale"),
         F.md5(F.array_join(q, ",")).alias("q_hash"),
     )
+
+
+# ---------------------------------------------------------------------------
+# training manifest (the composed end product)
+# ---------------------------------------------------------------------------
+@register(
+    "corpus_training_manifest",
+    oracle=f"""
+    WITH feats AS (
+        SELECT doc_id, text,
+               CAST(len({_WORDS}) AS INTEGER) AS n_tokens,
+               len(regexp_extract_all(text, '[^A-Za-z0-9\\s]'))
+                 / CAST(greatest(length(text), 1) AS DOUBLE) AS punct_ratio,
+               len(list_filter({_WORDS},
+                   w -> w IN ('the','and','of','to','a','in','is')))
+                 / CAST(greatest(len({_WORDS}), 1) AS DOUBLE) AS stopword_ratio
+        FROM documents
+    ),
+    kept AS (
+        SELECT * FROM feats
+        WHERE n_tokens >= 5 AND punct_ratio <= 0.1 AND stopword_ratio >= 0.05
+    ),
+    reps AS (SELECT min(doc_id) AS doc_id FROM kept GROUP BY md5(text)),
+    clean AS (
+        SELECT k.doc_id, k.n_tokens,
+               CAST(('0x' || substr(md5(CAST(k.doc_id AS VARCHAR)), 1, 4))
+                    AS INT) % {PACK_SHARDS} AS shard
+        FROM kept k JOIN reps r ON r.doc_id = k.doc_id
+    )
+    SELECT doc_id, shard, n_tokens,
+           CAST(floor(
+               (sum(n_tokens) OVER (
+                    PARTITION BY shard ORDER BY doc_id
+                    ROWS UNBOUNDED PRECEDING) - n_tokens)
+               / {PACK_CTX_TOKENS}.0) AS INTEGER) AS bin
+    FROM clean
+    """,
+)
+def corpus_training_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed END PRODUCT a trainer actually reads: quality gates
+    → exact dedup (min doc_id per digest) → fingerprint-sharded token
+    packing, in one plan. Every stage is the already-audited shape
+    (map predicates pushed to the scan; 16-byte digests shuffling for
+    dedup; shard-parallel prefix sum for packing) — Catalyst pipelines
+    them without materialization. Output: (doc_id, shard, n_tokens,
+    bin) — the read plan for context-window assembly."""
+    docs = table(spark, sf_dir, "documents")
+    staged = docs.select(
+        "doc_id", "text", T.words("text").alias("__words")
+    )
+    feats = T.quality_features("text", words_col=F.col("__words"))
+    kept = staged.select(
+        "doc_id",
+        "text",
+        feats["n_words"].alias("n_tokens"),
+        feats["punct_ratio"].alias("punct_ratio"),
+        feats["stopword_ratio"].alias("stopword_ratio"),
+    ).filter(
+        (F.col("n_tokens") >= 5)
+        & (F.col("punct_ratio") <= 0.1)
+        & (F.col("stopword_ratio") >= 0.05)
+    )
+    reps = kept.groupBy(F.md5("text")).agg(F.min("doc_id").alias("doc_id"))
+    clean = kept.join(reps.select("doc_id"), "doc_id").select(
+        "doc_id",
+        "n_tokens",
+        (
+            F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 4), 16, 10)
+            .cast("int")
+            % PACK_SHARDS
+        ).alias("shard"),
+    )
+    from pyspark.sql import Window
+
+    w = (
+        Window.partitionBy("shard")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return clean.select(
+        "doc_id",
+        "shard",
+        "n_tokens",
+        F.floor(
+            (F.sum("n_tokens").over(w) - F.col("n_tokens")) / PACK_CTX_TOKENS
+        )
+        .cast("int")
+        .alias("bin"),
+    )
