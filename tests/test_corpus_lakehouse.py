@@ -1,0 +1,124 @@
+"""End-to-end corpus lakehouse: JSONL crawl ingest (with quarantine) →
+quality gates + PII redaction → MERGE-upsert into a transactional
+corpus table → incremental second batch with re-deliveries → GDPR
+erasure. Ties sources/ingest, functions/text, functions/pii,
+operators/merge and extensions/gdpr_corpus into the one pipeline a
+training-data team actually runs."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from urban_mobility_data_pipeline_spark.extensions.gdpr_corpus import (
+    erase_document_ids,
+)
+from urban_mobility_data_pipeline_spark.functions import text as T
+from urban_mobility_data_pipeline_spark.functions.pii import redact_pii
+from urban_mobility_data_pipeline_spark.operators.merge import MergeTable
+from urban_mobility_data_pipeline_spark.sources.ingest import (
+    read_jsonl_quarantined,
+)
+
+SCHEMA = "doc_id long, text string, lang string"
+
+BATCH_1 = [
+    '{"doc_id": 1, "text": "the quick brown fox jumps over a lazy dog in the park", "lang": "en"}',
+    '{"doc_id": 2, "text": "reach me at alice@example.com for the meeting notes and the agenda items", "lang": "en"}',
+    '{"doc_id": 3, "text": "xx", "lang": "en"}',  # fails min-length gate
+    'not even json',  # -> quarantine
+]
+
+BATCH_2 = [
+    # re-delivery of doc 1 with edited text: must UPDATE, not duplicate
+    '{"doc_id": 1, "text": "the quick brown fox jumps over a very lazy dog in the old park", "lang": "en"}',
+    '{"doc_id": 4, "text": "call the office at 555-867-5309 and ask for the records desk today please", "lang": "en"}',
+]
+
+
+def _curate(good):
+    staged = good.select(
+        "doc_id", "lang", "text", T.words("text").alias("__w")
+    )
+    feats = T.quality_features("text", words_col=F.col("__w"))
+    return (
+        staged.select(
+            "doc_id",
+            "lang",
+            redact_pii("text").alias("text"),
+            feats["n_words"].alias("n_words"),
+            feats["stopword_ratio"].alias("stopword_ratio"),
+        )
+        .filter((F.col("n_words") >= 5) & (F.col("stopword_ratio") >= 0.05))
+    )
+
+
+@pytest.fixture
+def lake(spark, tmp_path):
+    (tmp_path / "b1").mkdir()
+    (tmp_path / "b1" / "feed.jsonl").write_text("\n".join(BATCH_1) + "\n")
+    (tmp_path / "b2").mkdir()
+    (tmp_path / "b2" / "feed.jsonl").write_text("\n".join(BATCH_2) + "\n")
+    corpus = MergeTable(spark, str(tmp_path / "corpus"))
+    quarantine = MergeTable(spark, str(tmp_path / "quarantine"))
+    return tmp_path, corpus, quarantine
+
+
+def _ingest(spark, path, corpus, quarantine):
+    good, bad = read_jsonl_quarantined(spark, path, SCHEMA)
+    curated = _curate(good)
+    if corpus.exists():
+        non_keys = [c for c in curated.columns if c != "doc_id"]
+        corpus.merge(
+            curated,
+            keys=["doc_id"],
+            update_set={c: F.col(f"s.{c}") for c in non_keys},
+            insert=True,
+        )
+    else:
+        corpus.create(curated)
+    if quarantine.exists():
+        quarantine.append(bad)
+    elif bad.count():
+        quarantine.create(bad)
+    return curated
+
+
+def test_two_batch_ingest_upserts_and_gates(spark, lake):
+    tmp_path, corpus, quarantine = lake
+    _ingest(spark, str(tmp_path / "b1"), corpus, quarantine)
+    rows = {r.doc_id: r for r in corpus.read().collect()}
+    assert set(rows) == {1, 2}  # doc 3 gated out, bad line quarantined
+    assert "<EMAIL>" in rows[2].text and "alice@example.com" not in rows[2].text
+    assert quarantine.read().count() == 1
+
+    _ingest(spark, str(tmp_path / "b2"), corpus, quarantine)
+    rows = {r.doc_id: r for r in corpus.read().collect()}
+    assert set(rows) == {1, 2, 4}  # re-delivery updated in place
+    assert "very lazy" in rows[1].text
+    assert corpus.read().filter(F.col("doc_id") == 1).count() == 1
+    assert "<PHONE>" in rows[4].text
+
+    # the txn log kept both versions: time travel still sees batch 1
+    v1 = {r.doc_id: r for r in corpus.read(version=1).collect()}
+    assert "very lazy" not in v1[1].text
+
+
+def test_erasure_reaches_the_ingested_corpus(spark, lake):
+    tmp_path, corpus, quarantine = lake
+    _ingest(spark, str(tmp_path / "b1"), corpus, quarantine)
+    _ingest(spark, str(tmp_path / "b2"), corpus, quarantine)
+    deleted = erase_document_ids(
+        spark,
+        [2],
+        {"documents": corpus},
+        id_cols={"documents": ["doc_id"]},
+    )
+    assert deleted == {"documents": 1}
+    assert corpus.read().filter(F.col("doc_id") == 2).count() == 0
+    # physical: no surviving parquet file contains the redacted text
+    import glob
+
+    for f in glob.glob(str(tmp_path / "corpus" / "**" / "*.parquet"), recursive=True):
+        with open(f, "rb") as fh:
+            assert b"meeting notes" not in fh.read()

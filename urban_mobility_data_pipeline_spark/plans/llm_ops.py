@@ -1699,3 +1699,58 @@ def corpus_training_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("int")
         .alias("bin"),
     )
+
+
+# ---------------------------------------------------------------------------
+# unigram cross-entropy (perplexity-proxy quality signal)
+# ---------------------------------------------------------------------------
+@register(
+    "doc_unigram_surprisal",
+    oracle=f"""
+    WITH toks AS (SELECT doc_id, unnest({_WORDS}) AS token FROM documents),
+    tf AS (SELECT doc_id, token, count(*) AS tf
+           FROM toks GROUP BY doc_id, token),
+    vocab AS (SELECT token, CAST(sum(tf) AS BIGINT) AS cf FROM tf
+              GROUP BY token),
+    total AS (SELECT CAST(sum(cf) AS BIGINT) AS t FROM vocab)
+    SELECT tf.doc_id,
+           CAST(sum(tf.tf) AS INTEGER) AS n_tokens,
+           round(sum(tf.tf * -ln(vocab.cf / CAST(total.t AS DOUBLE)))
+                 / sum(tf.tf), 6) AS avg_nll
+    FROM tf JOIN vocab ON tf.token = vocab.token CROSS JOIN total
+    GROUP BY tf.doc_id
+    """,
+)
+def doc_unigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram cross-entropy per document (mean −ln p(w) under the
+    corpus's own unigram distribution) — the cheap stand-in for the
+    KenLM perplexity filter: gibberish and off-distribution docs score
+    high, boilerplate scores low. Two passes over token counts: the
+    vocabulary roll-up (token-keyed, map-side combined), then a join
+    back to per-doc counts — AQE broadcasts the vocab side when it
+    fits; the corpus-wide token total is a 1-row broadcast scalar.
+    Nothing heavier than (token, count) pairs ever shuffles."""
+    docs = table(spark, sf_dir, "documents")
+    tf = (
+        docs.select("doc_id", F.explode(T.words("text")).alias("token"))
+        .groupBy("doc_id", "token")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    vocab = tf.groupBy("token").agg(F.sum("tf").alias("cf"))
+    total = vocab.agg(F.sum("cf").alias("t"))
+    return (
+        tf.join(vocab, "token")
+        .join(F.broadcast(total))
+        .groupBy("doc_id")
+        .agg(
+            F.sum("tf").cast("int").alias("n_tokens"),
+            F.round(
+                F.sum(
+                    F.col("tf")
+                    * -F.log(F.col("cf") / F.col("t").cast("double"))
+                )
+                / F.sum("tf"),
+                6,
+            ).alias("avg_nll"),
+        )
+    )
