@@ -137,3 +137,27 @@ def test_tfidf_no_cartesian(spark, sf_dir):
     # allowed; the top-k window itself must partition by doc_id.
     assert plan.count("Exchange SinglePartition") <= 1
     assert "Window" in plan and "hashpartitioning(doc_id" in plan
+
+
+def test_shipping_priority_pushes_and_takeordered(spark, sf_dir):
+    """Q3 shape: segment/date predicates reach the scans; the global
+    top-10 is TakeOrderedAndProject, never a full sort."""
+    df = QUERIES["shipping_priority"](spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan
+    assert "EqualTo(c_mktsegment,BUILDING)" in plan
+    assert "LessThan(o_orderdate" in plan
+    assert "GreaterThan(l_shipdate" in plan
+
+
+def test_local_supplier_volume_single_big_shuffle(spark, sf_dir):
+    """Q5 shape: every dim is broadcast; the only hashpartitioning
+    exchanges belong to the orderkey chain + final agg, so the cyclic
+    nation edge costs no extra shuffle."""
+    df = QUERIES["local_supplier_volume"](spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("BroadcastHashJoin") >= 3
+    import re
+
+    keys = re.findall(r"Exchange hashpartitioning\((\w+)", plan)
+    assert all(k in ("l_orderkey", "o_orderkey", "n_name", "nation") for k in keys), keys
