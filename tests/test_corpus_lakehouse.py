@@ -1,4 +1,5 @@
-"""End-to-end corpus lakehouse: JSONL crawl ingest (with quarantine) →
+"""End-to-end corpus lakehouse via extensions/corpus_ingest (the same
+function the corpus_ingest CLI job runs): JSONL crawl ingest (with quarantine) →
 quality gates + PII redaction → MERGE-upsert into a transactional
 corpus table → incremental second batch with re-deliveries → GDPR
 erasure. Ties sources/ingest, functions/text, functions/pii,
@@ -10,15 +11,13 @@ from __future__ import annotations
 import pytest
 from pyspark.sql import functions as F
 
+from urban_mobility_data_pipeline_spark.extensions.corpus_ingest import (
+    ingest_feed,
+)
 from urban_mobility_data_pipeline_spark.extensions.gdpr_corpus import (
     erase_document_ids,
 )
-from urban_mobility_data_pipeline_spark.functions import text as T
-from urban_mobility_data_pipeline_spark.functions.pii import redact_pii
 from urban_mobility_data_pipeline_spark.operators.merge import MergeTable
-from urban_mobility_data_pipeline_spark.sources.ingest import (
-    read_jsonl_quarantined,
-)
 
 SCHEMA = "doc_id long, text string, lang string"
 
@@ -36,23 +35,6 @@ BATCH_2 = [
 ]
 
 
-def _curate(good):
-    staged = good.select(
-        "doc_id", "lang", "text", T.words("text").alias("__w")
-    )
-    feats = T.quality_features("text", words_col=F.col("__w"))
-    return (
-        staged.select(
-            "doc_id",
-            "lang",
-            redact_pii("text").alias("text"),
-            feats["n_words"].alias("n_words"),
-            feats["stopword_ratio"].alias("stopword_ratio"),
-        )
-        .filter((F.col("n_words") >= 5) & (F.col("stopword_ratio") >= 0.05))
-    )
-
-
 @pytest.fixture
 def lake(spark, tmp_path):
     (tmp_path / "b1").mkdir()
@@ -65,28 +47,13 @@ def lake(spark, tmp_path):
 
 
 def _ingest(spark, path, corpus, quarantine):
-    good, bad = read_jsonl_quarantined(spark, path, SCHEMA)
-    curated = _curate(good)
-    if corpus.exists():
-        non_keys = [c for c in curated.columns if c != "doc_id"]
-        corpus.merge(
-            curated,
-            keys=["doc_id"],
-            update_set={c: F.col(f"s.{c}") for c in non_keys},
-            insert=True,
-        )
-    else:
-        corpus.create(curated)
-    if quarantine.exists():
-        quarantine.append(bad)
-    elif bad.count():
-        quarantine.create(bad)
-    return curated
+    return ingest_feed(spark, path, corpus, quarantine)
 
 
 def test_two_batch_ingest_upserts_and_gates(spark, lake):
     tmp_path, corpus, quarantine = lake
-    _ingest(spark, str(tmp_path / "b1"), corpus, quarantine)
+    counts = _ingest(spark, str(tmp_path / "b1"), corpus, quarantine)
+    assert counts == {"upserted": 2, "quarantined": 1}
     rows = {r.doc_id: r for r in corpus.read().collect()}
     assert set(rows) == {1, 2}  # doc 3 gated out, bad line quarantined
     assert "<EMAIL>" in rows[2].text and "alice@example.com" not in rows[2].text
@@ -122,3 +89,27 @@ def test_erasure_reaches_the_ingested_corpus(spark, lake):
     for f in glob.glob(str(tmp_path / "corpus" / "**" / "*.parquet"), recursive=True):
         with open(f, "rb") as fh:
             assert b"meeting notes" not in fh.read()
+
+
+def test_corpus_ingest_cli(spark, tmp_path):
+    """The corpus_ingest job drives the same loop through the CLI
+    dispatcher (injected session; scripts/run analogue)."""
+    from urban_mobility_data_pipeline_spark.run import main
+
+    (tmp_path / "feed").mkdir()
+    (tmp_path / "feed" / "f.jsonl").write_text("\n".join(BATCH_1) + "\n")
+    rc = main(
+        [
+            "corpus_ingest",
+            "--lake",
+            str(tmp_path / "lake"),
+            "--source",
+            str(tmp_path / "feed"),
+        ],
+        spark=spark,
+    )
+    assert rc == 0
+    docs = MergeTable(spark, str(tmp_path / "lake" / "corpus" / "documents"))
+    assert docs.read().count() == 2
+    q = MergeTable(spark, str(tmp_path / "lake" / "corpus" / "quarantine"))
+    assert q.read().count() == 1

@@ -1,0 +1,95 @@
+"""Corpus ingestion job: crawl feed → quarantine split → curation
+(quality gates + PII redaction) → MERGE upsert into the transactional
+corpus table (LLM-pipeline extension; the corpus-side analogue of the
+reference's bronze ingest scripts, ``src/bronze/trips_oltp_to_bronze.py``
+— but reading crawl JSONL/CSV instead of JDBC, and idempotent under
+feed re-delivery because the write is a keyed MERGE, not an append).
+
+Scale shape: the feed parse and every curation expression are map-only;
+the only shuffles are the MERGE's key join (file-pruned by the
+MergeTable log) and nothing else. Re-running the same feed is a no-op
+update, not duplicate rows.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from urban_mobility_data_pipeline_spark.functions import text as T
+from urban_mobility_data_pipeline_spark.functions.pii import redact_pii
+from urban_mobility_data_pipeline_spark.operators.merge import MergeTable
+from urban_mobility_data_pipeline_spark.sources.ingest import (
+    read_csv_quarantined,
+    read_jsonl_quarantined,
+)
+
+FEED_SCHEMA = "doc_id long, text string, lang string"
+
+#: Quality gates (same thresholds as documents_quality_filtered_corpus).
+MIN_WORDS = 5
+MAX_PUNCT_RATIO = 0.1
+MIN_STOPWORD_RATIO = 0.05
+
+
+def curate(good: DataFrame) -> DataFrame:
+    """Quality gates + PII redaction over parsed feed rows. Map-only:
+    the gates are pushable predicates, the redactor is a regexp chain,
+    and the tokenizer is staged so it runs once per row."""
+    staged = good.select(
+        "doc_id", "lang", "text", T.words("text").alias("__w")
+    )
+    feats = T.quality_features("text", words_col=F.col("__w"))
+    return staged.select(
+        "doc_id",
+        "lang",
+        redact_pii("text").alias("text"),
+        feats["n_words"].alias("n_words"),
+        feats["punct_ratio"].alias("punct_ratio"),
+        feats["stopword_ratio"].alias("stopword_ratio"),
+    ).filter(
+        (F.col("n_words") >= MIN_WORDS)
+        & (F.col("punct_ratio") <= MAX_PUNCT_RATIO)
+        & (F.col("stopword_ratio") >= MIN_STOPWORD_RATIO)
+    )
+
+
+def ingest_feed(
+    spark: SparkSession,
+    feed_path: str,
+    corpus: MergeTable,
+    quarantine: MergeTable,
+    fmt: str = "jsonl",
+    ddl_schema: str = FEED_SCHEMA,
+) -> dict[str, int]:
+    """One ingest cycle. Returns ``{"upserted": n, "quarantined": n}``.
+
+    Malformed records append to the quarantine table (dead letters are
+    kept, never dropped); curated rows MERGE on ``doc_id`` so feed
+    re-deliveries update in place."""
+    if fmt == "jsonl":
+        good, bad = read_jsonl_quarantined(spark, feed_path, ddl_schema)
+    elif fmt == "csv":
+        good, bad = read_csv_quarantined(spark, feed_path, ddl_schema)
+    else:
+        raise ValueError(f"unsupported feed format {fmt!r}")
+    curated = curate(good)
+    n_up = curated.count()
+    if corpus.exists():
+        non_keys = [c for c in curated.columns if c != "doc_id"]
+        corpus.merge(
+            curated,
+            keys=["doc_id"],
+            update_set={c: F.col(f"s.{c}") for c in non_keys},
+            insert=True,
+        )
+    else:
+        corpus.create(curated)
+    n_bad = bad.count()
+    if n_bad:
+        bad_stamped = bad.withColumn("feed_path", F.lit(feed_path))
+        if quarantine.exists():
+            quarantine.append(bad_stamped)
+        else:
+            quarantine.create(bad_stamped)
+    return {"upserted": n_up, "quarantined": n_bad}

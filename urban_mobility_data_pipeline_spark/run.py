@@ -170,6 +170,31 @@ def _corpus_erase_job(lake: J.Lakehouse, args) -> str:
     return f"corpus erasure ({len(ids)} subjects): {deleted}"
 
 
+def _corpus_ingest_job(lake: J.Lakehouse, args) -> str:
+    """Crawl-feed ingest into the corpus lakehouse: quarantine split →
+    quality gates + PII redaction → MERGE upsert (idempotent under feed
+    re-delivery). The corpus analogue of the <table>_bronze jobs."""
+    from urban_mobility_data_pipeline_spark.extensions.corpus_ingest import (
+        ingest_feed,
+    )
+    from urban_mobility_data_pipeline_spark.operators.merge import MergeTable
+
+    if not args.source:
+        raise SystemExit("corpus_ingest requires --source FEED_DIR")
+    root = args.corpus or os.path.join(args.lake, "corpus")
+    counts = ingest_feed(
+        lake.spark,
+        args.source,
+        corpus=MergeTable(lake.spark, os.path.join(root, "documents")),
+        quarantine=MergeTable(lake.spark, os.path.join(root, "quarantine")),
+        fmt=args.feed_format,
+    )
+    return (
+        f"corpus ingest: {counts['upserted']} upserted, "
+        f"{counts['quarantined']} quarantined"
+    )
+
+
 def _retention_job(lake: J.Lakehouse, args) -> str:
     J.run_retention(
         lake, bronze_days=args.bronze_days, silver_days=args.silver_days
@@ -198,6 +223,7 @@ def build_registry() -> dict:
     registry.update(_gold_jobs())
     registry["gdpr_propagate_erasure"] = _gdpr_job
     registry["corpus_erase"] = _corpus_erase_job
+    registry["corpus_ingest"] = _corpus_ingest_job
     registry["retention_cleanup"] = _retention_job
     registry["create_control_tables"] = _control_tables_job
     return registry
@@ -218,7 +244,8 @@ def main(argv: list[str] | None = None, spark=None) -> int:
     p.add_argument("--requests", help="erasure requests path (gdpr)")
     p.add_argument("--salt", help="fingerprint salt (gdpr)")
     p.add_argument("--ids", help="comma-separated doc ids (corpus_erase)")
-    p.add_argument("--corpus", help="corpus tables root (corpus_erase)")
+    p.add_argument("--corpus", help="corpus tables root (corpus_erase/_ingest)")
+    p.add_argument("--feed-format", default="jsonl", choices=["jsonl", "csv"])
     p.add_argument("--no-vacuum", action="store_true")
     p.add_argument("--bronze-days", type=int, default=30)
     p.add_argument("--silver-days", type=int, default=365)
