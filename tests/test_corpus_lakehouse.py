@@ -113,3 +113,35 @@ def test_corpus_ingest_cli(spark, tmp_path):
     assert docs.read().count() == 2
     q = MergeTable(spark, str(tmp_path / "lake" / "corpus" / "quarantine"))
     assert q.read().count() == 1
+
+
+def test_stream_ingest_is_exactly_once(spark, tmp_path):
+    """The streaming ingest twin: each run drains only yet-unseen feed
+    files (checkpointed offsets), re-deliveries in a later file update
+    in place, and a no-new-files run is a no-op."""
+    from urban_mobility_data_pipeline_spark.extensions.corpus_ingest import (
+        stream_ingest_feed,
+    )
+
+    feed = tmp_path / "feed"
+    feed.mkdir()
+    ckpt = str(tmp_path / "ckpt")
+    corpus = MergeTable(spark, str(tmp_path / "corpus"))
+    quarantine = MergeTable(spark, str(tmp_path / "quarantine"))
+
+    (feed / "b1.jsonl").write_text("\n".join(BATCH_1) + "\n")
+    stream_ingest_feed(spark, str(feed), corpus, quarantine, ckpt)
+    assert {r.doc_id for r in corpus.read().collect()} == {1, 2}
+    assert quarantine.read().count() == 1
+
+    (feed / "b2.jsonl").write_text("\n".join(BATCH_2) + "\n")
+    stream_ingest_feed(spark, str(feed), corpus, quarantine, ckpt)
+    rows = {r.doc_id: r for r in corpus.read().collect()}
+    assert set(rows) == {1, 2, 4}
+    assert "very lazy" in rows[1].text  # updated, not duplicated
+    assert corpus.read().filter(F.col("doc_id") == 1).count() == 1
+    # b1's lines were NOT reprocessed: quarantine still has one row
+    assert quarantine.read().count() == 1
+
+    stream_ingest_feed(spark, str(feed), corpus, quarantine, ckpt)
+    assert corpus.read().count() == 3

@@ -93,3 +93,61 @@ def ingest_feed(
         else:
             quarantine.create(bad_stamped)
     return {"upserted": n_up, "quarantined": n_bad}
+
+
+def stream_ingest_feed(
+    spark: SparkSession,
+    feed_dir: str,
+    corpus: MergeTable,
+    quarantine: MergeTable,
+    checkpoint: str,
+    ddl_schema: str = FEED_SCHEMA,
+) -> None:
+    """Continuous-ingest twin of :func:`ingest_feed`: a JSONL file
+    stream (``readStream`` + ``Trigger.AvailableNow``) drains every
+    yet-unseen feed file through the same curation into the same keyed
+    MERGE. The checkpoint tracks file offsets, so re-running processes
+    only NEW files — the corpus analogue of the mobility pipeline's
+    ``run_available_now`` incremental path, with exactly-once
+    file-source semantics replacing the timestamp watermark.
+
+    The quarantine split happens inside each micro-batch (the batch
+    frame is a plain DataFrame, so the corrupt-column filter needs no
+    second parse of the source)."""
+    from urban_mobility_data_pipeline_spark.sources.ingest import (
+        CORRUPT_COL,
+        _schema_with_corrupt,
+        _split,
+    )
+    from urban_mobility_data_pipeline_spark.streaming.incremental import (
+        run_available_now,
+    )
+
+    stream = (
+        spark.readStream.schema(_schema_with_corrupt(ddl_schema))
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", CORRUPT_COL)
+        .json(feed_dir)
+    )
+
+    def merge_batch(batch: DataFrame, batch_id: int) -> None:
+        good, bad = _split(batch)
+        curated = curate(good)
+        if corpus.exists():
+            non_keys = [c for c in curated.columns if c != "doc_id"]
+            corpus.merge(
+                curated,
+                keys=["doc_id"],
+                update_set={c: F.col(f"s.{c}") for c in non_keys},
+                insert=True,
+            )
+        elif not curated.isEmpty():
+            corpus.create(curated)
+        if not bad.isEmpty():
+            stamped = bad.withColumn("feed_path", F.lit(feed_dir))
+            if quarantine.exists():
+                quarantine.append(stamped)
+            else:
+                quarantine.create(stamped)
+
+    run_available_now(stream, checkpoint, merge_batch)
