@@ -117,3 +117,68 @@ def test_jaccard_bounds_and_symmetry(spark, sf_dir):
         assert r["jab"] == r["jba"]
         if r["ia"] == r["ib"]:
             assert r["jab"] == 1.0
+
+
+# PII injection: counts match injections, redaction removes them all.
+_pii_literals = {
+    "email": st.sampled_from(
+        ["alice@example.com", "b.ob+x@sub.dom.org", "z9@a-b.co"]
+    ),
+    "phone": st.sampled_from(["555-867-5309", "212.555.0100"]),
+    "ssn": st.sampled_from(["123-45-6789", "987-65-4321"]),
+    "ipv4": st.sampled_from(["10.0.0.1", "192.168.255.254"]),
+}
+_clean_word = st.sampled_from(
+    ["alpha", "bravo", "charlie", "delta", "echo", "fox", "golf", "hotel"]
+)
+_injections = st.lists(
+    st.tuples(st.sampled_from(sorted(_pii_literals)), st.integers(0, 7)),
+    min_size=0,
+    max_size=4,
+)
+
+
+@given(words=st.lists(_clean_word, min_size=1, max_size=8), inj=_injections)
+@settings(max_examples=25, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_pii_counts_match_injections(spark, words, inj):
+    """For any clean word salad with k PII literals spliced in at
+    arbitrary positions: every per-kind count equals the number of
+    injections of that kind, and redaction leaves no original literal
+    behind while preserving the clean words."""
+    import random
+
+    from urban_mobility_data_pipeline_spark.functions import pii
+
+    rnd = random.Random(42)
+    tokens = list(words)
+    injected: list[tuple[str, str]] = []
+    for kind, pos in inj:
+        # draw deterministically from the strategy's sample space
+        choices = {
+            "email": ["alice@example.com", "b.ob+x@sub.dom.org", "z9@a-b.co"],
+            "phone": ["555-867-5309", "212.555.0100"],
+            "ssn": ["123-45-6789", "987-65-4321"],
+            "ipv4": ["10.0.0.1", "192.168.255.254"],
+        }[kind]
+        lit = choices[rnd.randrange(len(choices))]
+        tokens.insert(min(pos, len(tokens)), lit)
+        injected.append((kind, lit))
+    text = " ".join(tokens)
+    df = spark.createDataFrame([(text,)], "text string")
+    counts = pii.pii_counts("text")
+    row = df.select(
+        *[c.alias(k) for k, c in counts.items()],
+        pii.redact_pii("text").alias("red"),
+    ).first()
+    from collections import Counter
+
+    want = Counter(kind for kind, _ in injected)
+    # ssn literals are also phone-shaped (ddd-dd-dddd vs ddd-ddd-dddd
+    # differ, so they are NOT double counted) — assert exact per kind
+    for kind in _pii_literals:
+        assert row[f"n_{kind}"] == want.get(kind, 0), (text, kind)
+    for _, lit in injected:
+        assert lit not in row.red, (text, lit)
+    for w in words:
+        assert w in row.red
