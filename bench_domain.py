@@ -29,6 +29,10 @@ Extra sections (VERDICT r4 items 3 and 6):
   incremental churn→silver→gold cycles; asserts the per-cycle latency
   stays flat (last ≤ 1.6 × first) — the materialized-rounds /
   file-pruned-MERGE design must not accrete per-cycle cost.
+- ``--corpus``: corpus-lakehouse throughput — a 50k-doc synthetic crawl
+  feed (deterministic word salad, ~1% dups, ~1% PII, ~0.5% malformed)
+  through ingest (quarantine+gates+redaction+MERGE), a 10% incremental
+  cycle, and the gates→dedup→packing manifest over the stored corpus.
 - ``--all``: run every section and write the committed
   ``BENCH_DOMAIN_r{N}.json`` artifact.
 """
@@ -460,12 +464,14 @@ def main() -> int:
     spark.sparkContext.setLogLevel("WARN")
 
     sections: dict[str, dict] = {}
-    if run_all or not (args & {"--skew", "--soak"}):
+    if run_all or not (args & {"--skew", "--soak", "--corpus"}):
         sections["anchor"] = run_anchor(spark)
     if run_all or "--skew" in args:
         sections["skew"] = run_skew(spark)
     if run_all or "--soak" in args:
         sections["soak"] = run_soak(spark)
+    if run_all or "--corpus" in args:
+        sections["corpus"] = run_corpus(spark)
 
     for payload in sections.values():
         print(json.dumps(payload))
@@ -484,6 +490,132 @@ def main() -> int:
             f.write("\n")
     spark.stop()
     return 0
+
+
+# ---------------------------------------------------------------------------
+# corpus section: feed ingest → curation → manifest throughput
+# ---------------------------------------------------------------------------
+N_DOCS = 50_000
+
+
+def _gen_feed(spark: SparkSession, path: str, n: int, id_offset: int = 0,
+              files: int = 8) -> None:
+    """Deterministic synthetic crawl feed: word-salad text (seeded from
+    the doc id, no RNG), ~1% exact dups, ~1% PII-bearing lines, ~0.5%
+    malformed lines — written as JSONL shards."""
+    words = F.array(*[F.lit(w) for w in (
+        "the", "data", "spark", "merge", "corpus", "table", "join",
+        "filter", "window", "batch", "stream", "quality", "token", "a",
+        "in", "is", "scan",
+    )])
+    base = spark.range(id_offset, id_offset + n).select(
+        F.col("id").alias("doc_id"),
+        F.concat_ws(
+            " ",
+            F.transform(
+                F.sequence(F.lit(1), F.lit(24)),
+                lambda i: F.element_at(
+                    words,
+                    (F.pmod(F.xxhash64(F.col("id") * 31 + i), F.lit(17)) + 1)
+                    .cast("int"),
+                ),
+            ),
+        ).alias("text"),
+    )
+    doc = base.select(
+        "doc_id",
+        F.when(  # ~1% exact dups: clone doc 0's text
+            F.pmod("doc_id", F.lit(100)) == 7, F.lit("the data spark merge")
+        )
+        .when(  # ~1% PII injections
+            F.pmod("doc_id", F.lit(100)) == 13,
+            F.concat(F.col("text"), F.lit(" contact bob@example.com now")),
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+        F.lit("en").alias("lang"),
+    )
+    line = F.when(
+        F.pmod("doc_id", F.lit(200)) == 19, F.lit("{malformed json")
+    ).otherwise(F.to_json(F.struct("doc_id", "text", "lang")))
+    doc.select(line.alias("value")).coalesce(files).write.mode(
+        "overwrite"
+    ).text(path)
+
+
+def run_corpus(spark: SparkSession) -> dict:
+    """Corpus lakehouse throughput: 50k-doc feed ingest (quarantine +
+    gates + PII redaction + MERGE), a 10% redelivery/new-docs second
+    cycle, then the gates→dedup→packing manifest over the stored
+    corpus."""
+    from urban_mobility_data_pipeline_spark.extensions.corpus_ingest import (
+        ingest_feed,
+    )
+    from urban_mobility_data_pipeline_spark.operators.merge import MergeTable
+    from urban_mobility_data_pipeline_spark.functions import text as T
+
+    root = tempfile.mkdtemp(prefix="umdp_corpus_bench_")
+    stages: dict[str, float] = {}
+    counts: dict[str, int] = {}
+    try:
+        _gen_feed(spark, os.path.join(root, "feed1"), N_DOCS)
+        _gen_feed(
+            spark, os.path.join(root, "feed2"), N_DOCS // 10,
+            id_offset=N_DOCS - N_DOCS // 20,  # half redelivery, half new
+        )
+        corpus = MergeTable(spark, os.path.join(root, "corpus"))
+        quarantine = MergeTable(spark, os.path.join(root, "quarantine"))
+
+        t = time.time()
+        counts["ingest1"] = ingest_feed(
+            spark, os.path.join(root, "feed1"), corpus, quarantine
+        )["upserted"]
+        stages["ingest_50k"] = round(time.time() - t, 3)
+
+        t = time.time()
+        counts["ingest2"] = ingest_feed(
+            spark, os.path.join(root, "feed2"), corpus, quarantine
+        )["upserted"]
+        stages["incremental_5k"] = round(time.time() - t, 3)
+
+        t = time.time()
+        docs = corpus.read()
+        reps = docs.groupBy(F.md5("text")).agg(F.min("doc_id").alias("doc_id"))
+        clean = docs.join(reps.select("doc_id"), "doc_id").select(
+            "doc_id",
+            (
+                F.conv(
+                    F.substring(F.md5(F.col("doc_id").cast("string")), 1, 4),
+                    16, 10,
+                ).cast("int") % 32
+            ).alias("shard"),
+            T.whitespace_token_count("text").cast("int").alias("n_tokens"),
+        )
+        from pyspark.sql import Window
+
+        w = (
+            Window.partitionBy("shard").orderBy("doc_id")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        manifest = clean.select(
+            "doc_id", "shard", "n_tokens",
+            F.floor((F.sum("n_tokens").over(w) - F.col("n_tokens")) / 2048)
+            .cast("int").alias("bin"),
+        )
+        counts["manifest_rows"] = manifest.count()
+        stages["manifest"] = round(time.time() - t, 3)
+
+        total = round(sum(stages.values()), 3)
+        return {
+            "metric": "corpus_wall_sec",
+            "value": total,
+            "unit": "sec",
+            "stages": stages,
+            "counts": counts,
+            "docs_per_sec": round(N_DOCS / max(stages["ingest_50k"], 1e-9), 1),
+        }
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
 
 
 if __name__ == "__main__":
