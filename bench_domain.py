@@ -525,7 +525,8 @@ def _gen_feed(spark: SparkSession, path: str, n: int, id_offset: int = 0,
     doc = base.select(
         "doc_id",
         F.when(  # ~1% exact dups: clone doc 0's text
-            F.pmod("doc_id", F.lit(100)) == 7, F.lit("the data spark merge")
+            F.pmod("doc_id", F.lit(100)) == 7,
+            F.lit("the data spark merge table scan in a batch row")
         )
         .when(  # ~1% PII injections
             F.pmod("doc_id", F.lit(100)) == 13,
@@ -567,15 +568,17 @@ def run_corpus(spark: SparkSession) -> dict:
         quarantine = MergeTable(spark, os.path.join(root, "quarantine"))
 
         t = time.time()
-        counts["ingest1"] = ingest_feed(
-            spark, os.path.join(root, "feed1"), corpus, quarantine
-        )["upserted"]
+        r1 = ingest_feed(spark, os.path.join(root, "feed1"), corpus, quarantine)
+        counts["ingest1"] = r1["upserted"]
         stages["ingest_50k"] = round(time.time() - t, 3)
+        # the malformed-line schedule is deterministic (id % 200 == 19):
+        # every dead letter must land in quarantine, none silently drop
+        want_bad = sum(1 for i in range(N_DOCS) if i % 200 == 19)
+        assert r1["quarantined"] == want_bad, (r1["quarantined"], want_bad)
 
         t = time.time()
-        counts["ingest2"] = ingest_feed(
-            spark, os.path.join(root, "feed2"), corpus, quarantine
-        )["upserted"]
+        r2 = ingest_feed(spark, os.path.join(root, "feed2"), corpus, quarantine)
+        counts["ingest2"] = r2["upserted"]
         stages["incremental_5k"] = round(time.time() - t, 3)
 
         t = time.time()
@@ -604,6 +607,8 @@ def run_corpus(spark: SparkSession) -> dict:
         )
         counts["manifest_rows"] = manifest.count()
         stages["manifest"] = round(time.time() - t, 3)
+        # dedup must have collapsed the planted exact-dup clique
+        assert counts["manifest_rows"] < corpus.read().count()
 
         total = round(sum(stages.values()), 3)
         return {
