@@ -85,7 +85,8 @@ FLAGSHIP = "pricing_summary"
 # freed slots. streaming_corpus_quality_gate (real readStream, second
 # streaming oracle row), corpus_vocabulary, doc_top_tfidf_terms,
 # documents_token_packing, documents_chunked, corpus_source_quality and
-# embedding_int8_quantized and doc_unigram_surprisal stay
+# embedding_int8_quantized, doc_unigram_surprisal and
+# cross_modal_dedup_agreement stay
 # pytest+bench-covered — first in line
 # for the round-6 rotation. corpus_training_manifest (the composed
 # gates→dedup→packing end product) takes dedup_exact_docs's slot: exact

@@ -1754,3 +1754,65 @@ def doc_unigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("avg_nll"),
         )
     )
+
+
+
+# ---------------------------------------------------------------------------
+# cross-modal dedup agreement (text pairs vs embedding pairs)
+# ---------------------------------------------------------------------------
+def _cross_modal_oracle() -> str:
+    text_sql = ORACLES["doc_near_dup_pairs"]
+    emb_sql = ORACLES["embedding_near_dup_pairs"]
+    return f"""
+    WITH t AS (SELECT * FROM ({text_sql}) x),
+    e AS (SELECT * FROM ({emb_sql}) y)
+    SELECT coalesce(t.doc_a, e.vec_a) AS doc_a,
+           coalesce(t.doc_b, e.vec_b) AS doc_b,
+           t.jaccard,
+           e.cosine,
+           CASE WHEN t.doc_a IS NOT NULL AND e.vec_a IS NOT NULL THEN 'both'
+                WHEN t.doc_a IS NOT NULL THEN 'text_only'
+                ELSE 'embedding_only' END AS detected_by
+    FROM t FULL OUTER JOIN e
+      ON t.doc_a = e.vec_a AND t.doc_b = e.vec_b
+    """
+
+
+@register("cross_modal_dedup_agreement", oracle=_cross_modal_oracle())
+def cross_modal_dedup_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-modal dedup audit: full-outer join of the n-gram-Jaccard
+    near-dup pairs and the embedding-cosine near-dup pairs (doc ids and
+    vec ids share the key space). 'text_only' rows are surface dups the
+    embedding missed (paraphrase-blind embeddings, stale vectors);
+    'embedding_only' rows are semantic dups with low lexical overlap —
+    exactly the disagreement set a curation team reviews before picking
+    thresholds. Both inputs are the already-audited bucketed pipelines;
+    the join keys are tiny (id, id) pairs."""
+    from urban_mobility_data_pipeline_spark.extensions.dedup import (
+        near_dup_pairs,
+    )
+    from urban_mobility_data_pipeline_spark.extensions.similarity import (
+        embedding_near_dup_pairs,
+    )
+
+    docs = table(spark, sf_dir, "documents")
+    emb = table(spark, sf_dir, "embeddings")
+    t = near_dup_pairs(docs, threshold=0.1)
+    e = embedding_near_dup_pairs(emb, dim=_EMB_DIM, threshold=0.35)
+    joined = t.join(
+        e,
+        (t["doc_a"] == e["vec_a"]) & (t["doc_b"] == e["vec_b"]),
+        "full_outer",
+    )
+    return joined.select(
+        F.coalesce(t["doc_a"], e["vec_a"]).alias("doc_a"),
+        F.coalesce(t["doc_b"], e["vec_b"]).alias("doc_b"),
+        "jaccard",
+        "cosine",
+        F.when(
+            t["doc_a"].isNotNull() & e["vec_a"].isNotNull(), F.lit("both")
+        )
+        .when(t["doc_a"].isNotNull(), F.lit("text_only"))
+        .otherwise(F.lit("embedding_only"))
+        .alias("detected_by"),
+    )
