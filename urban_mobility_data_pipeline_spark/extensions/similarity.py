@@ -177,10 +177,11 @@ def ivf_centroids(
 ) -> DataFrame:
     """IVF coarse quantizer centroids as per-partition-key mean vectors.
 
-    A real deployment trains k-means; here the deterministic stand-in is
-    the mean per existing label (or any clustering column) — the IVF
-    *mechanics* (cell assignment, inverted-list pruning) are identical
-    and that's what the engine layer owns. Output: (cell, centroid).
+    The oracle-friendly deterministic quantizer: the mean per existing
+    label (or any clustering column) — the IVF *mechanics* (cell
+    assignment, inverted-list pruning) are identical either way. The
+    production training path is :func:`train_kmeans_centroids` (Spark
+    ML k-means); both emit the same (cell, centroid) contract.
     """
     dim_probe = F.size(F.col(vec_col))
     exploded = embeddings.select(
@@ -260,3 +261,40 @@ def ivf_topk(
         id_col, vec_col
     )
     return cosine_topk(candidates, query_vec_id, k, id_col, vec_col)
+
+
+def train_kmeans_centroids(
+    embeddings: DataFrame,
+    k: int = 10,
+    seed: int = 7,
+    max_iter: int = 20,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """REAL IVF coarse-quantizer training: Spark ML k-means over the
+    embedding column (``ivf_centroids``'s label-mean stand-in documents
+    the mechanics; this is the production path its docstring promises).
+
+    ``array_to_vector`` bridges the ``array<float>`` storage layout to
+    ML's vector type without leaving the JVM; training is MLlib's
+    distributed Lloyd's (k-means|| init, seeded — same data + seed
+    reproduces the same model). Output matches :func:`ivf_centroids`:
+    ``(cell, centroid array<double>)``, directly consumable by
+    ``ivf_assign`` / ``ivf_topk``."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    feats = embeddings.select(
+        F.col(id_col),
+        array_to_vector(
+            F.transform(F.col(vec_col), lambda x: x.cast("double"))
+        ).alias("__features"),
+    )
+    model = KMeans(
+        k=k, seed=seed, maxIter=max_iter, featuresCol="__features"
+    ).fit(feats)
+    spark = embeddings.sparkSession
+    rows = [
+        (i, [float(x) for x in c]) for i, c in enumerate(model.clusterCenters())
+    ]
+    return spark.createDataFrame(rows, "cell int, centroid array<double>")
