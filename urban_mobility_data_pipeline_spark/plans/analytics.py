@@ -12,7 +12,11 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from urban_mobility_data_pipeline_spark.plans._helpers import date_str, table
+from urban_mobility_data_pipeline_spark.plans._helpers import (
+    date_str,
+    event_time,
+    table,
+)
 
 QUERIES: dict = {}
 ORACLES: dict[str, str] = {}
@@ -921,4 +925,125 @@ def local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
         ).alias("revenue"),
         F.count(F.lit(1)).alias("n_lineitems"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# retention cohorts (first-seen day x weeks-since)
+# ---------------------------------------------------------------------------
+@register(
+    "user_retention_cohorts",
+    oracle="""
+    WITH days AS (
+        SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events
+    ),
+    cohort AS (SELECT user_id, min(d) AS c FROM days GROUP BY user_id)
+    SELECT strftime(cohort.c, '%Y-%m-%d') AS cohort_date,
+           CAST((days.d - cohort.c) // 7 AS INTEGER) AS week_offset,
+           count(DISTINCT days.user_id) AS n_users
+    FROM days JOIN cohort ON days.user_id = cohort.user_id
+    GROUP BY 1, 2
+    """,
+)
+def user_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retention cohort matrix: users grouped by first-seen day, counted
+    per week-offset of later activity — the activation/retention table
+    behind every growth dashboard. (user, day) pairs are distinct'd
+    first (the corpus-scale reduction: raw events collapse map-side to
+    at most users × days rows), the per-user cohort min is a second
+    user-keyed agg, and the join back is co-partitioned on user_id —
+    Catalyst reuses the hash partitioning, no extra exchange."""
+    ev = table(spark, sf_dir, "events")
+    days = ev.select(
+        "user_id", F.to_date(event_time()).alias("d")
+    ).distinct()
+    cohort = days.groupBy("user_id").agg(F.min("d").alias("c"))
+    joined = days.join(cohort, "user_id")
+    return joined.groupBy(
+        date_str(F.col("c"), "yyyy-MM-dd").alias("cohort_date"),
+        F.floor(F.datediff(F.col("d"), F.col("c")) / 7)
+        .cast("int")
+        .alias("week_offset"),
+    ).agg(F.countDistinct("user_id").alias("n_users"))
+
+
+# ---------------------------------------------------------------------------
+# ordered conversion funnel (signup → view → purchase)
+# ---------------------------------------------------------------------------
+@register(
+    "events_conversion_funnel",
+    oracle="""
+    WITH s AS (
+        SELECT user_id, min(epoch_us(ts)) AS t0 FROM events
+        WHERE event_type = 'signup' GROUP BY user_id
+    ),
+    v AS (
+        SELECT e.user_id, min(epoch_us(e.ts)) AS t1
+        FROM events e JOIN s ON e.user_id = s.user_id
+        WHERE e.event_type = 'view' AND epoch_us(e.ts) > s.t0
+        GROUP BY e.user_id
+    ),
+    p AS (
+        SELECT e.user_id, min(epoch_us(e.ts)) AS t2
+        FROM events e JOIN v ON e.user_id = v.user_id
+        WHERE e.event_type = 'purchase' AND epoch_us(e.ts) > v.t1
+        GROUP BY e.user_id
+    )
+    SELECT (SELECT count(*) FROM s) AS n_signed_up,
+           (SELECT count(*) FROM v) AS n_viewed_after,
+           (SELECT count(*) FROM p) AS n_purchased_after,
+           round((SELECT count(*) FROM v)
+                 / CAST(greatest((SELECT count(*) FROM s), 1) AS DOUBLE), 6)
+               AS view_rate,
+           round((SELECT count(*) FROM p)
+                 / CAST(greatest((SELECT count(*) FROM v), 1) AS DOUBLE), 6)
+               AS purchase_rate
+    """,
+)
+def events_conversion_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Strictly-ordered conversion funnel: first signup, first view
+    AFTER that signup, first purchase AFTER that view — the exact
+    (not min-time-approximate) funnel, as three user-keyed min-aggs
+    chained by co-partitioned joins. Every stage shrinks the frame
+    (events → users), so the expensive table is touched once per step
+    with the event_type filter pushed into each scan."""
+    ev = table(spark, sf_dir, "events")
+    s = (
+        ev.filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min("ts_us").alias("t0"))
+    )
+    v = (
+        ev.filter(F.col("event_type") == "view")
+        .join(s, "user_id")
+        .filter(F.col("ts_us") > F.col("t0"))
+        .groupBy("user_id")
+        .agg(F.min("ts_us").alias("t1"))
+    )
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(v, "user_id")
+        .filter(F.col("ts_us") > F.col("t1"))
+        .groupBy("user_id")
+        .agg(F.min("ts_us").alias("t2"))
+    )
+    counts = (
+        s.agg(F.count(F.lit(1)).alias("n_signed_up"))
+        .join(v.agg(F.count(F.lit(1)).alias("n_viewed_after")))
+        .join(p.agg(F.count(F.lit(1)).alias("n_purchased_after")))
+    )
+    return counts.select(
+        "n_signed_up",
+        "n_viewed_after",
+        "n_purchased_after",
+        F.round(
+            F.col("n_viewed_after")
+            / F.greatest(F.col("n_signed_up"), F.lit(1)).cast("double"),
+            6,
+        ).alias("view_rate"),
+        F.round(
+            F.col("n_purchased_after")
+            / F.greatest(F.col("n_viewed_after"), F.lit(1)).cast("double"),
+            6,
+        ).alias("purchase_rate"),
     )

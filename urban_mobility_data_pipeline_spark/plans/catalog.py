@@ -86,7 +86,8 @@ FLAGSHIP = "pricing_summary"
 # streaming oracle row), corpus_vocabulary, doc_top_tfidf_terms,
 # documents_token_packing, documents_chunked, corpus_source_quality and
 # embedding_int8_quantized, doc_unigram_surprisal and
-# cross_modal_dedup_agreement stay
+# cross_modal_dedup_agreement, user_retention_cohorts and
+# events_conversion_funnel stay
 # pytest+bench-covered — first in line
 # for the round-6 rotation. corpus_training_manifest (the composed
 # gates→dedup→packing end product) takes dedup_exact_docs's slot: exact
