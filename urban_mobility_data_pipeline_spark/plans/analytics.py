@@ -1047,3 +1047,50 @@ def events_conversion_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("purchase_rate"),
     )
+
+
+# ---------------------------------------------------------------------------
+# event-type transition matrix (per-user sequence bigrams)
+# ---------------------------------------------------------------------------
+@register(
+    "event_type_transitions",
+    oracle="""
+    WITH seq AS (
+        SELECT user_id, event_type,
+               lead(event_type) OVER (
+                   PARTITION BY user_id
+                   ORDER BY epoch_us(ts), event_id
+               ) AS next_type
+        FROM events
+    )
+    SELECT event_type AS from_type,
+           next_type AS to_type,
+           count(*) AS n,
+           count(DISTINCT user_id) AS n_users
+    FROM seq
+    WHERE next_type IS NOT NULL
+    GROUP BY 1, 2
+    """,
+)
+def event_type_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user event-sequence transition matrix (behavioral bigrams):
+    one user-partitioned lead() window pass — a single hash shuffle on
+    user_id, per-partition sort, no self-join — then a tiny
+    (|types|²)-group rollup that partial-aggs map-side. The event_id
+    tiebreak makes simultaneous events deterministic in both engines."""
+    from pyspark.sql import Window
+
+    ev = table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    seq = ev.select(
+        "user_id",
+        "event_type",
+        F.lead("event_type").over(w).alias("next_type"),
+    ).filter(F.col("next_type").isNotNull())
+    return seq.groupBy(
+        F.col("event_type").alias("from_type"),
+        F.col("next_type").alias("to_type"),
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.countDistinct("user_id").alias("n_users"),
+    )

@@ -1816,3 +1816,107 @@ def cross_modal_dedup_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.lit("embedding_only"))
         .alias("detected_by"),
     )
+
+
+# ---------------------------------------------------------------------------
+# fuzzy dedup with keep-best policy (quality-ranked representative)
+# ---------------------------------------------------------------------------
+@register(
+    "documents_fuzzy_dedup_keep_best",
+    oracle=f"""
+    WITH RECURSIVE
+    sh AS (SELECT doc_id, {_SHINGLES} AS shingles FROM documents),
+    sigs AS (SELECT doc_id, {_MH_COLS_SQL} FROM sh),
+    keys AS (
+{_BAND_SELECTS}
+    ),
+    cands AS (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM keys a JOIN keys b
+          ON a.band_id = b.band_id AND a.band_key = b.band_key
+         AND a.doc_id < b.doc_id
+    ),
+    verified AS (
+        SELECT c.doc_a, c.doc_b
+        FROM cands c
+        JOIN sh sa ON sa.doc_id = c.doc_a
+        JOIN sh sb ON sb.doc_id = c.doc_b
+        WHERE len(list_filter(sa.shingles, x -> list_contains(sb.shingles, x)))
+              / CAST(len(sa.shingles) + len(sb.shingles)
+                     - len(list_filter(sa.shingles,
+                                       x -> list_contains(sb.shingles, x)))
+                     AS DOUBLE) >= 0.1
+    ),
+    edges AS (
+        SELECT doc_a AS src, doc_b AS dst FROM verified
+        UNION ALL
+        SELECT doc_b, doc_a FROM verified
+    ),
+    reach(node, lab) AS (
+        SELECT doc_id, doc_id FROM documents
+        UNION
+        SELECT e.dst, r.lab FROM reach r JOIN edges e ON e.src = r.node
+    ),
+    comp AS (SELECT node AS doc_id, MIN(lab) AS cluster_id
+             FROM reach GROUP BY node),
+    q AS (SELECT doc_id, CAST(len({_WORDS}) AS INTEGER) AS n_words
+          FROM documents),
+    ranked AS (
+        SELECT c.doc_id, c.cluster_id, q.n_words,
+               row_number() OVER (
+                   PARTITION BY c.cluster_id
+                   ORDER BY q.n_words DESC, c.doc_id ASC
+               ) AS rk,
+               CAST(count(*) OVER (PARTITION BY c.cluster_id) AS BIGINT)
+                   AS cluster_size
+        FROM comp c JOIN q ON q.doc_id = c.doc_id
+    )
+    SELECT doc_id, n_words, cluster_size
+    FROM ranked WHERE rk = 1
+    """,
+)
+def documents_fuzzy_dedup_keep_best(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Fuzzy dedup with the KEEP-BEST policy production pipelines
+    actually use: same LSH→verify→connected-components clustering as
+    documents_fuzzy_dedup_corpus, but the surviving representative is
+    the highest-quality member (longest doc, doc_id tiebreak) rather
+    than the smallest id — near-duplicate crawls usually contain one
+    full article and several truncated copies, and min-id keeps
+    whichever arrived first. One label-partitioned window ranks each
+    cluster; clusters are tiny, so the window state is bounded."""
+    from pyspark.sql import Window
+
+    from urban_mobility_data_pipeline_spark.extensions.dedup import (
+        connected_components,
+    )
+
+    docs = table(spark, sf_dir, "documents")
+    pairs = near_dup_pairs(docs, threshold=0.1)
+    labels = connected_components(pairs, docs, algorithm="auto")
+    quality = docs.select(
+        "doc_id", T.whitespace_token_count("text").cast("int").alias("n_words")
+    )
+    ranked = (
+        labels.select(F.col("node").alias("doc_id"), "label")
+        .join(quality, "doc_id")
+        .select(
+            "doc_id",
+            "label",
+            "n_words",
+            F.row_number()
+            .over(
+                Window.partitionBy("label").orderBy(
+                    F.col("n_words").desc(), F.col("doc_id").asc()
+                )
+            )
+            .alias("rk"),
+            F.count(F.lit(1))
+            .over(Window.partitionBy("label"))
+            .alias("cluster_size"),
+        )
+    )
+    return ranked.filter(F.col("rk") == 1).select(
+        "doc_id", "n_words", "cluster_size"
+    )
