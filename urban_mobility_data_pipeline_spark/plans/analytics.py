@@ -950,9 +950,11 @@ def user_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
     per week-offset of later activity — the activation/retention table
     behind every growth dashboard. (user, day) pairs are distinct'd
     first (the corpus-scale reduction: raw events collapse map-side to
-    at most users × days rows), the per-user cohort min is a second
-    user-keyed agg, and the join back is co-partitioned on user_id —
-    Catalyst reuses the hash partitioning, no extra exchange."""
+    at most users × days rows); the per-user cohort min re-keys that
+    small frame to user_id, and the join back broadcasts when the
+    cohort table fits (AQE) or sort-merges on the shared user_id key
+    otherwise — either way only reduced frames move, never raw
+    events."""
     ev = table(spark, sf_dir, "events")
     days = ev.select(
         "user_id", F.to_date(event_time()).alias("d")
