@@ -1096,3 +1096,100 @@ def event_type_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n"),
         F.countDistinct("user_id").alias("n_users"),
     )
+
+
+# ---------------------------------------------------------------------------
+# market-basket part affinity (within-order co-occurrence pairs)
+# ---------------------------------------------------------------------------
+BASKET_MIN_ORDERS = 2
+
+
+@register(
+    "part_basket_affinity",
+    oracle=f"""
+    WITH items AS (
+        SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+    )
+    SELECT a.l_partkey AS part_a,
+           b.l_partkey AS part_b,
+           count(*) AS n_orders
+    FROM items a JOIN items b
+      ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+    GROUP BY 1, 2
+    HAVING count(*) >= {BASKET_MIN_ORDERS}
+    """,
+)
+def part_basket_affinity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket co-occurrence: part pairs bought together in >=
+    {m} orders. The self-join key is the orderkey, so pair generation
+    is O(Σ basket²) per order — baskets are bounded (TPC-H ~4 lines),
+    never a corpus cross product — and the (order, part) frame is
+    distinct'd first so multi-line quantities don't inflate counts.
+    The same shape at 100 TB co-partitions both sides on l_orderkey:
+    one shuffle, local pair expansion, map-side-combined rollup."""
+    li = table(spark, sf_dir, "lineitem")
+    items = li.select("l_orderkey", "l_partkey").distinct()
+    a = items.select(
+        F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("part_a")
+    )
+    b = items.select(
+        F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("part_b")
+    )
+    pairs = a.join(b, "ok").filter(F.col("part_a") < F.col("part_b"))
+    return (
+        pairs.groupBy("part_a", "part_b")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+        .filter(F.col("n_orders") >= BASKET_MIN_ORDERS)
+    )
+
+
+part_basket_affinity.__doc__ = part_basket_affinity.__doc__.format(
+    m=BASKET_MIN_ORDERS
+)
+
+
+# ---------------------------------------------------------------------------
+# error-burst detection (windowed error-rate threshold)
+# ---------------------------------------------------------------------------
+@register(
+    "events_error_bursts",
+    oracle="""
+    WITH buckets AS (
+        SELECT strftime(time_bucket(INTERVAL '1 hour', ts),
+                        '%Y-%m-%d %H:%M:%S') AS window_start,
+               count(*) AS n_events,
+               CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_errors
+        FROM events GROUP BY 1
+    )
+    SELECT window_start, n_events, n_errors,
+           round(n_errors / CAST(n_events AS DOUBLE), 6) AS error_rate
+    FROM buckets
+    WHERE n_errors / CAST(n_events AS DOUBLE) > 0.25
+    """,
+)
+def events_error_bursts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Operational burst detection: hourly buckets whose error fraction
+    exceeds 25% — the alerting query an on-call pages on. One
+    bucket-keyed aggregation with conditional counts (partial agg
+    map-side); the rate filter runs post-agg on the tiny bucket
+    frame."""
+    ev = table(spark, sf_dir, "events")
+    buckets = ev.groupBy(
+        date_str(
+            F.date_trunc("hour", event_time()), "yyyy-MM-dd HH:mm:ss"
+        ).alias("window_start")
+    ).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(
+            F.when(F.col("event_type") == "error", 1).otherwise(0)
+        ).alias("n_errors"),
+    )
+    return buckets.select(
+        "window_start",
+        "n_events",
+        "n_errors",
+        F.round(
+            F.col("n_errors") / F.col("n_events").cast("double"), 6
+        ).alias("error_rate"),
+    ).filter(F.col("n_errors") / F.col("n_events").cast("double") > 0.25)

@@ -88,7 +88,8 @@ FLAGSHIP = "pricing_summary"
 # embedding_int8_quantized, doc_unigram_surprisal and
 # cross_modal_dedup_agreement, user_retention_cohorts and
 # events_conversion_funnel, event_type_transitions and
-# documents_fuzzy_dedup_keep_best stay
+# documents_fuzzy_dedup_keep_best, part_basket_affinity and
+# events_error_bursts stay
 # pytest+bench-covered — first in line
 # for the round-6 rotation. corpus_training_manifest (the composed
 # gates→dedup→packing end product) takes dedup_exact_docs's slot: exact
