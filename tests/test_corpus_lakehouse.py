@@ -145,3 +145,22 @@ def test_stream_ingest_is_exactly_once(spark, tmp_path):
 
     stream_ingest_feed(spark, str(feed), corpus, quarantine, ckpt)
     assert corpus.read().count() == 3
+
+
+def test_empty_feed_is_harmless(spark, tmp_path):
+    """An ingest cycle over a feed with no parseable rows must not
+    corrupt the corpus: zero upserts, zero quarantine rows, and a
+    subsequent real batch proceeds normally."""
+    feed = tmp_path / "feed"
+    feed.mkdir()
+    (feed / "empty.jsonl").write_text("")
+    corpus = MergeTable(spark, str(tmp_path / "corpus"))
+    quarantine = MergeTable(spark, str(tmp_path / "quarantine"))
+    counts = ingest_feed(spark, str(feed), corpus, quarantine)
+    assert counts == {"upserted": 0, "quarantined": 0}
+    assert not quarantine.exists()
+
+    (feed / "b1.jsonl").write_text("\n".join(BATCH_1) + "\n")
+    counts = ingest_feed(spark, str(feed), corpus, quarantine)
+    assert counts["upserted"] == 2
+    assert corpus.read().count() == 2

@@ -19,7 +19,7 @@ from pyspark.sql import functions as F
 from urban_mobility_data_pipeline_spark.functions import text as T
 from urban_mobility_data_pipeline_spark.functions.pii import redact_pii
 from urban_mobility_data_pipeline_spark.operators.merge import MergeTable
-from urban_mobility_data_pipeline_spark.sources.ingest import (
+from urban_mobility_data_pipeline_spark.sources.ingest import (  # noqa: F401
     read_csv_quarantined,
     read_jsonl_quarantined,
 )
@@ -66,33 +66,54 @@ def ingest_feed(
 
     Malformed records append to the quarantine table (dead letters are
     kept, never dropped); curated rows MERGE on ``doc_id`` so feed
-    re-deliveries update in place."""
+    re-deliveries update in place.
+
+    The parse is persisted for THIS cycle only and unpersisted before
+    returning: Spark caches by logical plan, so a reader-held cache
+    would make a second cycle over the same (grown) feed directory see
+    the first cycle's stale file listing."""
+    from pyspark import StorageLevel
+
+    from urban_mobility_data_pipeline_spark.sources.ingest import (
+        CORRUPT_COL,
+        parse_csv,
+        parse_jsonl,
+    )
+
     if fmt == "jsonl":
-        good, bad = read_jsonl_quarantined(spark, feed_path, ddl_schema)
+        parsed = parse_jsonl(spark, feed_path, ddl_schema)
     elif fmt == "csv":
-        good, bad = read_csv_quarantined(spark, feed_path, ddl_schema)
+        parsed = parse_csv(spark, feed_path, ddl_schema)
     else:
         raise ValueError(f"unsupported feed format {fmt!r}")
-    curated = curate(good)
-    n_up = curated.count()
-    if corpus.exists():
-        non_keys = [c for c in curated.columns if c != "doc_id"]
-        corpus.merge(
-            curated,
-            keys=["doc_id"],
-            update_set={c: F.col(f"s.{c}") for c in non_keys},
-            insert=True,
+    parsed = parsed.persist(StorageLevel.MEMORY_AND_DISK)
+    try:
+        good = parsed.filter(F.col(CORRUPT_COL).isNull()).drop(CORRUPT_COL)
+        bad = parsed.filter(F.col(CORRUPT_COL).isNotNull()).select(
+            F.col(CORRUPT_COL).alias("raw_record")
         )
-    else:
-        corpus.create(curated)
-    n_bad = bad.count()
-    if n_bad:
-        bad_stamped = bad.withColumn("feed_path", F.lit(feed_path))
-        if quarantine.exists():
-            quarantine.append(bad_stamped)
+        curated = curate(good)
+        n_up = curated.count()
+        if corpus.exists():
+            non_keys = [c for c in curated.columns if c != "doc_id"]
+            corpus.merge(
+                curated,
+                keys=["doc_id"],
+                update_set={c: F.col(f"s.{c}") for c in non_keys},
+                insert=True,
+            )
         else:
-            quarantine.create(bad_stamped)
-    return {"upserted": n_up, "quarantined": n_bad}
+            corpus.create(curated)
+        n_bad = bad.count()
+        if n_bad:
+            bad_stamped = bad.withColumn("feed_path", F.lit(feed_path))
+            if quarantine.exists():
+                quarantine.append(bad_stamped)
+            else:
+                quarantine.create(bad_stamped)
+        return {"upserted": n_up, "quarantined": n_bad}
+    finally:
+        parsed.unpersist()
 
 
 def stream_ingest_feed(

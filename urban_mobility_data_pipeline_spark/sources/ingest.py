@@ -45,20 +45,33 @@ def _split(parsed: DataFrame) -> tuple[DataFrame, DataFrame]:
     return good, bad
 
 
+def parse_jsonl(spark: SparkSession, path: str, ddl_schema: str) -> DataFrame:
+    """Raw PERMISSIVE parse (corrupt column populated, not yet split,
+    not persisted) — for callers that manage the cache lifecycle
+    themselves (see :func:`...extensions.corpus_ingest.ingest_feed`)."""
+    return (
+        spark.read.schema(_schema_with_corrupt(ddl_schema))
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", CORRUPT_COL)
+        .json(path)
+    )
+
+
 def read_jsonl_quarantined(
     spark: SparkSession, path: str, ddl_schema: str
 ) -> tuple[DataFrame, DataFrame]:
     """Read newline-delimited JSON with an explicit schema; return
     ``(good, quarantine)``. ``good`` has exactly the declared columns;
     ``quarantine`` holds the raw text of every line that failed to
-    parse or type-check, ready for a dead-letter sink."""
-    parsed = (
-        spark.read.schema(_schema_with_corrupt(ddl_schema))
-        .option("mode", "PERMISSIVE")
-        .option("columnNameOfCorruptRecord", CORRUPT_COL)
-        .json(path)
-    )
-    return _split(parsed)
+    parse or type-check, ready for a dead-letter sink.
+
+    The split persists the parsed frame, and Spark caches by logical
+    plan — calling this twice on the SAME directory in one session
+    returns the first call's snapshot even if files were added since.
+    For repeated cycles over a growing feed, use
+    ``corpus_ingest.ingest_feed`` (which unpersists per cycle) or the
+    streaming path."""
+    return _split(parse_jsonl(spark, path, ddl_schema))
 
 
 def read_csv_quarantined(
@@ -70,7 +83,19 @@ def read_csv_quarantined(
 ) -> tuple[DataFrame, DataFrame]:
     """CSV twin of :func:`read_jsonl_quarantined` (same PERMISSIVE +
     corrupt-column split; malformed rows keep their raw line)."""
-    parsed = (
+    return _split(parse_csv(spark, path, ddl_schema, header=header, sep=sep))
+
+
+def parse_csv(
+    spark: SparkSession,
+    path: str,
+    ddl_schema: str,
+    header: bool = True,
+    sep: str = ",",
+) -> DataFrame:
+    """CSV twin of :func:`parse_jsonl` (raw parse, caller-managed
+    lifecycle)."""
+    return (
         spark.read.schema(_schema_with_corrupt(ddl_schema))
         .option("mode", "PERMISSIVE")
         .option("columnNameOfCorruptRecord", CORRUPT_COL)
@@ -79,4 +104,3 @@ def read_csv_quarantined(
         .option("enforceSchema", "false")
         .csv(path)
     )
-    return _split(parsed)
