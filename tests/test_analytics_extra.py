@@ -161,3 +161,16 @@ def test_local_supplier_volume_single_big_shuffle(spark, sf_dir):
 
     keys = re.findall(r"Exchange hashpartitioning\((\w+)", plan)
     assert all(k in ("l_orderkey", "o_orderkey", "n_name", "nation") for k in keys), keys
+
+
+def test_basket_affinity_joins_on_orderkey_only(spark, sf_dir):
+    """Pair generation must key the self-join on the orderkey (bounded
+    per-basket expansion) — never a cartesian or a part-keyed blowup."""
+    df = QUERIES["part_basket_affinity"](spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    import re
+
+    keys = set(re.findall(r"Exchange hashpartitioning\((\w+)", plan))
+    assert keys <= {"ok", "l_orderkey", "l_partkey", "part_a", "part_b"}, keys
