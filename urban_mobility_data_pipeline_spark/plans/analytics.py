@@ -1193,3 +1193,81 @@ def events_error_bursts(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n_errors") / F.col("n_events").cast("double"), 6
         ).alias("error_rate"),
     ).filter(F.col("n_errors") / F.col("n_events").cast("double") > 0.25)
+
+
+# ---------------------------------------------------------------------------
+# forecasting revenue change (TPC-H Q6 shape: pure predicate aggregation)
+# ---------------------------------------------------------------------------
+@register(
+    "discount_revenue_effect",
+    oracle="""
+    SELECT round(sum(l_extendedprice * l_discount), 2) AS potential_revenue,
+           count(*) AS n_lineitems
+    FROM lineitem
+    WHERE l_shipdate >= DATE '1994-01-01'
+      AND l_shipdate <  DATE '1995-01-01'
+      AND l_discount BETWEEN 0.05 AND 0.07
+      AND l_quantity < 24
+    """,
+)
+def discount_revenue_effect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 shape: the pure scan-filter-aggregate — every predicate
+    (date range, discount band, quantity cap) pushes into the parquet
+    scan so row groups outside the year are never read, and the global
+    sum is a two-stage partial aggregate. The simplest query there is,
+    and the one where pushdown matters most: at 100 TB the scan IS the
+    query."""
+    li = table(spark, sf_dir, "lineitem")
+    filtered = li.filter(
+        (F.col("l_shipdate") >= F.lit("1994-01-01").cast("date"))
+        & (F.col("l_shipdate") < F.lit("1995-01-01").cast("date"))
+        & (F.col("l_discount") >= 0.05)
+        & (F.col("l_discount") <= 0.07)
+        & (F.col("l_quantity") < 24)
+    )
+    return filtered.agg(
+        F.round(
+            F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2
+        ).alias("potential_revenue"),
+        F.count(F.lit(1)).alias("n_lineitems"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# late-ship order counts (TPC-H Q4 shape: EXISTS semi-join per priority)
+# ---------------------------------------------------------------------------
+@register(
+    "late_ship_priority_counts",
+    oracle="""
+    SELECT o.o_orderpriority AS orderpriority,
+           count(*) AS n_orders
+    FROM orders o
+    WHERE EXISTS (
+        SELECT 1 FROM lineitem l
+        WHERE l.l_orderkey = o.o_orderkey
+          AND l.l_shipdate > o.o_orderdate + INTERVAL 30 DAY
+    )
+    GROUP BY 1
+    """,
+)
+def late_ship_priority_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape: per-priority counts of orders with at least one
+    lineitem shipped >30 days after the order date — a correlated
+    EXISTS expressed as a leftsemi join, so each order contributes once
+    no matter how many late lines it has (an inner join + distinct
+    would shuffle the duplicates first; leftsemi short-circuits at the
+    first match). The date condition rides the join, keyed on
+    l_orderkey."""
+    orders = table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderdate", "o_orderpriority"
+    )
+    li = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    late = orders.join(
+        li,
+        (orders["o_orderkey"] == li["l_orderkey"])
+        & (li["l_shipdate"] > F.date_add(orders["o_orderdate"], 30)),
+        "leftsemi",
+    )
+    return late.groupBy(
+        F.col("o_orderpriority").alias("orderpriority")
+    ).agg(F.count(F.lit(1)).alias("n_orders"))
