@@ -1271,3 +1271,64 @@ def late_ship_priority_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return late.groupBy(
         F.col("o_orderpriority").alias("orderpriority")
     ).agg(F.count(F.lit(1)).alias("n_orders"))
+
+
+# ---------------------------------------------------------------------------
+# large-volume orders (TPC-H Q18 shape: aggregate-HAVING, join back)
+# ---------------------------------------------------------------------------
+LARGE_ORDER_QTY = 250
+
+
+@register(
+    "large_volume_orders",
+    oracle=f"""
+    WITH big AS (
+        SELECT l_orderkey, CAST(sum(l_quantity) AS DOUBLE) AS sum_qty
+        FROM lineitem GROUP BY 1 HAVING sum(l_quantity) > {LARGE_ORDER_QTY}
+    )
+    SELECT c.c_custkey AS custkey,
+           c.c_name AS custname,
+           o.o_orderkey AS orderkey,
+           CAST(o.o_orderdate AS VARCHAR) AS orderdate,
+           round(o.o_totalprice, 2) AS totalprice,
+           round(big.sum_qty, 2) AS sum_qty
+    FROM big
+    JOIN orders o   ON o.o_orderkey = big.l_orderkey
+    JOIN customer c ON c.c_custkey = o.o_custkey
+    """,
+)
+def large_volume_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 shape: find whale orders by aggregate threshold
+    (sum quantity > {qty}), then join back for customer context. The
+    HAVING filter runs on the aggregated frame — a tiny fraction of
+    orders survives, so the joins move only the whales: orders joins on
+    the shared orderkey partitioning and the customer dim is broadcast."""
+    li = table(spark, sf_dir, "lineitem")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").cast("double").alias("sum_qty"))
+        .filter(F.col("sum_qty") > LARGE_ORDER_QTY)
+    )
+    orders = table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"
+    )
+    cust = F.broadcast(
+        table(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    )
+    return (
+        big.join(orders, big["l_orderkey"] == orders["o_orderkey"])
+        .join(cust, orders["o_custkey"] == cust["c_custkey"])
+        .select(
+            F.col("c_custkey").alias("custkey"),
+            F.col("c_name").alias("custname"),
+            F.col("o_orderkey").alias("orderkey"),
+            F.col("o_orderdate").cast("string").alias("orderdate"),
+            F.round("o_totalprice", 2).alias("totalprice"),
+            F.round("sum_qty", 2).alias("sum_qty"),
+        )
+    )
+
+
+large_volume_orders.__doc__ = large_volume_orders.__doc__.format(
+    qty=LARGE_ORDER_QTY
+)

@@ -90,7 +90,7 @@ FLAGSHIP = "pricing_summary"
 # events_conversion_funnel, event_type_transitions and
 # documents_fuzzy_dedup_keep_best, part_basket_affinity and
 # events_error_bursts, discount_revenue_effect and
-# late_ship_priority_counts stay
+# late_ship_priority_counts and large_volume_orders stay
 # pytest+bench-covered — first in line
 # for the round-6 rotation. corpus_training_manifest (the composed
 # gates→dedup→packing end product) takes dedup_exact_docs's slot: exact
