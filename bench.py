@@ -29,6 +29,7 @@ import re
 import sys
 import time
 
+from urban_mobility_data_pipeline_spark.cache import release_scratch
 from urban_mobility_data_pipeline_spark.plans.catalog import FLAGSHIP, QUERIES
 from urban_mobility_data_pipeline_spark.session import get_spark
 
@@ -57,7 +58,11 @@ def main() -> None:
         elapsed = time.perf_counter() - t0
         # a query may persist() intermediates (e.g. the staged shingle
         # table in near-dup detection); drop them so cached blocks can't
-        # leak heap into the queries that run after it
+        # leak heap into the queries that run after it. release_scratch
+        # unpins the registered staging frames (so clearCache's eviction
+        # isn't fighting pinned relations), then clearCache sweeps any
+        # remainder.
+        release_scratch()
         spark.catalog.clearCache()
         return elapsed
 

@@ -147,6 +147,58 @@ def test_stream_ingest_is_exactly_once(spark, tmp_path):
     assert corpus.read().count() == 3
 
 
+DUP_KEY_BATCH = [
+    # same doc_id delivered twice in ONE feed (original + redelivery
+    # landing together): the MERGE source must be deduplicated or each
+    # copy matches the target row and the corpus silently duplicates
+    '{"doc_id": 7, "text": "the quick brown fox jumps over a lazy dog in the park", "lang": "en"}',
+    '{"doc_id": 7, "text": "the quick brown fox jumps over a lazy dog in the park tonight again", "lang": "en"}',
+    '{"doc_id": 8, "text": "reach the records office for the agenda and the meeting notes today", "lang": "en"}',
+]
+
+
+def test_duplicate_key_feed_lands_one_row_per_doc(spark, tmp_path):
+    """ADVICE r5 (medium): a feed carrying the same doc_id twice must
+    produce exactly one corpus row, chosen deterministically (longest
+    text wins), in both the batch and a fresh-table rerun."""
+    feed = tmp_path / "feed"
+    feed.mkdir()
+    (feed / "f.jsonl").write_text("\n".join(DUP_KEY_BATCH) + "\n")
+    corpus = MergeTable(spark, str(tmp_path / "corpus"))
+    quarantine = MergeTable(spark, str(tmp_path / "quarantine"))
+    counts = ingest_feed(spark, str(feed), corpus, quarantine)
+    assert counts == {"upserted": 2, "quarantined": 0}
+    rows = {r.doc_id: r for r in corpus.read().collect()}
+    assert sorted(rows) == [7, 8]
+    assert corpus.read().filter(F.col("doc_id") == 7).count() == 1
+    assert "tonight again" in rows[7].text  # longest-text winner
+
+    # re-ingesting the same dup-key feed stays idempotent (MERGE update)
+    ingest_feed(spark, str(feed), corpus, quarantine)
+    assert corpus.read().count() == 2
+
+
+def test_stream_duplicate_key_batch_lands_one_row(spark, tmp_path):
+    """The streaming twin: one micro-batch spanning a redelivery file
+    plus the original must still land a single row per doc_id."""
+    from urban_mobility_data_pipeline_spark.extensions.corpus_ingest import (
+        stream_ingest_feed,
+    )
+
+    feed = tmp_path / "feed"
+    feed.mkdir()
+    # two files, same doc_id — availableNow drains both in one run
+    (feed / "a.jsonl").write_text(DUP_KEY_BATCH[0] + "\n")
+    (feed / "b.jsonl").write_text("\n".join(DUP_KEY_BATCH[1:]) + "\n")
+    corpus = MergeTable(spark, str(tmp_path / "corpus"))
+    quarantine = MergeTable(spark, str(tmp_path / "quarantine"))
+    stream_ingest_feed(
+        spark, str(feed), corpus, quarantine, str(tmp_path / "ckpt")
+    )
+    assert corpus.read().filter(F.col("doc_id") == 7).count() == 1
+    assert corpus.read().count() == 2
+
+
 def test_empty_feed_is_harmless(spark, tmp_path):
     """An ingest cycle over a feed with no parseable rows must not
     corrupt the corpus: zero upserts, zero quarantine rows, and a

@@ -32,6 +32,31 @@ MAX_PUNCT_RATIO = 0.1
 MIN_STOPWORD_RATIO = 0.05
 
 
+def dedupe_on_key(df: DataFrame, key: str = "doc_id") -> DataFrame:
+    """Keep exactly one row per ``key``, deterministically.
+
+    ``MergeTable.merge`` (like Delta's MERGE) requires a unique-keyed
+    source: a feed carrying the same ``doc_id`` twice (a redelivery
+    file landing in the same cycle/micro-batch as the original) would
+    otherwise match the target row once per source copy and emit
+    duplicate corpus rows. Delta errors on that; we resolve it
+    deterministically instead — keep the longest text, tiebreak by
+    content digest then lang — so either engine ingesting the same feed
+    lands the same winner. The window shuffles on the same key as the
+    MERGE join that follows, so no extra exchange shape is introduced.
+    """
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(key).orderBy(
+        F.length("text").desc(), F.md5("text"), F.col("lang")
+    )
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+
+
 def curate(good: DataFrame) -> DataFrame:
     """Quality gates + PII redaction over parsed feed rows. Map-only:
     the gates are pushable predicates, the redactor is a regexp chain,
@@ -92,7 +117,7 @@ def ingest_feed(
         bad = parsed.filter(F.col(CORRUPT_COL).isNotNull()).select(
             F.col(CORRUPT_COL).alias("raw_record")
         )
-        curated = curate(good)
+        curated = dedupe_on_key(curate(good))
         n_up = curated.count()
         if corpus.exists():
             non_keys = [c for c in curated.columns if c != "doc_id"]
@@ -134,7 +159,13 @@ def stream_ingest_feed(
 
     The quarantine split happens inside each micro-batch (the batch
     frame is a plain DataFrame, so the corrupt-column filter needs no
-    second parse of the source)."""
+    second parse of the source). Exactly-once: the corpus MERGE is
+    replay-safe by key, and the quarantine append is made replay-safe
+    by stamping ``batch_id`` on dead-letter rows and skipping the
+    append when that batch_id is already present — a failed batch
+    replayed after the append committed won't duplicate dead letters.
+    Each micro-batch's parse cache is released in a ``finally`` so a
+    long-running ingest can't accumulate executor storage."""
     from urban_mobility_data_pipeline_spark.sources.ingest import (
         CORRUPT_COL,
         _schema_with_corrupt,
@@ -152,23 +183,39 @@ def stream_ingest_feed(
     )
 
     def merge_batch(batch: DataFrame, batch_id: int) -> None:
+        # _split persists the batch (one parse serves both outputs);
+        # persist() returns the same DataFrame object, so unpersisting
+        # `batch` in the finally releases that cache per micro-batch.
         good, bad = _split(batch)
-        curated = curate(good)
-        if corpus.exists():
-            non_keys = [c for c in curated.columns if c != "doc_id"]
-            corpus.merge(
-                curated,
-                keys=["doc_id"],
-                update_set={c: F.col(f"s.{c}") for c in non_keys},
-                insert=True,
-            )
-        elif not curated.isEmpty():
-            corpus.create(curated)
-        if not bad.isEmpty():
-            stamped = bad.withColumn("feed_path", F.lit(feed_dir))
-            if quarantine.exists():
-                quarantine.append(stamped)
-            else:
-                quarantine.create(stamped)
+        try:
+            curated = dedupe_on_key(curate(good))
+            if corpus.exists():
+                non_keys = [c for c in curated.columns if c != "doc_id"]
+                corpus.merge(
+                    curated,
+                    keys=["doc_id"],
+                    update_set={c: F.col(f"s.{c}") for c in non_keys},
+                    insert=True,
+                )
+            elif not curated.isEmpty():
+                corpus.create(curated)
+            if not bad.isEmpty():
+                stamped = bad.withColumn(
+                    "feed_path", F.lit(feed_dir)
+                ).withColumn("batch_id", F.lit(batch_id).cast("long"))
+                if quarantine.exists():
+                    existing = quarantine.read()
+                    already = (
+                        "batch_id" in existing.columns
+                        and not existing.filter(
+                            F.col("batch_id") == batch_id
+                        ).isEmpty()
+                    )
+                    if not already:
+                        quarantine.append(stamped)
+                else:
+                    quarantine.create(stamped)
+        finally:
+            batch.unpersist()
 
     run_available_now(stream, checkpoint, merge_batch)

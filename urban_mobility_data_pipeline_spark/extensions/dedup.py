@@ -164,11 +164,14 @@ def lsh_candidate_pairs(
     join whose width is the bucket sizes, not the corpus. The band-key
     table (docs × B short rows) is persisted so the minhash aggregation
     runs once, not once per self-join side."""
-    from pyspark import StorageLevel
+    from urban_mobility_data_pipeline_spark.cache import scratch_persist
 
-    keys = lsh_band_keys(
-        minhash_signatures(docs, id_col, text_col, shingles=shingles), id_col
-    ).persist(StorageLevel.MEMORY_AND_DISK)
+    keys = scratch_persist(
+        lsh_band_keys(
+            minhash_signatures(docs, id_col, text_col, shingles=shingles),
+            id_col,
+        )
+    )
     a = keys.alias("a")
     b = keys.alias("b")
     return (
@@ -209,11 +212,9 @@ def near_dup_pairs(
     three full text scans instead of one. The candidate list is tiny
     relative to the corpus, so it is broadcast into the verify joins
     explicitly: the corpus-side shingle stage is never reshuffled."""
-    from pyspark import StorageLevel
+    from urban_mobility_data_pipeline_spark.cache import scratch_persist
 
-    sh = shingles_df(docs, id_col, text_col).persist(
-        StorageLevel.MEMORY_AND_DISK
-    )
+    sh = scratch_persist(shingles_df(docs, id_col, text_col))
     cands = lsh_candidate_pairs(docs, id_col, text_col, shingles=sh)
     paired = (
         F.broadcast(cands)
@@ -304,14 +305,10 @@ def cross_corpus_near_dups(
     so neither corpus is reshuffled. Output:
     ``(doc_a, doc_b, jaccard)`` with ``doc_a`` ∈ A, ``doc_b`` ∈ B.
     """
-    from pyspark import StorageLevel
+    from urban_mobility_data_pipeline_spark.cache import scratch_persist
 
-    sh_a = shingles_df(corpus_a, id_col, text_col).persist(
-        StorageLevel.MEMORY_AND_DISK
-    )
-    sh_b = shingles_df(corpus_b, id_col, text_col).persist(
-        StorageLevel.MEMORY_AND_DISK
-    )
+    sh_a = scratch_persist(shingles_df(corpus_a, id_col, text_col))
+    sh_b = scratch_persist(shingles_df(corpus_b, id_col, text_col))
     keys_a = lsh_band_keys(
         minhash_signatures(corpus_a, id_col, text_col, shingles=sh_a), id_col
     )
@@ -403,15 +400,13 @@ def simhash_near_dup_pairs(
         raise ValueError(
             f"banding is only exact for max_hamming < {SIMHASH_BANDS}"
         )
-    from pyspark import StorageLevel
+    from urban_mobility_data_pipeline_spark.cache import scratch_persist
 
     # the signature table (one long per doc) serves three consumers —
     # band keys and both verify sides; stage it once so the corpus-wide
     # token explode+aggregate runs once, not three times (same pattern
     # as near_dup_pairs' shingle stage; 3.7s -> ~1.7s at sf0.1)
-    sigs = simhash_signatures(docs, id_col, text_col).persist(
-        StorageLevel.MEMORY_AND_DISK
-    )
+    sigs = scratch_persist(simhash_signatures(docs, id_col, text_col))
     keys = simhash_band_keys(sigs, id_col)
     cands = (
         keys.alias("a")

@@ -317,8 +317,10 @@ def resize_media(
     need PIL, which isn't installed — they raise unless ``fake=True``,
     which emits a digest-derived payload with the target dimensions so
     the plumbing (schema, batching, 1-row-in/1-row-out) is testable.
-    Non-image payloads (wav, mp4) pass through untouched with their
-    original metadata."""
+    Non-image payloads (wav, mp4) pass through with their payload
+    bytes untouched and NULL width/height — their ``meta`` struct
+    carries no pixel dimensions to forward (ADVICE r5: the schema
+    contract is dims-are-null for pass-through rows, by design)."""
 
     def resize_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         cols = ["media_id", "format", "width", "height", "payload"]

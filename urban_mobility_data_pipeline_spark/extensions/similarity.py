@@ -136,18 +136,23 @@ def embedding_near_dup_pairs(
     ordered-fold recipe as cosine_topk, rounded for engine portability.
     The bucket is projected inline (map-only) — no corpus self-join.
     """
-    from pyspark import StorageLevel
+    from urban_mobility_data_pipeline_spark.cache import scratch_persist
 
     planes = deterministic_hyperplanes(dim, n_planes)
     # stage the bucket projection once (same pattern as near_dup_pairs'
     # shingle stage): the P-plane sign computation and the source scan
     # run a single time and the cached frame serves both join sides,
-    # instead of each side re-scanning and re-projecting the corpus
-    with_buckets = embeddings.select(
-        F.col(id_col),
-        F.col(vec_col),
-        hyperplane_sign_bucket(vec_col, planes).alias("bucket"),
-    ).persist(StorageLevel.MEMORY_AND_DISK)
+    # instead of each side re-scanning and re-projecting the corpus.
+    # Registered with the scratch-cache registry so a long-lived
+    # session (bench, catalog driver) releases it between queries
+    # instead of leaking one cached relation per invocation (ADVICE r5)
+    with_buckets = scratch_persist(
+        embeddings.select(
+            F.col(id_col),
+            F.col(vec_col),
+            hyperplane_sign_bucket(vec_col, planes).alias("bucket"),
+        )
+    )
     a = with_buckets.select(
         F.col(id_col).alias("vec_a"),
         F.col(vec_col).alias("va"),
