@@ -95,6 +95,62 @@ def test_ivf_recall_high_on_clustered_corpus(spark):
     assert curve[2] >= 0.9, curve  # ≥0.9 by nprobe=4
 
 
+def test_indexed_ivf_matches_on_the_fly_and_prunes_cells(spark, sf_dir, tmp_path):
+    """VERDICT r5 item 2: the materialized index must (a) return exactly
+    what the on-the-fly ``ivf_topk`` returns, (b) lay the table out one
+    hive partition per cell, and (c) plan the probe scan with a
+    ``PartitionFilters`` entry on cell — file-level pruning, no corpus
+    re-assignment per query."""
+    import glob
+
+    from pyspark.sql import functions as F
+
+    from urban_mobility_data_pipeline_spark.extensions.similarity import (
+        build_ivf_index,
+        ivf_topk_indexed,
+        probe_cells,
+    )
+    from urban_mobility_data_pipeline_spark.operators.merge import MergeTable
+
+    emb = _emb(spark, sf_dir)
+    cents = ivf_centroids(emb)
+    index = MergeTable(spark, str(tmp_path / "ivf_index"))
+    build_ivf_index(emb, cents, index)
+
+    # (a) identical results, several queries and nprobes
+    for qid, nprobe in [(0, 1), (0, 3), (7, 2), (42, 10)]:
+        fly = [tuple(r) for r in ivf_topk(emb, cents, qid, k=10, nprobe=nprobe).collect()]
+        idx = [tuple(r) for r in ivf_topk_indexed(index, cents, qid, k=10, nprobe=nprobe).collect()]
+        assert idx == fly, (qid, nprobe)
+
+    # (b) one directory per cell: the layout IS the inverted index
+    cells = {r.cell for r in index.read().select("cell").distinct().collect()}
+    dirs = {
+        int(d.rsplit("=", 1)[1])
+        for d in glob.glob(str(tmp_path / "ivf_index" / "cell=*"))
+    }
+    assert dirs == cells
+
+    # (c) the probe read partition-prunes on cell
+    q_vec = [
+        float(x)
+        for x in emb.filter(F.col("vec_id") == 0).select("embedding").first()[0]
+    ]
+    probed = probe_cells(cents, q_vec, 3)
+    assert len(probed) == 3
+    cand = index.read().filter(F.col("cell").isin(probed))
+    plan = cand._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "cell" in plan.split("PartitionFilters", 1)[1][:200]
+
+    # (d) refresh path: re-building on the existing table upserts, not
+    # duplicates, and search still matches
+    build_ivf_index(emb, cents, index)
+    assert index.read().count() == emb.count()
+    fly = [tuple(r) for r in ivf_topk(emb, cents, 0, k=10, nprobe=3).collect()]
+    idx = [tuple(r) for r in ivf_topk_indexed(index, cents, 0, k=10, nprobe=3).collect()]
+    assert idx == fly
+
+
 def test_kmeans_centroids_train_and_search(spark, sf_dir):
     """The real k-means training path: k cells, deterministic under the
     same seed, and ivf_topk over the trained quantizer reaches the exact

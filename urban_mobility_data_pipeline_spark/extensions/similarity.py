@@ -268,6 +268,112 @@ def ivf_topk(
     return cosine_topk(candidates, query_vec_id, k, id_col, vec_col)
 
 
+def build_ivf_index(
+    embeddings: DataFrame,
+    centroids: DataFrame,
+    index_table,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Materialize the IVF inverted lists: persist ``ivf_assign`` output
+    as a **cell-partitioned** MergeTable, so a search reads ONLY the
+    probed cells' files (VERDICT r5 item 2 — previously ``ivf_topk``
+    re-assigned the whole corpus on every query).
+
+    ``cell`` is a low-cardinality physical key, so hive partitioning
+    (``partition_by=["cell"]``) is the right layout — a ``cell IN
+    (probes)`` filter prunes at the FileIndex level before any byte of
+    parquet is read. (``bucket_keys`` hash-bucketing exists for
+    high-cardinality merge keys; for k≈100-65k cells the directory
+    layout IS the inverted index.) Refresh is an upsert on ``id_col``:
+    new/changed vectors rewrite only the cells they land in, because the
+    MERGE prunes untouched partitions via the txn-log manifest.
+    """
+    assigned = ivf_assign(embeddings, centroids, id_col, vec_col)
+    if index_table.exists():
+        index_table.merge(
+            assigned,
+            keys=[id_col],
+            update_set={
+                vec_col: F.col(f"s.{vec_col}"),
+                "cell": F.col("s.cell"),
+            },
+            insert=True,
+        )
+    else:
+        index_table.create(assigned, partition_by=["cell"])
+
+
+def probe_cells(
+    centroids: DataFrame, query_vec: list[float], nprobe: int
+) -> list[int]:
+    """Rank cells by centroid-to-query cosine; return the nprobe best.
+    Centroids are k tiny rows — collecting nprobe ints is bounded
+    metadata, the same class as the MERGE log's partition collects."""
+    from urban_mobility_data_pipeline_spark.functions.vectors import (
+        literal_vector,
+    )
+
+    qv = literal_vector(query_vec)
+    ranked = (
+        centroids.select(
+            "cell", cosine("centroid", qv).alias("__sim")
+        )
+        .orderBy(F.col("__sim").desc(), "cell")
+        .limit(nprobe)
+    )
+    return [r["cell"] for r in ranked.collect()]
+
+
+def ivf_topk_indexed(
+    index_table,
+    centroids: DataFrame,
+    query_vec_id: int,
+    k: int = 10,
+    nprobe: int = 1,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_vec: list[float] | None = None,
+) -> DataFrame:
+    """IVF search against the *materialized* index: rank cells by
+    centroid similarity, then read only the probed cells from the
+    cell-partitioned table (file-level pruning — ``.explain`` shows
+    ``PartitionFilters: [cell IN (...)]``; unprobed cells' files are
+    never opened). Identical results to :func:`ivf_topk`; the corpus is
+    neither re-assigned nor re-scanned per query.
+
+    Pass ``query_vec`` to skip the lookup scan (the production shape —
+    the caller usually has the query embedding in hand); with only
+    ``query_vec_id`` the vector is fetched from the index first.
+    """
+    from urban_mobility_data_pipeline_spark.functions.vectors import (
+        literal_vector,
+    )
+
+    if query_vec is None:
+        row = (
+            index_table.read()
+            .filter(F.col(id_col) == query_vec_id)
+            .select(vec_col)
+            .first()
+        )
+        if row is None:
+            raise KeyError(f"{id_col}={query_vec_id} not in index")
+        query_vec = [float(x) for x in row[0]]
+    cells = probe_cells(centroids, query_vec, nprobe)
+    qv = literal_vector(query_vec)
+    candidates = index_table.read().filter(F.col("cell").isin(cells))
+    return (
+        candidates.filter(F.col(id_col) != query_vec_id)
+        .select(
+            F.col(id_col),
+            F.round(cosine(vec_col, qv), 6).alias("cosine"),
+        )
+        .orderBy(F.col("cosine").desc(), F.col(id_col).asc())
+        .limit(k)
+    )
+
+
 def train_kmeans_centroids(
     embeddings: DataFrame,
     k: int = 10,

@@ -534,9 +534,12 @@ def doc_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "embedding_ivf_topk",
-    oracle="""
+#: The full IVF pipeline replayed in DuckDB SQL — deterministic
+#: mean-per-label quantizer, nearest-cell assignment, nprobe=3 cell
+#: pruning, exact cosine inside. Shared by the on-the-fly query
+#: (embedding_ivf_topk) and the materialized-index query
+#: (embedding_ivf_topk_indexed): both must produce exactly this.
+_IVF_TOPK_ORACLE = """
     WITH ex AS (
         SELECT vec_id, label,
                list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
@@ -583,8 +586,10 @@ def doc_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM cand c, q
     ORDER BY cosine DESC, vec_id ASC
     LIMIT 10
-    """,
-)
+    """
+
+
+@register("embedding_ivf_topk", oracle=_IVF_TOPK_ORACLE)
 def embedding_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF search end-to-end with REAL cell pruning (nprobe=3 of 10
     cells): deterministic mean-per-label coarse quantizer (components
@@ -603,6 +608,33 @@ def embedding_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         "cell", F.transform("centroid", lambda x: F.round(x, 6)).alias("centroid")
     )
     return ivf_topk(emb, cents, query_vec_id=0, k=10, nprobe=3)
+
+
+@register("embedding_ivf_topk_indexed", oracle=_IVF_TOPK_ORACLE)
+def embedding_ivf_topk_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF search through the MATERIALIZED inverted index (VERDICT r5
+    item 2): ``build_ivf_index`` persists the cell assignment as a
+    cell-partitioned MergeTable once, then the search reads only the
+    nprobe probed cells' files — ``PartitionFilters: [cell IN (...)]``
+    in the scan, no per-query corpus re-assignment. Must hash-match the
+    same full-pipeline oracle as ``embedding_ivf_topk`` (and does —
+    the index is a layout change, not a semantics change)."""
+    import tempfile
+
+    from urban_mobility_data_pipeline_spark.extensions.similarity import (
+        build_ivf_index,
+        ivf_centroids,
+        ivf_topk_indexed,
+    )
+    from urban_mobility_data_pipeline_spark.operators.merge import MergeTable
+
+    emb = table(spark, sf_dir, "embeddings")
+    cents = ivf_centroids(emb).select(
+        "cell", F.transform("centroid", lambda x: F.round(x, 6)).alias("centroid")
+    )
+    index = MergeTable(spark, tempfile.mkdtemp(prefix="umdp_ivf_idx_"))
+    build_ivf_index(emb, cents, index)
+    return ivf_topk_indexed(index, cents, query_vec_id=0, k=10, nprobe=3)
 
 
 @register(
