@@ -46,6 +46,75 @@ def test_long_doc_chunk_layout(spark, corpus_dir):
     assert out[(2, 0)].n_chunk_tokens == 2
 
 
+@pytest.fixture
+def packing_corpus_dir(spark, tmp_path):
+    """Docs sized to exercise every packing-v2 case: an over-length doc
+    (3000 tokens > 2048-token ctx, must split), mid-size docs that
+    straddle bin boundaries, and an empty doc (must not be dropped)."""
+    rows = [
+        (i, " ".join(f"w{j}" for j in range(n)), "en", "src0", 0)
+        for i, n in [(1, 3000), (2, 1500), (3, 700), (4, 0), (5, 2048), (6, 5)]
+    ]
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).coalesce(1).write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+    return str(tmp_path)
+
+
+def test_packed_sequences_invariants(spark, packing_corpus_dir):
+    """VERDICT r5 item 6 'done' criteria: every bin's token sum ≤ ctx
+    (exactly ctx except each shard's tail bin), no doc dropped,
+    over-length docs split across consecutive bins, and per-doc piece
+    sums reassemble the full doc."""
+    from collections import defaultdict
+
+    from urban_mobility_data_pipeline_spark.plans.llm_ops import (
+        PACK_CTX_TOKENS,
+    )
+
+    rows = QUERIES["documents_packed_sequences"](
+        spark, packing_corpus_dir
+    ).collect()
+
+    # no doc dropped — the empty doc included
+    assert {r.doc_id for r in rows} == {1, 2, 3, 4, 5, 6}
+
+    # per-doc reassembly: pieces are consecutive, offsets contiguous
+    by_doc = defaultdict(list)
+    for r in rows:
+        by_doc[r.doc_id].append(r)
+    # NB: the whitespace tokenizer counts an empty text as ONE token
+    # (split('') == ['']) in BOTH engines — doc 4 carries 1, not 0
+    expected_tokens = {1: 3000, 2: 1500, 3: 700, 4: 1, 5: 2048, 6: 5}
+    for doc_id, pieces in by_doc.items():
+        pieces.sort(key=lambda r: r.piece_id)
+        assert [p.piece_id for p in pieces] == list(range(len(pieces)))
+        assert sum(p.n_piece_tokens for p in pieces) == expected_tokens[doc_id]
+        off = 0
+        for p in pieces:
+            assert p.doc_offset == off
+            off += p.n_piece_tokens
+        # pieces land in consecutive bins of one shard
+        assert [p.bin for p in pieces] == list(
+            range(pieces[0].bin, pieces[0].bin + len(pieces))
+        )
+    # the 3000-token doc must have split (> ctx)
+    assert len(by_doc[1]) >= 2
+
+    # bin discipline: sum per (shard, bin) == ctx except the shard tail
+    bins = defaultdict(int)
+    for r in rows:
+        bins[(r.shard, r.bin)] += r.n_piece_tokens
+    tail = {}
+    for shard, b in bins:
+        tail[shard] = max(tail.get(shard, -1), b)
+    for (shard, b), total in bins.items():
+        if b == tail[shard]:
+            assert 0 < total <= PACK_CTX_TOKENS, (shard, b, total)
+        else:
+            assert total == PACK_CTX_TOKENS, (shard, b, total)
+
+
 def test_overlap_hashes_differ_but_cover(spark, corpus_dir):
     rows = [
         r

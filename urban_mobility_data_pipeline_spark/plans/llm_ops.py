@@ -1535,6 +1535,111 @@ documents_chunked.__doc__ = documents_chunked.__doc__.format(
 
 
 # ---------------------------------------------------------------------------
+# packing v2: concat-and-chop sequence assembly (chunk -> pack fused)
+# ---------------------------------------------------------------------------
+@register(
+    "documents_packed_sequences",
+    oracle=f"""
+    WITH sized AS (
+        SELECT doc_id,
+               CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4))
+                    AS INT) % {PACK_SHARDS} AS shard,
+               CAST(len({_WORDS}) AS BIGINT) AS n_tokens
+        FROM documents
+    ),
+    placed AS (
+        SELECT doc_id, shard, n_tokens,
+               CAST(sum(n_tokens) OVER (
+                    PARTITION BY shard ORDER BY doc_id
+                    ROWS UNBOUNDED PRECEDING) - n_tokens AS BIGINT) AS tok0
+        FROM sized
+    ),
+    pieces AS (
+        SELECT doc_id, shard, n_tokens, tok0, t.i AS bin
+        FROM placed, unnest(generate_series(
+                 tok0 // {PACK_CTX_TOKENS},
+                 (tok0 + greatest(n_tokens, 1) - 1) // {PACK_CTX_TOKENS}
+             )) AS t(i)
+    )
+    SELECT doc_id, shard,
+           CAST(bin AS INTEGER) AS bin,
+           CAST(bin - tok0 // {PACK_CTX_TOKENS} AS INTEGER) AS piece_id,
+           CAST(greatest(tok0, bin * {PACK_CTX_TOKENS}) - tok0 AS INTEGER)
+               AS doc_offset,
+           CAST(least(tok0 + n_tokens, (bin + 1) * {PACK_CTX_TOKENS})
+                - greatest(tok0, bin * {PACK_CTX_TOKENS}) AS INTEGER)
+               AS n_piece_tokens
+    FROM pieces
+    """,
+)
+def documents_packed_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Packing v2 (VERDICT r5 item 6): concat-and-chop sequence
+    assembly, the way trainer input actually gets built. Each shard's
+    documents form one contiguous token stream (prefix-sum window gives
+    every doc its stream offset ``tok0``); the stream is chopped at
+    exact {ctx}-token boundaries, and a doc emits one PIECE row per
+    window it overlaps. Invariants v1 couldn't give: every bin's token
+    sum is EXACTLY {ctx} (except each shard's tail bin), no doc is
+    dropped, and over-length docs split across consecutive bins with
+    ``doc_offset`` marking where each piece starts inside the doc.
+    Shape: one window + a map-side explode over computed bin ranges —
+    the per-shard prefix sum is the only shuffle, same as v1."""
+    from pyspark.sql import Window
+
+    docs = table(spark, sf_dir, "documents")
+    ctx = PACK_CTX_TOKENS
+    sized = docs.select(
+        "doc_id",
+        (
+            F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 4), 16, 10)
+            .cast("int")
+            % PACK_SHARDS
+        ).alias("shard"),
+        T.whitespace_token_count("text").cast("long").alias("n_tokens"),
+    )
+    w = (
+        Window.partitionBy("shard")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    placed = sized.withColumn(
+        "tok0", F.sum("n_tokens").over(w) - F.col("n_tokens")
+    )
+    pieces = placed.select(
+        "doc_id",
+        "shard",
+        "n_tokens",
+        "tok0",
+        F.posexplode(
+            F.sequence(
+                F.expr(f"tok0 div {ctx}"),
+                F.expr(f"(tok0 + greatest(n_tokens, 1) - 1) div {ctx}"),
+            )
+        ).alias("piece_id", "bin"),
+    )
+    return pieces.select(
+        "doc_id",
+        "shard",
+        F.col("bin").cast("int").alias("bin"),
+        F.col("piece_id").cast("int").alias("piece_id"),
+        (F.greatest("tok0", F.col("bin") * ctx) - F.col("tok0"))
+        .cast("int")
+        .alias("doc_offset"),
+        (
+            F.least(F.col("tok0") + F.col("n_tokens"), (F.col("bin") + 1) * ctx)
+            - F.greatest("tok0", F.col("bin") * ctx)
+        )
+        .cast("int")
+        .alias("n_piece_tokens"),
+    )
+
+
+documents_packed_sequences.__doc__ = documents_packed_sequences.__doc__.format(
+    ctx=PACK_CTX_TOKENS
+)
+
+
+# ---------------------------------------------------------------------------
 # per-source corpus quality report
 # ---------------------------------------------------------------------------
 @register(
