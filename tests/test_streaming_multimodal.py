@@ -123,10 +123,11 @@ def test_multimodal_undecodable_format_dropped(spark, sf_dir):
 
 
 def test_multimodal_real_codec_is_explicit_stub(spark, sf_dir):
-    """Formats with no stdlib codec (jpeg) still fail loudly in real
-    mode — in the kernel, since dispatch is per-row by format."""
+    """Formats with no stdlib codec (mp4) still fail loudly in real
+    mode — in the kernel, since dispatch is per-row by format. (jpeg
+    graduated to a real SOF header decode in r6.)"""
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet").limit(1)
-    media = attach_binary_payload(docs, "text", "doc_id", "jpeg")
+    media = attach_binary_payload(docs, "text", "doc_id", "mp4")
     with pytest.raises(Exception, match="no real codec"):
         decode_media(media).collect()
     with pytest.raises(NotImplementedError):
@@ -172,6 +173,61 @@ def _png_bytes(width: int, height: int, bit_depth: int = 8) -> bytes:
         + chunk(b"IDAT", _zlib.compress(raw))
         + chunk(b"IEND", b"")
     )
+
+
+def _jpeg_bytes(width: int, height: int, sof: int = 0xC0) -> bytes:
+    """Minimal genuine JPEG header stream: SOI + APP0(JFIF) + a DHT
+    (0xC4 — must NOT be mistaken for a frame header) + SOFn + EOI."""
+    import struct as _struct
+
+    app0 = b"JFIF\x00\x01\x02\x00\x00\x01\x00\x01\x00\x00"
+    dht = b"\x00" + bytes(16) + b""
+    sof_data = _struct.pack(">BHHB", 8, height, width, 3) + bytes(
+        [1, 0x11, 0, 2, 0x11, 1, 3, 0x11, 1]
+    )
+
+    def seg(marker: int, data: bytes) -> bytes:
+        return bytes([0xFF, marker]) + _struct.pack(">H", len(data) + 2) + data
+
+    return (
+        b"\xff\xd8"
+        + seg(0xE0, app0)
+        + seg(0xC4, dht)
+        + seg(sof, sof_data)
+        + b"\xff\xd9"
+    )
+
+
+def test_multimodal_real_jpeg_header_decode(spark):
+    """End-to-end REAL JPEG header decode (VERDICT r5 item 7):
+    width/height read from the SOF0 marker of a genuine JPEG header
+    stream — and the progressive SOF2 variant decodes identically.
+    A DHT (0xC4) segment placed before the SOF must be skipped, not
+    misread as a frame header."""
+    rows = [
+        (1, bytearray(_jpeg_bytes(640, 480))),
+        (2, bytearray(_jpeg_bytes(31, 17, sof=0xC2))),
+    ]
+    df = spark.createDataFrame(rows, "media_id long, raw binary")
+    media = attach_binary_payload(df, "raw", "media_id", "jpeg")
+    feats = {r["media_id"]: r for r in decode_media(media).collect()}
+    assert (feats[1]["width"], feats[1]["height"]) == (640, 480)
+    assert (feats[2]["width"], feats[2]["height"]) == (31, 17)
+    assert feats[1]["mean_intensity"] is None  # header-only decode
+    assert feats[1]["phash"] != feats[2]["phash"]
+
+
+def test_multimodal_truncated_jpeg_raises(spark):
+    """A JPEG whose SOS arrives before any SOF frame header (or plain
+    garbage after SOI) must fail loudly, like the PNG CRC check."""
+    from urban_mobility_data_pipeline_spark.extensions.multimodal import (
+        _decode_jpeg,
+    )
+
+    with pytest.raises(ValueError, match="SOI"):
+        _decode_jpeg(b"notajpeg")
+    with pytest.raises(ValueError, match="no SOF"):
+        _decode_jpeg(b"\xff\xd8\xff\xd9")
 
 
 def test_multimodal_real_png_header_decode(spark):
@@ -258,11 +314,12 @@ def test_multimodal_real_ppm_decode(spark):
 
 
 def test_multimodal_mixed_real_formats_one_pass(spark):
-    """wav, ppm and png payloads decode together in one mapInPandas pass."""
+    """wav, ppm, png and jpeg payloads decode together in one mapInPandas pass."""
     rows = [
         (1, bytearray(_wav_bytes(440.0, 8000, 800)), "wav"),
         (2, bytearray(_ppm_bytes(4, 4, (10, 20, 30))), "ppm"),
         (3, bytearray(_png_bytes(64, 48)), "png"),
+        (4, bytearray(_jpeg_bytes(128, 96)), "jpeg"),
     ]
     df = spark.createDataFrame(rows, "media_id long, raw binary, fmt string")
     media = df.select(
@@ -276,6 +333,7 @@ def test_multimodal_mixed_real_formats_one_pass(spark):
     assert feats[1]["duration_sec"] == pytest.approx(0.1)
     assert (feats[2]["width"], feats[2]["height"]) == (4, 4)
     assert (feats[3]["width"], feats[3]["height"]) == (64, 48)
+    assert (feats[4]["width"], feats[4]["height"]) == (128, 96)
 
 
 def test_frame_sample_fans_out(spark, sf_dir):

@@ -11,10 +11,11 @@ Decode support is per-format:
 - **Real decoders** (stdlib-only, no external codecs): ``wav`` (RIFF
   PCM via :mod:`wave` — channels, sample rate, duration, mean
   amplitude), ``ppm`` (binary P6 — width, height, mean pixel
-  intensity), and ``png`` (signature + IHDR width/height/bit-depth via
-  :mod:`struct`, CRC-verified). These run end-to-end with
-  ``fake=False``.
-- **Stubbed formats** (``jpeg``/``mp4`` — PIL/ffmpeg are NOT
+  intensity), ``png`` (signature + IHDR width/height/bit-depth via
+  :mod:`struct`, CRC-verified), and ``jpeg`` (marker walk to the
+  SOF0/1/2 frame header — width/height/precision). These run
+  end-to-end with ``fake=False``.
+- **Stubbed formats** (``mp4`` — ffmpeg is NOT
   available in this container): raise ``NotImplementedError`` inside
   the decode kernel unless ``fake=True``, in which case a deterministic
   pseudo-decoder (seeded from the payload bytes) produces stable
@@ -194,8 +195,61 @@ def _decode_png(payload: bytes) -> dict:
     }
 
 
+def _decode_jpeg(payload: bytes) -> dict:
+    """Real JPEG header decode, stdlib-only (VERDICT r5 item 7 — the
+    PNG-IHDR treatment for JPEG): walk the marker segments to the
+    frame header (SOF0 baseline / SOF1 extended / SOF2 progressive)
+    and read precision, height, width, component count via
+    :mod:`struct`. FF fill bytes and standalone markers (TEM, RSTn)
+    are skipped per the spec; DHT (C4), JPG (C8) and DAC (CC) are NOT
+    frame headers despite living in the Cx range. Entropy decode needs
+    a DCT codec, so ``mean_intensity`` stays NULL; ``phash`` hashes
+    the full payload, like PNG."""
+    if payload[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG (missing SOI marker)")
+    pos = 2
+    n = len(payload)
+    while pos + 4 <= n:
+        if payload[pos] != 0xFF:
+            raise ValueError(f"corrupt JPEG: expected marker at offset {pos}")
+        # any number of FF fill bytes may precede a marker
+        while pos + 1 < n and payload[pos + 1] == 0xFF:
+            pos += 1
+        marker = payload[pos + 1]
+        if marker == 0x01 or 0xD0 <= marker <= 0xD7:  # TEM / RSTn: no length
+            pos += 2
+            continue
+        if marker in (0xD9, 0xDA):  # EOI / SOS — frame header must precede
+            break
+        (seg_len,) = struct.unpack(">H", payload[pos + 2 : pos + 4])
+        if seg_len < 2:
+            raise ValueError(f"corrupt JPEG: segment length {seg_len}")
+        if marker in (0xC0, 0xC1, 0xC2):
+            precision, height, width, ncomp = struct.unpack(
+                ">BHHB", payload[pos + 4 : pos + 10]
+            )
+            if precision not in (8, 12, 16):
+                raise ValueError(f"invalid JPEG sample precision {precision}")
+            del ncomp  # validated by unpack; not in the feature schema
+            return {
+                "width": width,
+                "height": height,
+                "sample_rate": None,
+                "duration_sec": None,
+                "mean_intensity": None,  # needs DCT entropy decode
+                "phash": hashlib.sha256(payload).hexdigest()[:16],
+            }
+        pos += 2 + seg_len
+    raise ValueError("no SOF frame header before SOS/EOI (truncated JPEG?)")
+
+
 #: Formats with a REAL stdlib decode path.
-REAL_DECODERS = {"wav": _decode_wav, "ppm": _decode_ppm, "png": _decode_png}
+REAL_DECODERS = {
+    "wav": _decode_wav,
+    "ppm": _decode_ppm,
+    "png": _decode_png,
+    "jpeg": _decode_jpeg,
+}
 
 
 def _fake_decode(payload: bytes, fmt: str) -> dict:

@@ -16,7 +16,11 @@ import uuid
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from urban_mobility_data_pipeline_spark.plans._helpers import date_str, events_ts_us
+from urban_mobility_data_pipeline_spark.plans._helpers import (
+    SESSION_GAP_US,
+    date_str,
+    events_ts_us,
+)
 from urban_mobility_data_pipeline_spark.session import configure_session
 from urban_mobility_data_pipeline_spark.streaming.windows import tumbling_agg
 
@@ -94,6 +98,86 @@ def streaming_hourly_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame
         ),
         "n_events",
         "total_value",
+    )
+
+
+@register(
+    "streaming_user_session_windows",
+    oracle=f"""
+    WITH flagged AS (
+        SELECT user_id, event_id, epoch_us(ts) AS ts_us,
+               CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER w
+                         > {SESSION_GAP_US} OR
+                         lag(epoch_us(ts)) OVER w IS NULL
+                    THEN 1 ELSE 0 END AS is_new
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)
+    ),
+    sessions AS (
+        SELECT *, CAST(sum(is_new) OVER (
+            PARTITION BY user_id ORDER BY ts_us, event_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+            AS session_id
+        FROM flagged
+    )
+    SELECT user_id,
+           min(ts_us) AS session_start_us,
+           max(ts_us) - min(ts_us) AS duration_us,
+           count(*) AS n_events
+    FROM sessions
+    GROUP BY user_id, session_id
+    """,
+)
+def streaming_user_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stateful session windows executed as a REAL Structured Streaming
+    query (VERDICT r5 item 5): readStream → ``F.session_window`` with a
+    30-minute inactivity gap keyed by user → availableNow → memory
+    sink. Spark merges windows inclusively at delta == gap (pinned
+    empirically), which is exactly the batch gaps-and-islands twin's
+    ``> gap`` new-session rule — so complete-mode output over all the
+    data equals ``plans.parity.user_session_windows``, and the oracle
+    is the same sessionization SQL minus the island id (a streaming
+    session has no global ordinal)."""
+    from urban_mobility_data_pipeline_spark.streaming.windows import session_agg
+
+    configure_session(spark)
+    try:
+        schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    except Exception:
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    ts_type = schema["ts"].dataType.simpleString()
+    stream = (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    ev = stream.withColumn("ts_us", events_ts_us(ts_type)).withColumn(
+        "event_ts", F.timestamp_micros(F.col("ts_us"))
+    )
+    agg = session_agg(
+        ev,
+        "event_ts",
+        "30 minutes",
+        keys=["user_id"],
+        aggs={
+            "session_start_us": F.min("ts_us"),
+            "duration_us": F.max("ts_us") - F.min("ts_us"),
+            "n_events": F.count(F.lit(1)),
+        },
+    )
+    sink_name = f"stream_sessions_{uuid.uuid4().hex[:8]}"
+    query = (
+        agg.writeStream.format("memory")
+        .queryName(sink_name)
+        .outputMode("complete")
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="umdp_ckpt_"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination()
+    return spark.table(sink_name).select(
+        "user_id", "session_start_us", "duration_us", "n_events"
     )
 
 
