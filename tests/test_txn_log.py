@@ -494,3 +494,139 @@ def test_racing_merges_same_partition_conflict_then_clean_retry(
     t1.merge(src_a, **kwargs)
     got = {(r["id"], r["payload"]) for r in t1.read().collect()}
     assert (0, "A") in got and (1, "B") in got and len(got) == 12
+
+
+def test_change_feed_reemission_dedups_exactly_once_downstream(
+    spark, tmp_path
+):
+    """Pins the documented read_changes caveat (VERDICT r5 item 8):
+    after a MERGE rewrites a bronze partition, the change feed
+    re-emits the partition's UNTOUCHED rows alongside the changed one
+    — and the downstream silver_apply_changes consumer (latest-per-key
+    dedup + hash-compared SCD2 merge) must land exactly-once rows:
+    one new version for the changed key, a no-op for the re-emitted
+    unchanged key."""
+    import datetime as _dt
+
+    from urban_mobility_data_pipeline_spark.domain import config as C
+    from urban_mobility_data_pipeline_spark.domain import jobs as J
+
+    T0 = _dt.datetime(2024, 3, 1, 8, 0)
+    T1 = _dt.datetime(2024, 3, 1, 9, 0)
+    T2 = _dt.datetime(2024, 3, 2, 9, 0)
+    ddl = (
+        "passenger_id long, full_name string, email string, phone string, "
+        "city string, is_deleted boolean, deleted_at timestamp, "
+        "created_at timestamp, updated_at timestamp"
+    )
+    lake = J.Lakehouse(spark, str(tmp_path / "lake"))
+    cfg = C.PASSENGERS
+    batch = spark.createDataFrame(
+        [
+            (1, "Ann A", "a@x.com", "1", "Rome", False, None, T0, T0),
+            (2, "Bob B", "b@x.com", "2", "Oslo", False, None, T0, T0),
+        ],
+        ddl,
+    )
+    J.bronze_ingest(lake, cfg, batch, now=T1)
+    assert J.silver_apply_changes(lake, cfg) == 2
+
+    # correction lands DIRECTLY in bronze as a MERGE (CDC repair):
+    # both rows share the load_date partition, so the rewrite re-emits
+    # Bob's untouched row in the new files
+    bronze = lake.table("bronze", cfg.name)
+    v_before = bronze.history()[0]["version"]
+    fix = spark.createDataFrame([(1, "Paris", T2, T2)],
+        "passenger_id long, city string, updated_at timestamp, "
+        "raw_loaded_at timestamp",
+    )
+    bronze.merge(
+        fix,
+        keys=["passenger_id"],
+        update_set={
+            "city": F.col("s.city"),
+            "updated_at": F.col("s.updated_at"),
+            "raw_loaded_at": F.col("s.raw_loaded_at"),
+        },
+        insert=False,
+    )
+    # the caveat itself: the feed re-emits Bob although only Ann changed
+    reemitted = bronze.read_changes(v_before)
+    assert {r["passenger_id"] for r in reemitted.collect()} == {1, 2}
+
+    # downstream: exactly-once despite the re-emission
+    assert J.silver_apply_changes(lake, cfg) >= 1
+    silver = lake.table("silver", cfg.name).read()
+    bob = silver.filter(F.col("passenger_id") == 2).collect()
+    assert len(bob) == 1 and bob[0]["is_current"]  # no duplicate, no churn
+    ann = silver.filter(F.col("passenger_id") == 1).collect()
+    assert len(ann) == 2  # closed old version + current Paris version
+    cur = [r for r in ann if r["is_current"]]
+    assert len(cur) == 1 and cur[0]["city"] == "Paris"
+    # drained: nothing further to consume
+    assert J.silver_apply_changes(lake, cfg) == 0
+
+
+def test_where_scoped_compact_touches_only_matching_partition(
+    spark, tmp_path
+):
+    """OPTIMIZE ... WHERE analogue (VERDICT r5 item 4): a where-scoped
+    compact rewrites only the matching partition's files; every other
+    partition's files carry over byte-identical (same inode — never
+    read, never rewritten), and the snapshot is row-identical."""
+    t = MergeTable(spark, str(tmp_path / "t"))
+    t.create(
+        spark.createDataFrame(
+            [(i, D1, f"a{i}") for i in range(4)], "id int, d date, v string"
+        ),
+        partition_by=["d"],
+    )
+    # accumulate small files in the D2 partition only
+    for i in range(6):
+        t.append(
+            spark.createDataFrame([(100 + i, D2, f"b{i}")],
+                                  "id int, d date, v string")
+        )
+    before_rows = sorted((r["id"], r["v"]) for r in t.read().collect())
+    before = _file_identity(str(tmp_path / "t"))
+    d2_before = len(t.live_files(leaf_contains="d=2024-01-02"))
+    assert d2_before >= 6
+
+    t.compact(where=F.col("d") == D2)
+    assert t.history()[0]["op"] == "compact"
+
+    after = _file_identity(str(tmp_path / "t"))
+    d1 = "d=2024-01-01"
+    assert {k: v for k, v in before.items() if d1 in k} == {
+        k: v for k, v in after.items() if d1 in k
+    }
+    assert len(t.live_files(leaf_contains="d=2024-01-02")) < d2_before
+    assert sorted((r["id"], r["v"]) for r in t.read().collect()) == before_rows
+
+
+def test_auto_compact_triggers_on_threshold_only(spark, tmp_path):
+    """auto_compact is a no-op below max_files (no new version) and
+    compacts above it; leaf_contains counts one partition's files."""
+    t = MergeTable(spark, str(tmp_path / "t"))
+    t.create(
+        spark.createDataFrame([(0, D1, "x")], "id int, d date, v string"),
+        partition_by=["d"],
+    )
+    for i in range(5):
+        t.append(
+            spark.createDataFrame([(1 + i, D2, "y")], "id int, d date, v string")
+        )
+    v = t.history()[0]["version"]
+    assert t.auto_compact(max_files=100) is False
+    assert t.history()[0]["version"] == v  # no-op: nothing committed
+    assert (
+        t.auto_compact(
+            max_files=3,
+            where=F.col("d") == D2,
+            leaf_contains="d=2024-01-02",
+        )
+        is True
+    )
+    assert t.history()[0]["op"] == "compact"
+    assert len(t.live_files(leaf_contains="d=2024-01-02")) <= 3
+    assert t.read().count() == 6

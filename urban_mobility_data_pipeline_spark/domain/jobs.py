@@ -130,6 +130,20 @@ def bronze_ingest(
         ).first()
         n, new_wm = row["n"], row["m"]
         lake.control.upsert(job, new_wm if n else None, "OK")
+        # per-cycle appends accumulate small files in the CURRENT
+        # load_date partition only — auto-compact exactly that leaf
+        # when it crosses the threshold (a where-scoped rewrite; the
+        # historical partitions' files carry over untouched in the
+        # manifest). NB compaction re-adds the partition's files, so a
+        # read_changes consumer re-sees its rows — the downstream
+        # latest-per-key + SCD2-hash dedup lands them exactly-once
+        # (pinned by test_change_feed_reemission_dedups_exactly_once).
+        leaf = f"load_date={now.date().isoformat()}"
+        target.auto_compact(
+            max_files=32,
+            where=F.col("load_date") == F.lit(now.date()),
+            leaf_contains=leaf,
+        )
         return n
     except Exception as exc:  # FAIL path keeps the old watermark (M1)
         lake.control.upsert(job, None, f"FAIL: {exc}")

@@ -31,6 +31,13 @@ MIN_WORDS = 5
 MAX_PUNCT_RATIO = 0.1
 MIN_STOPWORD_RATIO = 0.05
 
+#: Auto-compaction trigger for the ingest loops: once the corpus
+#: manifest references more than this many live files, the cycle ends
+#: with a compact() so scan task counts plateau under continuous
+#: ingest (VERDICT r5 item 4). The check itself reads only the
+#: manifest — free when no compaction is due.
+AUTO_COMPACT_MAX_FILES = 64
+
 
 def dedupe_on_key(df: DataFrame, key: str = "doc_id") -> DataFrame:
     """Keep exactly one row per ``key``, deterministically.
@@ -86,8 +93,10 @@ def ingest_feed(
     quarantine: MergeTable,
     fmt: str = "jsonl",
     ddl_schema: str = FEED_SCHEMA,
+    auto_compact_files: int = AUTO_COMPACT_MAX_FILES,
 ) -> dict[str, int]:
-    """One ingest cycle. Returns ``{"upserted": n, "quarantined": n}``.
+    """One ingest cycle. Returns ``{"upserted": n, "quarantined": n,
+    "compacted": 0|1}``.
 
     Malformed records append to the quarantine table (dead letters are
     kept, never dropped); curated rows MERGE on ``doc_id`` so feed
@@ -136,7 +145,14 @@ def ingest_feed(
                 quarantine.append(bad_stamped)
             else:
                 quarantine.create(bad_stamped)
-        return {"upserted": n_up, "quarantined": n_bad}
+        compacted = corpus.exists() and corpus.auto_compact(
+            max_files=auto_compact_files
+        )
+        return {
+            "upserted": n_up,
+            "quarantined": n_bad,
+            "compacted": int(compacted),
+        }
     finally:
         parsed.unpersist()
 
@@ -215,6 +231,8 @@ def stream_ingest_feed(
                         quarantine.append(stamped)
                 else:
                     quarantine.create(stamped)
+            if corpus.exists():
+                corpus.auto_compact(max_files=AUTO_COMPACT_MAX_FILES)
         finally:
             batch.unpersist()
 

@@ -987,6 +987,7 @@ class MergeTable:
         self,
         target_partitions: int | None = None,
         sort_by: Sequence[str] = (),
+        where: Column | None = None,
     ) -> None:
         """Small-file compaction (Delta OPTIMIZE analogue). Streaming
         foreachBatch appends and per-batch bronze appends accumulate
@@ -995,12 +996,30 @@ class MergeTable:
         8 current data files (file count straight from the manifest —
         planning stays no-cost).
 
+        ``where`` scopes the rewrite to matching PARTITIONS of a
+        partitioned table (Delta ``OPTIMIZE ... WHERE``): only their
+        files are read and rewritten; every other partition's files
+        carry over in the manifest untouched — the 100 TB shape, where
+        compacting an append table means compacting the partitions
+        still receiving small files, never a full-table rewrite. Rows
+        keep their partition values under compaction, so the rewritten
+        leafs are exactly the output leafs and the commit prunes on
+        those.
+
         ``sort_by`` clusters rows within each output file by the given
         columns (Z-ORDER-lite): parquet row-group min/max stats become
         disjoint on those columns, so later filtered scans skip row
         groups — worth running on the columns your queries filter by."""
-        manifest, _ = self._load()
+        manifest, parent = self._load()
         df = self.read(include_internal=True)
+        if where is not None:
+            if not manifest["partition_by"]:
+                raise ValueError(
+                    "where-scoped compact requires a partitioned table"
+                )
+            # partition predicate ⇒ the scan below file-prunes to the
+            # touched partitions; everything else is never read
+            df = df.filter(where)
         if target_partitions is not None:
             df = df.coalesce(max(1, target_partitions))
         else:
@@ -1008,4 +1027,41 @@ class MergeTable:
             df = df.coalesce(max(1, n_files // 8))
         if sort_by:
             df = df.sortWithinPartitions(*sort_by)
-        self._commit_rewrite(df, op="compact")
+        if where is None:
+            self._commit_rewrite(df, op="compact")
+        else:
+            self._commit_pruned(df, manifest, parent, set(), "compact")
+
+    def live_files(self, leaf_contains: str | None = None) -> list[str]:
+        """Relative paths of the current snapshot's data files, straight
+        from the manifest (no filesystem listing). ``leaf_contains``
+        filters to files whose path carries the given partition-dir
+        fragment (e.g. ``"load_date=2024-03-01"``)."""
+        manifest, _ = self._load()
+        files = list(manifest["files"])
+        if leaf_contains is not None:
+            files = [f for f in files if leaf_contains in f]
+        return files
+
+    def auto_compact(
+        self,
+        max_files: int = 64,
+        where: Column | None = None,
+        leaf_contains: str | None = None,
+        target_partitions: int | None = None,
+        sort_by: Sequence[str] = (),
+    ) -> bool:
+        """Compact iff the live file count crosses ``max_files`` —
+        the hook ingest loops call after every append/merge cycle so
+        file counts plateau instead of growing without bound (VERDICT
+        r5 item 4). Planning reads only the manifest, so the check is
+        free on the no-compaction path. ``leaf_contains`` counts (and
+        ``where`` rewrites) a single partition's files — the bronze
+        append shape, where only the current load_date accumulates.
+        Returns True when a compaction ran."""
+        if len(self.live_files(leaf_contains)) <= max_files:
+            return False
+        self.compact(
+            target_partitions=target_partitions, sort_by=sort_by, where=where
+        )
+        return True
