@@ -290,6 +290,12 @@ def build_ivf_index(
     MERGE prunes untouched partitions via the txn-log manifest.
     """
     assigned = ivf_assign(embeddings, centroids, id_col, vec_col)
+    # cluster the write by cell so each inverted list lands in O(1)
+    # files instead of (shuffle.partitions × cells) small files — a
+    # probe then opens ~nprobe files. (At 100 TB you'd raise the
+    # partition count per cell; the clustering, not the count, is the
+    # point.)
+    assigned = assigned.repartition("cell")
     if index_table.exists():
         index_table.merge(
             assigned,

@@ -26,76 +26,74 @@ FLAGSHIP = "pricing_summary"
 
 # ---------------------------------------------------------------------------
 # Driver slots: the correctness driver records at most 50 rows, taken in
-# dict order from __spark_entry__.queries(). Curate which 50 (VERDICT r3
-# item 2): every SURVEY §2 component keeps at least one slot; redundant
-# or rows-only entries are covered by bench + tests/test_parity_oracle.py
-# (parametrized over ALL oracles) instead.
+# dict order from __spark_entry__.queries(). Every SURVEY §2 component
+# keeps at least one slot; the rest of the 97-query catalog is covered
+# every round by tests/test_parity_oracle.py (parametrized over ALL
+# oracles) and timed by bench.py. Rotation history for rounds 3-5 is in
+# git (this file, tags r3-r5).
 #
-# Round-5 rotation (VERDICT r4 item 1): the 11 oracle-backed queries that
-# had never held a driver slot rotate IN (documents_fuzzy_dedup_corpus,
-# embedding_ivf_topk, customer_order_analytics, customers_without_orders,
-# top_customers_by_spend, supplier_nation_summary, parts_by_brand_type,
-# hourly_event_windows, sliding_event_windows, gdpr_subject_fingerprints,
-# event_regex_map_showcase). Rotated OUT, each with its SURVEY coverage
-# retained elsewhere:
-#   incremental_order_slice        P1 kept by watermark_bounds
-#   doc_text_functions_showcase    §2.9 strings kept by
-#                                  order_scalar_functions_showcase +
-#                                  event_regex_map_showcase (in)
-#   daily_sales_calendar           sibling of calendar_dim (VERDICT r4);
-#                                  J5 enrich join -> pytest oracle-parity
-#   documents_train_test_split     sampling kept by stratified_sample
-#   doc_minhash_signatures         stage verified transitively by
-#   doc_lsh_band_keys              doc_near_dup_pairs + fuzzy corpus (in)
-#   embedding_ann_buckets          stage of embedding_near_dup_pairs;
-#                                  IVF top-k (in) is the scale ANN path
-#   doc_fingerprints               text family keeps lang/quality/tokens;
-#                                  hashing kept by customer_scd_hash +
-#                                  gdpr_subject_fingerprints (in)
-#   customer_only_nations          0-row anti-pattern; overlap row stays
-#   events_interval_join_purchases temporal family keeps asof + range
-#   revenue_by_region              multi-way join kept by
-#                                  supplier_nation_summary (in)
-# All rotated-out queries remain green in tests/test_parity_oracle.py and
-# timed in bench.py every round.
+# Round-6 rotation (VERDICT r5 item 1 — close out the never-driver-
+# checked set): ALL 22 oracle-backed queries that had never held a
+# driver slot rotate IN (the 19 listed in VERDICT r5 "What's missing"
+# #1 plus streaming_corpus_quality_gate, shipping_priority and
+# local_supplier_volume), together with the three queries NEW in round
+# 6 (embedding_ivf_topk_indexed — the materialized IVF index,
+# documents_packed_sequences — concat-and-chop packing v2,
+# streaming_user_session_windows — the third real-readStream row).
+# After this rotation the only catalog entry never driver-checked is
+# daily_distinct_users_sketch — rows-only BY DESIGN (an HLL sketch has
+# no cross-engine value hash); it stays pytest+bench-covered.
 #
-# The four queries NEW in round 5 (doc_simhash_near_dup_pairs,
-# embedding_dedup_corpus, documents_train_eval_contamination,
-# documents_quality_filtered_corpus) take slots immediately; to make
-# room, four extension-analytics queries with four green driver rounds
-# each rotate out (user_session_windows, order_value_percentiles,
-# priority_status_pivot, nation_customer_supplier_overlap) — none is a
-# SURVEY §2 component's only slot.
-#
-# Late round-5 additions (doc_repetition_stats, corpus_boilerplate_
-# shingles, corpus_language_stats) also take slots immediately; rotated
-# out to make room, each subsumed by an in-list consumer:
-#   doc_simhash                  signature stage consumed & verified by
-#                                doc_simhash_near_dup_pairs (in)
-#   daily_event_rollup_from_hourly  derived from hourly_event_windows
-#                                (in); pytest-oracle + bench retained
-#   embedding_cosine_topk        exact baseline; embedding_ivf_topk (in)
-#                                is recall-tested against it every run
-#                                (tests/test_similarity_ivf.py)
-#   doc_lang_id                  same staged argmax aggregated by
-#                                corpus_language_stats (in)
-#   doc_quality_scores           same feature set gated by
-#                                documents_quality_filtered_corpus (in)
-# and documents_pii_audit / embedding_cluster_cohesion take the two
-# freed slots. streaming_corpus_quality_gate (real readStream, second
-# streaming oracle row), corpus_vocabulary, doc_top_tfidf_terms,
-# documents_token_packing, documents_chunked, corpus_source_quality and
-# embedding_int8_quantized, doc_unigram_surprisal and
-# cross_modal_dedup_agreement, user_retention_cohorts and
-# events_conversion_funnel, event_type_transitions and
-# documents_fuzzy_dedup_keep_best, part_basket_affinity and
-# events_error_bursts, discount_revenue_effect and
-# late_ship_priority_counts and large_volume_orders stay
-# pytest+bench-covered — first in line
-# for the round-6 rotation. corpus_training_manifest (the composed
-# gates→dedup→packing end product) takes dedup_exact_docs's slot: exact
-# dedup's digest-groupBy is verified inside BOTH in-list composites
-# (documents_quality_filtered_corpus and the manifest itself).
+# Rotated OUT to make room (each keeps pytest-oracle + bench coverage;
+# SURVEY coverage retained by an in-list query as noted):
+#   customer_scd_hash            §2.9 hashes kept by
+#                                gdpr_subject_fingerprints
+#   order_scalar_functions_showcase  §2.9 strings/conditionals kept by
+#                                event_regex_map_showcase
+#   hourly_event_windows         event-time windowing kept by
+#   sliding_event_windows        events_rolling_hour_counts (in)
+#   streaming_hourly_event_counts  §2.10 keeps TWO real-stream rows:
+#                                streaming_corpus_quality_gate (in) +
+#                                streaming_user_session_windows (in)
+#   customer_order_analytics     window+join analytics kept by
+#                                user_retention_cohorts (in)
+#   supplier_nation_summary      multi-way joins kept by
+#                                local_supplier_volume (Q5-shape, in)
+#                                + shipping_priority (Q3-shape, in)
+#   parts_by_brand_type          part analytics kept by
+#                                part_basket_affinity (in)
+#   order_rollup_totals          grouping-sets family kept by
+#                                order_priority_status_cube (in)
+#   doc_near_dup_pairs           the text LSH+Jaccard pair pipeline
+#                                runs INSIDE cross_modal_dedup_agreement
+#                                (in) and documents_fuzzy_dedup_keep_best
+#                                (in)
+#   doc_dup_clusters             CC consumed+verified inside
+#   documents_fuzzy_dedup_corpus documents_fuzzy_dedup_keep_best (in,
+#                                same pipeline + representative rank)
+#   documents_quality_filtered_corpus  gates verified inside
+#                                corpus_training_manifest (kept) and
+#                                streaming_corpus_quality_gate (in)
+#   documents_pii_audit          PII redaction hash-checked inside
+#                                streaming_corpus_quality_gate (in,
+#                                redacted_hash column)
+#   embedding_ivf_topk           embedding_ivf_topk_indexed (in) shares
+#                                the IDENTICAL full-pipeline oracle
+#   embedding_near_dup_pairs     the embedding pair pipeline runs
+#   embedding_dedup_corpus       INSIDE cross_modal_dedup_agreement (in)
+#   embedding_cluster_cohesion   cohesion: pytest-oracle + bench
+#   doc_token_counts             token counting staged inside
+#                                documents_token_packing (in) and
+#                                documents_packed_sequences (in)
+#   doc_repetition_stats         text-stats family kept by
+#   corpus_boilerplate_shingles  corpus_vocabulary, doc_top_tfidf_terms,
+#   corpus_language_stats        doc_unigram_surprisal and
+#                                corpus_source_quality (all in)
+#   doc_simhash_near_dup_pairs   no in-list twin this round (SimHash had
+#   documents_train_eval_contamination  a green r5 row; contamination
+#   documents_stratified_sample  and sampling likewise) — all three stay
+#                                hash-checked in test_parity_oracle.py
+#                                and timed in bench.py every round
 # ---------------------------------------------------------------------------
 DRIVER_QUERY_NAMES: tuple[str, ...] = (
     # parity core (SURVEY §2 operator inventory)
@@ -111,7 +109,6 @@ DRIVER_QUERY_NAMES: tuple[str, ...] = (
     "watermark_bounds",
     "daily_user_activity",
     "error_user_activity",
-    "customer_scd_hash",
     "gdpr_subject_fingerprints",
     "events_dq_flags",
     "customers_masked",
@@ -122,37 +119,38 @@ DRIVER_QUERY_NAMES: tuple[str, ...] = (
     "order_fulfilment_kpis",
     # LLM-pipeline extensions
     "corpus_training_manifest",
-    "doc_near_dup_pairs",
-    "doc_simhash_near_dup_pairs",
-    "doc_dup_clusters",
-    "documents_fuzzy_dedup_corpus",
-    "documents_train_eval_contamination",
-    "documents_quality_filtered_corpus",
-    "doc_repetition_stats",
-    "corpus_boilerplate_shingles",
-    "corpus_language_stats",
-    "documents_pii_audit",
-    "embedding_ivf_topk",
-    "embedding_near_dup_pairs",
-    "embedding_dedup_corpus",
-    "embedding_cluster_cohesion",
-    "doc_token_counts",
-    "documents_stratified_sample",
+    "corpus_vocabulary",
+    "doc_top_tfidf_terms",
+    "doc_unigram_surprisal",
+    "corpus_source_quality",
+    "documents_token_packing",
+    "documents_packed_sequences",
+    "documents_chunked",
+    "documents_fuzzy_dedup_keep_best",
+    "cross_modal_dedup_agreement",
+    "embedding_int8_quantized",
+    "embedding_ivf_topk_indexed",
     # analytics / temporal
-    "customer_order_analytics",
     "customers_without_orders",
-    "supplier_nation_summary",
-    "parts_by_brand_type",
-    "order_rollup_totals",
     "events_asof_prior_purchase",
     "events_range_join_error_counts",
-    "hourly_event_windows",
-    "sliding_event_windows",
+    "events_rolling_hour_counts",
+    "order_priority_status_cube",
+    "shipping_priority",
+    "local_supplier_volume",
+    "user_retention_cohorts",
+    "events_conversion_funnel",
+    "event_type_transitions",
+    "part_basket_affinity",
+    "events_error_bursts",
+    "discount_revenue_effect",
+    "late_ship_priority_counts",
+    "large_volume_orders",
     # scalar-function surface
-    "order_scalar_functions_showcase",
     "event_regex_map_showcase",
     # structured streaming (real readStream execution)
-    "streaming_hourly_event_counts",
+    "streaming_corpus_quality_gate",
+    "streaming_user_session_windows",
 )
 
 assert len(DRIVER_QUERY_NAMES) == 50, len(DRIVER_QUERY_NAMES)
