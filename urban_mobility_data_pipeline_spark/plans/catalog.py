@@ -27,7 +27,7 @@ FLAGSHIP = "pricing_summary"
 # ---------------------------------------------------------------------------
 # Driver slots: the correctness driver records at most 50 rows, taken in
 # dict order from __spark_entry__.queries(). Every SURVEY §2 component
-# keeps at least one slot; the rest of the 97-query catalog is covered
+# keeps at least one slot; the rest of the 102-query catalog is covered
 # every round by tests/test_parity_oracle.py (parametrized over ALL
 # oracles) and timed by bench.py. Rotation history for rounds 3-5 is in
 # git (this file, tags r3-r5).
@@ -40,9 +40,13 @@ FLAGSHIP = "pricing_summary"
 # 6 (embedding_ivf_topk_indexed — the materialized IVF index,
 # documents_packed_sequences — concat-and-chop packing v2,
 # streaming_user_session_windows — the third real-readStream row).
-# After this rotation the only catalog entry never driver-checked is
-# daily_distinct_users_sketch — rows-only BY DESIGN (an HLL sketch has
-# no cross-engine value hash); it stays pytest+bench-covered.
+# After this rotation the only r5-era catalog entry never
+# driver-checked is daily_distinct_users_sketch — rows-only BY DESIGN
+# (an HLL sketch has no cross-engine value hash); it stays
+# pytest+bench-covered. Three queries added LATE in round 6
+# (documents_ngram_contamination, corpus_mixing_weights,
+# corpus_tokenizer_fertility) are pytest-oracle green and first in
+# line for the round-7 rotation.
 #
 # Rotated OUT to make room (each keeps pytest-oracle + bench coverage;
 # SURVEY coverage retained by an in-list query as noted):

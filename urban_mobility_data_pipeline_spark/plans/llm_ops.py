@@ -2057,3 +2057,229 @@ def documents_fuzzy_dedup_keep_best(
     return ranked.filter(F.col("rk") == 1).select(
         "doc_id", "n_words", "cluster_size"
     )
+
+
+# ---------------------------------------------------------------------------
+# exact n-gram contamination (the GPT-3/Llama-style decontam check)
+# ---------------------------------------------------------------------------
+NGRAM_CONTAM_N = 8
+
+
+@register(
+    "documents_ngram_contamination",
+    oracle=f"""
+    WITH tagged AS (
+        SELECT doc_id, {_WORDS} AS ws,
+               CASE WHEN CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4))
+                          AS INT) % 100 < 20
+                    THEN 'test' ELSE 'train' END AS split
+        FROM documents
+    ),
+    grams AS (
+        SELECT doc_id, split,
+               md5(array_to_string(
+                   list_slice(ws, t.i, t.i + {NGRAM_CONTAM_N} - 1), ' '))
+                   AS gram
+        FROM tagged,
+             unnest(generate_series(1, len(ws) - {NGRAM_CONTAM_N} + 1)) AS t(i)
+    ),
+    train_grams AS (
+        SELECT DISTINCT gram FROM grams WHERE split = 'train'
+    ),
+    eval_grams AS (
+        SELECT doc_id, gram FROM grams WHERE split = 'test'
+    ),
+    hits AS (
+        SELECT e.doc_id,
+               count(*) AS n_grams,
+               CAST(sum(CASE WHEN t.gram IS NOT NULL THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_hit
+        FROM eval_grams e LEFT JOIN train_grams t USING (gram)
+        GROUP BY 1
+    )
+    SELECT doc_id AS eval_doc, n_grams, n_hit,
+           round(n_hit / CAST(n_grams AS DOUBLE), 6) AS hit_ratio
+    FROM hits
+    WHERE n_hit > 0
+    """,
+)
+def documents_ngram_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact {n}-gram contamination check — the GPT-3/Llama-style
+    decontamination complement to the MinHash gate
+    (documents_train_eval_contamination catches near-dups; this
+    catches verbatim excerpts too short to move Jaccard). Eval docs'
+    word {n}-grams are hashed and probed against the DISTINCT train
+    gram set; output is per-eval-doc hit counts and ratio, only for
+    contaminated docs.
+
+    Scale shape: gram hashing is a map-side explode (16-byte digests,
+    never the text); the train set is a distinct aggregation; the
+    probe join hash-partitions on the gram digest — cost is O(grams),
+    never |train| × |eval|. At 100 TB the train gram set would be a
+    bloom filter or a bucketed table; the join stays the same shape.
+    """
+    N = NGRAM_CONTAM_N
+    from urban_mobility_data_pipeline_spark.extensions.sampling import (
+        train_test_split,
+    )
+
+    docs = table(spark, sf_dir, "documents")
+    tagged = train_test_split(docs, key="doc_id", test_pct=20)
+    grams = tagged.select(
+        "doc_id",
+        "split",
+        T.words("text").alias("ws"),
+    ).select(
+        "doc_id",
+        "split",
+        F.explode(
+            F.when(
+                F.size("ws") >= N,
+                F.transform(
+                    F.sequence(F.lit(1), F.size("ws") - N + 1),
+                    lambda i: F.md5(F.array_join(F.slice("ws", i, N), " ")),
+                ),
+            ).otherwise(F.array().cast("array<string>"))
+        ).alias("gram"),
+    )
+    train_grams = (
+        grams.filter(F.col("split") == "train").select("gram").distinct()
+    )
+    eval_grams = grams.filter(F.col("split") == "test").select(
+        "doc_id", "gram"
+    )
+    hits = (
+        eval_grams.join(
+            train_grams.withColumn("__hit", F.lit(1)), "gram", "left"
+        )
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.sum(F.coalesce(F.col("__hit"), F.lit(0)))
+            .cast("long")
+            .alias("n_hit"),
+        )
+    )
+    return hits.filter(F.col("n_hit") > 0).select(
+        F.col("doc_id").alias("eval_doc"),
+        "n_grams",
+        "n_hit",
+        F.round(F.col("n_hit") / F.col("n_grams"), 6).alias("hit_ratio"),
+    )
+
+
+documents_ngram_contamination.__doc__ = (
+    documents_ngram_contamination.__doc__.format(n=NGRAM_CONTAM_N)
+)
+
+
+# ---------------------------------------------------------------------------
+# domain mixing weights (temperature-scaled source sampling)
+# ---------------------------------------------------------------------------
+MIX_ALPHA = 0.3
+
+
+@register(
+    "corpus_mixing_weights",
+    oracle=f"""
+    WITH per_source AS (
+        SELECT source,
+               count(*) AS n_docs,
+               CAST(sum(len({_WORDS})) AS BIGINT) AS n_tokens
+        FROM documents
+        GROUP BY 1
+    ),
+    shares AS (
+        SELECT *,
+               n_tokens / CAST((SELECT sum(n_tokens) FROM per_source)
+                               AS DOUBLE) AS share
+        FROM per_source
+    )
+    SELECT source, n_docs, n_tokens,
+           round(share, 6) AS token_share,
+           round(pow(share, {MIX_ALPHA})
+                 / (SELECT sum(pow(share, {MIX_ALPHA})) FROM shares),
+                 6) AS mixing_weight
+    FROM shares
+    """,
+)
+def corpus_mixing_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain mixing weights: per-source token shares scaled by a
+    sampling temperature (w ∝ share^{alpha}, the multilingual-sampling
+    recipe) — what a trainer's data loader consumes to upsample rare
+    sources without drowning in the head. Two tiny aggregations over a
+    per-source rollup; the scalar totals broadcast into the plan."""
+    docs = table(spark, sf_dir, "documents")
+    per_source = docs.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(T.whitespace_token_count("text")).cast("long").alias("n_tokens"),
+    )
+    totals = per_source.agg(
+        F.sum("n_tokens").cast("double").alias("__total")
+    )
+    shares = per_source.join(F.broadcast(totals)).withColumn(
+        "share", F.col("n_tokens") / F.col("__total")
+    )
+    norm = shares.agg(
+        F.sum(F.pow("share", F.lit(MIX_ALPHA))).alias("__norm")
+    )
+    return (
+        shares.join(F.broadcast(norm))
+        .select(
+            "source",
+            "n_docs",
+            "n_tokens",
+            F.round("share", 6).alias("token_share"),
+            F.round(
+                F.pow("share", F.lit(MIX_ALPHA)) / F.col("__norm"), 6
+            ).alias("mixing_weight"),
+        )
+    )
+
+
+corpus_mixing_weights.__doc__ = corpus_mixing_weights.__doc__.format(
+    alpha=MIX_ALPHA
+)
+
+
+# ---------------------------------------------------------------------------
+# tokenizer fertility (BPE-ish tokens per whitespace token, by lang)
+# ---------------------------------------------------------------------------
+@register(
+    "corpus_tokenizer_fertility",
+    oracle=f"""
+    SELECT lang,
+           count(*) AS n_docs,
+           CAST(sum(len({_WORDS})) AS BIGINT) AS total_ws_tokens,
+           CAST(sum(len(regexp_extract_all(text,
+                '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]'))) AS BIGINT)
+               AS total_bpeish_tokens,
+           round(CAST(sum(len(regexp_extract_all(text,
+                     '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]'))) AS DOUBLE)
+                 / sum(len({_WORDS})), 6) AS fertility
+    FROM documents
+    GROUP BY 1
+    """,
+)
+def corpus_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer fertility by language: BPE-ish tokens per whitespace
+    token — the stat that tells you which languages will blow the token
+    budget under a given tokenizer (fertility ≫ 1 ⇒ scripts the
+    tokenizer fragments). Integer sums per group, one division at the
+    end — deterministic cross-engine. Map-side combine: the shuffle
+    carries (lang, 2 longs) partials, never rows."""
+    docs = table(spark, sf_dir, "documents")
+    return docs.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(T.whitespace_token_count("text"))
+        .cast("long")
+        .alias("total_ws_tokens"),
+        F.sum(T.bpeish_token_count("text"))
+        .cast("long")
+        .alias("total_bpeish_tokens"),
+        F.round(
+            F.sum(T.bpeish_token_count("text")).cast("double")
+            / F.sum(T.whitespace_token_count("text")),
+            6,
+        ).alias("fertility"),
+    )
