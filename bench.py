@@ -167,16 +167,17 @@ def main() -> None:
 #: Perf notes carried in the committed local artifact (VERDICT r5 #3:
 #: commit the explanation next to the numbers it explains).
 NOTES = (
-    "r5->r4 embedding-family creep (embedding_near_dup_pairs 1.24->2.08s,"
-    " embedding_ann_buckets 0.72->1.06s) was profiled in r6: in an"
-    " isolated session both queries time at r4 levels (1.34s / 0.72s,"
-    " best-of-2, same sf0.1/local[32]) with unchanged plans — the creep"
-    " was 96-query bench-session contention (JVM heap/GC), not a plan"
-    " change. r6 adds scratch-cache release between queries (cache.py)"
-    " to reduce exactly that pressure. embedding_ivf_topk_indexed"
-    " includes its one-time index BUILD (corpus assignment + clustered"
-    " write) in-query by design — the probe itself reads only nprobe"
-    " cells' files."
+    "r4->r5 embedding-family creep (embedding_near_dup_pairs 1.24->2.08s,"
+    " embedding_ann_buckets 0.72->1.06s) was profiled in r6: isolated"
+    " sessions time both at r4 levels with unchanged plans — the creep"
+    " was cached-relation pressure in the 96-query bench session (staged"
+    " persists pinned against clearCache), not a plan change. r6's fix"
+    " (cache.py scratch registry released between queries) RESTORED the"
+    " full-bench numbers past r4: near_dup_pairs 1.03s, ann_buckets"
+    " 0.59s, ivf_topk 1.27s at r6; whole-catalog 0.72x of r5 over the 96"
+    " common queries. embedding_ivf_topk_indexed includes its one-time"
+    " index BUILD (corpus assignment + clustered write) in-query by"
+    " design — the probe itself reads only nprobe cells' files."
 )
 
 #: The driver records only the LAST 2000 chars of stdout; stay inside
