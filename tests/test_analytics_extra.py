@@ -174,3 +174,18 @@ def test_basket_affinity_joins_on_orderkey_only(spark, sf_dir):
 
     keys = set(re.findall(r"Exchange hashpartitioning\((\w+)", plan))
     assert keys <= {"ok", "l_orderkey", "l_partkey", "part_a", "part_b"}, keys
+
+
+def test_ngram_contamination_plan_joins_on_gram_digest(spark, sf_dir):
+    """The exact n-gram decontamination probe must hash-partition on the
+    gram digest (never a doc×doc or cartesian shape), and its scan must
+    read only the columns the grams need."""
+    df = QUERIES["documents_ngram_contamination"](spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "gram" in plan  # the join key is the digest column
+    import re
+
+    schemas = re.findall(r"ReadSchema: struct<([^>]*)>", plan)
+    assert schemas and all("text" in s and "source" not in s for s in schemas)

@@ -142,3 +142,45 @@ def test_unknown_table_requires_id_cols(spark, tmp_path):
         spark, [1], {"custom_table": t}, id_cols={"custom_table": ["doc_id"]}
     )
     assert out == {"custom_table": 0}
+
+
+def test_erasure_reaches_the_materialized_ivf_index(spark, sf_dir, tmp_path):
+    """The IVF index is a corpus derivative like any signature table:
+    erasing a vector id must delete its inverted-list row (with the
+    dereferenced files physically vacuumed), and search must still work
+    — the erased vector can no longer appear in any top-k."""
+    import glob as _glob
+
+    from pyspark.sql import functions as F
+
+    from urban_mobility_data_pipeline_spark.extensions.similarity import (
+        build_ivf_index,
+        ivf_centroids,
+        ivf_topk_indexed,
+    )
+    from urban_mobility_data_pipeline_spark.operators.merge import MergeTable
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    cents = ivf_centroids(emb)
+    index = MergeTable(spark, str(tmp_path / "ivf"))
+    build_ivf_index(emb, cents, index)
+
+    victim = 7
+    deleted = erase_document_ids(
+        spark,
+        [victim],
+        {"ivf_index": index},
+        id_cols={"ivf_index": ["vec_id"]},
+    )
+    assert deleted == {"ivf_index": 1}
+    assert index.read().filter(F.col("vec_id") == victim).count() == 0
+    # physically gone, not just dereferenced
+    import pyarrow.parquet as pq
+
+    for f in _glob.glob(str(tmp_path / "ivf" / "**" / "*.parquet"), recursive=True):
+        t = pq.read_table(f, columns=["vec_id"])
+        assert victim not in set(t["vec_id"].to_pylist())
+    # search still functions and never returns the erased vector
+    got = ivf_topk_indexed(index, cents, query_vec_id=0, k=10, nprobe=10)
+    ids = [r.vec_id for r in got.collect()]
+    assert len(ids) == 10 and victim not in ids
