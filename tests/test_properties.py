@@ -182,3 +182,62 @@ def test_pii_counts_match_injections(spark, words, inj):
         assert lit not in row.red, (text, lit)
     for w in words:
         assert w in row.red
+
+
+@settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    lengths=st.lists(
+        st.integers(min_value=0, max_value=5000), min_size=1, max_size=24
+    )
+)
+def test_packed_sequences_invariants_any_lengths(spark, tmp_path_factory, lengths):
+    """Concat-and-chop packing holds its invariants for ARBITRARY doc
+    lengths (packing v2): per-(shard,bin) token sums are exactly ctx
+    except each shard's tail, pieces reassemble every doc in order, and
+    no doc is dropped — including empty docs and docs many times the
+    context length."""
+    from collections import defaultdict
+
+    from urban_mobility_data_pipeline_spark.plans.catalog import QUERIES
+    from urban_mobility_data_pipeline_spark.plans.llm_ops import (
+        PACK_CTX_TOKENS,
+    )
+
+    tmp = tmp_path_factory.mktemp("packprop")
+    rows = [
+        (i + 1, " ".join(f"w{j}" for j in range(n)), "en", "s", 0)
+        for i, n in enumerate(lengths)
+    ]
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).coalesce(1).write.mode("overwrite").parquet(str(tmp / "documents.parquet"))
+
+    out = QUERIES["documents_packed_sequences"](spark, str(tmp)).collect()
+    # whitespace tokenizer: split('') == [''] => an empty doc carries 1
+    expected = {i + 1: max(n, 1) for i, n in enumerate(lengths)}
+    by_doc = defaultdict(list)
+    for r in out:
+        by_doc[r.doc_id].append(r)
+    assert set(by_doc) == set(expected)
+    for doc_id, pieces in by_doc.items():
+        pieces.sort(key=lambda r: r.piece_id)
+        assert sum(p.n_piece_tokens for p in pieces) == expected[doc_id]
+        off = 0
+        for p in pieces:
+            assert p.doc_offset == off
+            off += p.n_piece_tokens
+    bins = defaultdict(int)
+    for r in out:
+        bins[(r.shard, r.bin)] += r.n_piece_tokens
+    tail = {}
+    for shard, b in bins:
+        tail[shard] = max(tail.get(shard, -1), b)
+    for (shard, b), total in bins.items():
+        if b == tail[shard]:
+            assert 0 < total <= PACK_CTX_TOKENS
+        else:
+            assert total == PACK_CTX_TOKENS

@@ -630,3 +630,26 @@ def test_auto_compact_triggers_on_threshold_only(spark, tmp_path):
     assert t.history()[0]["op"] == "compact"
     assert len(t.live_files(leaf_contains="d=2024-01-02")) <= 3
     assert t.read().count() == 6
+
+
+def test_read_removed_exposes_before_images(spark, tmp_path):
+    """read_removed is the delete-side complement of read_changes:
+    after a DELETE rewrite, the erased row's before image appears in
+    the removed feed (and only re-emitted survivors on the added
+    feed); after appends, the removed feed is empty."""
+    t = MergeTable(spark, str(tmp_path / "t"))
+    t.create(spark.createDataFrame([(1, "a"), (2, "b")], "id int, v string"))
+    v1 = t.history()[0]["version"]
+    t.append(spark.createDataFrame([(3, "c")], "id int, v string"))
+    assert t.read_removed(v1).count() == 0  # appends remove nothing
+
+    v2 = t.history()[0]["version"]
+    t.delete(F.col("id") == 2)
+    removed = {r["id"] for r in t.read_removed(v2).collect()}
+    assert 2 in removed  # the deleted row's before image
+    added = {r["id"] for r in t.read_changes(v2).collect()}
+    assert 2 not in added  # gone from the add side
+    # union of both feeds' ids = every id the mutation touched
+    assert (removed | added) >= {2}
+    with pytest.raises(ValueError):
+        t.read_removed(99)

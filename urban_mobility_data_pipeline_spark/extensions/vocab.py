@@ -1,0 +1,152 @@
+"""Incrementally maintained corpus vocabulary (delta view maintenance).
+
+``corpus_vocabulary`` (plans/llm_ops.py) computes per-token document
+frequency (df) and collection frequency (cf) from scratch — at 100 TB
+that is a full corpus re-tokenization per refresh. This module keeps a
+``vocab`` MergeTable CURRENT as ingest cycles land, paying only for the
+docs that changed:
+
+1. the corpus's txn log names the versions; a :class:`VersionCursor`
+   records the last version folded into the vocab;
+2. ``read_changes(cursor)`` yields the docs committed since — the
+   AFTER image; the BEFORE image is the same ids time-traveled to the
+   cursor version (both reads prune to the changed slice);
+3. the per-token delta = contributions(after) − contributions(before),
+   a full-outer join of two SMALL vocab rollups;
+4. one MERGE on ``token`` adds the delta (inserting brand-new tokens,
+   whose delta IS their count).
+
+Correctness under the change-feed's re-emission caveat is free: a
+partition rewrite re-emits untouched docs, but their before and after
+contributions are identical, so their delta is zero. Updated docs
+subtract their old tokens and add their new ones; deleted rows (GDPR
+erasure) subtract cleanly the same way. Tokens whose df drops to 0 keep
+a zero row (``current_vocabulary`` filters them) — cheaper than a
+DELETE branch in the hot MERGE.
+
+Reference scope note: the reference has no incremental aggregate
+maintenance at all; its gold aggs recompute affected slices
+(``src/gold/agg_trips_daily.py``). This is that affected-slice idea
+applied to a corpus-wide token statistic, driven by the storage log
+instead of a timestamp column.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from urban_mobility_data_pipeline_spark.functions import text as T
+from urban_mobility_data_pipeline_spark.operators.merge import MergeTable
+from urban_mobility_data_pipeline_spark.operators.watermark import VersionCursor
+
+VOCAB_JOB = "corpus_vocab"
+
+
+def vocab_contributions(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """(token, df, cf) rollup of a document slice — the same two-stage
+    explode→(doc,token)→token aggregation as the corpus_vocabulary
+    query, so full recompute and incremental delta share one
+    definition."""
+    tf = (
+        docs.select(F.col(id_col), F.explode(T.words(text_col)).alias("token"))
+        .groupBy(id_col, "token")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    return tf.groupBy("token").agg(
+        F.count(F.lit(1)).cast("long").alias("df"),
+        F.sum("tf").cast("long").alias("cf"),
+    )
+
+
+def refresh_vocabulary(
+    corpus: MergeTable,
+    vocab: MergeTable,
+    cursor: VersionCursor,
+    job: str = VOCAB_JOB,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> int:
+    """Fold all corpus commits since the cursor into ``vocab``; returns
+    the number of changed docs processed (0 = already current).
+
+    First run (or a missing vocab table) bootstraps with a full
+    rollup. Incremental runs read ONLY the changed docs — twice (after
+    image via the change feed, before image via time travel semi-joined
+    to the changed ids) — so refresh cost is O(changed), not O(corpus).
+    Requires the before-image files to not have been vacuumed yet;
+    vacuum retention must exceed the refresh cadence (same contract as
+    any CDC consumer).
+    """
+    head_hist = corpus.history()
+    head = head_hist[0]["version"] if head_hist else 0
+    cur = cursor.read_version(job)
+    if not vocab.exists() or cur == 0:
+        full = vocab_contributions(corpus.read(), id_col, text_col)
+        if vocab.exists():
+            vocab.replace(full)
+        else:
+            vocab.create(full)
+        n = corpus.read().count()
+        cursor.upsert(job, head, "OK")
+        return n
+    if head <= cur:
+        cursor.upsert(job, None, "OK")
+        return 0
+    try:
+        # ids touched since the cursor: rows in ADDED files (inserts,
+        # updates, rewrite re-emissions) ∪ rows in REMOVED files
+        # (deletes, the other half of every update). An add-only diff
+        # cannot see a DELETE — without the removed side, an erased
+        # doc's tokens would never be subtracted.
+        changed_ids = (
+            corpus.read_changes(cur)
+            .select(id_col)
+            .unionByName(corpus.read_removed(cur).select(id_col))
+            .distinct()
+        )
+        after = corpus.read().join(changed_ids, id_col)
+        before = corpus.read(version=cur).join(changed_ids, id_col)
+        a = vocab_contributions(after, id_col, text_col).select(
+            "token", F.col("df").alias("df_a"), F.col("cf").alias("cf_a")
+        )
+        b = vocab_contributions(before, id_col, text_col).select(
+            "token", F.col("df").alias("df_b"), F.col("cf").alias("cf_b")
+        )
+        delta = (
+            a.join(b, "token", "full_outer")
+            .select(
+                "token",
+                (
+                    F.coalesce("df_a", F.lit(0)) - F.coalesce("df_b", F.lit(0))
+                ).alias("df"),
+                (
+                    F.coalesce("cf_a", F.lit(0)) - F.coalesce("cf_b", F.lit(0))
+                ).alias("cf"),
+            )
+            .filter((F.col("df") != 0) | (F.col("cf") != 0))
+        )
+        vocab.merge(
+            delta,
+            keys=["token"],
+            update_set={
+                "df": F.col("t.df") + F.col("s.df"),
+                "cf": F.col("t.cf") + F.col("s.cf"),
+            },
+            insert=True,
+        )
+        n = changed_ids.count()
+        cursor.upsert(job, head, "OK")
+        return n
+    except Exception as exc:
+        cursor.upsert(job, None, f"FAIL: {exc}")
+        raise
+
+
+def current_vocabulary(vocab: MergeTable) -> DataFrame:
+    """The live vocabulary: zero-df tokens (every containing doc since
+    erased/updated away) are filtered here instead of DELETEd in the
+    refresh MERGE."""
+    return vocab.read().filter(F.col("df") > 0)

@@ -440,6 +440,24 @@ class MergeTable:
         new_files = sorted(set(head["files"]) - old_files)
         return self._read_snapshot({**head, "files": new_files})
 
+    def read_removed(self, since_version: int) -> DataFrame:
+        """Rows of files DEREFERENCED after ``since_version`` — the
+        complement of :meth:`read_changes`. A delete/update/compaction
+        rewrites or drops files; their rows (the BEFORE images) appear
+        here. An incremental consumer that must see deletions (e.g.
+        delta view maintenance subtracting erased docs) unions the ids
+        of both feeds: add-only diffs alone cannot represent a DELETE.
+        Untouched rows of rewritten files are re-emitted on this side
+        too (mirroring read_changes), so consumers diff before/after
+        images rather than trusting either feed's row set. Requires the
+        old files to not have been vacuumed yet."""
+        head, v = self._load()
+        if since_version > v:
+            raise ValueError(f"version {since_version} is ahead of head {v}")
+        old_manifest, _ = self._load(since_version)
+        removed = sorted(set(old_manifest["files"]) - set(head["files"]))
+        return self._read_snapshot({**old_manifest, "files": removed})
+
     def restore(self, version: int) -> None:
         """Roll the table back to ``version`` by committing its file
         list as the new head (Delta ``RESTORE``). Fails if the files
