@@ -50,7 +50,10 @@ def test_incremental_vocab_matches_full_recompute(spark, tmp_path):
         (d / "feed.jsonl").write_text("\n".join(b) + "\n")
     corpus = MergeTable(spark, str(tmp_path / "corpus"))
     quarantine = MergeTable(spark, str(tmp_path / "quarantine"))
-    vocab = MergeTable(spark, str(tmp_path / "vocab"))
+    # token-bucketed: each delta MERGE rewrites only touched buckets
+    vocab = MergeTable(
+        spark, str(tmp_path / "vocab"), bucket_keys=["token"], num_buckets=8
+    )
     cursor = VersionCursor(spark, str(tmp_path / "cursor"))
 
     # cycle 1: bootstrap
@@ -108,3 +111,24 @@ def test_incremental_vocab_survives_erasure_and_reemission(spark, tmp_path):
     assert "stream" not in _got(vocab)
     # df never goes negative even for shared tokens
     assert all(df >= 0 and cf >= 0 for df, cf in _got(vocab).values())
+
+
+def test_vocab_refresh_cli(spark, tmp_path):
+    """The vocab_refresh job drives delta maintenance through the CLI
+    dispatcher after a corpus_ingest cycle."""
+    from urban_mobility_data_pipeline_spark.run import main
+
+    (tmp_path / "feed").mkdir()
+    (tmp_path / "feed" / "f.jsonl").write_text("\n".join(B1) + "\n")
+    lake = str(tmp_path / "lake")
+    assert main(
+        ["corpus_ingest", "--lake", lake, "--source", str(tmp_path / "feed")],
+        spark=spark,
+    ) == 0
+    assert main(["vocab_refresh", "--lake", lake], spark=spark) == 0
+    corpus = MergeTable(spark, str(tmp_path / "lake" / "corpus" / "documents"))
+    vocab = MergeTable(spark, str(tmp_path / "lake" / "corpus" / "vocab"))
+    assert _got(vocab) == _expected(corpus)
+    # second run is a no-op (cursor drained), not a recompute
+    assert main(["vocab_refresh", "--lake", lake], spark=spark) == 0
+    assert _got(vocab) == _expected(corpus)

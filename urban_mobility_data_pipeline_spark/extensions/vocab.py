@@ -79,6 +79,12 @@ def refresh_vocabulary(
     Requires the before-image files to not have been vacuumed yet;
     vacuum retention must exceed the refresh cadence (same contract as
     any CDC consumer).
+
+    At scale, construct ``vocab`` with ``bucket_keys=["token"]``: the
+    bootstrap create then lays the table out key-hash-bucketed and
+    every delta MERGE rewrites only the buckets whose tokens changed —
+    without it, each refresh is a full vocab rewrite (fine for small
+    vocabularies, wrong for a web-corpus one).
     """
     head_hist = corpus.history()
     head = head_hist[0]["version"] if head_hist else 0

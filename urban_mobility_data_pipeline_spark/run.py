@@ -195,6 +195,34 @@ def _corpus_ingest_job(lake: J.Lakehouse, args) -> str:
     )
 
 
+def _vocab_refresh_job(lake: J.Lakehouse, args) -> str:
+    """Incrementally maintained corpus vocabulary: fold the corpus
+    commits since the version cursor into the token-bucketed vocab
+    table (delta maintenance — O(changed docs), not O(corpus)). Run
+    after corpus_ingest cycles; a no-op when the corpus is unchanged."""
+    from urban_mobility_data_pipeline_spark.extensions.vocab import (
+        refresh_vocabulary,
+    )
+    from urban_mobility_data_pipeline_spark.operators.merge import MergeTable
+    from urban_mobility_data_pipeline_spark.operators.watermark import (
+        VersionCursor,
+    )
+
+    root = args.corpus or os.path.join(args.lake, "corpus")
+    corpus = MergeTable(lake.spark, os.path.join(root, "documents"))
+    if not corpus.exists():
+        raise SystemExit("vocab_refresh: no corpus at " + root)
+    vocab = MergeTable(
+        lake.spark,
+        os.path.join(root, "vocab"),
+        bucket_keys=["token"],
+        num_buckets=32,
+    )
+    cursor = VersionCursor(lake.spark, os.path.join(root, "vocab_cursor"))
+    n = refresh_vocabulary(corpus, vocab, cursor)
+    return f"vocab refresh: folded {n} changed docs"
+
+
 def _retention_job(lake: J.Lakehouse, args) -> str:
     J.run_retention(
         lake, bronze_days=args.bronze_days, silver_days=args.silver_days
@@ -224,6 +252,7 @@ def build_registry() -> dict:
     registry["gdpr_propagate_erasure"] = _gdpr_job
     registry["corpus_erase"] = _corpus_erase_job
     registry["corpus_ingest"] = _corpus_ingest_job
+    registry["vocab_refresh"] = _vocab_refresh_job
     registry["retention_cleanup"] = _retention_job
     registry["create_control_tables"] = _control_tables_job
     return registry
