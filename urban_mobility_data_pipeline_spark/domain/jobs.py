@@ -571,6 +571,7 @@ def run_retention(
     from urban_mobility_data_pipeline_spark.domain.config import ALL_TABLES
     from urban_mobility_data_pipeline_spark.operators.retention import (
         age_predicate,
+        apply_age_retention,
         apply_retention,
         closed_history_predicate,
     )
@@ -578,7 +579,13 @@ def run_retention(
     for name in ALL_TABLES:
         bronze = lake.table("bronze", name)
         if bronze.exists():
-            apply_retention(bronze, age_predicate("raw_loaded_at", bronze_days, now))
+            if now is not None:
+                # zone-map path: wholly-expired files drop with zero IO
+                apply_age_retention(bronze, "raw_loaded_at", bronze_days, now)
+            else:
+                apply_retention(
+                    bronze, age_predicate("raw_loaded_at", bronze_days, now)
+                )
         silver = lake.table("silver", name)
         if silver.exists():
             apply_retention(silver, closed_history_predicate(silver_days, now))

@@ -964,6 +964,191 @@ class MergeTable:
                     return
         self._commit_rewrite(df.filter(~cond), pcols, op="delete")
 
+    # -- zone maps (per-file min/max stats; Delta stats-in-log analogue) --
+    STATS_SIDECAR = "_graft_stats.json"
+
+    @staticmethod
+    def _norm_stat(v):
+        """Normalize a parquet-footer stat (or probe value) to a
+        JSON-storable, totally-ordered scalar: numbers pass through,
+        strings pass through, timestamps → epoch micros, dates →
+        ordinal. Returns None for types zone maps can't order."""
+        import datetime as _dt
+
+        if isinstance(v, bool) or v is None:
+            return None
+        if isinstance(v, (int, float)):
+            return v
+        if isinstance(v, bytes):
+            try:
+                return v.decode("utf-8")
+            except UnicodeDecodeError:
+                return None
+        if isinstance(v, str):
+            return v
+        if isinstance(v, _dt.datetime):
+            base = _dt.datetime(1970, 1, 1, tzinfo=v.tzinfo)
+            return int((v - base).total_seconds() * 1_000_000)
+        if isinstance(v, _dt.date):
+            return v.toordinal()
+        return None
+
+    def analyze(self, cols: Sequence[str]) -> dict[str, dict]:
+        """Collect per-file min/max zone maps for ``cols`` from parquet
+        FOOTERS — metadata-only, no data scan — and persist them in a
+        sidecar beside the txn log (Delta keeps the same stats inline
+        in its log). Data files are immutable, so entries never go
+        stale; only files missing from the sidecar are footer-read, so
+        re-analyzing after an append touches just the new files. At
+        cluster scale the footer reads would fan out as a metadata job;
+        the sidecar contract is identical."""
+        import pyarrow.parquet as pq
+
+        local = self._local_path()
+        sidecar = os.path.join(self._log_dir(), self.STATS_SIDECAR)
+        stats: dict[str, dict] = {}
+        if os.path.isfile(sidecar):
+            with open(sidecar) as f:
+                stats = json.load(f)
+        manifest, _ = self._load()
+        changed = False
+        for rel in manifest["files"]:
+            have = stats.get(rel, {})
+            missing = [c for c in cols if c not in have]
+            if not missing:
+                continue
+            try:
+                md = pq.ParquetFile(os.path.join(local, rel)).metadata
+            except Exception:
+                continue  # unreadable footer ⇒ no stats ⇒ never skipped
+            names = {md.schema.column(i).name: i for i in range(md.num_columns)}
+            for c in missing:
+                idx = names.get(c)
+                lo = hi = None
+                if idx is not None:
+                    for rg in range(md.num_row_groups):
+                        st = md.row_group(rg).column(idx).statistics
+                        if st is None or not st.has_min_max:
+                            lo = hi = None
+                            break
+                        mn = self._norm_stat(st.min)
+                        mx = self._norm_stat(st.max)
+                        if mn is None or mx is None:
+                            lo = hi = None
+                            break
+                        lo = mn if lo is None else min(lo, mn)
+                        hi = mx if hi is None else max(hi, mx)
+                have = {**have, c: [lo, hi]}
+                changed = True
+            stats[rel] = have
+        if changed:
+            os.makedirs(self._log_dir(), exist_ok=True)
+            tmp = sidecar + ".tmp"
+            with open(tmp, "w") as f:
+                json.dump(stats, f)
+            os.replace(tmp, sidecar)
+        return {f: stats[f] for f in manifest["files"] if f in stats}
+
+    def prune_files(
+        self, col: str, lo=None, hi=None
+    ) -> tuple[list[str], list[str]]:
+        """Split the live files into (candidates, skipped) for the
+        half-open range ``lo <= col < hi`` using the zone maps. A file
+        with no stats for ``col`` is always a candidate (unknown must
+        be read); skipping is therefore sound, never lossy."""
+        stats = self.analyze([col])
+        lo_n = self._norm_stat(lo) if lo is not None else None
+        hi_n = self._norm_stat(hi) if hi is not None else None
+        manifest, _ = self._load()
+        cands, skipped = [], []
+        for rel in manifest["files"]:
+            mn_mx = stats.get(rel, {}).get(col)
+            if not mn_mx or mn_mx[0] is None:
+                cands.append(rel)
+                continue
+            mn, mx = mn_mx
+            if (hi_n is not None and mn >= hi_n) or (
+                lo_n is not None and mx < lo_n
+            ):
+                skipped.append(rel)
+            else:
+                cands.append(rel)
+        return cands, skipped
+
+    def read_between(self, col: str, lo=None, hi=None) -> DataFrame:
+        """Snapshot read of ``lo <= col < hi`` with FILE-level skipping
+        from the zone maps before Spark even lists the parquet — the
+        incremental-scan shape (e.g. a watermark slice on an
+        unpartitioned timestamp) at 100 TB, where opening every footer
+        is itself the bottleneck. The residual predicate still applies
+        (zone maps overlap, they don't filter rows)."""
+        manifest, _ = self._load()
+        cands, _skipped = self.prune_files(col, lo, hi)
+        df = self._read_snapshot({**manifest, "files": cands})
+        if lo is not None:
+            df = df.filter(F.col(col) >= F.lit(lo))
+        if hi is not None:
+            df = df.filter(F.col(col) < F.lit(hi))
+        return df
+
+    def delete_older_than(self, col: str, cutoff) -> dict[str, int]:
+        """Retention DELETE through the zone maps (``col < cutoff``):
+
+        - files wholly older than the cutoff are DEREFERENCED with zero
+          IO (the 100 TB retention shape — age-partitioned data mostly
+          drops whole files);
+        - files wholly newer carry over untouched (not read, not
+          rewritten);
+        - only straddling files are read and rewritten.
+
+        Complements :meth:`delete`'s partition pruning when the table
+        isn't partitioned on the age column or partitions straddle the
+        cutoff. Logical until ``vacuum``, like every delete here.
+        Returns ``{"dropped_files": n, "rewritten_files": m,
+        "kept_files": k}``."""
+        manifest, parent = self._load()
+        stats = self.analyze([col])
+        cut = self._norm_stat(cutoff)
+        if cut is None:
+            raise ValueError(f"cutoff {cutoff!r} not zone-map orderable")
+        dropped, kept, straddle = [], [], []
+        for rel in manifest["files"]:
+            mn_mx = stats.get(rel, {}).get(col)
+            if not mn_mx or mn_mx[0] is None:
+                straddle.append(rel)
+            elif mn_mx[1] < cut:
+                dropped.append(rel)
+            elif mn_mx[0] >= cut:
+                kept.append(rel)
+            else:
+                straddle.append(rel)
+        new_files: list[str] = []
+        if straddle:
+            remain = self._read_snapshot(
+                {**manifest, "files": straddle}, include_internal=True
+            ).filter(F.col(col) >= F.lit(cutoff))
+            new_files, _ = self._write_files(
+                remain, list(manifest["partition_by"])
+            )
+        if dropped or straddle:
+            self._commit(
+                {
+                    "op": "delete",
+                    "files": kept + new_files,
+                    "partition_by": list(manifest["partition_by"]),
+                    "bucket_keys": manifest["bucket_keys"],
+                    "num_buckets": manifest["num_buckets"],
+                    "schema": manifest.get("schema"),
+                    "txn": manifest.get("txn") or {},
+                },
+                parent,
+            )
+        return {
+            "dropped_files": len(dropped),
+            "rewritten_files": len(straddle),
+            "kept_files": len(kept),
+        }
+
     def vacuum(self, retain_hours: float = 0.0) -> int:
         """S12 VACUUM (``retention/bronze:84-86``): physically delete
         data files referenced only by versions older than

@@ -47,3 +47,25 @@ def apply_retention(
     table.delete(condition)
     if vacuum:
         table.vacuum()
+
+
+def apply_age_retention(
+    table: MergeTable,
+    ts_col: str,
+    days: int,
+    now: dt.datetime,
+    vacuum: bool = True,
+) -> dict[str, int]:
+    """Age retention through the zone maps: ``delete_older_than``
+    dereferences wholly-expired files with ZERO IO and rewrites only
+    straddlers — the 100 TB shape (age-clustered data mostly drops
+    whole files), vs :func:`apply_retention`'s predicate DELETE which
+    must at least scan matching partitions. ``now`` is explicit: the
+    cutoff must be a zone-map-orderable literal, not
+    ``current_timestamp()``. Returns the per-file-disposition counts
+    from :meth:`MergeTable.delete_older_than`."""
+    cutoff = now - dt.timedelta(days=int(days))
+    counts = table.delete_older_than(ts_col, cutoff)
+    if vacuum:
+        table.vacuum()
+    return counts

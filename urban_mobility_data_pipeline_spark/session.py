@@ -28,6 +28,11 @@ DEFAULT_CONF: dict[str, str] = {
     "spark.sql.execution.arrow.pyspark.enabled": "true",
     # Reasonable local default; AQE coalesces down, big clusters raise it.
     "spark.sql.shuffle.partitions": "32",
+    # Write timestamps as INT64 TIMESTAMP(MICROS), not deprecated INT96:
+    # INT96 columns carry NO min/max statistics, which kills both parquet
+    # predicate pushdown on timestamps and the MergeTable zone maps
+    # (analyze/read_between/delete_older_than read footer stats).
+    "spark.sql.parquet.outputTimestampType": "TIMESTAMP_MICROS",
     # InferFiltersFromGenerate synthesizes size(e)>0 filters from explode()
     # and predicate pushdown then re-inlines the full generator expression
     # into a per-row Filter below the staging projections — for expensive
@@ -53,6 +58,7 @@ def configure_session(spark: SparkSession) -> SparkSession:
         "spark.sql.adaptive.coalescePartitions.enabled",
         "spark.sql.adaptive.skewJoin.enabled",
         "spark.sql.optimizer.excludedRules",
+        "spark.sql.parquet.outputTimestampType",
     ):
         try:
             spark.conf.set(key, DEFAULT_CONF[key])
