@@ -143,3 +143,19 @@ def test_age_retention_via_zone_maps_matches_predicate_delete(
     assert sorted(map(tuple, a.read().collect())) == sorted(
         map(tuple, b.read().collect())
     )
+
+
+def test_vacuum_prunes_stats_sidecar(spark, tmp_path):
+    import json
+
+    t = MergeTable(spark, str(tmp_path / "t"))
+    sch = "id int, ts timestamp, v string"
+    t.create(_one_file_batch(spark, [(1, D[0], "a")], sch))
+    t.append(_one_file_batch(spark, [(2, D[5], "b")], sch))
+    t.analyze(["ts"])
+    t.delete_older_than("ts", D[3])  # drops the old file (logical)
+    t.vacuum()
+    sidecar = os.path.join(t._log_dir(), MergeTable.STATS_SIDECAR)
+    with open(sidecar) as f:
+        stats = json.load(f)
+    assert set(stats) == set(t.live_files())

@@ -1168,10 +1168,27 @@ class MergeTable:
             if v == versions[-1] or (m.get("ts") or 0) >= horizon:
                 keep.update(m["files"])
         removed = 0
+        gone: list[str] = []
         for rel in self._data_files():
             if rel not in keep:
                 os.unlink(os.path.join(local, rel))
+                gone.append(rel)
                 removed += 1
+        # drop zone-map entries for files that no longer exist, so the
+        # sidecar tracks live bytes instead of growing unboundedly
+        sidecar = os.path.join(self._log_dir(), self.STATS_SIDECAR)
+        if gone and os.path.isfile(sidecar):
+            try:
+                with open(sidecar) as f:
+                    stats = json.load(f)
+                for rel in gone:
+                    stats.pop(rel, None)
+                tmp = sidecar + ".tmp"
+                with open(tmp, "w") as f:
+                    json.dump(stats, f)
+                os.replace(tmp, sidecar)
+            except Exception:
+                pass  # stats are advisory; stale entries are harmless
         for entry in os.listdir(local):
             if entry.startswith("_staged-"):
                 shutil.rmtree(os.path.join(local, entry))
