@@ -1332,3 +1332,602 @@ def large_volume_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 large_volume_orders.__doc__ = large_volume_orders.__doc__.format(
     qty=LARGE_ORDER_QTY
 )
+
+
+# ---------------------------------------------------------------------------
+# customer order-count distribution (TPC-H Q13 shape)
+# ---------------------------------------------------------------------------
+@register(
+    "customer_order_count_distribution",
+    oracle="""
+    WITH per AS (
+        SELECT c.c_custkey, count(o.o_orderkey) AS n_orders
+        FROM customer c LEFT JOIN orders o ON o.o_custkey = c.c_custkey
+        GROUP BY 1
+    )
+    SELECT n_orders, count(*) AS n_customers
+    FROM per GROUP BY 1
+    """,
+)
+def customer_order_count_distribution(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """TPC-H Q13 shape: histogram of orders-per-customer including the
+    zero bucket. Orders pre-aggregate to (custkey, count) BEFORE the
+    customer join — the join then moves one row per customer instead of
+    one per order, and the left join materializes count=0 for
+    order-less customers (an inner join would silently drop them). The
+    second groupBy collapses to at most max(n_orders) rows, trivially
+    map-side combined."""
+    orders = table(spark, sf_dir, "orders").select("o_custkey")
+    cust = table(spark, sf_dir, "customer").select("c_custkey")
+    per_cust = orders.groupBy("o_custkey").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    dist = (
+        cust.join(per_cust, cust["c_custkey"] == per_cust["o_custkey"], "left")
+        .select(F.coalesce("cnt", F.lit(0)).alias("n_orders"))
+        .groupBy("n_orders")
+        .agg(F.count(F.lit(1)).alias("n_customers"))
+    )
+    return dist
+
+
+# ---------------------------------------------------------------------------
+# small-quantity part revenue (TPC-H Q17 shape: correlated avg per group)
+# ---------------------------------------------------------------------------
+@register(
+    "small_quantity_part_revenue",
+    oracle="""
+    WITH pa AS (
+        SELECT l_partkey, 0.5 * avg(l_quantity) AS half_avg_qty
+        FROM lineitem GROUP BY 1
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_lines,
+           round(sum(l.l_extendedprice) / 7.0, 2) AS avg_weekly_revenue
+    FROM lineitem l
+    JOIN part p ON p.p_partkey = l.l_partkey
+    JOIN pa   ON pa.l_partkey  = l.l_partkey
+    WHERE p.p_brand = 'Brand#12' AND l.l_quantity < pa.half_avg_qty
+    """,
+)
+def small_quantity_part_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 shape: revenue lost to small-quantity orders — lines
+    whose quantity is below half the part's own average. The correlated
+    scalar subquery (avg per part) is decorrelated by hand into a
+    (partkey, half_avg) aggregate joined back on the partkey, so both
+    sides shuffle on l_partkey once; the brand predicate rides the
+    broadcast part dim and prunes before the per-part join. avg() over
+    integral quantities is exact in doubles, so the strict < threshold
+    is fold-order stable."""
+    li = table(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_quantity", "l_extendedprice"
+    )
+    part = F.broadcast(
+        table(spark, sf_dir, "part")
+        .filter(F.col("p_brand") == "Brand#12")
+        .select("p_partkey")
+    )
+    per_part = li.groupBy("l_partkey").agg(
+        (F.avg("l_quantity") * 0.5).alias("half_avg_qty")
+    )
+    joined = (
+        li.join(part, li["l_partkey"] == part["p_partkey"])
+        .join(per_part.withColumnRenamed("l_partkey", "pk"),
+              F.col("l_partkey") == F.col("pk"))
+        .filter(F.col("l_quantity") < F.col("half_avg_qty"))
+    )
+    return joined.agg(
+        F.count(F.lit(1)).alias("n_lines"),
+        F.round(F.sum("l_extendedprice") / 7.0, 2).alias(
+            "avg_weekly_revenue"
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# top supplier by revenue (TPC-H Q15 shape: argmax vs scalar subquery)
+# ---------------------------------------------------------------------------
+Q15_SHIP_LO, Q15_SHIP_HI = "1997-01-01", "1997-07-01"
+
+
+@register(
+    "top_revenue_supplier",
+    oracle=f"""
+    WITH rev AS (
+        SELECT l_suppkey,
+               round(sum(l_extendedprice * (1 - l_discount)), 2) AS total_rev
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '{Q15_SHIP_LO}'
+          AND l_shipdate <  TIMESTAMP '{Q15_SHIP_HI}'
+        GROUP BY 1
+    )
+    SELECT s.s_suppkey AS suppkey, s.s_name AS suppname, r.total_rev
+    FROM rev r JOIN supplier s ON s.s_suppkey = r.l_suppkey
+    WHERE r.total_rev = (SELECT max(total_rev) FROM rev)
+    """,
+)
+def top_revenue_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 shape: the supplier(s) whose half-year revenue equals
+    the maximum — argmax via a scalar subquery, kept as a window max
+    over the aggregated frame (|suppliers| rows, one partition is fine
+    AFTER aggregation; the raw lineitem never sees the window). Ties
+    all surface, as in Q15. Revenue is rounded before the equality so
+    both engines compare the same 2-dp value."""
+    li = table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit(Q15_SHIP_LO).cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit(Q15_SHIP_HI).cast("timestamp"))
+    )
+    rev = li.groupBy("l_suppkey").agg(
+        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2)
+        .alias("total_rev")
+    )
+    w = Window.partitionBy()
+    top = rev.withColumn("mx", F.max("total_rev").over(w)).filter(
+        F.col("total_rev") == F.col("mx")
+    )
+    supp = F.broadcast(
+        table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    )
+    return top.join(supp, top["l_suppkey"] == supp["s_suppkey"]).select(
+        F.col("s_suppkey").alias("suppkey"),
+        F.col("s_name").alias("suppname"),
+        "total_rev",
+    )
+
+
+# ---------------------------------------------------------------------------
+# idle rich customers (TPC-H Q22 shape: anti-join + global scalar threshold)
+# ---------------------------------------------------------------------------
+Q22_DORMANT_SINCE = "2000-07-01"
+
+
+@register(
+    "idle_rich_customers_by_nation",
+    oracle=f"""
+    WITH avg_pos AS (
+        SELECT avg(c_acctbal) AS thresh FROM customer WHERE c_acctbal > 0.0
+    )
+    SELECT n.n_name AS nation,
+           count(*) AS n_customers,
+           round(sum(c.c_acctbal), 2) AS total_acctbal
+    FROM customer c, avg_pos
+    JOIN nation n ON n.n_nationkey = c.c_nationkey
+    WHERE c.c_acctbal > avg_pos.thresh
+      AND NOT EXISTS (
+          SELECT 1 FROM orders o
+          WHERE o.o_custkey = c.c_custkey
+            AND o.o_orderdate >= TIMESTAMP '{Q22_DORMANT_SINCE}'
+      )
+    GROUP BY 1
+    """,
+)
+def idle_rich_customers_by_nation(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """TPC-H Q22 shape: above-average-balance customers with NO recent
+    order (dormant since a cutoff), rolled up by nation. The global
+    threshold is a 1-row broadcast scalar (never a single-partition
+    window over the fact); the NOT EXISTS is a left_anti join against
+    the distinct RECENT order custkeys — the date predicate pushes into
+    the orders scan before the distinct, so the anti build side is the
+    small recent slice. The nation dim is broadcast. Three shuffles
+    total — the scalar agg, the distinct, and the anti join — each
+    carrying only keys."""
+    cust = table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_nationkey", "c_acctbal"
+    )
+    thresh = F.broadcast(
+        cust.filter(F.col("c_acctbal") > 0.0).agg(
+            F.avg("c_acctbal").alias("thresh")
+        )
+    )
+    order_keys = (
+        table(spark, sf_dir, "orders")
+        .filter(
+            F.col("o_orderdate")
+            >= F.lit(Q22_DORMANT_SINCE).cast("timestamp")
+        )
+        .select("o_custkey")
+        .distinct()
+    )
+    idle = (
+        cust.join(thresh)
+        .filter(F.col("c_acctbal") > F.col("thresh"))
+        .join(order_keys, cust["c_custkey"] == order_keys["o_custkey"],
+              "left_anti")
+    )
+    nation = F.broadcast(
+        table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    )
+    return (
+        idle.join(nation, idle["c_nationkey"] == nation["n_nationkey"])
+        .groupBy(F.col("n_name").alias("nation"))
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.round(F.sum("c_acctbal"), 2).alias("total_acctbal"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# promo revenue share (TPC-H Q14 shape: conditional-sum ratio scalar)
+# ---------------------------------------------------------------------------
+Q14_SHIP_LO, Q14_SHIP_HI = "1997-09-01", "1997-10-01"
+
+
+@register(
+    "promo_revenue_share",
+    oracle=f"""
+    SELECT round(100.0 * sum(CASE WHEN p.p_type = 'PROMO'
+                       THEN l.l_extendedprice * (1 - l.l_discount)
+                       ELSE 0.0 END)
+                 / sum(l.l_extendedprice * (1 - l.l_discount)), 3)
+               AS promo_share_pct,
+           CAST(count(*) AS BIGINT) AS n_lines
+    FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE l.l_shipdate >= TIMESTAMP '{Q14_SHIP_LO}'
+      AND l.l_shipdate <  TIMESTAMP '{Q14_SHIP_HI}'
+    """,
+)
+def promo_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 shape: percent of one month's revenue from PROMO-type
+    parts — a conditional-sum / total-sum ratio collapsing to a single
+    row. The month filter prunes the lineitem scan (PushedFilters on
+    l_shipdate); the part dim is broadcast so the only wide exchange is
+    the final 1-row agg, which is computed map-side partial per
+    partition first."""
+    li = table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit(Q14_SHIP_LO).cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit(Q14_SHIP_HI).cast("timestamp"))
+    )
+    part = F.broadcast(
+        table(spark, sf_dir, "part").select("p_partkey", "p_type")
+    )
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    promo = F.when(F.col("p_type") == "PROMO", rev).otherwise(F.lit(0.0))
+    return (
+        li.join(part, li["l_partkey"] == part["p_partkey"])
+        .agg(
+            F.round(100.0 * F.sum(promo) / F.sum(rev), 3).alias(
+                "promo_share_pct"
+            ),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# disjunctive brand/quantity bands (TPC-H Q19 shape)
+# ---------------------------------------------------------------------------
+@register(
+    "brand_quantity_band_revenue",
+    oracle="""
+    SELECT CAST(count(*) AS BIGINT) AS n_lines,
+           round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+    FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE (p.p_brand = 'Brand#12' AND l.l_quantity BETWEEN 1 AND 11
+           AND p.p_size BETWEEN 1 AND 5)
+       OR (p.p_brand = 'Brand#23' AND l.l_quantity BETWEEN 10 AND 20
+           AND p.p_size BETWEEN 1 AND 10)
+       OR (p.p_brand = 'Brand#34' AND l.l_quantity BETWEEN 20 AND 30
+           AND p.p_size BETWEEN 1 AND 15)
+    """,
+)
+def brand_quantity_band_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 shape: an OR-of-ANDs predicate mixing columns from both
+    join sides. Catalyst's CNF conversion derives the common
+    single-side conjuncts — p_brand IN (...) AND p_size <= 15 pushes
+    into the part scan, l_quantity BETWEEN 1 AND 30 into the lineitem
+    scan — so both inputs shrink BEFORE the broadcast join and the full
+    disjunction only re-checks the survivors."""
+    li = table(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_quantity", "l_extendedprice", "l_discount"
+    )
+    part = F.broadcast(
+        table(spark, sf_dir, "part").select("p_partkey", "p_brand", "p_size")
+    )
+    q, sz, br = F.col("l_quantity"), F.col("p_size"), F.col("p_brand")
+    bands = (
+        ((br == "Brand#12") & q.between(1, 11) & sz.between(1, 5))
+        | ((br == "Brand#23") & q.between(10, 20) & sz.between(1, 10))
+        | ((br == "Brand#34") & q.between(20, 30) & sz.between(1, 15))
+    )
+    return (
+        li.join(part, li["l_partkey"] == part["p_partkey"])
+        .filter(bands)
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# sole late supplier per multi-supplier order (TPC-H Q21 shape)
+# ---------------------------------------------------------------------------
+@register(
+    "sole_late_supplier_orders",
+    oracle="""
+    WITH ls AS (
+        SELECT DISTINCT l.l_orderkey, l.l_suppkey
+        FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+        WHERE l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY
+    ),
+    all_s AS (SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem)
+    SELECT s.s_name AS suppname, count(*) AS n_orders
+    FROM ls
+    JOIN supplier s ON s.s_suppkey = ls.l_suppkey
+    WHERE EXISTS (
+        SELECT 1 FROM all_s a
+        WHERE a.l_orderkey = ls.l_orderkey AND a.l_suppkey <> ls.l_suppkey
+    )
+    AND NOT EXISTS (
+        SELECT 1 FROM ls l2
+        WHERE l2.l_orderkey = ls.l_orderkey AND l2.l_suppkey <> ls.l_suppkey
+    )
+    GROUP BY 1
+    """,
+)
+def sole_late_supplier_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 shape: suppliers who were the ONLY late shipper in a
+    multi-supplier order — a chained EXISTS (another supplier
+    participated) + NOT EXISTS (no other supplier was late), expressed
+    as leftsemi + leftanti self-joins on the orderkey with a suppkey
+    inequality riding each join. Both sides are first collapsed to
+    DISTINCT (orderkey, suppkey) pairs, so the self-joins move
+    participation facts, not lineitems; all three joins share the
+    orderkey partitioning and AQE plans the small late side as
+    broadcast."""
+    li = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    orders = table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate"
+    )
+    late_lines = table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_shipdate"
+    )
+    ls = (
+        late_lines.join(
+            orders,
+            (late_lines["l_orderkey"] == orders["o_orderkey"])
+            & (late_lines["l_shipdate"]
+               > F.date_add(orders["o_orderdate"], 60)),
+        )
+        .select("l_orderkey", "l_suppkey")
+        .distinct()
+    )
+    all_s = li.distinct()
+    other_participant = all_s.select(
+        F.col("l_orderkey").alias("a_orderkey"),
+        F.col("l_suppkey").alias("a_suppkey"),
+    )
+    other_late = ls.select(
+        F.col("l_orderkey").alias("b_orderkey"),
+        F.col("l_suppkey").alias("b_suppkey"),
+    )
+    sole = (
+        ls.join(
+            other_participant,
+            (F.col("l_orderkey") == F.col("a_orderkey"))
+            & (F.col("l_suppkey") != F.col("a_suppkey")),
+            "leftsemi",
+        )
+        .join(
+            other_late,
+            (F.col("l_orderkey") == F.col("b_orderkey"))
+            & (F.col("l_suppkey") != F.col("b_suppkey")),
+            "leftanti",
+        )
+    )
+    supp = F.broadcast(
+        table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    )
+    return (
+        sole.join(supp, sole["l_suppkey"] == supp["s_suppkey"])
+        .groupBy(F.col("s_name").alias("suppname"))
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# part revenue concentration (TPC-H Q11 shape: HAVING vs global scalar)
+# ---------------------------------------------------------------------------
+@register(
+    "part_revenue_concentration",
+    oracle="""
+    WITH pr AS (
+        SELECT l_partkey,
+               sum(l_extendedprice * (1 - l_discount)) AS rev
+        FROM lineitem GROUP BY 1
+    ),
+    t AS (SELECT avg(rev) AS avg_rev FROM pr)
+    SELECT pr.l_partkey AS partkey, round(pr.rev, 2) AS revenue
+    FROM pr, t
+    WHERE pr.rev > 1.25 * t.avg_rev
+    """,
+)
+def part_revenue_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 shape: parts whose lifetime revenue exceeds 1.25× the
+    mean per-part revenue — a groupBy HAVING compared against a global
+    scalar derived from the SAME aggregate. The per-part rollup is
+    computed once and reused for both the scalar (1-row broadcast) and
+    the filter, so lineitem is scanned and shuffled exactly once; the
+    threshold is scale-free (relative to the mean), so the query
+    returns a stable fraction of parts at any SF."""
+    li = table(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_extendedprice", "l_discount"
+    )
+    pr = li.groupBy("l_partkey").agg(
+        F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
+            "rev"
+        )
+    )
+    avg_rev = F.broadcast(pr.agg(F.avg("rev").alias("avg_rev")))
+    return (
+        pr.join(avg_rev)
+        .filter(F.col("rev") > 1.25 * F.col("avg_rev"))
+        .select(
+            F.col("l_partkey").alias("partkey"),
+            F.round("rev", 2).alias("revenue"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# nation-pair trade volume (TPC-H Q7 shape: one dim, two roles)
+# ---------------------------------------------------------------------------
+@register(
+    "nation_pair_trade_volume",
+    oracle="""
+    SELECT ns.n_name AS supp_nation,
+           nc.n_name AS cust_nation,
+           year(l.l_shipdate) AS ship_year,
+           CAST(sum(CAST(round(l.l_extendedprice * (1 - l.l_discount)
+                               * 10000) AS BIGINT)) AS BIGINT) AS volume_e4,
+           count(*) AS n_lines
+    FROM lineitem l
+    JOIN orders o    ON o.o_orderkey = l.l_orderkey
+    JOIN customer c  ON c.c_custkey  = o.o_custkey
+    JOIN nation nc   ON nc.n_nationkey = c.c_nationkey
+    JOIN supplier s  ON s.s_suppkey  = l.l_suppkey
+    JOIN nation ns   ON ns.n_nationkey = s.s_nationkey
+    WHERE ns.n_name <> nc.n_name
+      AND l.l_shipdate >= TIMESTAMP '1996-01-01'
+      AND l.l_shipdate <  TIMESTAMP '1998-01-01'
+    GROUP BY 1, 2, 3
+    """,
+)
+def nation_pair_trade_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 shape: cross-border shipping volume by
+    (supplier-nation, customer-nation, year). The nation dim plays TWO
+    roles — joined once through the supplier and once through the
+    customer under different aliases — which is the classic self-
+    referencing-dim pitfall; both copies are broadcast, as are supplier
+    and (via AQE) the filtered customer projection, so the only big
+    exchange is lineitem⋈orders on the orderkey. The two-year shipdate
+    band prunes the lineitem scan; the inequality filter runs after
+    both nations are attached. Volume is summed in exact fixed-point
+    (integer ten-thousandths — price and discount are 2-dp decimals, so
+    each term is integral at 1e-4): the many-group many-term double sum
+    sits on round-half boundaries at sf0.01 otherwise, and integer sums
+    are fold-order-proof on ANY engine."""
+    li = table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    orders = table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    cust = table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    nation = table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    supp = F.broadcast(
+        table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    )
+    n_cust = F.broadcast(
+        nation.select(
+            F.col("n_nationkey").alias("nc_key"),
+            F.col("n_name").alias("cust_nation"),
+        )
+    )
+    n_supp = F.broadcast(
+        nation.select(
+            F.col("n_nationkey").alias("ns_key"),
+            F.col("n_name").alias("supp_nation"),
+        )
+    )
+    joined = (
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .join(cust, orders["o_custkey"] == cust["c_custkey"])
+        .join(n_cust, cust["c_nationkey"] == F.col("nc_key"))
+        .join(supp, li["l_suppkey"] == supp["s_suppkey"])
+        .join(n_supp, supp["s_nationkey"] == F.col("ns_key"))
+        .filter(F.col("supp_nation") != F.col("cust_nation"))
+    )
+    vol_e4 = F.round(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 10000
+    ).cast("long")
+    return joined.groupBy(
+        "supp_nation", "cust_nation", F.year("l_shipdate").alias("ship_year")
+    ).agg(
+        F.sum(vol_e4).alias("volume_e4"),
+        F.count(F.lit(1)).alias("n_lines"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# statistical aggregates (corr / stddev / median)
+# ---------------------------------------------------------------------------
+@register(
+    "lineitem_price_statistics",
+    oracle="""
+    SELECT l_returnflag AS returnflag,
+           count(*) AS n_lines,
+           round(corr(l_quantity, l_extendedprice), 4) AS qty_price_corr,
+           round(stddev_samp(l_extendedprice), 2) AS price_stddev,
+           round(median(l_quantity), 1) AS median_qty,
+           round(avg(l_discount), 4) AS avg_discount
+    FROM lineitem
+    GROUP BY 1
+    """,
+)
+def lineitem_price_statistics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Statistical-aggregate surface per return flag: Pearson
+    correlation of quantity vs price, sample stddev, interpolated
+    median, mean discount. corr/stddev are single-pass partial-
+    aggregable (sum, sum-of-squares, cross-moments combine map-side);
+    median needs the per-group sorted middle, which Spark computes with
+    a per-group percentile sketch-free exact pass — bounded here by the
+    3-flag cardinality. Both engines interpolate the even-count median
+    identically (percentile_cont 0.5 semantics)."""
+    li = table(spark, sf_dir, "lineitem")
+    return li.groupBy(F.col("l_returnflag").alias("returnflag")).agg(
+        F.count(F.lit(1)).alias("n_lines"),
+        F.round(F.corr("l_quantity", "l_extendedprice"), 4).alias(
+            "qty_price_corr"
+        ),
+        F.round(F.stddev_samp("l_extendedprice"), 2).alias("price_stddev"),
+        F.round(F.median("l_quantity"), 1).alias("median_qty"),
+        F.round(F.avg("l_discount"), 4).alias("avg_discount"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# ordered string aggregation (listagg shape)
+# ---------------------------------------------------------------------------
+@register(
+    "nation_mktsegment_profile",
+    oracle="""
+    SELECT n.n_name AS nation,
+           count(*) AS n_customers,
+           count(DISTINCT c.c_mktsegment) AS n_segments,
+           string_agg(DISTINCT c.c_mktsegment, ','
+                      ORDER BY c.c_mktsegment) AS segments
+    FROM customer c JOIN nation n ON n.n_nationkey = c.c_nationkey
+    GROUP BY 1
+    """,
+)
+def nation_mktsegment_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered string aggregation (LISTAGG/string_agg shape): per
+    nation, the sorted distinct market segments as one CSV cell.
+    collect_set gathers the (bounded, low-cardinality) distinct
+    segments; array_sort pins the deterministic order BEFORE
+    array_join, because collect_set's arrival order is
+    partition-schedule-dependent — the unsorted variant would be
+    flaky under parallelism and across engines."""
+    cust = table(spark, sf_dir, "customer").select(
+        "c_nationkey", "c_mktsegment"
+    )
+    nation = F.broadcast(
+        table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    )
+    return (
+        cust.join(nation, cust["c_nationkey"] == nation["n_nationkey"])
+        .groupBy(F.col("n_name").alias("nation"))
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.countDistinct("c_mktsegment").alias("n_segments"),
+            F.array_join(
+                F.array_sort(F.collect_set("c_mktsegment")), ","
+            ).alias("segments"),
+        )
+    )

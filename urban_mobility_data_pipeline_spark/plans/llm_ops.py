@@ -8,7 +8,7 @@ can't drift apart.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from urban_mobility_data_pipeline_spark.extensions.dedup import (
@@ -2283,3 +2283,112 @@ def corpus_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("fertility"),
     )
+
+
+# ---------------------------------------------------------------------------
+# document length deciles (curriculum bucketing)
+# ---------------------------------------------------------------------------
+@register(
+    "doc_length_deciles",
+    oracle="""
+    WITH d AS (
+        SELECT doc_id, n_chars,
+               ntile(10) OVER (ORDER BY n_chars, doc_id) AS decile
+        FROM documents
+    )
+    SELECT decile,
+           count(*) AS n_docs,
+           min(n_chars) AS min_chars,
+           max(n_chars) AS max_chars,
+           CAST(sum(n_chars) AS BIGINT) AS sum_chars
+    FROM d GROUP BY 1
+    """,
+)
+def doc_length_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Length-decile report over the corpus — the bucketing behind
+    length-based curriculum schedules and batch-shape planning. ntile
+    needs a total order (deterministic via the doc_id tiebreaker);
+    Spark plans it as one global sort, acceptable for a 10-row report
+    built from (n_chars, doc_id) pairs only — the text column is pruned
+    at the scan. At 100 TB the same report comes from
+    approx_percentile boundaries instead (see order_value_percentiles
+    for the sketch variant of this pattern); the exact ntile is kept
+    here because the driver hash-compares engine output."""
+    docs = table(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    w = Window.orderBy("n_chars", "doc_id")
+    return (
+        docs.withColumn("decile", F.ntile(10).over(w))
+        .groupBy("decile")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min("n_chars").alias("min_chars"),
+            F.max("n_chars").alias("max_chars"),
+            F.sum("n_chars").alias("sum_chars"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# corpus bigram heavy hitters
+# ---------------------------------------------------------------------------
+BIGRAM_TOP_K = 50
+
+
+@register(
+    "corpus_bigram_stats",
+    oracle=f"""
+    WITH sp AS (SELECT doc_id, {_WORDS} AS t FROM documents),
+    bg AS (
+        SELECT doc_id,
+               unnest(list_transform(range(1, len(t)),
+                                     i -> t[i] || ' ' || t[i + 1])) AS bigram
+        FROM sp
+    ),
+    counts AS (
+        SELECT bigram,
+               CAST(count(*) AS BIGINT) AS n_occurrences,
+               count(DISTINCT doc_id) AS n_docs
+        FROM bg GROUP BY 1
+    )
+    SELECT bigram, n_occurrences, n_docs
+    FROM counts
+    ORDER BY n_occurrences DESC, bigram
+    LIMIT {BIGRAM_TOP_K}
+    """,
+)
+def corpus_bigram_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-{k} corpus bigrams by occurrence count with document reach —
+    the heavy-hitter phrase statistics behind boilerplate screens and
+    tokenizer merge-rule audits. Bigrams are derived positionally
+    (element_at over a 1..n-1 sequence — pure JVM expressions, no
+    Python), exploded, then two-stage aggregated: the (bigram, partial
+    count) pairs shuffle, never the token arrays. The final top-k is a
+    TakeOrderedAndProject with a deterministic bigram tiebreaker — each
+    partition forwards at most {k} rows, so the driver never sees the
+    full vocabulary."""
+    docs = table(spark, sf_dir, "documents")
+    toks = T.words("text")
+    bigrams = F.when(
+        F.size(toks) >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - 1),
+            lambda i: F.concat_ws(
+                " ", F.element_at(toks, i), F.element_at(toks, i + 1)
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    exploded = docs.select(
+        "doc_id", F.explode(bigrams).alias("bigram")
+    )
+    counts = exploded.groupBy("bigram").agg(
+        F.count(F.lit(1)).alias("n_occurrences"),
+        F.countDistinct("doc_id").alias("n_docs"),
+    )
+    return counts.orderBy(
+        F.desc("n_occurrences"), F.asc("bigram")
+    ).limit(BIGRAM_TOP_K)
+
+
+corpus_bigram_stats.__doc__ = corpus_bigram_stats.__doc__.format(
+    k=BIGRAM_TOP_K
+)

@@ -261,3 +261,66 @@ def streaming_corpus_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame
     )
     query.awaitTermination()
     return spark.table(sink_name)
+
+
+@register(
+    "streaming_distinct_user_event_days",
+    oracle="""
+    SELECT DISTINCT user_id, event_type,
+           strftime(ts, '%Y-%m-%d') AS event_day
+    FROM events
+    """,
+)
+def streaming_distinct_user_event_days(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Streaming stateful deduplication: at most one record per
+    (user, event-type, day) via ``dropDuplicatesWithinWatermark`` —
+    the exactly-once event feed a downstream daily-activity consumer
+    wants. Rows are projected down to the dedup key BEFORE the dedup,
+    so every surviving row is identical no matter which physical
+    duplicate wins — that projection is what makes a streaming dedup
+    deterministic and oracle-checkable (emitting any non-key column
+    would surface arrival order). State is keyed by the (bounded)
+    key set and evicted once the watermark passes a key's day + delay;
+    with availableNow over a single file the whole input lands in one
+    micro-batch, so the output equals batch DISTINCT — which is what
+    the oracle asserts."""
+    configure_session(spark)
+    try:
+        schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    except Exception:
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    ts_type = schema["ts"].dataType.simpleString()
+    stream = (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    keyed = (
+        stream.withColumn(
+            "event_ts", F.timestamp_micros(events_ts_us(ts_type))
+        )
+        .withWatermark("event_ts", "1 hour")
+        .select(
+            "user_id",
+            "event_type",
+            date_str("event_ts", "yyyy-MM-dd").alias("event_day"),
+            "event_ts",
+        )
+    )
+    deduped = keyed.dropDuplicatesWithinWatermark(
+        ["user_id", "event_type", "event_day"]
+    ).select("user_id", "event_type", "event_day")
+    sink_name = f"stream_dedup_{uuid.uuid4().hex[:8]}"
+    query = (
+        deduped.writeStream.format("memory")
+        .queryName(sink_name)
+        .outputMode("append")
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="umdp_ckpt_"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination()
+    return spark.table(sink_name)
