@@ -1,0 +1,232 @@
+"""Per-file bloom-filter sidecar on MergeTable: point-key file
+pruning for GDPR erasure / point lookups where zone maps can't help
+(uniformly distributed high-cardinality keys straddle every file's
+[min,max])."""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import tempfile
+
+import pytest
+from pyspark.sql import functions as F
+
+from urban_mobility_data_pipeline_spark.operators.merge import MergeTable
+
+N_FILES = 8
+N_ROWS = 4000
+
+
+@pytest.fixture()
+def bloom_table(spark):
+    path = tempfile.mkdtemp(prefix="umdp_bloom_")
+    df = (
+        spark.range(N_ROWS)
+        .select(
+            F.col("id").alias("doc_id"),
+            (F.col("id") % 97).alias("grp"),
+            F.concat(F.lit("payload-"), F.col("id")).alias("body"),
+        )
+        # spread keys uniformly over many files: the zone-map-hostile
+        # layout (every file's doc_id range is ~[0, N_ROWS])
+        .repartition(N_FILES)
+    )
+    t = MergeTable(spark, path)
+    t.create(df)
+    return t
+
+
+def _files_containing(t: MergeTable, keys: list[int]) -> set[str]:
+    df = t.read(include_internal=True).filter(
+        F.col("doc_id").isin(keys)
+    )
+    rows = df.select(
+        F.col("_metadata.file_path").alias("fp")
+    ).distinct().collect()
+    local = t._local_path()
+    out = set()
+    for r in rows:
+        p = re.sub(r"^[a-zA-Z0-9+.-]+:/+", "/", r["fp"])
+        out.add(os.path.relpath(p, local))
+    return out
+
+
+def test_build_then_prune_no_false_negatives(bloom_table):
+    t = bloom_table
+    built = t.build_blooms("doc_id", fpp=0.01)
+    assert len(built) == N_FILES
+    keys = [0, 1234, 3999]
+    cands, skipped = t.prune_files_by_keys("doc_id", keys)
+    assert set(cands) | set(skipped) == set(built)
+    # soundness: every file that actually holds a key is a candidate
+    actual = _files_containing(t, keys)
+    assert actual <= set(cands)
+
+
+def test_absent_keys_skip_most_files(bloom_table):
+    t = bloom_table
+    t.build_blooms("doc_id", fpp=0.01)
+    cands, skipped = t.prune_files_by_keys(
+        "doc_id", [10_000_000 + i for i in range(3)]
+    )
+    # absent keys: everything should be bloom-skipped modulo fpp
+    assert len(skipped) >= N_FILES - 1, (cands, skipped)
+
+
+def test_read_by_keys_matches_full_scan(bloom_table, spark):
+    t = bloom_table
+    t.build_blooms("doc_id")
+    keys = [7, 77, 777, 10_000_000]
+    got = sorted(
+        r["doc_id"] for r in t.read_by_keys("doc_id", keys).collect()
+    )
+    want = sorted(
+        r["doc_id"]
+        for r in t.read().filter(F.col("doc_id").isin(keys)).collect()
+    )
+    assert got == want == [7, 77, 777]
+
+
+def test_delete_by_keys_rewrites_only_candidates(bloom_table):
+    t = bloom_table
+    t.build_blooms("doc_id", fpp=0.001)
+    before, _ = t._load()
+    keys = [5, 1500]
+    cands, skipped = t.prune_files_by_keys("doc_id", keys)
+    stats = t.delete_by_keys("doc_id", keys)
+    assert stats["rewritten_files"] == len(cands)
+    assert stats["kept_files"] == len(skipped)
+    after, _ = t._load()
+    # bloom-negative files carry over byte-identical (same rel paths)
+    assert set(skipped) <= set(after["files"])
+    # deleted keys are gone, everything else survived
+    remaining = t.read()
+    assert remaining.filter(F.col("doc_id").isin(keys)).count() == 0
+    assert remaining.count() == N_ROWS - len(keys)
+    # bloom-pruned delete must not have rewritten the whole table
+    assert len(cands) < len(before["files"])
+
+
+def test_delete_by_keys_no_match_is_noop(bloom_table):
+    t = bloom_table
+    t.build_blooms("doc_id", fpp=0.001)
+    _, v_before = t._load()
+    stats = t.delete_by_keys("doc_id", [99_999_999])
+    assert stats["rewritten_files"] == 0
+    _, v_after = t._load()
+    assert v_after == v_before  # no commit for a no-op
+    assert t.read().count() == N_ROWS
+
+
+def test_incremental_build_touches_only_new_files(bloom_table, spark):
+    t = bloom_table
+    first = t.build_blooms("doc_id")
+    sig_before = {
+        rel: e["doc_id"]["b64"] for rel, e in first.items()
+    }
+    extra = spark.range(N_ROWS, N_ROWS + 100).select(
+        F.col("id").alias("doc_id"),
+        (F.col("id") % 97).alias("grp"),
+        F.concat(F.lit("payload-"), F.col("id")).alias("body"),
+    )
+    t.append(extra)
+    second = t.build_blooms("doc_id")
+    assert len(second) > len(first)
+    for rel, b64 in sig_before.items():
+        assert second[rel]["doc_id"]["b64"] == b64  # untouched entries
+    # the appended keys are findable through the refreshed blooms
+    got = t.read_by_keys("doc_id", [N_ROWS + 5]).count()
+    assert got == 1
+
+
+def test_vacuum_prunes_bloom_sidecar(bloom_table):
+    t = bloom_table
+    t.build_blooms("doc_id")
+    t.delete_by_keys("doc_id", [1, 2, 3])
+    removed = t.vacuum(retain_hours=0.0)
+    assert removed > 0
+    with open(t._bloom_sidecar_path()) as f:
+        sidecar = json.load(f)
+    manifest, _ = t._load()
+    live = set(manifest["files"])
+    assert set(sidecar) <= live | {
+        rel for rel in sidecar if os.path.isfile(
+            os.path.join(t._local_path(), rel)
+        )
+    }
+    # entries for physically removed files are gone
+    for rel in sidecar:
+        assert os.path.isfile(os.path.join(t._local_path(), rel))
+
+
+def test_null_key_file_gets_zero_bloom(spark):
+    path = tempfile.mkdtemp(prefix="umdp_bloom_null_")
+    df = spark.range(50).select(
+        F.lit(None).cast("long").alias("doc_id"),
+        F.col("id").alias("payload"),
+    )
+    t = MergeTable(spark, path)
+    t.create(df.coalesce(1))
+    built = t.build_blooms("doc_id")
+    assert len(built) == 1
+    cands, skipped = t.prune_files_by_keys("doc_id", [1, 2, 3])
+    assert cands == [] and len(skipped) == 1
+
+
+def test_gdpr_erase_takes_bloom_fast_path(spark, tmp_path):
+    """erase_document_ids routes through delete_by_keys when blooms
+    exist: identical logical result, but only bloom-candidate files
+    rewritten (file-count proof), including a two-id-column pair
+    table."""
+    from urban_mobility_data_pipeline_spark.extensions.gdpr_corpus import (
+        erase_document_ids,
+    )
+
+    docs = (
+        spark.range(2000)
+        .select(
+            F.col("id").alias("doc_id"),
+            F.concat(F.lit("text-"), F.col("id")).alias("text"),
+        )
+        .repartition(6)
+    )
+    pairs = (
+        spark.range(500)
+        .select(
+            (F.col("id") * 2).alias("doc_a"),
+            (F.col("id") * 2 + 1).alias("doc_b"),
+        )
+        .repartition(4)
+    )
+    t_docs = MergeTable(spark, str(tmp_path / "docs"))
+    t_docs.create(docs)
+    t_pairs = MergeTable(spark, str(tmp_path / "pairs"))
+    t_pairs.create(pairs)
+    t_docs.build_blooms("doc_id", fpp=0.001)
+    t_pairs.build_blooms("doc_a", fpp=0.001)
+    t_pairs.build_blooms("doc_b", fpp=0.001)
+    docs_files_before = set(t_docs._load()[0]["files"])
+    pairs_files_before = set(t_pairs._load()[0]["files"])
+
+    victim = 41  # doc_b of pair row 20
+    deleted = erase_document_ids(
+        spark,
+        [victim],
+        {"documents": t_docs, "near_dup_pairs": t_pairs},
+        vacuum=False,
+    )
+    assert deleted == {"documents": 1, "near_dup_pairs": 1}
+    assert t_docs.read().filter(F.col("doc_id") == victim).count() == 0
+    assert (
+        t_pairs.read()
+        .filter((F.col("doc_a") == victim) | (F.col("doc_b") == victim))
+        .count()
+        == 0
+    )
+    # fast-path proof: most original files survived the delete untouched
+    docs_files_after = set(t_docs._load()[0]["files"])
+    pairs_files_after = set(t_pairs._load()[0]["files"])
+    assert len(docs_files_before & docs_files_after) >= 5
+    assert len(pairs_files_before & pairs_files_after) >= 3

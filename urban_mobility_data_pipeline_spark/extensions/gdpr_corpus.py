@@ -95,15 +95,24 @@ def erase_document_ids(
         if not table.exists():
             deleted[name] = 0
             continue
+        cols = list(col_map[name])
         cond = None
-        for c in col_map[name]:
+        for c in cols:
             term = F.col(c).isin(ids)
             cond = term if cond is None else (cond | term)
-        before = table.read().filter(cond).count()
-        if before:
-            table.delete(cond)
-            if vacuum:
-                table.vacuum(0.0)
+        if table.has_blooms(cols):
+            # bloom fast path: count over only the candidate files and
+            # rewrite only those — a handful of ids against a large
+            # corpus touches a handful of files, not every partition
+            before = table.read_by_keys(cols, ids).count()
+            if before:
+                table.delete_by_keys(cols, ids)
+        else:
+            before = table.read().filter(cond).count()
+            if before:
+                table.delete(cond)
+        if before and vacuum:
+            table.vacuum(0.0)
         deleted[name] = before
         if audit is not None and subjects is not None:
             audit.record(

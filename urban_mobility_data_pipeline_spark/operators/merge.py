@@ -1149,6 +1149,323 @@ class MergeTable:
             "kept_files": len(kept),
         }
 
+    # -- bloom filters (per-file key membership; point-lookup pruning) -----
+    # Zone maps skip files by VALUE RANGE; on a high-cardinality key
+    # that is uniformly spread across files (doc_id, user_id) every
+    # file's [min,max] straddles every probe and nothing prunes. The
+    # bloom sidecar answers the other question — "which files might
+    # CONTAIN these exact keys?" — which is the shape of a GDPR erasure
+    # or point lookup at 100 TB: a handful of ids against millions of
+    # files. Delta/Iceberg keep the same structure as per-file bloom
+    # indexes.
+    BLOOM_SIDECAR = "_graft_blooms.json"
+
+    @staticmethod
+    def _bloom_params(n_rows: int, fpp: float) -> tuple[int, int]:
+        """Standard sizing: m bits, k hashes for n keys at target fpp."""
+        import math as _math
+
+        n = max(1, n_rows)
+        m = int(_math.ceil(-n * _math.log(fpp) / (_math.log(2) ** 2)))
+        m = max(64, ((m + 7) // 8) * 8)
+        k = max(1, round(m / n * _math.log(2)))
+        return m, k
+
+    @staticmethod
+    def _bloom_hash_cols(col: str) -> tuple[Column, Column]:
+        """The double-hash pair behind every bloom position:
+        pos_i = (h1 + i*h2) mod 2^64 mod m (Kirsch-Mitzenmacher). Both
+        hashes are JVM xxhash64 over the COLUMN TYPE, so build and
+        probe can never drift — probes hash through the same
+        expressions via a 1-row Spark job, never a Python re-
+        implementation."""
+        return (
+            F.xxhash64(F.col(col)),
+            F.xxhash64(F.lit("graft-bloom-h2"), F.col(col)),
+        )
+
+    def _bloom_sidecar_path(self) -> str:
+        return os.path.join(self._log_dir(), self.BLOOM_SIDECAR)
+
+    def _load_blooms(self) -> dict[str, dict]:
+        p = self._bloom_sidecar_path()
+        if os.path.isfile(p):
+            with open(p) as f:
+                return json.load(f)
+        return {}
+
+    def _probe_hashes(
+        self, col: str, keys: Sequence[object]
+    ) -> list[tuple[int, int]]:
+        """(h1, h2) for each probe key, computed by Spark itself so the
+        hash matches the build side bit-for-bit (xxhash64 output depends
+        on the input's Catalyst type). Bounded: |keys| rows."""
+        manifest, _ = self._load()
+        schema_json = manifest.get("schema")
+        if not schema_json:
+            raise ValueError("table has no recorded schema")
+        schema = StructType.fromJson(json.loads(schema_json))
+        field = next((f for f in schema.fields if f.name == col), None)
+        if field is None:
+            raise ValueError(f"column {col!r} not in table schema")
+        probe = self.spark.createDataFrame(
+            [(k,) for k in keys], StructType([field])
+        )
+        h1, h2 = self._bloom_hash_cols(col)
+        return [
+            (r[0], r[1])
+            for r in probe.select(h1, h2).collect()
+        ]
+
+    def build_blooms(self, col: str, fpp: float = 0.01) -> dict[str, dict]:
+        """Build (or top up) per-file bloom filters for ``col``.
+
+        Data files are immutable, so only files missing a bloom are
+        touched — an append then re-build reads just the new files. The
+        bitmap for each file is aggregated EXECUTOR-side by a vectorized
+        ``applyInPandas`` kernel (numpy packbits over JVM-computed
+        xxhash64 pairs): what crosses the wire per file is the packed
+        ``m/8``-byte bitmap (~1.8 bytes/key at 1% fpp), never the
+        positions (8·k bytes/key). The per-file m/k are sized from the
+        parquet footer row count, broadcast onto the scan keyed by
+        ``_metadata.file_path``. This is one of the documented Pandas
+        kernels (SURVEY §2.11): a bitset fold has no Column-algebra
+        expression, and per-row UDFs are banned."""
+        import base64
+
+        import pyarrow.parquet as pq
+
+        local = self._local_path()
+        manifest, _ = self._load()
+        blooms = self._load_blooms()
+        missing: list[str] = [
+            rel
+            for rel in manifest["files"]
+            if col not in blooms.get(rel, {})
+        ]
+        if not missing:
+            return {
+                f: blooms[f] for f in manifest["files"] if f in blooms
+            }
+        params: list[tuple[str, int, int]] = []
+        for rel in missing:
+            try:
+                n_rows = pq.ParquetFile(
+                    os.path.join(local, rel)
+                ).metadata.num_rows
+            except Exception:
+                continue  # unreadable ⇒ no bloom ⇒ file never skipped
+            m, k = self._bloom_params(n_rows, fpp)
+            params.append((os.path.join(local, rel), rel, m, k))
+        if not params:
+            return {
+                f: blooms[f] for f in manifest["files"] if f in blooms
+            }
+        reader = self.spark.read.option("basePath", self.path)
+        schema_json = manifest.get("schema")
+        if schema_json:
+            reader = reader.schema(
+                StructType.fromJson(json.loads(schema_json))
+            )
+        scan = reader.parquet(
+            *[os.path.join(self.path, rel) for _uri, rel, _m, _k in params]
+        )
+        h1, h2 = self._bloom_hash_cols(col)
+        # _metadata.file_path is a Hadoop URI (file:/tmp/... with any
+        # number of slashes); normalize to the local absolute path so
+        # it joins against the footer-derived params
+        keyed = (
+            scan.filter(F.col(col).isNotNull())
+            .select(
+                F.regexp_replace(
+                    F.col("_metadata.file_path"), "^[a-zA-Z0-9+.-]+:/+", "/"
+                ).alias("file_path"),
+                h1.alias("h1"),
+                h2.alias("h2"),
+            )
+            .join(
+                F.broadcast(
+                    self.spark.createDataFrame(
+                        [(u, m, k) for u, _rel, m, k in params],
+                        "file_path string, m long, k long",
+                    )
+                ),
+                "file_path",
+            )
+        )
+
+        def pack(pdf):
+            import numpy as np
+            import pandas as pd
+
+            m = int(pdf["m"].iloc[0])
+            k = int(pdf["k"].iloc[0])
+            u1 = pdf["h1"].to_numpy(np.int64).astype(np.uint64)
+            u2 = pdf["h2"].to_numpy(np.int64).astype(np.uint64)
+            bits = np.zeros(m, dtype=bool)
+            for i in range(k):
+                pos = ((u1 + np.uint64(i) * u2) % np.uint64(m)).astype(
+                    np.int64
+                )
+                bits[pos] = True
+            return pd.DataFrame(
+                [
+                    {
+                        "file_path": pdf["file_path"].iloc[0],
+                        "m": m,
+                        "k": k,
+                        "bloom": np.packbits(bits).tobytes(),
+                    }
+                ]
+            )
+
+        built = keyed.groupBy("file_path").applyInPandas(
+            pack, "file_path string, m long, k long, bloom binary"
+        )
+        rel_by_uri = {u: rel for u, rel, _m, _k in params}
+        sized = {(u, m, k) for u, _rel, m, k in params}
+        for row in built.collect():
+            rel = rel_by_uri.get(row["file_path"])
+            if rel is None:
+                continue
+            entry = blooms.setdefault(rel, {})
+            entry[col] = {
+                "m": int(row["m"]),
+                "k": int(row["k"]),
+                "fpp": fpp,
+                "b64": base64.b64encode(bytes(row["bloom"])).decode(),
+            }
+            sized.discard((row["file_path"], int(row["m"]), int(row["k"])))
+        # files whose every row is NULL in `col` produce no kernel row:
+        # store an all-zeros bloom (they can never contain a probe key)
+        for u, m, k in sized:
+            rel = rel_by_uri[u]
+            blooms.setdefault(rel, {})[col] = {
+                "m": m,
+                "k": k,
+                "fpp": fpp,
+                "b64": base64.b64encode(bytes(m // 8)).decode(),
+            }
+        os.makedirs(self._log_dir(), exist_ok=True)
+        tmp = self._bloom_sidecar_path() + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(blooms, f)
+        os.replace(tmp, self._bloom_sidecar_path())
+        return {f: blooms[f] for f in manifest["files"] if f in blooms}
+
+    @staticmethod
+    def _bloom_might_contain(entry: Mapping, h1: int, h2: int) -> bool:
+        import base64
+
+        m, k = entry["m"], entry["k"]
+        data = base64.b64decode(entry["b64"])
+        u1, u2 = h1 & 0xFFFFFFFFFFFFFFFF, h2 & 0xFFFFFFFFFFFFFFFF
+        for i in range(k):
+            pos = ((u1 + i * u2) & 0xFFFFFFFFFFFFFFFF) % m
+            if not data[pos >> 3] & (0x80 >> (pos & 7)):
+                return False
+        return True
+
+    def has_blooms(self, col: str | Sequence[str]) -> bool:
+        """True if the sidecar holds at least one bloom for every
+        column in ``col`` — the cheap gate callers use before routing a
+        delete through :meth:`delete_by_keys` instead of the
+        partition-pruned :meth:`delete`."""
+        cols = [col] if isinstance(col, str) else list(col)
+        blooms = self._load_blooms()
+        return bool(cols) and all(
+            any(c in e for e in blooms.values()) for c in cols
+        )
+
+    def prune_files_by_keys(
+        self, col: str | Sequence[str], keys: Sequence[object]
+    ) -> tuple[list[str], list[str]]:
+        """Split live files into (candidates, skipped) for an exact-key
+        probe ``ANY(col) IN keys`` using the bloom sidecar. With several
+        columns (pair tables keyed on both endpoints) a file is skipped
+        only when EVERY column's bloom rejects every key. A file without
+        a bloom is always a candidate (unknown must be read), and blooms
+        have no false negatives — so skipping is sound; false positives
+        only cost a redundant read."""
+        cols = [col] if isinstance(col, str) else list(col)
+        manifest, _ = self._load()
+        blooms = self._load_blooms()
+        hashes = {
+            c: (self._probe_hashes(c, keys) if keys else [])
+            for c in cols
+        }
+        cands, skipped = [], []
+        for rel in manifest["files"]:
+            entries = blooms.get(rel, {})
+            hit = False
+            for c in cols:
+                entry = entries.get(c)
+                if entry is None or any(
+                    self._bloom_might_contain(entry, h1, h2)
+                    for h1, h2 in hashes[c]
+                ):
+                    hit = True
+                    break
+            (cands if hit else skipped).append(rel)
+        return cands, skipped
+
+    @staticmethod
+    def _keys_pred(cols: Sequence[str], keys: Sequence[object]) -> Column:
+        pred = None
+        for c in cols:
+            term = F.col(c).isin(list(keys))
+            pred = term if pred is None else (pred | term)
+        return pred
+
+    def read_by_keys(
+        self, col: str | Sequence[str], keys: Sequence[object]
+    ) -> DataFrame:
+        """Point lookup ``ANY(col) IN keys`` with bloom file skipping
+        before Spark lists any parquet; the residual IN still applies
+        (blooms admit false positives, never false negatives)."""
+        cols = [col] if isinstance(col, str) else list(col)
+        manifest, _ = self._load()
+        cands, _skipped = self.prune_files_by_keys(cols, keys)
+        df = self._read_snapshot({**manifest, "files": cands})
+        return df.filter(self._keys_pred(cols, keys))
+
+    def delete_by_keys(
+        self, col: str | Sequence[str], keys: Sequence[object]
+    ) -> dict:
+        """GDPR-shaped point DELETE through the blooms: only files that
+        might contain one of ``keys`` are read and rewritten; every
+        bloom-negative file carries over untouched (not read, not
+        renamed). Complements the ``__kb`` bucket pruning when the
+        table isn't bucketed on ``col``. Logical until ``vacuum``, like
+        every delete here. Returns rewrite stats."""
+        cols = [col] if isinstance(col, str) else list(col)
+        manifest, parent = self._load()
+        cands, skipped = self.prune_files_by_keys(cols, keys)
+        if not cands:
+            return {"rewritten_files": 0, "kept_files": len(skipped)}
+        remain = self._read_snapshot(
+            {**manifest, "files": cands}, include_internal=True
+        ).filter(~F.coalesce(self._keys_pred(cols, keys), F.lit(False)))
+        new_files, _ = self._write_files(
+            remain, list(manifest["partition_by"])
+        )
+        self._commit(
+            {
+                "op": "delete",
+                "files": skipped + new_files,
+                "partition_by": list(manifest["partition_by"]),
+                "bucket_keys": manifest["bucket_keys"],
+                "num_buckets": manifest["num_buckets"],
+                "schema": manifest.get("schema"),
+                "txn": manifest.get("txn") or {},
+            },
+            parent,
+        )
+        return {
+            "rewritten_files": len(cands),
+            "kept_files": len(skipped),
+        }
+
     def vacuum(self, retain_hours: float = 0.0) -> int:
         """S12 VACUUM (``retention/bronze:84-86``): physically delete
         data files referenced only by versions older than
@@ -1174,21 +1491,23 @@ class MergeTable:
                 os.unlink(os.path.join(local, rel))
                 gone.append(rel)
                 removed += 1
-        # drop zone-map entries for files that no longer exist, so the
-        # sidecar tracks live bytes instead of growing unboundedly
-        sidecar = os.path.join(self._log_dir(), self.STATS_SIDECAR)
-        if gone and os.path.isfile(sidecar):
-            try:
-                with open(sidecar) as f:
-                    stats = json.load(f)
-                for rel in gone:
-                    stats.pop(rel, None)
-                tmp = sidecar + ".tmp"
-                with open(tmp, "w") as f:
-                    json.dump(stats, f)
-                os.replace(tmp, sidecar)
-            except Exception:
-                pass  # stats are advisory; stale entries are harmless
+        # drop zone-map and bloom entries for files that no longer
+        # exist, so the sidecars track live bytes instead of growing
+        # unboundedly
+        for name in (self.STATS_SIDECAR, self.BLOOM_SIDECAR):
+            sidecar = os.path.join(self._log_dir(), name)
+            if gone and os.path.isfile(sidecar):
+                try:
+                    with open(sidecar) as f:
+                        stats = json.load(f)
+                    for rel in gone:
+                        stats.pop(rel, None)
+                    tmp = sidecar + ".tmp"
+                    with open(tmp, "w") as f:
+                        json.dump(stats, f)
+                    os.replace(tmp, sidecar)
+                except Exception:
+                    pass  # sidecars are advisory; stale entries harmless
         for entry in os.listdir(local):
             if entry.startswith("_staged-"):
                 shutil.rmtree(os.path.join(local, entry))
