@@ -43,10 +43,19 @@ FLAGSHIP = "pricing_summary"
 # After this rotation the only r5-era catalog entry never
 # driver-checked is daily_distinct_users_sketch — rows-only BY DESIGN
 # (an HLL sketch has no cross-engine value hash); it stays
-# pytest+bench-covered. Three queries added LATE in round 6
-# (documents_ngram_contamination, corpus_mixing_weights,
-# corpus_tokenizer_fertility) are pytest-oracle green and first in
-# line for the round-7 rotation.
+# pytest+bench-covered. Seventeen queries added LATE in round 6 are
+# pytest-oracle green and first in line for the round-7 rotation:
+# documents_ngram_contamination, corpus_mixing_weights,
+# corpus_tokenizer_fertility, plus the TPC-H-shape widening
+# (customer_order_count_distribution Q13, small_quantity_part_revenue
+# Q17, top_revenue_supplier Q15, idle_rich_customers_by_nation Q22,
+# promo_revenue_share Q14, brand_quantity_band_revenue Q19,
+# sole_late_supplier_orders Q21, part_revenue_concentration Q11,
+# nation_pair_trade_volume Q7), lineitem_price_statistics (corr/
+# stddev/median), nation_mktsegment_profile (ordered listagg),
+# doc_length_deciles, corpus_bigram_stats (heavy hitters), and
+# streaming_distinct_user_event_days (4th real-readStream row,
+# dropDuplicatesWithinWatermark).
 #
 # Rotated OUT to make room (each keeps pytest-oracle + bench coverage;
 # SURVEY coverage retained by an in-list query as noted):

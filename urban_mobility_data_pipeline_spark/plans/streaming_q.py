@@ -298,20 +298,23 @@ def streaming_distinct_user_event_days(
         .option("pathGlobFilter", "events.parquet")
         .parquet(sf_dir)
     )
-    keyed = (
-        stream.withColumn(
-            "event_ts", F.timestamp_micros(events_ts_us(ts_type))
-        )
-        .withWatermark("event_ts", "1 hour")
-        .select(
-            "user_id",
-            "event_type",
-            date_str("event_ts", "yyyy-MM-dd").alias("event_day"),
-            "event_ts",
-        )
+    from urban_mobility_data_pipeline_spark.streaming.dedup import (
+        dedup_within_watermark,
     )
-    deduped = keyed.dropDuplicatesWithinWatermark(
-        ["user_id", "event_type", "event_day"]
+
+    keyed = stream.withColumn(
+        "event_ts", F.timestamp_micros(events_ts_us(ts_type))
+    ).select(
+        "user_id",
+        "event_type",
+        date_str("event_ts", "yyyy-MM-dd").alias("event_day"),
+        "event_ts",
+    )
+    deduped = dedup_within_watermark(
+        keyed,
+        ["user_id", "event_type", "event_day"],
+        "event_ts",
+        watermark="1 hour",
     ).select("user_id", "event_type", "event_day")
     sink_name = f"stream_dedup_{uuid.uuid4().hex[:8]}"
     query = (
