@@ -189,3 +189,64 @@ def test_ngram_contamination_plan_joins_on_gram_digest(spark, sf_dir):
 
     schemas = re.findall(r"ReadSchema: struct<([^>]*)>", plan)
     assert schemas and all("text" in s and "source" not in s for s in schemas)
+
+
+def test_q19_disjunction_derives_pushed_conjuncts(spark, sf_dir):
+    """The Q19 OR-of-ANDs must not defeat pushdown: Catalyst's CNF
+    extraction has to derive single-side conjuncts for BOTH scans —
+    the quantity band into lineitem, the brand/size band into part."""
+    df = QUERIES["brand_quantity_band_revenue"](spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    li_scan = next(
+        line for line in plan.splitlines()
+        if "FileScan" in line and "lineitem" in line
+    )
+    assert "l_quantity" in li_scan.split("DataFilters:")[1], li_scan
+    part_scan = next(
+        line for line in plan.splitlines()
+        if "FileScan" in line and "part.parquet" in line
+    )
+    pushed = part_scan.split("DataFilters:")[1]
+    assert "p_size" in pushed and "p_brand" in pushed, part_scan
+
+
+def test_q7_nation_joined_twice_is_all_broadcast(spark, sf_dir):
+    """The two nation roles (and every other dim) ride broadcast
+    joins; the only exchange is the final group-by."""
+    df = QUERIES["nation_pair_trade_volume"](spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("BroadcastHashJoin") == 5
+    assert "SortMergeJoin" not in plan
+    assert plan.count("nation.parquet") == 2  # one dim, two scans/roles
+
+
+def test_q15_single_partition_window_is_post_aggregation(spark, sf_dir):
+    """The unpartitioned max() window is fine ONLY because it runs on
+    the aggregated |suppliers|-row frame: the SinglePartition exchange
+    must sit above the per-supplier hash aggregation, never above the
+    lineitem scan."""
+    df = QUERIES["top_revenue_supplier"](spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    single = plan.index("Exchange SinglePartition")
+    suppkey_agg = plan.index("Exchange hashpartitioning(l_suppkey")
+    assert single < suppkey_agg  # printed above = executed after
+    # the fact scan reads only the 4 needed columns
+    li_scan = next(
+        line for line in plan.splitlines()
+        if "FileScan" in line and "lineitem" in line
+    )
+    import re as _re
+
+    schema = _re.search(r"ReadSchema: struct<([^>]*)>", li_scan)
+    assert schema and len(schema.group(1).split(",")) == 4, li_scan
+
+
+def test_q22_scalar_is_broadcast_not_window(spark, sf_dir):
+    """The global avg threshold must reach the customer rows as a
+    1-row broadcast (BroadcastNestedLoopJoin over a single-row
+    relation), never as an unpartitioned window over the fact."""
+    df = QUERIES["idle_rich_customers_by_nation"](spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Window" not in plan
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "LeftAnti" in plan

@@ -166,3 +166,59 @@ def test_cli_corpus_erase(spark, sf_dir, tmp_path, capsys):
     rows = audit.collect()
     assert len(rows) == 1 and rows[0]["entity"] == "documents"
     assert len(CORPUS_ID_COLS) == 6  # all six derivatives stay registered
+
+
+def test_cli_corpus_index_build_then_bloom_erase(spark, sf_dir, tmp_path, capsys):
+    """corpus_index_build materializes bloom + zone-map sidecars for
+    every existing corpus table, and a subsequent corpus_erase takes
+    the bloom fast path (same logical result, sidecars present)."""
+    import json
+    import os
+
+    from urban_mobility_data_pipeline_spark.operators.merge import MergeTable
+    from urban_mobility_data_pipeline_spark.run import main
+
+    root = str(tmp_path / "corpus")
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").limit(
+        200
+    ).repartition(4)
+    MergeTable(spark, os.path.join(root, "documents")).create(docs)
+
+    rc = main(
+        [
+            "corpus_index_build",
+            "--lake", str(tmp_path / "lake"),
+            "--corpus", root,
+            "--bloom-fpp", "0.001",
+        ],
+        spark=spark,
+    )
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "corpus indexes built" in out and "'documents': 4" in out
+
+    t = MergeTable(spark, os.path.join(root, "documents"))
+    with open(t._bloom_sidecar_path()) as f:
+        sidecar = json.load(f)
+    assert len(sidecar) == 4
+    assert all("doc_id" in e for e in sidecar.values())
+    assert t.has_blooms(["doc_id"])
+
+    victim = docs.select("doc_id").first()[0]
+    rc = main(
+        [
+            "corpus_erase",
+            "--lake", str(tmp_path / "lake"),
+            "--corpus", root,
+            "--ids", str(victim),
+            "--no-vacuum",
+        ],
+        spark=spark,
+    )
+    assert rc == 0
+    assert "corpus erasure (1 subjects)" in capsys.readouterr().out
+    remaining = t.read()
+    from pyspark.sql import functions as F
+
+    assert remaining.filter(F.col("doc_id") == victim).count() == 0
+    assert remaining.count() == 199

@@ -1527,6 +1527,7 @@ class MergeTable:
         target_partitions: int | None = None,
         sort_by: Sequence[str] = (),
         where: Column | None = None,
+        zorder_by: Sequence[str] = (),
     ) -> None:
         """Small-file compaction (Delta OPTIMIZE analogue). Streaming
         foreachBatch appends and per-batch bronze appends accumulate
@@ -1548,7 +1549,17 @@ class MergeTable:
         ``sort_by`` clusters rows within each output file by the given
         columns (Z-ORDER-lite): parquet row-group min/max stats become
         disjoint on those columns, so later filtered scans skip row
-        groups — worth running on the columns your queries filter by."""
+        groups — worth running on the columns your queries filter by.
+
+        ``zorder_by`` is the real thing (Delta ``OPTIMIZE ZORDER BY``):
+        each (numeric/timestamp) column is min-max-normalized to 16
+        bits and the bits are INTERLEAVED into one long; rows are
+        range-partitioned and sorted on that key, so every output file
+        covers a compact hyper-box in ALL the listed dimensions at once
+        — a lexicographic ``sort_by`` gives tight min/max only on its
+        leading column, a z-order gives usable min/max on every listed
+        column. Costs one extra bounds pass + a range shuffle, which is
+        exactly what OPTIMIZE pays on a cluster."""
         manifest, parent = self._load()
         df = self.read(include_internal=True)
         if where is not None:
@@ -1560,16 +1571,65 @@ class MergeTable:
             # touched partitions; everything else is never read
             df = df.filter(where)
         if target_partitions is not None:
-            df = df.coalesce(max(1, target_partitions))
+            target = max(1, target_partitions)
         else:
             n_files = len(manifest["files"]) or len(self._data_files())
-            df = df.coalesce(max(1, n_files // 8))
-        if sort_by:
-            df = df.sortWithinPartitions(*sort_by)
+            target = max(1, n_files // 8)
+        if zorder_by:
+            zkey = self._zorder_key(df, zorder_by)
+            df = df.repartitionByRange(target, zkey).sortWithinPartitions(
+                zkey
+            )
+        else:
+            df = df.coalesce(target)
+            if sort_by:
+                df = df.sortWithinPartitions(*sort_by)
         if where is None:
             self._commit_rewrite(df, op="compact")
         else:
             self._commit_pruned(df, manifest, parent, set(), "compact")
+
+    @staticmethod
+    def _zorder_key(df: DataFrame, cols: Sequence[str]) -> Column:
+        """Bit-interleaved z-value over up to 4 columns: one bounded
+        min/max pass (a 1-row driver scalar), then a pure-JVM
+        expression tree — 16 shift/mask terms per column OR-folded into
+        a long. NULLs and constant columns map to 0 (they can't be
+        discriminated anyway)."""
+        cols = list(cols)
+        if not 1 <= len(cols) <= 4:
+            raise ValueError("zorder_by takes 1-4 columns")
+        bounds = df.agg(
+            *[F.min(c).cast("double").alias(f"mn_{i}") for i, c in enumerate(cols)],
+            *[F.max(c).cast("double").alias(f"mx_{i}") for i, c in enumerate(cols)],
+        ).first()
+        n = len(cols)
+        key = F.lit(0).cast("long")
+        for j, c in enumerate(cols):
+            mn = bounds[f"mn_{j}"]
+            mx = bounds[f"mx_{j}"]
+            if mn is None or mx is None or mx <= mn:
+                continue
+            scaled = F.least(
+                F.lit(65535),
+                F.greatest(
+                    F.lit(0),
+                    F.floor(
+                        (F.col(c).cast("double") - F.lit(float(mn)))
+                        / F.lit(float(mx - mn))
+                        * 65536.0
+                    ).cast("int"),
+                ),
+            ).cast("long")
+            scaled = F.coalesce(scaled, F.lit(0).cast("long"))
+            for i in range(16):
+                key = key.bitwiseOR(
+                    F.shiftleft(
+                        F.shiftright(scaled, i).bitwiseAND(F.lit(1)),
+                        i * n + j,
+                    )
+                )
+        return key
 
     def live_files(self, leaf_contains: str | None = None) -> list[str]:
         """Relative paths of the current snapshot's data files, straight

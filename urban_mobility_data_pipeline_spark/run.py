@@ -223,6 +223,33 @@ def _vocab_refresh_job(lake: J.Lakehouse, args) -> str:
     return f"vocab refresh: folded {n} changed docs"
 
 
+def _corpus_index_job(lake: J.Lakehouse, args) -> str:
+    """Maintain the file-skipping sidecars over the corpus tables:
+    per-file bloom filters on every registered id column (the GDPR
+    point-erase fast path) plus zone maps on the same columns. Both are
+    incremental — immutable data files mean only files missing an entry
+    are touched — so this runs cheaply after every ingest cycle."""
+    from urban_mobility_data_pipeline_spark.extensions.gdpr_corpus import (
+        CORPUS_ID_COLS,
+    )
+    from urban_mobility_data_pipeline_spark.operators.merge import MergeTable
+
+    root = args.corpus or os.path.join(args.lake, "corpus")
+    built: dict[str, int] = {}
+    for name, cols in CORPUS_ID_COLS.items():
+        t = MergeTable(lake.spark, os.path.join(root, name))
+        if not t.exists():
+            continue
+        n_files = 0
+        for c in cols:
+            n_files = len(t.build_blooms(c, fpp=args.bloom_fpp))
+        t.analyze(list(cols))
+        built[name] = n_files
+    if not built:
+        raise SystemExit("corpus_index_build: no corpus tables at " + root)
+    return f"corpus indexes built (blooms + zone maps): {built}"
+
+
 def _retention_job(lake: J.Lakehouse, args) -> str:
     J.run_retention(
         lake, bronze_days=args.bronze_days, silver_days=args.silver_days
@@ -253,6 +280,7 @@ def build_registry() -> dict:
     registry["corpus_erase"] = _corpus_erase_job
     registry["corpus_ingest"] = _corpus_ingest_job
     registry["vocab_refresh"] = _vocab_refresh_job
+    registry["corpus_index_build"] = _corpus_index_job
     registry["retention_cleanup"] = _retention_job
     registry["create_control_tables"] = _control_tables_job
     return registry
@@ -275,6 +303,10 @@ def main(argv: list[str] | None = None, spark=None) -> int:
     p.add_argument("--ids", help="comma-separated doc ids (corpus_erase)")
     p.add_argument("--corpus", help="corpus tables root (corpus_erase/_ingest)")
     p.add_argument("--feed-format", default="jsonl", choices=["jsonl", "csv"])
+    p.add_argument(
+        "--bloom-fpp", type=float, default=0.01,
+        help="bloom false-positive rate (corpus_index_build)",
+    )
     p.add_argument("--no-vacuum", action="store_true")
     p.add_argument("--bronze-days", type=int, default=30)
     p.add_argument("--silver-days", type=int, default=365)
