@@ -1,0 +1,135 @@
+"""CHECK constraints (observe()-enforced, abort-before-commit) and
+zero-copy shallow clone on MergeTable."""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+import pytest
+from pyspark.sql import functions as F
+
+from urban_mobility_data_pipeline_spark.operators.merge import (
+    ConstraintViolationError,
+    MergeTable,
+)
+
+
+@pytest.fixture()
+def orders_table(spark):
+    path = tempfile.mkdtemp(prefix="umdp_check_")
+    df = spark.range(100).select(
+        F.col("id").alias("order_id"),
+        (F.col("id") % 7 * 10.0).alias("amount"),
+        F.when(F.col("id") % 10 == 0, None)
+        .otherwise(F.concat(F.lit("c"), F.col("id") % 5))
+        .alias("segment"),
+    )
+    t = MergeTable(spark, path)
+    t.create(df)
+    return t
+
+
+def test_constraint_blocks_bad_append_atomically(orders_table, spark):
+    t = orders_table
+    t.add_constraint("amount_nonneg", "amount >= 0")
+    _, v_before = t._load()
+    files_before = sorted(t._load()[0]["files"])
+    bad = spark.range(3).select(
+        (F.col("id") + 1000).cast("long").alias("order_id"),
+        F.lit(-5.0).alias("amount"),
+        F.lit("cX").alias("segment"),
+    )
+    with pytest.raises(ConstraintViolationError, match="amount_nonneg"):
+        t.append(bad)
+    # nothing committed, no stray files, no staging debris
+    _, v_after = t._load()
+    assert v_after == v_before
+    assert sorted(t._load()[0]["files"]) == files_before
+    assert t.read().count() == 100
+    local = t._local_path()
+    assert not [d for d in os.listdir(local) if d.startswith("_staged-")]
+
+
+def test_constraint_null_passes_false_fails(orders_table, spark):
+    t = orders_table
+    # segment has NULLs in existing data: NULL passes CHECK (SQL
+    # three-valued semantics), so registration succeeds
+    t.add_constraint("segment_prefix", "segment LIKE 'c%'")
+    ok = spark.range(2).select(
+        (F.col("id") + 2000).alias("order_id"),
+        F.lit(1.0).alias("amount"),
+        F.lit(None).cast("string").alias("segment"),  # NULL: allowed
+    )
+    t.append(ok)
+    assert t.read().count() == 102
+    bad = ok.withColumn("segment", F.lit("zzz"))
+    with pytest.raises(ConstraintViolationError, match="segment_prefix"):
+        t.append(bad)
+
+
+def test_add_constraint_validates_existing_data(orders_table):
+    with pytest.raises(ConstraintViolationError, match="existing data"):
+        orders_table.add_constraint("impossible", "amount > 10")
+
+
+def test_drop_constraint_reopens_the_gate(orders_table, spark):
+    t = orders_table
+    t.add_constraint("amount_nonneg", "amount >= 0")
+    t.drop_constraint("amount_nonneg")
+    bad = spark.range(1).select(
+        F.lit(9999).cast("long").alias("order_id"),
+        F.lit(-1.0).alias("amount"),
+        F.lit("c0").alias("segment"),
+    )
+    t.append(bad)  # no constraint, no error
+    assert t.read().filter(F.col("amount") < 0).count() == 1
+
+
+def test_constraint_enforced_through_merge(orders_table, spark):
+    t = orders_table
+    t.add_constraint("amount_nonneg", "amount >= 0")
+    src = spark.range(1).select(
+        F.lit(5).cast("long").alias("order_id"),
+        F.lit(-50.0).alias("amount"),
+        F.lit("c1").alias("segment"),
+    )
+    with pytest.raises(ConstraintViolationError):
+        t.merge(
+            src,
+            keys=["order_id"],
+            update_set={"amount": F.col("s.amount")},
+        )
+    # target unchanged
+    assert t.read().filter(F.col("amount") < 0).count() == 0
+
+
+def test_shallow_clone_is_zero_copy_and_independent(orders_table, spark):
+    t = orders_table
+    t.build_blooms("order_id")
+    dest = tempfile.mkdtemp(prefix="umdp_clone_") + "/t2"
+    c = t.clone(dest)
+    # same data, instantly
+    assert c.read().count() == 100
+    # hard links, not copies
+    src_f = t._load()[0]["files"][0]
+    s_stat = os.stat(os.path.join(t._local_path(), src_f))
+    d_stat = os.stat(os.path.join(c._local_path(), src_f))
+    assert s_stat.st_ino == d_stat.st_ino
+    # sidecars carried: the clone can bloom-prune immediately
+    assert c.has_blooms("order_id")
+    # independence: delete on the clone leaves the source intact
+    c.delete_by_keys("order_id", [1, 2, 3])
+    assert c.read().count() == 97
+    assert t.read().count() == 100
+    # vacuum on the SOURCE cannot break the clone (links persist)
+    t.delete(F.col("order_id") < 50)
+    t.vacuum(0.0)
+    assert c.read().count() == 97
+
+
+def test_clone_refuses_existing_destination(orders_table):
+    dest = tempfile.mkdtemp(prefix="umdp_clone_") + "/t2"
+    orders_table.clone(dest)
+    with pytest.raises(ValueError, match="exists"):
+        orders_table.clone(dest)

@@ -94,6 +94,11 @@ class ConcurrentWriteError(RuntimeError):
     """Another writer committed the version this transaction targeted."""
 
 
+class ConstraintViolationError(RuntimeError):
+    """A write produced rows failing a CHECK constraint; nothing was
+    committed."""
+
+
 class MergeTable:
     """A path-addressed parquet table with a manifest transaction log
     supporting create / append / merge / update / delete / vacuum /
@@ -258,10 +263,46 @@ class MergeTable:
         stage_name = f"_staged-{uuid.uuid4().hex[:8]}"
         staging = os.path.join(self.path, stage_name)
         staging_local = os.path.join(local, stage_name)
+        # CHECK constraints ride the write job itself via observe() —
+        # no second validation pass over the data. A violation aborts
+        # BEFORE the staged files are published, so the table never
+        # holds a bad row (write-then-verify-then-commit, which is the
+        # only ordering that stays atomic on a 1000-executor write).
+        cons = self.constraints()
+        obs = None
+        if cons:
+            from pyspark.sql import Observation
+
+            obs = Observation()
+            df = df.observe(
+                obs,
+                *[
+                    F.count(
+                        F.when(
+                            ~F.coalesce(
+                                F.expr(e).cast("boolean"), F.lit(True)
+                            ),
+                            1,
+                        )
+                    ).alias(n)
+                    for n, e in cons.items()
+                ],
+            )
         w = df.write.mode("overwrite")
         if pcols:
             w = w.partitionBy(*pcols)
         w.parquet(staging)
+        if obs is not None:
+            bad = {n: v for n, v in obs.get.items() if v}
+            if bad:
+                shutil.rmtree(staging_local, ignore_errors=True)
+                raise ConstraintViolationError(
+                    f"CHECK constraint(s) violated, write aborted: "
+                    + ", ".join(
+                        f"{n} ({v} rows, expr: {cons[n]!r})"
+                        for n, v in bad.items()
+                    )
+                )
         rels: list[str] = []
         leafs: set[str] = set()
         for dirpath, _dirs, files in os.walk(staging_local):
@@ -1465,6 +1506,101 @@ class MergeTable:
             "rewritten_files": len(cands),
             "kept_files": len(skipped),
         }
+
+    # -- CHECK constraints (Delta ALTER TABLE ADD CONSTRAINT analogue) -----
+    # SQL semantics: a row passes when the expression is TRUE or NULL;
+    # only FALSE is a violation. Constraints live in a sidecar beside
+    # the txn log and are enforced on every write path through
+    # ``_write_files`` (create/append/merge/update/compact rewrites),
+    # riding the write job via observe() — zero extra data passes.
+    CONSTRAINTS_SIDECAR = "_graft_constraints.json"
+
+    def _constraints_path(self) -> str:
+        return os.path.join(self._log_dir(), self.CONSTRAINTS_SIDECAR)
+
+    def constraints(self) -> dict[str, str]:
+        p = self._constraints_path()
+        if os.path.isfile(p):
+            with open(p) as f:
+                return json.load(f)
+        return {}
+
+    def add_constraint(self, name: str, expr: str) -> None:
+        """Register CHECK ``expr`` under ``name``. Like Delta, the
+        EXISTING data must already satisfy it — one validating scan
+        runs now so every later write can trust the invariant."""
+        if self.exists():
+            viol = (
+                self.read()
+                .filter(
+                    ~F.coalesce(F.expr(expr).cast("boolean"), F.lit(True))
+                )
+                .count()
+            )
+            if viol:
+                raise ConstraintViolationError(
+                    f"existing data violates {name!r} "
+                    f"({viol} rows, expr: {expr!r})"
+                )
+        cons = self.constraints()
+        cons[name] = expr
+        os.makedirs(self._log_dir(), exist_ok=True)
+        tmp = self._constraints_path() + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(cons, f)
+        os.replace(tmp, self._constraints_path())
+
+    def drop_constraint(self, name: str) -> None:
+        cons = self.constraints()
+        cons.pop(name, None)
+        tmp = self._constraints_path() + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(cons, f)
+        os.replace(tmp, self._constraints_path())
+
+    # -- shallow clone (Delta SHALLOW CLONE analogue) ----------------------
+    def clone(self, dest_path: str) -> "MergeTable":
+        """Zero-copy snapshot clone: hard-link the current version's
+        data files into ``dest_path`` and commit them as the clone's
+        v1. Instant and O(files) regardless of data size; the clone is
+        fully independent from then on — mutations on either side
+        write NEW files (copy-on-write), and vacuum only ever unlinks a
+        table's own directory entries, so neither side can pull bytes
+        out from under the other. Sidecars (zone maps / blooms /
+        constraints) are keyed by relative path and stay valid for the
+        linked files, so they are carried over rather than rebuilt."""
+        manifest, _ = self._load()
+        src_local = self._local_path()
+        dest = MergeTable(self.spark, dest_path)
+        dest_local = dest._local_path()
+        if os.path.isdir(dest_local) and dest._versions():
+            raise ValueError(f"clone destination {dest_path!r} exists")
+        os.makedirs(dest_local, exist_ok=True)
+        for rel in manifest["files"]:
+            dst = os.path.join(dest_local, rel)
+            os.makedirs(os.path.dirname(dst) or dest_local, exist_ok=True)
+            os.link(os.path.join(src_local, rel), dst)
+        dest._commit(
+            {
+                "op": "clone",
+                "files": list(manifest["files"]),
+                "partition_by": list(manifest["partition_by"]),
+                "bucket_keys": manifest["bucket_keys"],
+                "num_buckets": manifest["num_buckets"],
+                "schema": manifest.get("schema"),
+                "txn": {},
+            },
+            0,
+        )
+        for name in (
+            self.STATS_SIDECAR,
+            self.BLOOM_SIDECAR,
+            self.CONSTRAINTS_SIDECAR,
+        ):
+            src = os.path.join(self._log_dir(), name)
+            if os.path.isfile(src):
+                shutil.copyfile(src, os.path.join(dest._log_dir(), name))
+        return dest
 
     def vacuum(self, retain_hours: float = 0.0) -> int:
         """S12 VACUUM (``retention/bronze:84-86``): physically delete
