@@ -1,0 +1,173 @@
+"""Incrementally maintained near-dup (MinHash-LSH) index.
+
+``near_dup_pairs`` (extensions/dedup.py) re-signatures the whole corpus
+per run — at 100 TB that is a full re-tokenization to ask "does this
+morning's crawl duplicate anything we already have?". This module keeps
+the LSH BAND TABLE as a :class:`MergeTable` maintained from the corpus
+txn log (the same delta-maintenance contract as
+``extensions/vocab.py``), so dedup-at-ingest pays
+
+- O(new batch) to signature the incoming docs, plus
+- one co-partitioned join of (|new| x B) band rows against the
+  persisted index — bucket-sized work, never O(corpus).
+
+Index layout: one row per (doc_id, band_id) with that band's key —
+a FIXED key set per doc (B rows), so maintenance is a plain MERGE on
+(doc_id, band_id): changed text updates band_key in place, erased docs
+delete their B rows. Signature/band definitions are imported from
+extensions/dedup.py, so the incremental path can never drift from the
+batch pipeline (same constants, same md5 slicing).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from urban_mobility_data_pipeline_spark.extensions.dedup import (
+    LSH_BANDS,
+    jaccard,
+    lsh_band_keys,
+    minhash_signatures,
+    shingles_df,
+)
+from urban_mobility_data_pipeline_spark.operators.merge import MergeTable
+from urban_mobility_data_pipeline_spark.operators.watermark import VersionCursor
+
+DEDUP_INDEX_JOB = "corpus_dedup_index"
+
+
+def band_rows(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """(doc_id, band_id, band_key) for a document slice — the index's
+    row format, via the SAME signature pipeline as the batch dedup."""
+    return lsh_band_keys(
+        minhash_signatures(docs, id_col, text_col), id_col
+    )
+
+
+def refresh_dedup_index(
+    corpus: MergeTable,
+    index: MergeTable,
+    cursor: VersionCursor,
+    job: str = DEDUP_INDEX_JOB,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> int:
+    """Fold corpus commits since the cursor into the band index;
+    returns changed-doc count (0 = already current).
+
+    Bootstrap signatures the full corpus once; every later refresh
+    reads ONLY changed docs (change feed for adds/updates, removed-side
+    feed for the delete half), then one MERGE on (doc_id, band_id)
+    upserts their B rows and one keyed DELETE drops erased docs. At
+    scale construct ``index`` with ``bucket_keys=[id_col]`` so both
+    mutations rewrite only the touched key-hash buckets."""
+    head_hist = corpus.history()
+    head = head_hist[0]["version"] if head_hist else 0
+    cur = cursor.read_version(job)
+    if not index.exists() or cur == 0:
+        full = band_rows(corpus.read(), id_col, text_col)
+        if index.exists():
+            index.replace(full)
+        else:
+            index.create(full)
+        n = corpus.read().count()
+        cursor.upsert(job, head, "OK")
+        return n
+    if head <= cur:
+        cursor.upsert(job, None, "OK")
+        return 0
+    try:
+        changed_ids = (
+            corpus.read_changes(cur)
+            .select(id_col)
+            .unionByName(corpus.read_removed(cur).select(id_col))
+            .distinct()
+        )
+        live = corpus.read()
+        current_changed = live.join(changed_ids, id_col)
+        n = current_changed.count()
+        if n:
+            index.merge(
+                band_rows(current_changed, id_col, text_col),
+                keys=[id_col, "band_id"],
+                update_set={"band_key": F.col("s.band_key")},
+                insert=True,
+            )
+        # erased docs: in the changed set but no longer in the corpus
+        erased = changed_ids.join(
+            live.select(id_col), id_col, "left_anti"
+        )
+        erased_ids = [r[0] for r in erased.collect()]
+        if erased_ids:
+            index.delete(F.col(id_col).isin(erased_ids))
+        cursor.upsert(job, head, "OK")
+        return n + len(erased_ids)
+    except Exception:
+        cursor.upsert(job, None, "FAIL")
+        raise
+
+
+def incremental_near_dups(
+    new_docs: DataFrame,
+    corpus: MergeTable,
+    index: MergeTable,
+    threshold: float = 0.3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Near-dup pairs between an INCOMING batch and the indexed corpus
+    — the dedup-at-ingest probe. Returns (new_id, corpus_id, jaccard)
+    with jaccard >= threshold.
+
+    Shape: band rows for the batch (|new| x B, small) join the
+    persisted index on (band_id, band_key) — candidates are
+    bucket-matches only, the corpus is never re-signatured. Jaccard
+    verification shingles the batch plus ONLY the candidate corpus
+    docs (a broadcast-semi-joined slice). Pairs WITHIN the new batch
+    are out of scope by contract — run ``near_dup_pairs`` on the batch
+    itself (|new|² bounded) and union if needed. Run the probe BEFORE
+    merging the batch into the corpus, or every doc matches itself."""
+    from urban_mobility_data_pipeline_spark.cache import scratch_persist
+
+    new_bands = scratch_persist(band_rows(new_docs, id_col, text_col))
+    idx = index.read()
+    cands = (
+        new_bands.alias("n")
+        .join(
+            idx.alias("i"),
+            (F.col("n.band_id") == F.col("i.band_id"))
+            & (F.col("n.band_key") == F.col("i.band_key"))
+            & (F.col(f"n.{id_col}") != F.col(f"i.{id_col}")),
+        )
+        .select(
+            F.col(f"n.{id_col}").alias("new_id"),
+            F.col(f"i.{id_col}").alias("corpus_id"),
+        )
+        .distinct()
+    )
+    sh_new = shingles_df(new_docs, id_col, text_col).select(
+        F.col(id_col).alias("new_id"), F.col("shingles").alias("sh_n")
+    )
+    corpus_cand = corpus.read().join(
+        F.broadcast(cands.select(F.col("corpus_id").alias(id_col)).distinct()),
+        id_col,
+    )
+    sh_old = shingles_df(corpus_cand, id_col, text_col).select(
+        F.col(id_col).alias("corpus_id"), F.col("shingles").alias("sh_o")
+    )
+    return (
+        F.broadcast(cands)
+        .join(sh_new, "new_id")
+        .join(sh_old, "corpus_id")
+        .select(
+            "new_id",
+            "corpus_id",
+            F.round(jaccard(F.col("sh_n"), F.col("sh_o")), 6).alias(
+                "jaccard"
+            ),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )

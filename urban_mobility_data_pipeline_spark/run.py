@@ -223,6 +223,37 @@ def _vocab_refresh_job(lake: J.Lakehouse, args) -> str:
     return f"vocab refresh: folded {n} changed docs"
 
 
+def _dedup_index_job(lake: J.Lakehouse, args) -> str:
+    """Incrementally maintained MinHash-LSH band index: fold the corpus
+    commits since the version cursor into the index MergeTable, so the
+    next ingest batch can be near-dup-probed against the whole corpus
+    at O(batch) cost. Run after corpus_ingest cycles, like
+    vocab_refresh."""
+    from urban_mobility_data_pipeline_spark.extensions.dedup_index import (
+        refresh_dedup_index,
+    )
+    from urban_mobility_data_pipeline_spark.operators.merge import MergeTable
+    from urban_mobility_data_pipeline_spark.operators.watermark import (
+        VersionCursor,
+    )
+
+    root = args.corpus or os.path.join(args.lake, "corpus")
+    corpus = MergeTable(lake.spark, os.path.join(root, "documents"))
+    if not corpus.exists():
+        raise SystemExit("dedup_index_refresh: no corpus at " + root)
+    index = MergeTable(
+        lake.spark,
+        os.path.join(root, "dedup_index"),
+        bucket_keys=["doc_id"],
+        num_buckets=32,
+    )
+    cursor = VersionCursor(
+        lake.spark, os.path.join(root, "dedup_index_cursor")
+    )
+    n = refresh_dedup_index(corpus, index, cursor)
+    return f"dedup index refresh: folded {n} changed docs"
+
+
 def _corpus_index_job(lake: J.Lakehouse, args) -> str:
     """Maintain the file-skipping sidecars over the corpus tables:
     per-file bloom filters on every registered id column (the GDPR
@@ -281,6 +312,7 @@ def build_registry() -> dict:
     registry["corpus_ingest"] = _corpus_ingest_job
     registry["vocab_refresh"] = _vocab_refresh_job
     registry["corpus_index_build"] = _corpus_index_job
+    registry["dedup_index_refresh"] = _dedup_index_job
     registry["retention_cleanup"] = _retention_job
     registry["create_control_tables"] = _control_tables_job
     return registry
