@@ -146,9 +146,20 @@ def main() -> None:
                             r'"([a-z_0-9]+)": ([0-9.]+)', base["tail"]
                         )
                     }
+                # normalize for machine weather when the baseline also
+                # recorded the calibration probe; either way require a
+                # 1s absolute delta — a 0.4s->0.9s sub-second drift is
+                # host noise (measured 1.3-2x run-to-run on identical
+                # code, see NOTES), not a plan regression.
+                base_cal = base.get("calibration_sec") or 0.0
+                scale = (calibration / base_cal) if base_cal > 0 else 1.0
                 for name, t in timings.items():
                     prev = prev_times.get(name, -1.0)
-                    if prev > 0.05 and t > 2 * prev:
+                    if (
+                        prev > 0.05
+                        and t > 2 * prev * max(scale, 1.0)
+                        and t - prev > 1.0
+                    ):
                         regressions[name] = {"prev": prev, "now": t}
                         print(
                             f"bench: REGRESSION {name}: {prev}s -> {t}s",
