@@ -2368,21 +2368,35 @@ def corpus_bigram_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     full vocabulary."""
     docs = table(spark, sf_dir, "documents")
     toks = T.words("text")
+    # adjacent pairs via arrays_zip of the two offset slices — NOT
+    # positional element_at over an index sequence: element_at on this
+    # array is O(position) per access, which makes bigram construction
+    # O(len²) per doc (measured 10x slower at sf0.1: 5.0s vs 0.46s for
+    # the exploded build). The zip walks both slices once.
     bigrams = F.when(
         F.size(toks) >= 2,
         F.transform(
-            F.sequence(F.lit(1), F.size(toks) - 1),
-            lambda i: F.concat_ws(
-                " ", F.element_at(toks, i), F.element_at(toks, i + 1)
+            F.arrays_zip(
+                F.slice(toks, 1, F.size(toks) - 1),
+                F.slice(toks, 2, F.size(toks) - 1),
             ),
+            lambda p: F.concat_ws(" ", p["0"], p["1"]),
         ),
     ).otherwise(F.array().cast("array<string>"))
     exploded = docs.select(
         "doc_id", F.explode(bigrams).alias("bigram")
     )
-    counts = exploded.groupBy("bigram").agg(
-        F.count(F.lit(1)).alias("n_occurrences"),
-        F.countDistinct("doc_id").alias("n_docs"),
+    # explicit two-stage (doc,bigram)→bigram aggregation instead of
+    # countDistinct: within-doc repeats collapse map-side in stage 1,
+    # so the shuffle carries (doc, bigram, tf) partials — never the
+    # raw exploded pairs a countDistinct would move (same shape as
+    # corpus_vocabulary)
+    tf = exploded.groupBy("doc_id", "bigram").agg(
+        F.count(F.lit(1)).alias("tf")
+    )
+    counts = tf.groupBy("bigram").agg(
+        F.sum("tf").alias("n_occurrences"),
+        F.count(F.lit(1)).alias("n_docs"),
     )
     return counts.orderBy(
         F.desc("n_occurrences"), F.asc("bigram")
