@@ -2359,10 +2359,11 @@ BIGRAM_TOP_K = 50
 def corpus_bigram_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-{k} corpus bigrams by occurrence count with document reach —
     the heavy-hitter phrase statistics behind boilerplate screens and
-    tokenizer merge-rule audits. Bigrams are derived positionally
-    (element_at over a 1..n-1 sequence — pure JVM expressions, no
-    Python), exploded, then two-stage aggregated: the (bigram, partial
-    count) pairs shuffle, never the token arrays. The final top-k is a
+    tokenizer merge-rule audits. Bigrams are adjacent-pair zips of the
+    two offset token slices (pure JVM expressions, no Python; see the
+    inline note on why positional indexing is O(len²) here), exploded,
+    then two-stage aggregated: the (bigram, partial count) pairs
+    shuffle, never the token arrays. The final top-k is a
     TakeOrderedAndProject with a deterministic bigram tiebreaker — each
     partition forwards at most {k} rows, so the driver never sees the
     full vocabulary."""
