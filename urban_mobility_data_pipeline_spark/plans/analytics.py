@@ -1931,3 +1931,169 @@ def nation_mktsegment_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("segments"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# returned-item revenue (TPC-H Q10 shape)
+# ---------------------------------------------------------------------------
+Q10_ORDER_LO, Q10_ORDER_HI = "1998-10-01", "1999-01-01"
+Q10_TOP_N = 20
+
+
+@register(
+    "returned_item_revenue",
+    oracle=f"""
+    SELECT c.c_custkey AS custkey,
+           c.c_name AS custname,
+           n.n_name AS nation,
+           round(sum(l.l_extendedprice * (1 - l.l_discount)), 2)
+               AS lost_revenue,
+           count(*) AS n_lines
+    FROM customer c
+    JOIN orders o   ON o.o_custkey  = c.c_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    JOIN nation n   ON n.n_nationkey = c.c_nationkey
+    WHERE o.o_orderdate >= TIMESTAMP '{Q10_ORDER_LO}'
+      AND o.o_orderdate <  TIMESTAMP '{Q10_ORDER_HI}'
+      AND l.l_returnflag = 'R'
+    GROUP BY 1, 2, 3
+    ORDER BY lost_revenue DESC, custkey
+    LIMIT {Q10_TOP_N}
+    """,
+)
+def returned_item_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 shape: the quarter's top-{n} customers by revenue on
+    RETURNED items — the churn-risk report. Both selective predicates
+    push into their scans (the quarter into orders, the return flag
+    into lineitem) BEFORE the orderkey join, the customer/nation dims
+    broadcast onto the shrunken fact, and the final top-{n} is a
+    TakeOrderedAndProject over the aggregated frame with a custkey
+    tiebreaker (revenue ties would otherwise make the cut
+    nondeterministic)."""
+    orders = table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit(Q10_ORDER_LO).cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit(Q10_ORDER_HI).cast("timestamp"))
+    ).select("o_orderkey", "o_custkey")
+    li = table(spark, sf_dir, "lineitem").filter(
+        F.col("l_returnflag") == "R"
+    ).select("l_orderkey", "l_extendedprice", "l_discount")
+    cust = F.broadcast(
+        table(spark, sf_dir, "customer").select(
+            "c_custkey", "c_name", "c_nationkey"
+        )
+    )
+    nation = F.broadcast(
+        table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    )
+    return (
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .join(cust, orders["o_custkey"] == cust["c_custkey"])
+        .join(nation, cust["c_nationkey"] == nation["n_nationkey"])
+        .groupBy(
+            F.col("c_custkey").alias("custkey"),
+            F.col("c_name").alias("custname"),
+            F.col("n_name").alias("nation"),
+        )
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))),
+                2,
+            ).alias("lost_revenue"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+        .orderBy(F.desc("lost_revenue"), F.asc("custkey"))
+        .limit(Q10_TOP_N)
+    )
+
+
+returned_item_revenue.__doc__ = returned_item_revenue.__doc__.format(
+    n=Q10_TOP_N
+)
+
+
+# ---------------------------------------------------------------------------
+# per-group market share (TPC-H Q8 shape)
+# ---------------------------------------------------------------------------
+Q8_SUPP_NATION = "NATION_3"
+
+
+@register(
+    "nation_market_share",
+    oracle=f"""
+    SELECT year(l.l_shipdate) AS ship_year,
+           r.r_name AS region,
+           round(CAST(sum(CASE WHEN ns.n_name = '{Q8_SUPP_NATION}'
+                    THEN CAST(round(l.l_extendedprice * (1 - l.l_discount)
+                                    * 10000) AS BIGINT) ELSE 0 END) AS DOUBLE)
+                 / sum(CAST(round(l.l_extendedprice * (1 - l.l_discount)
+                                  * 10000) AS BIGINT)), 6) AS mkt_share,
+           count(*) AS n_lines
+    FROM lineitem l
+    JOIN orders o    ON o.o_orderkey = l.l_orderkey
+    JOIN customer c  ON c.c_custkey  = o.o_custkey
+    JOIN nation nc   ON nc.n_nationkey = c.c_nationkey
+    JOIN region r    ON r.r_regionkey  = nc.n_regionkey
+    JOIN supplier s  ON s.s_suppkey  = l.l_suppkey
+    JOIN nation ns   ON ns.n_nationkey = s.s_nationkey
+    GROUP BY 1, 2
+    """,
+)
+def nation_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 shape: one supplier nation's share of each (year,
+    customer-region) market — a conditional-sum / total-sum RATIO PER
+    GROUP (Q14's scalar ratio, grouped). Numerator and denominator are
+    computed in the same aggregation pass in exact fixed-point (2-dp
+    price x 2-dp discount is integral at 1e-4), so the share is a
+    ratio of fold-order-proof integers and hashes identically across
+    engines. Six dims hang off the lineitem⋈orders spine; all
+    broadcast."""
+    li = table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_shipdate",
+        "l_extendedprice", "l_discount",
+    )
+    orders = table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    cust = F.broadcast(
+        table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    )
+    nation = table(spark, sf_dir, "nation")
+    n_cust = F.broadcast(
+        nation.select(
+            F.col("n_nationkey").alias("nc_key"),
+            F.col("n_regionkey").alias("nc_region"),
+        )
+    )
+    region = F.broadcast(
+        table(spark, sf_dir, "region").select("r_regionkey", "r_name")
+    )
+    supp = F.broadcast(
+        table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    )
+    n_supp = F.broadcast(
+        nation.select(
+            F.col("n_nationkey").alias("ns_key"),
+            F.col("n_name").alias("supp_nation"),
+        )
+    )
+    vol_e4 = F.round(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 10000
+    ).cast("long")
+    joined = (
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .join(cust, orders["o_custkey"] == cust["c_custkey"])
+        .join(n_cust, cust["c_nationkey"] == F.col("nc_key"))
+        .join(region, F.col("nc_region") == region["r_regionkey"])
+        .join(supp, li["l_suppkey"] == supp["s_suppkey"])
+        .join(n_supp, supp["s_nationkey"] == F.col("ns_key"))
+    )
+    target = F.when(
+        F.col("supp_nation") == Q8_SUPP_NATION, vol_e4
+    ).otherwise(F.lit(0).cast("long"))
+    return joined.groupBy(
+        F.year("l_shipdate").alias("ship_year"),
+        F.col("r_name").alias("region"),
+    ).agg(
+        F.round(
+            F.sum(target).cast("double") / F.sum(vol_e4), 6
+        ).alias("mkt_share"),
+        F.count(F.lit(1)).alias("n_lines"),
+    )

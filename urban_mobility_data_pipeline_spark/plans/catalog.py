@@ -51,7 +51,8 @@ FLAGSHIP = "pricing_summary"
 # Q17, top_revenue_supplier Q15, idle_rich_customers_by_nation Q22,
 # promo_revenue_share Q14, brand_quantity_band_revenue Q19,
 # sole_late_supplier_orders Q21, part_revenue_concentration Q11,
-# nation_pair_trade_volume Q7), lineitem_price_statistics (corr/
+# nation_pair_trade_volume Q7, returned_item_revenue Q10,
+# nation_market_share Q8), lineitem_price_statistics (corr/
 # stddev/median), nation_mktsegment_profile (ordered listagg),
 # doc_length_deciles, corpus_bigram_stats (heavy hitters), and
 # streaming_distinct_user_event_days (4th real-readStream row,
