@@ -101,3 +101,89 @@ def write_bucketed(
     if sort_cols:
         writer = writer.sortBy(*sort_cols)
     writer.saveAsTable(table_name)
+
+
+def load_path(spark: SparkSession, path: str, fmt: str = "parquet") -> DataFrame:
+    """Format-parameterized columnar scan — the read twin of the
+    format-parameterized sinks above. ORC gets the same Catalyst
+    treatment as parquet (predicate pushdown, column pruning,
+    partition discovery); swapping ``fmt`` swaps the physical reader,
+    nothing downstream changes."""
+    return spark.read.format(fmt).load(path)
+
+
+def read_text_corpus(
+    spark: SparkSession,
+    path: str,
+    wholetext: bool = True,
+    glob: str | None = None,
+) -> DataFrame:
+    """Raw-text corpus source → the ``documents`` shape
+    (doc_id, text, source): one doc per FILE (``wholetext=True``, the
+    crawl-dump layout) or per LINE (the one-doc-per-line dump layout).
+
+    doc_ids are CONTENT-ADDRESSED (xxhash64 of path [+ text in line
+    mode]) — deterministic across runs and partitionings, which is what
+    makes downstream dedup/erasure replayable; a zipWithIndex-style
+    ordinal would depend on split planning. Identical lines within one
+    file share an id in line mode — for a dedup pipeline that alias is
+    a feature (they ARE the same document)."""
+    from pyspark.sql import functions as F
+
+    # NOTE: wholetext must go through the .text() kwarg — the
+    # DataFrameReader option of the same name is silently ignored
+    reader = spark.read
+    if glob:
+        reader = reader.option("pathGlobFilter", glob)
+    raw = reader.text(path, wholetext=wholetext).select(
+        F.col("value").alias("text"),
+        F.col("_metadata.file_path").alias("source"),
+    )
+    doc_id = (
+        F.xxhash64("source")
+        if wholetext
+        else F.xxhash64("source", "text")
+    )
+    return raw.select(doc_id.alias("doc_id"), "text", "source")
+
+
+#: extension → canonical multimodal format name
+_MEDIA_EXT = {
+    "jpg": "jpeg", "jpeg": "jpeg", "png": "png", "ppm": "ppm",
+    "wav": "wav", "mp4": "mp4",
+}
+
+
+def read_media_dir(
+    spark: SparkSession, path: str, glob: str | None = None
+) -> DataFrame:
+    """Media-directory source via Spark's ``binaryFile`` format →
+    the multimodal table shape (media_id, payload, meta) consumed by
+    ``extensions.multimodal.decode_media``/``resize_media``. Each file
+    is one row: payload = raw bytes, format derived from the
+    extension, media_id content-addressed from the path. binaryFile
+    enforces ``spark.sql.sources.binaryFile.maxLength`` and carries
+    length/mtime for free — metadata predicates (format, n_bytes)
+    stay JVM-side and never touch payloads."""
+    from pyspark.sql import functions as F
+
+    reader = spark.read.format("binaryFile")
+    if glob:
+        reader = reader.option("pathGlobFilter", glob)
+    raw = reader.load(path)
+    ext = F.lower(F.element_at(F.split(F.col("path"), r"\."), -1))
+    fmt = F.coalesce(
+        *[
+            F.when(ext == k, F.lit(v))
+            for k, v in _MEDIA_EXT.items()
+        ],
+        F.lit("unknown"),
+    )
+    return raw.select(
+        F.xxhash64("path").alias("media_id"),
+        F.col("content").alias("payload"),
+        F.struct(
+            fmt.alias("format"),
+            F.col("length").cast("int").alias("n_bytes"),
+        ).alias("meta"),
+    )
