@@ -132,3 +132,29 @@ def test_media_dir_glob_and_unknown_ext(spark):
     allf = read_media_dir(spark, root)
     fmts = {r["meta"]["format"] for r in allf.collect()}
     assert fmts == {"ppm", "unknown"}
+
+
+def test_text_feed_through_corpus_ingest(spark, tmp_path):
+    """A raw-text crawl dump flows through the full ingest_feed loop
+    (gates, PII redaction, MERGE) and re-ingest is idempotent."""
+    from urban_mobility_data_pipeline_spark.extensions.corpus_ingest import (
+        ingest_feed,
+    )
+    from urban_mobility_data_pipeline_spark.operators.merge import MergeTable
+
+    feed = tmp_path / "feed"
+    feed.mkdir()
+    (feed / "good.txt").write_text(
+        "the model trains on a large and carefully cleaned corpus of text"
+    )
+    (feed / "short.txt").write_text("too short")  # fails MIN_WORDS gate
+
+    corpus = MergeTable(spark, str(tmp_path / "corpus"))
+    quarantine = MergeTable(spark, str(tmp_path / "quarantine"))
+    r1 = ingest_feed(spark, str(feed), corpus, quarantine, fmt="text")
+    assert r1["upserted"] == 1 and r1["quarantined"] == 0
+    assert corpus.read().count() == 1
+
+    r2 = ingest_feed(spark, str(feed), corpus, quarantine, fmt="text")
+    assert r2["upserted"] == 1  # same doc re-curated...
+    assert corpus.read().count() == 1  # ...merged, not duplicated

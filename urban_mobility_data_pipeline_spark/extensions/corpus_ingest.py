@@ -2,7 +2,7 @@
 (quality gates + PII redaction) → MERGE upsert into the transactional
 corpus table (LLM-pipeline extension; the corpus-side analogue of the
 reference's bronze ingest scripts, ``src/bronze/trips_oltp_to_bronze.py``
-— but reading crawl JSONL/CSV instead of JDBC, and idempotent under
+— but reading crawl JSONL/CSV/raw-text instead of JDBC, and idempotent under
 feed re-delivery because the write is a keyed MERGE, not an append).
 
 Scale shape: the feed parse and every curation expression are map-only;
@@ -118,6 +118,21 @@ def ingest_feed(
         parsed = parse_jsonl(spark, feed_path, ddl_schema)
     elif fmt == "csv":
         parsed = parse_csv(spark, feed_path, ddl_schema)
+    elif fmt == "text":
+        # raw .txt crawl dump: one doc per file, content-addressed ids
+        # (sources/files.read_text_corpus). Raw text cannot be
+        # malformed, so the corrupt column is constant-NULL and the
+        # quarantine split below is a no-op by construction.
+        from urban_mobility_data_pipeline_spark.sources.files import (
+            read_text_corpus,
+        )
+
+        parsed = read_text_corpus(spark, feed_path).select(
+            "doc_id",
+            "text",
+            F.lit(None).cast("string").alias("lang"),
+            F.lit(None).cast("string").alias(CORRUPT_COL),
+        )
     else:
         raise ValueError(f"unsupported feed format {fmt!r}")
     parsed = parsed.persist(StorageLevel.MEMORY_AND_DISK)

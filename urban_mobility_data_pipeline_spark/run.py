@@ -334,7 +334,7 @@ def main(argv: list[str] | None = None, spark=None) -> int:
     p.add_argument("--salt", help="fingerprint salt (gdpr)")
     p.add_argument("--ids", help="comma-separated doc ids (corpus_erase)")
     p.add_argument("--corpus", help="corpus tables root (corpus_erase/_ingest)")
-    p.add_argument("--feed-format", default="jsonl", choices=["jsonl", "csv"])
+    p.add_argument("--feed-format", default="jsonl", choices=["jsonl", "csv", "text"])
     p.add_argument(
         "--bloom-fpp", type=float, default=0.01,
         help="bloom false-positive rate (corpus_index_build)",
