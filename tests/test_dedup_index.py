@@ -113,3 +113,82 @@ def test_refresh_tracks_update_and_erasure(spark, store, split_docs):
         after.exceptAll(rebuilt).count() == 0
         and rebuilt.exceptAll(after).count() == 0
     )
+
+
+def test_ingest_rejects_near_dups_at_the_door(spark, tmp_path):
+    """ingest_feed with a dedup index: near-dups of already-ingested
+    docs are quarantined, novel docs merge, re-delivery of the same
+    doc_id stays an update, and the index refresh makes a SECOND
+    feed's dup of the first feed's novel doc also bounce."""
+    import json as _json
+
+    from urban_mobility_data_pipeline_spark.extensions.corpus_ingest import (
+        ingest_feed,
+    )
+
+    base_text = (
+        "the quick brown fox jumps over the lazy dog while the "
+        "inquisitive cat watches from a warm stone wall nearby"
+    )
+    novel_text = (
+        "completely unrelated sentences about distributed query "
+        "engines and the cost of a shuffle at petabyte scale today"
+    )
+
+    def write_feed(dirname, rows):
+        d = tmp_path / dirname
+        d.mkdir()
+        with open(d / "feed.jsonl", "w") as f:
+            for r in rows:
+                f.write(_json.dumps(r) + "\n")
+        return str(d)
+
+    corpus = MergeTable(spark, str(tmp_path / "corpus"))
+    quarantine = MergeTable(spark, str(tmp_path / "quarantine"))
+    index = MergeTable(spark, str(tmp_path / "index"))
+    cursor = VersionCursor(spark, str(tmp_path / "cursor"))
+
+    # seed the corpus + index
+    f0 = write_feed("f0", [{"doc_id": 1, "text": base_text, "lang": "en"}])
+    r0 = ingest_feed(
+        spark, f0, corpus, quarantine,
+        dedup_index=index, dedup_cursor=cursor,
+    )
+    assert r0["upserted"] == 1 and r0["near_dup_rejected"] == 0
+    assert index.exists()
+
+    # feed 1: a near-dup of doc 1 under a NEW id, plus a novel doc,
+    # plus a re-delivery of doc 1 itself (must stay an update)
+    f1 = write_feed(
+        "f1",
+        [
+            {"doc_id": 2, "text": base_text + " indeed", "lang": "en"},
+            {"doc_id": 3, "text": novel_text, "lang": "en"},
+            {"doc_id": 1, "text": base_text, "lang": "en"},
+        ],
+    )
+    r1 = ingest_feed(
+        spark, f1, corpus, quarantine,
+        dedup_index=index, dedup_cursor=cursor,
+    )
+    assert r1["near_dup_rejected"] == 1
+    assert r1["upserted"] == 2  # doc 1 (update) + doc 3 (novel)
+    ids = {r[0] for r in corpus.read().select("doc_id").collect()}
+    assert ids == {1, 3}
+    dead = quarantine.read().collect()
+    assert len(dead) == 1
+    payload = _json.loads(dead[0]["raw_record"])
+    assert payload["doc_id"] == 2 and payload["matched_doc_id"] == 1
+    assert payload["matched_jaccard"] >= 0.6
+
+    # feed 2: a near-dup of the NOVEL doc — only rejectable because
+    # the cycle-end refresh folded doc 3 into the index
+    f2 = write_feed(
+        "f2", [{"doc_id": 4, "text": novel_text + " truly", "lang": "en"}]
+    )
+    r2 = ingest_feed(
+        spark, f2, corpus, quarantine,
+        dedup_index=index, dedup_cursor=cursor,
+    )
+    assert r2["near_dup_rejected"] == 1 and r2["upserted"] == 0
+    assert {r[0] for r in corpus.read().select("doc_id").collect()} == {1, 3}

@@ -94,13 +94,27 @@ def ingest_feed(
     fmt: str = "jsonl",
     ddl_schema: str = FEED_SCHEMA,
     auto_compact_files: int = AUTO_COMPACT_MAX_FILES,
+    dedup_index: MergeTable | None = None,
+    dedup_cursor=None,
+    near_dup_threshold: float = 0.6,
 ) -> dict[str, int]:
     """One ingest cycle. Returns ``{"upserted": n, "quarantined": n,
-    "compacted": 0|1}``.
+    "compacted": 0|1, "near_dup_rejected": n}``.
 
     Malformed records append to the quarantine table (dead letters are
     kept, never dropped); curated rows MERGE on ``doc_id`` so feed
     re-deliveries update in place.
+
+    With ``dedup_index`` (the incrementally maintained LSH band table,
+    extensions/dedup_index.py), the cycle additionally REJECTS
+    near-duplicates at the door: incoming docs whose Jaccard against
+    any already-ingested doc meets ``near_dup_threshold`` are diverted
+    to the quarantine (as JSON dead letters naming the matched corpus
+    doc) instead of merged — the O(batch x bucket) probe, never a
+    corpus rescan. Re-delivery of the SAME doc_id is still an update,
+    not a rejection (the probe ignores identical ids). Pass
+    ``dedup_cursor`` to fold the newly merged docs into the index at
+    cycle end, so the NEXT feed's probe sees them.
 
     The parse is persisted for THIS cycle only and unpersisted before
     returning: Spark caches by logical plan, so a reader-held cache
@@ -142,6 +156,55 @@ def ingest_feed(
             F.col(CORRUPT_COL).alias("raw_record")
         )
         curated = dedupe_on_key(curate(good))
+        n_rejected = 0
+        if (
+            dedup_index is not None
+            and dedup_index.exists()
+            and corpus.exists()
+        ):
+            from urban_mobility_data_pipeline_spark.extensions.dedup_index import (
+                incremental_near_dups,
+            )
+
+            hits = incremental_near_dups(
+                curated, corpus, dedup_index, threshold=near_dup_threshold
+            )
+            # one reject row per incoming doc: its best corpus match
+            best = hits.groupBy("new_id").agg(
+                F.max(F.struct("jaccard", "corpus_id")).alias("m")
+            )
+            rejected = curated.join(
+                F.broadcast(
+                    best.select(
+                        F.col("new_id").alias("doc_id"),
+                        F.col("m.corpus_id").alias("matched_doc_id"),
+                        F.col("m.jaccard").alias("matched_jaccard"),
+                    )
+                ),
+                "doc_id",
+            )
+            n_rejected = rejected.count()
+            if n_rejected:
+                dead = rejected.select(
+                    F.to_json(
+                        F.struct(
+                            "doc_id",
+                            "matched_doc_id",
+                            "matched_jaccard",
+                            "text",
+                        )
+                    ).alias("raw_record"),
+                    F.lit(feed_path).alias("feed_path"),
+                )
+                if quarantine.exists():
+                    quarantine.append(dead)
+                else:
+                    quarantine.create(dead)
+                curated = curated.join(
+                    F.broadcast(best.select(F.col("new_id").alias("doc_id"))),
+                    "doc_id",
+                    "left_anti",
+                )
         n_up = curated.count()
         if corpus.exists():
             non_keys = [c for c in curated.columns if c != "doc_id"]
@@ -163,10 +226,17 @@ def ingest_feed(
         compacted = corpus.exists() and corpus.auto_compact(
             max_files=auto_compact_files
         )
+        if dedup_index is not None and dedup_cursor is not None:
+            from urban_mobility_data_pipeline_spark.extensions.dedup_index import (
+                refresh_dedup_index,
+            )
+
+            refresh_dedup_index(corpus, dedup_index, dedup_cursor)
         return {
             "upserted": n_up,
             "quarantined": n_bad,
             "compacted": int(compacted),
+            "near_dup_rejected": n_rejected,
         }
     finally:
         parsed.unpersist()

@@ -2097,3 +2097,38 @@ def nation_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("mkt_share"),
         F.count(F.lit(1)).alias("n_lines"),
     )
+
+
+# ---------------------------------------------------------------------------
+# pure-SQL interface (spark.sql over registered views)
+# ---------------------------------------------------------------------------
+_Q_SQL_INTERFACE = """
+    SELECT o.o_orderpriority AS orderpriority,
+           count(*) AS n_orders,
+           round(avg(o.o_totalprice), 2) AS avg_price,
+           CAST(sum(CASE WHEN o.o_orderstatus = 'F' THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_finished
+    FROM {orders} o
+    GROUP BY o.o_orderpriority
+"""
+
+
+@register(
+    "sql_interface_order_priorities",
+    oracle=_Q_SQL_INTERFACE.format(orders="orders"),
+)
+def sql_interface_order_priorities(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The engine's SQL façade: the SAME SQL text the DuckDB oracle
+    runs is executed by ``spark.sql`` over a registered temp view —
+    proving a user can drive this engine with ANSI SQL strings, not
+    just the DataFrame API, and land on the identical Catalyst plan
+    (both frontends resolve to one logical plan; pushdown/pruning are
+    frontend-independent). The view name is session-scoped and
+    sf-suffixed so concurrent harness runs can't collide."""
+    import re as _re
+
+    view = "umdp_orders_" + _re.sub(r"[^0-9a-zA-Z]", "_", sf_dir).strip("_")
+    table(spark, sf_dir, "orders").createOrReplaceTempView(view)
+    return spark.sql(_Q_SQL_INTERFACE.format(orders=view))
