@@ -114,3 +114,26 @@ def test_zorder_rejects_too_many_columns(spark):
     t = _make_table(spark)
     with pytest.raises(ValueError):
         t.compact(zorder_by=["x", "y", "id", "x", "y"])
+
+
+def test_cli_optimize_zorder(spark, tmp_path, capsys):
+    from urban_mobility_data_pipeline_spark.run import main
+
+    t = _make_table(spark)
+    rc = main(
+        [
+            "optimize",
+            "--lake", str(tmp_path / "lake"),
+            "--table", t.path,
+            "--zorder", "x,y",
+            "--target-files", "8",
+        ],
+        spark=spark,
+    )
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "optimized" in out and "zorder by ['x', 'y']" in out
+    assert len(t.live_files()) <= 8
+    assert t.read().count() == N
+    _fresh_stats(t)
+    assert _skip_rate(t, "y", 0, 500) > 0.3

@@ -2407,3 +2407,79 @@ def corpus_bigram_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 corpus_bigram_stats.__doc__ = corpus_bigram_stats.__doc__.format(
     k=BIGRAM_TOP_K
 )
+
+
+# ---------------------------------------------------------------------------
+# dedup-rate dashboard by source
+# ---------------------------------------------------------------------------
+@register(
+    "corpus_dedup_rate_by_source",
+    oracle=f"""
+    WITH sh AS (SELECT doc_id, {_SHINGLES} AS shingles FROM documents),
+    sigs AS (SELECT doc_id, {_MH_COLS_SQL} FROM sh),
+    keys AS (
+{_BAND_SELECTS}
+    ),
+    cands AS (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM keys a JOIN keys b
+          ON a.band_id = b.band_id AND a.band_key = b.band_key
+         AND a.doc_id < b.doc_id
+    ),
+    verified AS (
+        SELECT c.doc_a, c.doc_b
+        FROM cands c
+        JOIN sh sa ON sa.doc_id = c.doc_a
+        JOIN sh sb ON sb.doc_id = c.doc_b
+        WHERE len(list_filter(sa.shingles, x -> list_contains(sb.shingles, x)))
+              / CAST(len(sa.shingles) + len(sb.shingles)
+                     - len(list_filter(sa.shingles,
+                                       x -> list_contains(sb.shingles, x)))
+                     AS DOUBLE) >= 0.1
+    ),
+    dup_docs AS (
+        SELECT doc_a AS doc_id FROM verified
+        UNION
+        SELECT doc_b AS doc_id FROM verified
+    )
+    SELECT d.source,
+           count(*) AS n_docs,
+           CAST(count(dd.doc_id) AS BIGINT) AS n_dup_docs,
+           round(count(dd.doc_id) / CAST(count(*) AS DOUBLE), 6)
+               AS dup_rate
+    FROM documents d LEFT JOIN dup_docs dd ON dd.doc_id = d.doc_id
+    GROUP BY 1
+    """,
+)
+def corpus_dedup_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup-health dashboard: per source, how much of the corpus sits
+    in a near-dup relationship — the number a curation team watches to
+    decide which feeds are boilerplate factories. Composition of the
+    audited LSH+Jaccard pair pipeline with a distinct-endpoint union
+    and a broadcast left join back onto the (low-cardinality) source
+    rollup; the pair set is tiny relative to the corpus, so the only
+    corpus-scale work is the one staged shingle pass the pair pipeline
+    already does."""
+    from urban_mobility_data_pipeline_spark.extensions.dedup import (
+        near_dup_pairs,
+    )
+
+    docs = table(spark, sf_dir, "documents")
+    pairs = near_dup_pairs(docs, threshold=0.1)
+    dup_docs = (
+        pairs.select(F.col("doc_a").alias("doc_id"))
+        .unionByName(pairs.select(F.col("doc_b").alias("doc_id")))
+        .distinct()
+        .withColumn("__dup", F.lit(1))
+    )
+    return (
+        docs.join(F.broadcast(dup_docs), "doc_id", "left")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.count("__dup").alias("n_dup_docs"),
+            F.round(
+                F.count("__dup") / F.count(F.lit(1)).cast("double"), 6
+            ).alias("dup_rate"),
+        )
+    )

@@ -281,6 +281,34 @@ def _corpus_index_job(lake: J.Lakehouse, args) -> str:
     return f"corpus indexes built (blooms + zone maps): {built}"
 
 
+def _optimize_job(lake: J.Lakehouse, args) -> str:
+    """Delta OPTIMIZE [ZORDER BY] as a first-class command: compact any
+    MergeTable's small files, optionally clustering output files by a
+    sort key (row-group skipping) or a multi-column Z-ORDER
+    (file-level hyper-box skipping on every listed column)."""
+    from urban_mobility_data_pipeline_spark.operators.merge import MergeTable
+
+    if not args.table:
+        raise SystemExit("optimize requires --table PATH")
+    t = MergeTable(lake.spark, args.table)
+    if not t.exists():
+        raise SystemExit(f"optimize: no table at {args.table}")
+    before = len(t.live_files())
+    zorder = [c for c in (args.zorder or "").split(",") if c]
+    sort = [c for c in (args.sort or "").split(",") if c]
+    t.compact(
+        target_partitions=args.target_files,
+        zorder_by=zorder,
+        sort_by=sort,
+    )
+    after = len(t.live_files())
+    how = (
+        f"zorder by {zorder}" if zorder
+        else (f"sorted by {sort}" if sort else "bin-packed")
+    )
+    return f"optimized {args.table}: {before} -> {after} files ({how})"
+
+
 def _retention_job(lake: J.Lakehouse, args) -> str:
     J.run_retention(
         lake, bronze_days=args.bronze_days, silver_days=args.silver_days
@@ -313,6 +341,7 @@ def build_registry() -> dict:
     registry["vocab_refresh"] = _vocab_refresh_job
     registry["corpus_index_build"] = _corpus_index_job
     registry["dedup_index_refresh"] = _dedup_index_job
+    registry["optimize"] = _optimize_job
     registry["retention_cleanup"] = _retention_job
     registry["create_control_tables"] = _control_tables_job
     return registry
@@ -338,6 +367,13 @@ def main(argv: list[str] | None = None, spark=None) -> int:
     p.add_argument(
         "--bloom-fpp", type=float, default=0.01,
         help="bloom false-positive rate (corpus_index_build)",
+    )
+    p.add_argument("--table", help="MergeTable path (optimize)")
+    p.add_argument("--zorder", help="comma-separated Z-ORDER columns (optimize)")
+    p.add_argument("--sort", help="comma-separated sort columns (optimize)")
+    p.add_argument(
+        "--target-files", type=int, default=None,
+        help="output file target (optimize); default = live files / 8",
     )
     p.add_argument("--no-vacuum", action="store_true")
     p.add_argument("--bronze-days", type=int, default=30)
