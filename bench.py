@@ -83,7 +83,9 @@ def main() -> None:
     (
         spark.range(200_000_000)
         .select(_F.xxhash64("id").alias("h"))
-        .agg(_F.sum("h"))
+        # avg, not sum: summing 200M xxhash64 longs overflows under
+        # the session's ANSI mode; avg is the same per-row work
+        .agg(_F.avg("h"))
         .write.format("noop")
         .mode("overwrite")
         .save()
