@@ -67,7 +67,10 @@ def test_build_then_prune_no_false_negatives(bloom_table):
 
 def test_absent_keys_skip_most_files(bloom_table):
     t = bloom_table
-    t.build_blooms("doc_id", fpp=0.01)
+    # fpp 0.001: with 8 files x 3 keys the chance of even ONE
+    # false-positive file is ~2% (vs ~21% at 0.01, which would make
+    # the >= N-1 gate flaky once in ~40 runs)
+    t.build_blooms("doc_id", fpp=0.001)
     cands, skipped = t.prune_files_by_keys(
         "doc_id", [10_000_000 + i for i in range(3)]
     )
@@ -230,3 +233,32 @@ def test_gdpr_erase_takes_bloom_fast_path(spark, tmp_path):
     pairs_files_after = set(t_pairs._load()[0]["files"])
     assert len(docs_files_before & docs_files_after) >= 5
     assert len(pairs_files_before & pairs_files_after) >= 3
+
+
+def test_bloom_soundness_property(spark):
+    """Hypothesis-style sweep without per-example Spark jobs: for a
+    range of key sets, NO file containing a probed key is ever
+    skipped (bloom soundness — false positives allowed, false
+    negatives never)."""
+    import tempfile
+
+    path = tempfile.mkdtemp(prefix="umdp_bloom_prop_")
+    df = spark.range(0, 3000, 7).select(  # sparse keys: 0,7,14,...
+        F.col("id").alias("doc_id"),
+        (F.col("id") * 13 % 1000).alias("v"),
+    )
+    t = MergeTable(spark, path)
+    t.create(df.repartition(6))
+    t.build_blooms("doc_id", fpp=0.01)
+    containing = {}
+    for probe in ([0], [7, 2989], [700, 701], [2996], [1, 2, 3, 4, 5]):
+        cands, skipped = t.prune_files_by_keys("doc_id", probe)
+        present = [k for k in probe if k % 7 == 0 and k < 3000]
+        if present:
+            actual = _files_containing(t, present)
+            assert actual <= set(cands), (probe, actual, cands)
+        # and the probe finds exactly the present keys
+        got = sorted(
+            r["doc_id"] for r in t.read_by_keys("doc_id", probe).collect()
+        )
+        assert got == sorted(present), probe
