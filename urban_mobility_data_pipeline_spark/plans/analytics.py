@@ -2132,3 +2132,61 @@ def sql_interface_order_priorities(
     view = "umdp_orders_" + _re.sub(r"[^0-9a-zA-Z]", "_", sf_dir).strip("_")
     table(spark, sf_dir, "orders").createOrReplaceTempView(view)
     return spark.sql(_Q_SQL_INTERFACE.format(orders=view))
+
+
+# ---------------------------------------------------------------------------
+# ranking-function showcase (§2.6 breadth)
+# ---------------------------------------------------------------------------
+@register(
+    "segment_customer_rankings",
+    oracle="""
+    WITH ranked AS (
+        SELECT c_mktsegment AS segment,
+               c_custkey AS custkey,
+               round(c_acctbal, 2) AS acctbal,
+               dense_rank()   OVER w AS drank,
+               round(percent_rank() OVER w, 6) AS prank,
+               round(cume_dist()    OVER w, 6) AS cdist,
+               round(first_value(c_acctbal) OVER w, 2) AS top_bal,
+               round(nth_value(c_acctbal, 3) OVER
+                     (PARTITION BY c_mktsegment
+                      ORDER BY c_acctbal DESC, c_custkey
+                      ROWS BETWEEN UNBOUNDED PRECEDING
+                               AND UNBOUNDED FOLLOWING), 2) AS third_bal
+        FROM customer
+        WINDOW w AS (PARTITION BY c_mktsegment
+                     ORDER BY c_acctbal DESC, c_custkey)
+    )
+    SELECT * FROM ranked WHERE drank <= 5
+    """,
+)
+def segment_customer_rankings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ranking-function surface in one query: dense_rank /
+    percent_rank / cume_dist over the default running frame plus
+    first_value and an explicit-full-frame nth_value, per market
+    segment. Every window shares ONE (segment, acctbal desc, custkey)
+    sort — Catalyst plans a single Window operator over a single
+    exchange — and the custkey tiebreaker makes position-dependent
+    functions (percent_rank, cume_dist, nth_value) deterministic under
+    any partitioning; without it ties would hash-mismatch across
+    engines."""
+    w = Window.partitionBy("c_mktsegment").orderBy(
+        F.col("c_acctbal").desc(), F.col("c_custkey")
+    )
+    w_full = w.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    cust = table(spark, sf_dir, "customer")
+    ranked = cust.select(
+        F.col("c_mktsegment").alias("segment"),
+        F.col("c_custkey").alias("custkey"),
+        F.round("c_acctbal", 2).alias("acctbal"),
+        F.dense_rank().over(w).alias("drank"),
+        F.round(F.percent_rank().over(w), 6).alias("prank"),
+        F.round(F.cume_dist().over(w), 6).alias("cdist"),
+        F.round(F.first_value("c_acctbal").over(w), 2).alias("top_bal"),
+        F.round(F.nth_value("c_acctbal", 3).over(w_full), 2).alias(
+            "third_bal"
+        ),
+    )
+    return ranked.filter(F.col("drank") <= 5)
