@@ -2190,3 +2190,50 @@ def segment_customer_rankings(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
     )
     return ranked.filter(F.col("drank") <= 5)
+
+
+# ---------------------------------------------------------------------------
+# unpivot / melt (§2.8 breadth — the pivot's inverse)
+# ---------------------------------------------------------------------------
+@register(
+    "priority_status_unpivot",
+    oracle="""
+    WITH wide AS (
+        SELECT o_orderpriority AS priority,
+               CAST(sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END)
+                    AS BIGINT) AS status_f,
+               CAST(sum(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END)
+                    AS BIGINT) AS status_o,
+               CAST(sum(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END)
+                    AS BIGINT) AS status_p
+        FROM orders GROUP BY 1
+    )
+    SELECT priority, 'status_f' AS status, status_f AS n_orders FROM wide
+    UNION ALL
+    SELECT priority, 'status_o', status_o FROM wide
+    UNION ALL
+    SELECT priority, 'status_p', status_p FROM wide
+    """,
+)
+def priority_status_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNPIVOT (melt): the wide per-status count columns fold back to
+    (priority, status, n) long form via ``DataFrame.unpivot`` — the
+    §2.8 pivot's inverse, used to re-normalize a metrics-wide table
+    for a generic consumer. The wide frame is the |priorities|-row
+    AGGREGATED result, so the unpivot's 3x row expansion is on 5 rows,
+    not the fact table; Catalyst plans it as a single Expand over the
+    aggregate."""
+    orders = table(spark, sf_dir, "orders")
+    wide = orders.groupBy(
+        F.col("o_orderpriority").alias("priority")
+    ).agg(
+        F.sum((F.col("o_orderstatus") == "F").cast("long")).alias("status_f"),
+        F.sum((F.col("o_orderstatus") == "O").cast("long")).alias("status_o"),
+        F.sum((F.col("o_orderstatus") == "P").cast("long")).alias("status_p"),
+    )
+    return wide.unpivot(
+        ids=["priority"],
+        values=["status_f", "status_o", "status_p"],
+        variableColumnName="status",
+        valueColumnName="n_orders",
+    )
