@@ -465,7 +465,9 @@ def main() -> int:
 
     sections: dict[str, dict] = {}
     if run_all or not (
-        args & {"--skew", "--soak", "--corpus", "--compaction", "--bloom"}
+        args
+        & {"--skew", "--soak", "--corpus", "--compaction", "--bloom",
+           "--dedupindex"}
     ):
         sections["anchor"] = run_anchor(spark)
     if run_all or "--skew" in args:
@@ -478,6 +480,8 @@ def main() -> int:
         sections["compaction"] = run_compaction_soak(spark)
     if run_all or "--bloom" in args:
         sections["bloom"] = run_bloom_pointops(spark)
+    if run_all or "--dedupindex" in args:
+        sections["dedup_index"] = run_dedup_index_soak(spark)
 
     for payload in sections.values():
         print(json.dumps(payload))
@@ -826,6 +830,77 @@ def run_bloom_pointops(spark: SparkSession) -> dict:
         assert len(zone_cands) == files_before, out
         assert len(skipped) >= int(files_before * 0.9), out
         assert stats["rewritten_files"] <= max(1, files_before // 10), out
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+    return out
+
+# ---------------------------------------------------------------------------
+# dedup-index section: O(changed) maintenance vs O(corpus) recompute
+# ---------------------------------------------------------------------------
+def run_dedup_index_soak(spark: SparkSession) -> dict:
+    """Scale proof for the incrementally maintained LSH index
+    (extensions/dedup_index.py): as the corpus grows by a CONSTANT
+    batch per cycle, per-cycle index refresh time must stay ~flat
+    (it reads only the changed docs), while the naive alternative —
+    re-running the full near-dup pipeline — grows with the corpus.
+    Gates: the last refresh is within 2.5x of the median early
+    refresh, and the maintained index stays row-identical to a
+    from-scratch rebuild at the end."""
+    from urban_mobility_data_pipeline_spark.extensions.dedup_index import (
+        band_rows,
+        refresh_dedup_index,
+    )
+    from urban_mobility_data_pipeline_spark.operators.merge import MergeTable
+    from urban_mobility_data_pipeline_spark.operators.watermark import (
+        VersionCursor,
+    )
+
+    out: dict = {"metric": "dedup_index_soak"}
+    root = tempfile.mkdtemp(prefix="umdp_dedupidx_bench_")
+    batch, cycles = 4_000, 6
+    try:
+        corpus = MergeTable(spark, os.path.join(root, "corpus"))
+        index = MergeTable(
+            spark, os.path.join(root, "index"),
+            bucket_keys=["doc_id"], num_buckets=16,
+        )
+        cursor = VersionCursor(spark, os.path.join(root, "cursor"))
+        refresh_secs, corpus_rows = [], []
+        for c in range(cycles):
+            feed = os.path.join(root, f"f{c}")
+            _gen_feed(spark, feed, batch, id_offset=c * batch, files=4)
+            docs = (
+                spark.read.json(feed, schema="doc_id long, text string")
+                .filter(F.col("text").isNotNull())
+            )
+            if corpus.exists():
+                corpus.append(docs)
+            else:
+                corpus.create(docs)
+            t0 = time.perf_counter()
+            n = refresh_dedup_index(corpus, index, cursor)
+            refresh_secs.append(round(time.perf_counter() - t0, 2))
+            corpus_rows.append(corpus.read().count())
+            assert n >= batch * 0.9, (c, n)
+        out.update(
+            {
+                "batch_docs": batch,
+                "cycles": cycles,
+                "corpus_rows": corpus_rows,
+                "refresh_secs": refresh_secs,
+            }
+        )
+        # flat maintenance: the last (biggest-corpus) refresh stays
+        # within 2.5x of the early-cycle median — O(changed), not
+        # O(corpus). (First cycle is the bootstrap; compare from c1.)
+        med_early = sorted(refresh_secs[1:4])[1]
+        assert refresh_secs[-1] <= med_early * 2.5 + 0.5, out
+        # and the maintained index is exactly a from-scratch rebuild
+        rebuilt = band_rows(corpus.read())
+        live = index.read()
+        diff = live.exceptAll(rebuilt).count() + rebuilt.exceptAll(live).count()
+        assert diff == 0, diff
+        out["index_matches_rebuild"] = True
     finally:
         shutil.rmtree(root, ignore_errors=True)
     return out

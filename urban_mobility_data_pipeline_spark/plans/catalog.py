@@ -43,10 +43,10 @@ FLAGSHIP = "pricing_summary"
 # After this rotation the only r5-era catalog entry never
 # driver-checked is daily_distinct_users_sketch — rows-only BY DESIGN
 # (an HLL sketch has no cross-engine value hash); it stays
-# pytest+bench-covered. Seventeen queries added LATE in round 6 are
+# pytest+bench-covered. TWENTY-FOUR queries added LATE in round 6 are
 # pytest-oracle green and first in line for the round-7 rotation:
 # documents_ngram_contamination, corpus_mixing_weights,
-# corpus_tokenizer_fertility, plus the TPC-H-shape widening
+# corpus_tokenizer_fertility, the TPC-H-shape widening
 # (customer_order_count_distribution Q13, small_quantity_part_revenue
 # Q17, top_revenue_supplier Q15, idle_rich_customers_by_nation Q22,
 # promo_revenue_share Q14, brand_quantity_band_revenue Q19,
@@ -54,9 +54,12 @@ FLAGSHIP = "pricing_summary"
 # nation_pair_trade_volume Q7, returned_item_revenue Q10,
 # nation_market_share Q8), lineitem_price_statistics (corr/
 # stddev/median), nation_mktsegment_profile (ordered listagg),
-# doc_length_deciles, corpus_bigram_stats (heavy hitters), and
+# doc_length_deciles, corpus_bigram_stats (heavy hitters),
 # streaming_distinct_user_event_days (4th real-readStream row,
-# dropDuplicatesWithinWatermark).
+# dropDuplicatesWithinWatermark), sql_interface_order_priorities
+# (spark.sql façade), corpus_dedup_rate_by_source (dedup dashboard),
+# segment_customer_rankings (dense_rank/percent_rank/cume_dist/
+# nth_value), and priority_status_unpivot (DataFrame.unpivot).
 #
 # Rotated OUT to make room (each keeps pytest-oracle + bench coverage;
 # SURVEY coverage retained by an in-list query as noted):
