@@ -192,3 +192,55 @@ def test_ingest_rejects_near_dups_at_the_door(spark, tmp_path):
     )
     assert r2["near_dup_rejected"] == 1 and r2["upserted"] == 0
     assert {r[0] for r in corpus.read().select("doc_id").collect()} == {1, 3}
+
+
+def test_stream_ingest_rejects_near_dups(spark, tmp_path):
+    """Streaming twin of dedup-at-ingest: micro-batches probed against
+    the maintained index; later feed files of the SAME run bounce off
+    docs ingested by earlier ones (in-batch refresh)."""
+    import json as _json
+
+    from urban_mobility_data_pipeline_spark.extensions.corpus_ingest import (
+        stream_ingest_feed,
+    )
+
+    base_text = (
+        "the quick brown fox jumps over the lazy dog while the "
+        "inquisitive cat watches from a warm stone wall nearby"
+    )
+    feed = tmp_path / "feed"
+    feed.mkdir()
+    corpus = MergeTable(spark, str(tmp_path / "corpus"))
+    quarantine = MergeTable(spark, str(tmp_path / "quarantine"))
+    index = MergeTable(spark, str(tmp_path / "index"))
+    cursor = VersionCursor(spark, str(tmp_path / "cursor"))
+    ckpt = str(tmp_path / "ckpt")
+
+    # run 1: seed doc
+    (feed / "a.jsonl").write_text(
+        _json.dumps({"doc_id": 1, "text": base_text, "lang": "en"}) + "\n"
+    )
+    stream_ingest_feed(
+        spark, str(feed), corpus, quarantine, ckpt,
+        dedup_index=index, dedup_cursor=cursor,
+    )
+    assert corpus.read().count() == 1
+    assert index.exists()
+
+    # run 2: a near-dup under a new id arrives in a NEW file
+    (feed / "b.jsonl").write_text(
+        _json.dumps(
+            {"doc_id": 2, "text": base_text + " again", "lang": "en"}
+        )
+        + "\n"
+    )
+    stream_ingest_feed(
+        spark, str(feed), corpus, quarantine, ckpt,
+        dedup_index=index, dedup_cursor=cursor,
+    )
+    ids = {r[0] for r in corpus.read().select("doc_id").collect()}
+    assert ids == {1}
+    dead = quarantine.read().collect()
+    assert len(dead) == 1
+    payload = _json.loads(dead[0]["raw_record"])
+    assert payload["doc_id"] == 2 and payload["matched_doc_id"] == 1

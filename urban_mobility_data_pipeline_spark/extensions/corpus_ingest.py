@@ -249,6 +249,9 @@ def stream_ingest_feed(
     quarantine: MergeTable,
     checkpoint: str,
     ddl_schema: str = FEED_SCHEMA,
+    dedup_index: MergeTable | None = None,
+    dedup_cursor=None,
+    near_dup_threshold: float = 0.6,
 ) -> None:
     """Continuous-ingest twin of :func:`ingest_feed`: a JSONL file
     stream (``readStream`` + ``Trigger.AvailableNow``) drains every
@@ -266,7 +269,16 @@ def stream_ingest_feed(
     append when that batch_id is already present — a failed batch
     replayed after the append committed won't duplicate dead letters.
     Each micro-batch's parse cache is released in a ``finally`` so a
-    long-running ingest can't accumulate executor storage."""
+    long-running ingest can't accumulate executor storage.
+
+    With ``dedup_index``, each micro-batch is near-dup-probed against
+    the maintained LSH index like the batch path: matches divert to
+    the quarantine as batch_id-stamped JSON dead letters (replay-safe
+    like the malformed-row appends) and never reach the MERGE. The
+    index refresh runs INSIDE the batch, after the MERGE — so a later
+    micro-batch of the same run already sees this batch's docs, and a
+    crash-replayed batch re-derives the same index state (refresh is
+    cursor-guarded and idempotent)."""
     from urban_mobility_data_pipeline_spark.sources.ingest import (
         CORRUPT_COL,
         _schema_with_corrupt,
@@ -290,6 +302,64 @@ def stream_ingest_feed(
         good, bad = _split(batch)
         try:
             curated = dedupe_on_key(curate(good))
+            if (
+                dedup_index is not None
+                and dedup_index.exists()
+                and corpus.exists()
+            ):
+                from urban_mobility_data_pipeline_spark.extensions.dedup_index import (
+                    incremental_near_dups,
+                )
+
+                hits = incremental_near_dups(
+                    curated, corpus, dedup_index,
+                    threshold=near_dup_threshold,
+                )
+                best = hits.groupBy("new_id").agg(
+                    F.max(F.struct("jaccard", "corpus_id")).alias("m")
+                )
+                rejected = curated.join(
+                    F.broadcast(
+                        best.select(
+                            F.col("new_id").alias("doc_id"),
+                            F.col("m.corpus_id").alias("matched_doc_id"),
+                            F.col("m.jaccard").alias("matched_jaccard"),
+                        )
+                    ),
+                    "doc_id",
+                )
+                if not rejected.isEmpty():
+                    dead = rejected.select(
+                        F.to_json(
+                            F.struct(
+                                "doc_id",
+                                "matched_doc_id",
+                                "matched_jaccard",
+                                "text",
+                            )
+                        ).alias("raw_record"),
+                        F.lit(feed_dir).alias("feed_path"),
+                        F.lit(batch_id).cast("long").alias("batch_id"),
+                    )
+                    if quarantine.exists():
+                        existing = quarantine.read()
+                        already = (
+                            "batch_id" in existing.columns
+                            and not existing.filter(
+                                F.col("batch_id") == batch_id
+                            ).isEmpty()
+                        )
+                        if not already:
+                            quarantine.append(dead)
+                    else:
+                        quarantine.create(dead)
+                    curated = curated.join(
+                        F.broadcast(
+                            best.select(F.col("new_id").alias("doc_id"))
+                        ),
+                        "doc_id",
+                        "left_anti",
+                    )
             if corpus.exists():
                 non_keys = [c for c in curated.columns if c != "doc_id"]
                 corpus.merge(
@@ -318,6 +388,16 @@ def stream_ingest_feed(
                     quarantine.create(stamped)
             if corpus.exists():
                 corpus.auto_compact(max_files=AUTO_COMPACT_MAX_FILES)
+            if (
+                dedup_index is not None
+                and dedup_cursor is not None
+                and corpus.exists()
+            ):
+                from urban_mobility_data_pipeline_spark.extensions.dedup_index import (
+                    refresh_dedup_index,
+                )
+
+                refresh_dedup_index(corpus, dedup_index, dedup_cursor)
         finally:
             batch.unpersist()
 
