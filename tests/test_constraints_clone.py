@@ -133,3 +133,33 @@ def test_clone_refuses_existing_destination(orders_table):
     orders_table.clone(dest)
     with pytest.raises(ValueError, match="exists"):
         orders_table.clone(dest)
+
+
+def test_pii_free_constraint_on_corpus(spark, tmp_path):
+    """Composition: a CHECK constraint built from the SAME PII pattern
+    constants turns the storage layer into a PII firewall — curated
+    (redacted) ingest passes, a raw append carrying an email bounces
+    before any file publishes."""
+    from urban_mobility_data_pipeline_spark.functions.pii import (
+        PII_PATTERNS,
+        redact_pii,
+    )
+
+    email_pat = next(p for kind, p, _ in PII_PATTERNS if kind == "email")
+    docs = spark.createDataFrame(
+        [(1, "clean text about engines"), (2, "contact me a@b.com soon")],
+        "doc_id long, text string",
+    ).select("doc_id", redact_pii("text").alias("text"))
+    corpus = MergeTable(spark, str(tmp_path / "corpus"))
+    corpus.create(docs)  # redacted: no raw emails on disk
+    corpus.add_constraint("no_raw_email", f"text NOT RLIKE '{email_pat}'")
+
+    leaky = spark.createDataFrame(
+        [(3, "mail bob@example.org now")], "doc_id long, text string"
+    )
+    with pytest.raises(ConstraintViolationError, match="no_raw_email"):
+        corpus.append(leaky)
+    assert corpus.read().count() == 2
+    # the redacted version of the same doc is admissible
+    corpus.append(leaky.select("doc_id", redact_pii("text").alias("text")))
+    assert corpus.read().count() == 3
