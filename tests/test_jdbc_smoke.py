@@ -91,3 +91,56 @@ def test_erasure_query_shape():
     q = jdbc.erasure_requests_query(dt.datetime(2024, 5, 1, 12, 30))
     assert q.startswith("(SELECT") and q.endswith("AS erasure_requests")
     assert "processed_at > TIMESTAMP '2024-05-01 12:30:00'" in q
+
+
+def test_jdbc_v2_aggregate_and_topn_pushdown(spark, derby_url):
+    """DSv2 catalog scans push GLOBAL aggregates and ORDER BY+LIMIT
+    into the database — the watermark-discovery shape (max over the
+    OLTP table returns one row, not the table)."""
+    jdbc.register_jdbc_catalog(
+        spark, "derbycat", derby_url, DERBY_DRIVER
+    )
+    t = spark.table("derbycat.PEOPLE")
+    agg = t.agg(
+        F.max("UPDATED_AT").alias("wm"), F.count("*").alias("n")
+    )
+    plan = agg._jdf.queryExecution().executedPlan().toString()
+    assert "PushedAggregates: [MAX(updated_at), COUNT(*)]" in plan, plan
+    row = agg.first()
+    assert row["n"] == 3 and row["wm"] == dt.datetime(2024, 1, 3, 10)
+
+    # limit pushdown is AUTO-disabled on Derby (see the hazard test):
+    # the top-N stays Spark-side and is correct
+    topn = t.orderBy(F.desc("ID")).limit(2)
+    plan2 = topn._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan2, plan2
+    assert [r["id"] for r in topn.collect()] == [3, 2]
+
+
+def test_jdbc_limit_pushdown_hazard_on_derby(spark, derby_url):
+    """Pins the upstream hazard that motivates the auto-disable:
+    forcing pushDownLimit on Derby makes Spark drop its own
+    TakeOrdered while Derby ignores the LIMIT — silently WRONG row
+    counts. If a Spark upgrade makes this test fail, the Derby
+    dialect was fixed: flip the auto-default in
+    sources/jdbc.register_jdbc_catalog."""
+    jdbc.register_jdbc_catalog(
+        spark, "derbyforced", derby_url, DERBY_DRIVER, push_limit=True
+    )
+    q = spark.table("derbyforced.PEOPLE").orderBy(F.desc("ID")).limit(2)
+    plan = q._jdf.queryExecution().executedPlan().toString()
+    assert "PushedTopN" in plan
+    assert len(q.collect()) == 3  # the bug: limit silently dropped
+
+
+def test_jdbc_v2_grouped_pushdown_falls_back_correct(spark, derby_url):
+    """Grouped aggregate pushdown is beyond Derby's dialect: Spark
+    must fall back to a plain scan and STILL return correct results —
+    pushdown is an optimization, never a correctness dependency."""
+    jdbc.register_jdbc_catalog(
+        spark, "derbycat2", derby_url, DERBY_DRIVER
+    )
+    t = spark.table("derbycat2.PEOPLE")
+    by_name = t.groupBy("NAME").agg(F.count("*").alias("n"))
+    got = {(r["NAME"], r["n"]) for r in by_name.collect()}
+    assert got == {("alice", 1), ("bob", 1), ("carol", 1)}

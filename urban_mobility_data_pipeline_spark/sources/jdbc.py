@@ -71,3 +71,41 @@ def read_pushdown(
 ) -> DataFrame:
     """S2: subquery-as-dbtable scan."""
     return read_table(spark, url, query, properties)
+
+
+def register_jdbc_catalog(
+    spark: SparkSession,
+    name: str,
+    url: str,
+    driver: str,
+    push_aggregates: bool = True,
+    push_limit: bool | None = None,
+) -> None:
+    """Register a DSv2 JDBC catalog so ``spark.table(f"{name}.T")``
+    scans push MORE than WHERE clauses into the database: global
+    aggregates (MIN/MAX/COUNT/SUM — the watermark-discovery shape:
+    ``SELECT max(updated_at)`` over a 1B-row OLTP table returns ONE
+    row instead of streaming the table out) and, where the dialect
+    supports it, ORDER BY+LIMIT top-N. Grouped aggregates are
+    attempted and FALL BACK to a plain scan when the dialect can't
+    bind Spark's generated SQL (embedded Derby can't; Postgres/MySQL
+    can) — correctness never depends on aggregate pushdown.
+
+    ``push_limit`` defaults to AUTO: disabled for Derby URLs because
+    Spark's Derby dialect claims limit support it doesn't deliver —
+    the scan drops the Spark-side TakeOrdered but Derby executes
+    without the LIMIT, silently returning extra rows (wrong results,
+    pinned by test_jdbc_limit_pushdown_hazard_on_derby). Aggregate
+    pushdown has no such hazard: it either binds or falls back."""
+    if push_limit is None:
+        push_limit = not url.startswith("jdbc:derby")
+    base = f"spark.sql.catalog.{name}"
+    spark.conf.set(
+        base,
+        "org.apache.spark.sql.execution.datasources.v2.jdbc."
+        "JDBCTableCatalog",
+    )
+    spark.conf.set(f"{base}.url", url)
+    spark.conf.set(f"{base}.driver", driver)
+    spark.conf.set(f"{base}.pushDownAggregate", str(push_aggregates).lower())
+    spark.conf.set(f"{base}.pushDownLimit", str(push_limit).lower())
