@@ -163,3 +163,34 @@ def test_pii_free_constraint_on_corpus(spark, tmp_path):
     # the redacted version of the same doc is admissible
     corpus.append(leaky.select("doc_id", redact_pii("text").alias("text")))
     assert corpus.read().count() == 3
+
+
+def test_version_diff_rows(spark, tmp_path):
+    """diff(v1, v2): updates surface as delete+insert pairs, pure
+    rewrites (compaction) diff to empty, and only non-shared files
+    feed the comparison."""
+    t = MergeTable(spark, str(tmp_path / "t"), bucket_keys=["k"],
+                   num_buckets=4)
+    base = spark.range(20).select(
+        F.col("id").alias("k"), (F.col("id") * 10).alias("v")
+    )
+    t.create(base)          # v1
+    src = spark.createDataFrame([(3, 999), (100, 1000)], "k long, v long")
+    t.merge(src, keys=["k"], update_set={"v": F.col("s.v")}, insert=True)  # v2
+
+    d = t.diff(1, 2).collect()
+    got = {(r["k"], r["v"], r["__change"]) for r in d}
+    assert got == {
+        (3, 30, "delete"),
+        (3, 999, "insert"),
+        (100, 1000, "insert"),
+    }
+    # a pure rewrite diffs to nothing
+    t.compact(target_partitions=2)  # v3
+    assert t.diff(2, 3).count() == 0
+    # and a delete shows only deletions
+    t.delete(F.col("k") < 2)  # v4
+    d2 = {(r["k"], r["__change"]) for r in t.diff(3, 4).collect()}
+    assert d2 == {(0, "delete"), (1, "delete")}
+    # diff to head defaults to the current version
+    assert t.diff(1).count() == t.diff(1, 4).count()

@@ -499,6 +499,46 @@ class MergeTable:
         removed = sorted(set(old_manifest["files"]) - set(head["files"]))
         return self._read_snapshot({**old_manifest, "files": removed})
 
+    def diff(
+        self, from_version: int, to_version: int | None = None
+    ) -> DataFrame:
+        """Row-level diff between two snapshots: rows tagged
+        ``__change`` = 'insert' / 'delete' (an update is a
+        delete+insert pair — Delta CDF's update_preimage/postimage
+        without the pairing). File-level pruned: files SHARED by both
+        manifests cannot contribute a diff and are never read, so a
+        small bucket-pruned merge diffs only its rewritten buckets;
+        rows merely MOVED by a rewrite (compaction, partition rewrite
+        re-emission) appear identically on both sides and cancel in
+        the exceptAll. Schema evolution is handled by NULL-filling
+        either side up to the union of columns."""
+        manifest_to, head = self._load(to_version)
+        manifest_from, _ = self._load(from_version)
+        shared = set(manifest_from["files"]) & set(manifest_to["files"])
+        old_only = [f for f in manifest_from["files"] if f not in shared]
+        new_only = [f for f in manifest_to["files"] if f not in shared]
+        old_df = self._read_snapshot({**manifest_from, "files": old_only})
+        new_df = self._read_snapshot({**manifest_to, "files": new_only})
+        all_cols = list(
+            dict.fromkeys(old_df.columns + new_df.columns)
+        )
+        def align(df: DataFrame) -> DataFrame:
+            return df.select(
+                *[
+                    F.col(c) if c in df.columns
+                    else F.lit(None).alias(c)
+                    for c in all_cols
+                ]
+            )
+        old_df, new_df = align(old_df), align(new_df)
+        inserts = new_df.exceptAll(old_df).withColumn(
+            "__change", F.lit("insert")
+        )
+        deletes = old_df.exceptAll(new_df).withColumn(
+            "__change", F.lit("delete")
+        )
+        return inserts.unionByName(deletes)
+
     def restore(self, version: int) -> None:
         """Roll the table back to ``version`` by committing its file
         list as the new head (Delta ``RESTORE``). Fails if the files
