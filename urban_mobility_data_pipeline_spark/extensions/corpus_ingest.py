@@ -16,6 +16,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from urban_mobility_data_pipeline_spark.cache import release_scratch
 from urban_mobility_data_pipeline_spark.functions import text as T
 from urban_mobility_data_pipeline_spark.functions.pii import redact_pii
 from urban_mobility_data_pipeline_spark.operators.merge import MergeTable
@@ -240,6 +241,11 @@ def ingest_feed(
         }
     finally:
         parsed.unpersist()
+        # the near-dup probe stages its band table via scratch_persist;
+        # an ingest cycle is a job entry point (never a subroutine of a
+        # larger staged query), so releasing the registry here is safe
+        # and keeps repeated cycles from accumulating cached relations
+        release_scratch()
 
 
 def stream_ingest_feed(
@@ -400,5 +406,6 @@ def stream_ingest_feed(
                 refresh_dedup_index(corpus, dedup_index, dedup_cursor)
         finally:
             batch.unpersist()
+            release_scratch()  # per-micro-batch probe scratch (see above)
 
     run_available_now(stream, checkpoint, merge_batch)
