@@ -262,3 +262,31 @@ def test_bloom_soundness_property(spark):
             r["doc_id"] for r in t.read_by_keys("doc_id", probe).collect()
         )
         assert got == sorted(present), probe
+
+
+def test_blooms_on_bucketed_table(spark, tmp_path):
+    """The GDPR corpus shape: key-hash-bucketed MergeTable (hive
+    __kb=N dirs). Blooms must build per file across partition dirs,
+    prune soundly, and delete_by_keys must preserve the bucket
+    layout."""
+    df = spark.range(2000).select(
+        F.col("id").alias("doc_id"),
+        F.sha2(F.col("id").cast("string"), 256).alias("body"),
+    )
+    t = MergeTable(
+        spark, str(tmp_path / "bt"), bucket_keys=["doc_id"], num_buckets=8
+    )
+    t.create(df)
+    built = t.build_blooms("doc_id", fpp=0.001)
+    assert len(built) == len(t._load()[0]["files"])
+    assert all("/" in rel or "=" in rel for rel in built)  # lives in __kb dirs
+    keys = [5, 1999]
+    got = sorted(r["doc_id"] for r in t.read_by_keys("doc_id", keys).collect())
+    assert got == keys
+    cands, skipped = t.prune_files_by_keys("doc_id", keys)
+    assert skipped  # most buckets' files bloom out
+    t.delete_by_keys("doc_id", keys)
+    assert t.read().count() == 1998
+    m, _ = t._load()
+    assert m["bucket_keys"] == ["doc_id"]  # layout preserved
+    assert all(f.startswith("__kb=") for f in m["files"])
