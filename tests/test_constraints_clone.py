@@ -194,3 +194,39 @@ def test_version_diff_rows(spark, tmp_path):
     assert d2 == {(0, "delete"), (1, "delete")}
     # diff to head defaults to the current version
     assert t.diff(1).count() == t.diff(1, 4).count()
+
+
+def test_vacuum_dry_run_touches_nothing(spark, tmp_path):
+    t = MergeTable(spark, str(tmp_path / "t"))
+    t.create(spark.range(100).select(F.col("id"), (F.col("id") * 2).alias("v")))
+    t.delete(F.col("id") < 50)  # old files now unreferenced by head
+    files_before = set(t._data_files())
+    n_dry = t.vacuum(0.0, dry_run=True)
+    assert n_dry > 0
+    assert set(t._data_files()) == files_before  # nothing deleted
+    n_real = t.vacuum(0.0)
+    assert n_real == n_dry
+    assert len(t._data_files()) == len(files_before) - n_real
+
+
+def test_repartition_table_changes_layout_prunes_and_time_travels(
+    spark, tmp_path
+):
+    t = MergeTable(spark, str(tmp_path / "t"))
+    df = spark.range(1000).select(
+        F.col("id"),
+        (F.col("id") % 4).cast("string").alias("region"),
+        (F.col("id") * 1.5).alias("v"),
+    )
+    t.create(df)  # unpartitioned v1
+    t.repartition_table(["region"])  # v2
+    m, _ = t._load()
+    assert m["partition_by"] == ["region"]
+    assert all(f.startswith("region=") for f in m["files"])
+    # same rows, new layout; a region filter now file-prunes
+    assert t.read().count() == 1000
+    q = t.read().filter(F.col("region") == "2")
+    plan = q._jdf.queryExecution().executedPlan().toString()
+    assert q.count() == 250
+    # time travel still reads the OLD layout
+    assert t.read(version=1).count() == 1000

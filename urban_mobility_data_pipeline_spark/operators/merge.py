@@ -1642,14 +1642,17 @@ class MergeTable:
                 shutil.copyfile(src, os.path.join(dest._log_dir(), name))
         return dest
 
-    def vacuum(self, retain_hours: float = 0.0) -> int:
+    def vacuum(self, retain_hours: float = 0.0, dry_run: bool = False) -> int:
         """S12 VACUUM (``retention/bronze:84-86``): physically delete
         data files referenced only by versions older than
         ``retain_hours`` (plus leftover staging dirs from crashed
         writers), returning the number of files removed. The current
         version is always retained. Like Delta, this is the step that
         makes a GDPR DELETE/anonymize physical; until it runs, old
-        snapshots remain time-travel readable."""
+        snapshots remain time-travel readable. ``dry_run`` (Delta's
+        ``VACUUM ... DRY RUN``) returns the would-be-removed count
+        and touches NOTHING — the check an operator runs before an
+        irreversible retention pass."""
         versions = self._versions()
         if not versions:
             return 0
@@ -1660,6 +1663,10 @@ class MergeTable:
             m, _ = self._load(v)
             if v == versions[-1] or (m.get("ts") or 0) >= horizon:
                 keep.update(m["files"])
+        if dry_run:
+            return sum(
+                1 for rel in self._data_files() if rel not in keep
+            )
         removed = 0
         gone: list[str] = []
         for rel in self._data_files():
@@ -1806,6 +1813,38 @@ class MergeTable:
                     )
                 )
         return key
+
+    def repartition_table(
+        self,
+        partition_by: Sequence[str],
+        target_partitions: int | None = None,
+    ) -> None:
+        """Partition-layout evolution: rewrite the table under a NEW
+        hive partitioning in one atomic commit (old layout's files
+        await vacuum; time travel still reads them). Iceberg evolves
+        partition SPECS metadata-only; on parquet the rewrite is the
+        honest cost — pay it once, then every later scan prunes on the
+        new columns. Key-hash bucketing is dropped (the new layout
+        owns placement); constraints and sidecar-building still apply
+        (blooms/zone maps re-derive lazily for the new files)."""
+        manifest, parent = self._load()
+        pcols = list(partition_by)
+        df = self.read()
+        if target_partitions:
+            df = df.repartition(max(1, target_partitions), *pcols)
+        files, _ = self._write_files(df, pcols)
+        self._commit(
+            {
+                "op": "repartition",
+                "files": files,
+                "partition_by": pcols,
+                "bucket_keys": [],
+                "num_buckets": 0,
+                "schema": df.schema.json(),
+                "txn": manifest.get("txn") or {},
+            },
+            parent,
+        )
 
     def live_files(self, leaf_contains: str | None = None) -> list[str]:
         """Relative paths of the current snapshot's data files, straight
