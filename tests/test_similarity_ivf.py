@@ -184,3 +184,59 @@ def test_kmeans_centroids_train_and_search(spark, sf_dir):
         for r in ivf_topk(emb, cents, query_vec_id=3, k=5, nprobe=2).collect()
     ]
     assert len(part) <= 5 and 3 not in part
+
+
+def test_refresh_ivf_index_incremental_and_erasure(spark, sf_dir, tmp_path):
+    """Cursor-driven IVF maintenance: bootstrap == full build; vector
+    updates re-assign only the changed ids; erased vectors leave the
+    index; the maintained index equals a from-scratch rebuild."""
+    from pyspark.sql import functions as F
+
+    from urban_mobility_data_pipeline_spark.extensions.similarity import (
+        ivf_assign,
+        ivf_centroids,
+        refresh_ivf_index,
+    )
+    from urban_mobility_data_pipeline_spark.operators.merge import MergeTable
+    from urban_mobility_data_pipeline_spark.operators.watermark import (
+        VersionCursor,
+    )
+
+    emb = _emb(spark, sf_dir)
+    cents = ivf_centroids(emb)
+    source = MergeTable(spark, str(tmp_path / "emb"))
+    source.create(emb)
+    index = MergeTable(spark, str(tmp_path / "ivf"))
+    cursor = VersionCursor(spark, str(tmp_path / "cur"))
+
+    n0 = refresh_ivf_index(source, index, cents, cursor)
+    assert n0 == emb.count()
+    assert index.read().count() == emb.count()
+    assert refresh_ivf_index(source, index, cents, cursor) == 0
+
+    # move one vector to (approximately) another cell and erase another
+    victim, erased = 0, 1
+    moved = (
+        source.read()
+        .filter(F.col("vec_id") == victim)
+        .withColumn(
+            "embedding",
+            F.transform("embedding", lambda x: -x),  # flip direction
+        )
+    )
+    source.merge(
+        moved, keys=["vec_id"],
+        update_set={"embedding": F.col("s.embedding")},
+    )
+    source.delete(F.col("vec_id") == erased)
+    n1 = refresh_ivf_index(source, index, cents, cursor)
+    assert n1 >= 2
+    idx = index.read()
+    assert idx.filter(F.col("vec_id") == erased).count() == 0
+    # maintained == rebuilt, row for row (vec_id, cell)
+    rebuilt = ivf_assign(source.read(), cents).select("vec_id", "cell")
+    live = idx.select("vec_id", "cell")
+    assert (
+        live.exceptAll(rebuilt).count() == 0
+        and rebuilt.exceptAll(live).count() == 0
+    )

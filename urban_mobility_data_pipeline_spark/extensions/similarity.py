@@ -415,3 +415,58 @@ def train_kmeans_centroids(
         (i, [float(x) for x in c]) for i, c in enumerate(model.clusterCenters())
     ]
     return spark.createDataFrame(rows, "cell int, centroid array<double>")
+
+
+def refresh_ivf_index(
+    source,
+    index_table,
+    centroids: DataFrame,
+    cursor,
+    job: str = "ivf_index",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> int:
+    """Cursor-driven incremental maintenance of the materialized IVF
+    index — the embedding twin of ``dedup_index.refresh_dedup_index``
+    and ``vocab.refresh_vocabulary``: fold the ``source`` MergeTable's
+    commits since the cursor into the cell-partitioned index, paying
+    O(changed vectors), never O(corpus). New/changed vectors re-assign
+    and upsert (rewriting only their cells); erased vectors delete
+    their index rows (GDPR reach-through). Returns changed-vector
+    count (0 = current)."""
+    head_hist = source.history()
+    head = head_hist[0]["version"] if head_hist else 0
+    cur = cursor.read_version(job)
+    if not index_table.exists() or cur == 0:
+        build_ivf_index(
+            source.read(), centroids, index_table, id_col, vec_col
+        )
+        n = source.read().count()
+        cursor.upsert(job, head, "OK")
+        return n
+    if head <= cur:
+        cursor.upsert(job, None, "OK")
+        return 0
+    try:
+        changed_ids = (
+            source.read_changes(cur)
+            .select(id_col)
+            .unionByName(source.read_removed(cur).select(id_col))
+            .distinct()
+        )
+        live = source.read()
+        current_changed = live.join(changed_ids, id_col)
+        n = current_changed.count()
+        if n:
+            build_ivf_index(
+                current_changed, centroids, index_table, id_col, vec_col
+            )
+        erased = changed_ids.join(live.select(id_col), id_col, "left_anti")
+        erased_ids = [r[0] for r in erased.collect()]
+        if erased_ids:
+            index_table.delete(F.col(id_col).isin(erased_ids))
+        cursor.upsert(job, head, "OK")
+        return n + len(erased_ids)
+    except Exception:
+        cursor.upsert(job, None, "FAIL")
+        raise
