@@ -38,6 +38,19 @@ implements the same storage contract natively on parquet:
   (they commute), conflicting mutations surface to the caller —
   single-log optimistic concurrency, same model as Delta, scoped to a
   shared POSIX filesystem.
+- **File-skipping sidecars.** Per-file min/max zone maps
+  (``analyze``/``read_between``/``delete_older_than``) and per-file
+  bloom filters (``build_blooms``/``read_by_keys``/``delete_by_keys``)
+  — range scans and point lookups skip files before Spark lists any
+  parquet; both incremental, both vacuumed with the data.
+- **CHECK constraints** (``add_constraint``) enforced INSIDE every
+  write job via ``observe()`` — violations abort before the staged
+  files publish. **Shallow clone** (``clone``) hard-links a snapshot
+  as a new table in O(files). **Row-level diff** (``diff``) tags
+  insert/delete between versions reading only non-shared files.
+  **OPTIMIZE** (``compact``: bin-pack / sort / multi-column Z-ORDER),
+  **VACUUM DRY RUN**, and atomic **partition-layout evolution**
+  (``repartition_table``).
 
 Directories written by plain Spark jobs (no log) are still readable and
 are adopted into the log on their first mutation. On a real deployment,
