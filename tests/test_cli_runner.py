@@ -165,7 +165,8 @@ def test_cli_corpus_erase(spark, sf_dir, tmp_path, capsys):
     audit = MergeTable(spark, os.path.join(root, "gdpr_audit")).read()
     rows = audit.collect()
     assert len(rows) == 1 and rows[0]["entity"] == "documents"
-    assert len(CORPUS_ID_COLS) == 6  # all six derivatives stay registered
+    assert len(CORPUS_ID_COLS) == 7  # all derivatives (incl. the
+    # maintained dedup index) stay registered
 
 
 def test_cli_corpus_index_build_then_bloom_erase(spark, sf_dir, tmp_path, capsys):

@@ -184,3 +184,35 @@ def test_erasure_reaches_the_materialized_ivf_index(spark, sf_dir, tmp_path):
     got = ivf_topk_indexed(index, cents, query_vec_id=0, k=10, nprobe=10)
     ids = [r.vec_id for r in got.collect()]
     assert len(ids) == 10 and victim not in ids
+
+
+def test_erasure_reaches_the_dedup_index_immediately(spark, sf_dir, tmp_path):
+    """The maintained LSH band index is a corpus derivative: erasure
+    must delete its rows NOW, not at the next refresh cadence."""
+    from pyspark.sql import functions as F
+
+    from urban_mobility_data_pipeline_spark.extensions.dedup_index import (
+        refresh_dedup_index,
+    )
+    from urban_mobility_data_pipeline_spark.operators.watermark import (
+        VersionCursor,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").limit(60)
+    corpus = MergeTable(spark, str(tmp_path / "documents"))
+    corpus.create(docs)
+    index = MergeTable(spark, str(tmp_path / "dedup_index"))
+    cursor = VersionCursor(spark, str(tmp_path / "cursor"))
+    refresh_dedup_index(corpus, index, cursor)
+
+    victim = docs.select("doc_id").first()[0]
+    deleted = erase_document_ids(
+        spark,
+        [victim],
+        {"documents": corpus, "dedup_index": index},
+        vacuum=True,
+    )
+    assert deleted["documents"] == 1
+    assert deleted["dedup_index"] > 0  # the B band rows
+    assert index.read().filter(F.col("doc_id") == victim).count() == 0
+    assert corpus.read().filter(F.col("doc_id") == victim).count() == 0

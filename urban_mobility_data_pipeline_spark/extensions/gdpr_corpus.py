@@ -55,6 +55,11 @@ CORPUS_ID_COLS: dict[str, tuple[str, ...]] = {
     "near_dup_pairs": ("doc_a", "doc_b"),
     "dup_clusters": ("doc_id",),
     "dedup_corpus": ("doc_id",),
+    # the incrementally maintained LSH band index (dedup-at-ingest):
+    # its refresh would drop erased ids on the NEXT cycle via the
+    # removed-side change feed, but a GDPR erasure must not wait for
+    # a maintenance cadence — delete the B band rows now
+    "dedup_index": ("doc_id",),
 }
 
 
