@@ -204,7 +204,7 @@ NOTES = (
     " window (shared-host frequency/steal weather, not a plan change —"
     " per-query ratios were uniform ~1.3-2x across queries untouched"
     " for rounds, e.g. pricing_summary). The committed map is one run's"
-    " weather; calibration_sec (fixed CPU-bound xxhash64 sum over"
+    " weather; calibration_sec (fixed CPU-bound xxhash64 avg over"
     " range(200M), no IO) is recorded so cross-run comparisons can"
     " normalize: compare value/calibration_sec, not value."
     " --- r4->r5 embedding-family creep (embedding_near_dup_pairs"
