@@ -223,3 +223,56 @@ def test_cli_corpus_index_build_then_bloom_erase(spark, sf_dir, tmp_path, capsys
 
     assert remaining.filter(F.col("doc_id") == victim).count() == 0
     assert remaining.count() == 199
+
+
+def test_cli_corpus_maintenance_full_pass(spark, sf_dir, tmp_path, capsys):
+    """corpus_maintenance drives compaction + vocab + dedup-index
+    refresh + sidecars + vacuum in one dispatch; a second run is a
+    cheap no-op (indexes current, nothing to vacuum)."""
+    import json
+    import os
+
+    from urban_mobility_data_pipeline_spark.operators.merge import MergeTable
+    from urban_mobility_data_pipeline_spark.run import main
+
+    root = str(tmp_path / "corpus")
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").limit(
+        120
+    ).repartition(3)
+    MergeTable(spark, os.path.join(root, "documents")).create(docs)
+
+    rc = main(
+        [
+            "corpus_maintenance",
+            "--lake", str(tmp_path / "lake"),
+            "--corpus", root,
+            "--retain-hours", "0",
+        ],
+        spark=spark,
+    )
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "vocab folded 120 docs" in out
+    assert "dedup index folded 120 docs" in out
+
+    vocab = MergeTable(spark, os.path.join(root, "vocab"))
+    index = MergeTable(spark, os.path.join(root, "dedup_index"))
+    assert vocab.exists() and index.exists()
+    docs_t = MergeTable(spark, os.path.join(root, "documents"))
+    assert docs_t.has_blooms(["doc_id"])
+    with open(docs_t._bloom_sidecar_path()) as f:
+        assert len(json.load(f)) == 3
+
+    rc = main(
+        [
+            "corpus_maintenance",
+            "--lake", str(tmp_path / "lake"),
+            "--corpus", root,
+            "--retain-hours", "0",
+        ],
+        spark=spark,
+    )
+    assert rc == 0
+    out2 = capsys.readouterr().out
+    assert "vocab folded 0 docs" in out2
+    assert "dedup index folded 0 docs" in out2

@@ -2237,3 +2237,110 @@ def priority_status_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
         variableColumnName="status",
         valueColumnName="n_orders",
     )
+
+
+# ---------------------------------------------------------------------------
+# Pareto / cumulative revenue concentration
+# ---------------------------------------------------------------------------
+@register(
+    "part_revenue_pareto",
+    oracle="""
+    WITH pr AS (
+        SELECT l_partkey,
+               CAST(sum(CAST(round(l_extendedprice * (1 - l_discount)
+                                   * 10000) AS BIGINT)) AS BIGINT) AS rev_e4
+        FROM lineitem GROUP BY 1
+    ),
+    ranked AS (
+        SELECT l_partkey, rev_e4,
+               row_number() OVER (ORDER BY rev_e4 DESC, l_partkey) AS rnk,
+               CAST(sum(rev_e4) OVER (ORDER BY rev_e4 DESC, l_partkey
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                    AS BIGINT) AS cum_e4,
+               CAST(sum(rev_e4) OVER () AS BIGINT) AS total_e4,
+               count(*) OVER () AS n_parts
+        FROM pr
+    )
+    SELECT ntile AS decile,
+           max(round(cum_e4 / CAST(total_e4 AS DOUBLE), 6)) AS cum_share
+    FROM (SELECT *, ntile(10) OVER (ORDER BY rnk) AS ntile FROM ranked)
+    GROUP BY 1
+    """,
+)
+def part_revenue_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pareto curve of revenue concentration: rank parts by revenue,
+    take the running share of total, report the cumulative share at
+    each rank decile — the 80/20 chart behind assortment decisions.
+    Revenue is summed in exact fixed-point, so running sums are
+    fold-order-proof integers and the shares hash identically. The
+    windows run over the AGGREGATED |parts| frame (never lineitem);
+    the single-partition ordered window is fine at that cardinality —
+    at 100 TB you'd approximate the curve from quantile boundaries
+    instead of a total order."""
+    li = table(spark, sf_dir, "lineitem")
+    rev_e4 = F.round(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 10000
+    ).cast("long")
+    pr = li.groupBy("l_partkey").agg(F.sum(rev_e4).alias("rev_e4"))
+    w_order = Window.orderBy(F.desc("rev_e4"), F.asc("l_partkey"))
+    w_cum = w_order.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    w_all = Window.partitionBy()
+    ranked = pr.select(
+        "l_partkey",
+        "rev_e4",
+        F.row_number().over(w_order).alias("rnk"),
+        F.sum("rev_e4").over(w_cum).alias("cum_e4"),
+        F.sum("rev_e4").over(w_all).alias("total_e4"),
+    ).withColumn("decile", F.ntile(10).over(Window.orderBy("rnk")))
+    return ranked.groupBy("decile").agg(
+        F.max(
+            F.round(F.col("cum_e4") / F.col("total_e4").cast("double"), 6)
+        ).alias("cum_share")
+    )
+
+
+# ---------------------------------------------------------------------------
+# daily event-count anomalies (z-score)
+# ---------------------------------------------------------------------------
+@register(
+    "event_daily_anomalies",
+    oracle="""
+    WITH daily AS (
+        SELECT event_type, strftime(ts, '%Y-%m-%d') AS day,
+               count(*) AS n
+        FROM events GROUP BY 1, 2
+    ),
+    stats AS (
+        SELECT event_type,
+               avg(n) AS mu,
+               stddev_samp(n) AS sigma
+        FROM daily GROUP BY 1
+    )
+    SELECT d.event_type, d.day, d.n,
+           round((d.n - s.mu) / s.sigma, 4) AS zscore
+    FROM daily d JOIN stats s ON s.event_type = d.event_type
+    WHERE s.sigma > 0 AND abs((d.n - s.mu) / s.sigma) >= 2.0
+    """,
+)
+def event_daily_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Volume-anomaly detection: days whose event count sits ≥2σ from
+    the type's mean — the monitoring query behind ingest alerting.
+    Two-stage: the daily rollup collapses events map-side to
+    (type, day) grain, the per-type moments aggregate the tiny daily
+    frame, and the join back is broadcast (|types| rows). Everything
+    after the first rollup is metadata-sized."""
+    ev = table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", date_str(event_time(), "yyyy-MM-dd").alias("day")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    stats = daily.groupBy("event_type").agg(
+        F.avg("n").alias("mu"), F.stddev_samp("n").alias("sigma")
+    )
+    z = (F.col("n") - F.col("mu")) / F.col("sigma")
+    return (
+        daily.join(F.broadcast(stats), "event_type")
+        .filter((F.col("sigma") > 0) & (F.abs(z) >= 2.0))
+        .select(
+            "event_type", "day", "n", F.round(z, 4).alias("zscore")
+        )
+    )

@@ -281,6 +281,78 @@ def _corpus_index_job(lake: J.Lakehouse, args) -> str:
     return f"corpus indexes built (blooms + zone maps): {built}"
 
 
+def _corpus_maintenance_job(lake: J.Lakehouse, args) -> str:
+    """One-pass corpus housekeeping — the nightly job an operator
+    schedules after ingest cycles: auto-compact every corpus table
+    past the small-file threshold, refresh the maintained indexes
+    (vocabulary + LSH dedup index) from the txn log, top up the
+    bloom/zone-map sidecars, and vacuum dereferenced files outside
+    the retention window. Every step is incremental/no-op-cheap, so
+    running it often is safe."""
+    from urban_mobility_data_pipeline_spark.extensions.dedup_index import (
+        refresh_dedup_index,
+    )
+    from urban_mobility_data_pipeline_spark.extensions.gdpr_corpus import (
+        CORPUS_ID_COLS,
+    )
+    from urban_mobility_data_pipeline_spark.extensions.vocab import (
+        refresh_vocabulary,
+    )
+    from urban_mobility_data_pipeline_spark.operators.merge import MergeTable
+    from urban_mobility_data_pipeline_spark.operators.watermark import (
+        VersionCursor,
+    )
+
+    root = args.corpus or os.path.join(args.lake, "corpus")
+    corpus = MergeTable(lake.spark, os.path.join(root, "documents"))
+    if not corpus.exists():
+        raise SystemExit("corpus_maintenance: no corpus at " + root)
+    report: list[str] = []
+    compacted = 0
+    for name in CORPUS_ID_COLS:
+        t = MergeTable(lake.spark, os.path.join(root, name))
+        if t.exists() and t.auto_compact(max_files=64):
+            compacted += 1
+    report.append(f"compacted {compacted} tables")
+    vocab = MergeTable(
+        lake.spark, os.path.join(root, "vocab"),
+        bucket_keys=["token"], num_buckets=32,
+    )
+    n_vocab = refresh_vocabulary(
+        corpus, vocab, VersionCursor(
+            lake.spark, os.path.join(root, "vocab_cursor")
+        )
+    )
+    report.append(f"vocab folded {n_vocab} docs")
+    index = MergeTable(
+        lake.spark, os.path.join(root, "dedup_index"),
+        bucket_keys=["doc_id"], num_buckets=32,
+    )
+    n_idx = refresh_dedup_index(
+        corpus, index, VersionCursor(
+            lake.spark, os.path.join(root, "dedup_index_cursor")
+        )
+    )
+    report.append(f"dedup index folded {n_idx} docs")
+    n_blooms = 0
+    for name, cols in CORPUS_ID_COLS.items():
+        t = MergeTable(lake.spark, os.path.join(root, name))
+        if not t.exists():
+            continue
+        for c in cols:
+            t.build_blooms(c, fpp=args.bloom_fpp)
+            n_blooms += 1
+        t.analyze(list(cols))
+    report.append(f"sidecars refreshed ({n_blooms} bloom cols)")
+    vacuumed = 0
+    for name in CORPUS_ID_COLS:
+        t = MergeTable(lake.spark, os.path.join(root, name))
+        if t.exists():
+            vacuumed += t.vacuum(retain_hours=args.retain_hours)
+    report.append(f"vacuumed {vacuumed} files")
+    return "corpus maintenance: " + "; ".join(report)
+
+
 def _optimize_job(lake: J.Lakehouse, args) -> str:
     """Delta OPTIMIZE [ZORDER BY] as a first-class command: compact any
     MergeTable's small files, optionally clustering output files by a
@@ -342,6 +414,7 @@ def build_registry() -> dict:
     registry["corpus_index_build"] = _corpus_index_job
     registry["dedup_index_refresh"] = _dedup_index_job
     registry["optimize"] = _optimize_job
+    registry["corpus_maintenance"] = _corpus_maintenance_job
     registry["retention_cleanup"] = _retention_job
     registry["create_control_tables"] = _control_tables_job
     return registry
@@ -369,6 +442,10 @@ def main(argv: list[str] | None = None, spark=None) -> int:
         help="bloom false-positive rate (corpus_index_build)",
     )
     p.add_argument("--table", help="MergeTable path (optimize)")
+    p.add_argument(
+        "--retain-hours", type=float, default=168.0,
+        help="vacuum retention window (corpus_maintenance); default 7d",
+    )
     p.add_argument("--zorder", help="comma-separated Z-ORDER columns (optimize)")
     p.add_argument("--sort", help="comma-separated sort columns (optimize)")
     p.add_argument(
