@@ -276,3 +276,21 @@ def test_cli_corpus_maintenance_full_pass(spark, sf_dir, tmp_path, capsys):
     out2 = capsys.readouterr().out
     assert "vocab folded 0 docs" in out2
     assert "dedup index folded 0 docs" in out2
+
+
+def test_cli_explain_prints_formatted_plan(spark, sf_dir, capsys, tmp_path):
+    from urban_mobility_data_pipeline_spark.run import main
+
+    rc = main(
+        [
+            "explain",
+            "--lake", str(tmp_path / "lake"),
+            "--query", "pricing_summary",
+            "--sf-dir", sf_dir,
+        ],
+        spark=spark,
+    )
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "Physical Plan" in out and "HashAggregate" in out
+    assert "PushedFilters" in out

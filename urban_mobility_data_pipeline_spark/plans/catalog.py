@@ -43,7 +43,7 @@ FLAGSHIP = "pricing_summary"
 # After this rotation the only r5-era catalog entry never
 # driver-checked is daily_distinct_users_sketch — rows-only BY DESIGN
 # (an HLL sketch has no cross-engine value hash); it stays
-# pytest+bench-covered. TWENTY-FOUR queries added LATE in round 6 are
+# pytest+bench-covered. The queries added LATE in round 6 are
 # pytest-oracle green and first in line for the round-7 rotation:
 # documents_ngram_contamination, corpus_mixing_weights,
 # corpus_tokenizer_fertility, the TPC-H-shape widening
@@ -59,7 +59,9 @@ FLAGSHIP = "pricing_summary"
 # dropDuplicatesWithinWatermark), sql_interface_order_priorities
 # (spark.sql façade), corpus_dedup_rate_by_source (dedup dashboard),
 # segment_customer_rankings (dense_rank/percent_rank/cume_dist/
-# nth_value), and priority_status_unpivot (DataFrame.unpivot).
+# nth_value), priority_status_unpivot (DataFrame.unpivot),
+# part_revenue_pareto (cumulative concentration), and
+# event_daily_anomalies (z-score monitoring).
 #
 # Rotated OUT to make room (each keeps pytest-oracle + bench coverage;
 # SURVEY coverage retained by an in-list query as noted):

@@ -281,6 +281,32 @@ def _corpus_index_job(lake: J.Lakehouse, args) -> str:
     return f"corpus indexes built (blooms + zone maps): {built}"
 
 
+def _explain_job(lake: J.Lakehouse, args) -> str:
+    """Print the formatted physical plan of any catalog query — the
+    plan-audit loop (pushdown reached the scan? join broadcast? python
+    in the hot path?) as a first-class command:
+
+        python -m ..._spark.run explain --query pricing_summary
+    """
+    from urban_mobility_data_pipeline_spark.plans.catalog import QUERIES
+
+    if not args.query:
+        raise SystemExit(
+            "explain requires --query NAME; names: "
+            + " ".join(sorted(QUERIES)[:8])
+            + " ... (see plans/catalog.py)"
+        )
+    if args.query not in QUERIES:
+        raise SystemExit(f"unknown query {args.query!r}")
+    sf_dir = args.sf_dir or "/root/testdata/sf0.001"
+    df = QUERIES[args.query](lake.spark, sf_dir)
+    return df._jdf.queryExecution().explainString(
+        lake.spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            args.explain_mode
+        )
+    )
+
+
 def _corpus_maintenance_job(lake: J.Lakehouse, args) -> str:
     """One-pass corpus housekeeping — the nightly job an operator
     schedules after ingest cycles: auto-compact every corpus table
@@ -415,6 +441,7 @@ def build_registry() -> dict:
     registry["dedup_index_refresh"] = _dedup_index_job
     registry["optimize"] = _optimize_job
     registry["corpus_maintenance"] = _corpus_maintenance_job
+    registry["explain"] = _explain_job
     registry["retention_cleanup"] = _retention_job
     registry["create_control_tables"] = _control_tables_job
     return registry
@@ -445,6 +472,12 @@ def main(argv: list[str] | None = None, spark=None) -> int:
     p.add_argument(
         "--retain-hours", type=float, default=168.0,
         help="vacuum retention window (corpus_maintenance); default 7d",
+    )
+    p.add_argument("--query", help="catalog query name (explain)")
+    p.add_argument("--sf-dir", help="testdata dir (explain)")
+    p.add_argument(
+        "--explain-mode", default="formatted",
+        choices=["simple", "extended", "formatted", "cost", "codegen"],
     )
     p.add_argument("--zorder", help="comma-separated Z-ORDER columns (optimize)")
     p.add_argument("--sort", help="comma-separated sort columns (optimize)")
