@@ -230,3 +230,17 @@ def test_repartition_table_changes_layout_prunes_and_time_travels(
     assert q.count() == 250
     # time travel still reads the OLD layout
     assert t.read(version=1).count() == 1000
+
+
+def test_history_carries_written_rows_metrics(spark, tmp_path):
+    """Every data-writing commit records the rows its staging job
+    wrote, observed during the write itself — Delta operationMetrics
+    without a second count."""
+    t = MergeTable(spark, str(tmp_path / "t"))
+    t.create(spark.range(100).select(F.col("id"), (F.col("id") * 2).alias("v")))
+    t.append(spark.range(100, 130).select(F.col("id"), (F.col("id") * 2).alias("v")))
+    t.delete(F.col("id") < 10)
+    hist = {h["version"]: h for h in t.history()}
+    assert hist[1]["metrics"] == {"written_rows": 100}
+    assert hist[2]["metrics"] == {"written_rows": 30}
+    assert hist[3]["metrics"] == {"written_rows": 120}  # rewrite keeps 120

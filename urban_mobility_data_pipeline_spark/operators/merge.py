@@ -222,6 +222,13 @@ class MergeTable:
         so exactly one of two racing writers wins the version."""
         os.makedirs(self._log_dir(), exist_ok=True)
         manifest.setdefault("ts", time.time())
+        # operationMetrics: rows written by the staging job that fed
+        # this commit (observed during the write itself — no extra
+        # count). Metadata-only commits carry none.
+        rows = getattr(self, "_last_write_rows", None)
+        if rows is not None:
+            manifest.setdefault("metrics", {"written_rows": rows})
+            self._last_write_rows = None
         tmp = os.path.join(self._log_dir(), f".tmp-{uuid.uuid4().hex}")
         with open(tmp, "w") as f:
             json.dump(manifest, f)
@@ -282,40 +289,39 @@ class MergeTable:
         # holds a bad row (write-then-verify-then-commit, which is the
         # only ordering that stays atomic on a 1000-executor write).
         cons = self.constraints()
-        obs = None
-        if cons:
-            from pyspark.sql import Observation
+        from pyspark.sql import Observation
 
-            obs = Observation()
-            df = df.observe(
-                obs,
-                *[
-                    F.count(
-                        F.when(
-                            ~F.coalesce(
-                                F.expr(e).cast("boolean"), F.lit(True)
-                            ),
-                            1,
-                        )
-                    ).alias(n)
-                    for n, e in cons.items()
-                ],
-            )
+        # one observation rides every write job: the row count (free
+        # operationMetrics for the commit log) plus one violation
+        # counter per CHECK constraint
+        obs = Observation()
+        metrics = [F.count(F.lit(1)).alias("__written_rows")]
+        metrics += [
+            F.count(
+                F.when(
+                    ~F.coalesce(F.expr(e).cast("boolean"), F.lit(True)),
+                    1,
+                )
+            ).alias(n)
+            for n, e in cons.items()
+        ]
+        df = df.observe(obs, *metrics)
         w = df.write.mode("overwrite")
         if pcols:
             w = w.partitionBy(*pcols)
         w.parquet(staging)
-        if obs is not None:
-            bad = {n: v for n, v in obs.get.items() if v}
-            if bad:
-                shutil.rmtree(staging_local, ignore_errors=True)
-                raise ConstraintViolationError(
-                    f"CHECK constraint(s) violated, write aborted: "
-                    + ", ".join(
-                        f"{n} ({v} rows, expr: {cons[n]!r})"
-                        for n, v in bad.items()
-                    )
+        observed = obs.get
+        self._last_write_rows = int(observed.pop("__written_rows", 0))
+        bad = {n: v for n, v in observed.items() if v}
+        if bad:
+            shutil.rmtree(staging_local, ignore_errors=True)
+            raise ConstraintViolationError(
+                f"CHECK constraint(s) violated, write aborted: "
+                + ", ".join(
+                    f"{n} ({v} rows, expr: {cons[n]!r})"
+                    for n, v in bad.items()
                 )
+            )
         rels: list[str] = []
         leafs: set[str] = set()
         for dirpath, _dirs, files in os.walk(staging_local):
@@ -468,6 +474,7 @@ class MergeTable:
                     "op": m.get("op"),
                     "ts": m.get("ts"),
                     "n_files": len(m["files"]),
+                    "metrics": m.get("metrics") or {},
                 }
             )
         return out
