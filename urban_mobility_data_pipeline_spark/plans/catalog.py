@@ -45,6 +45,9 @@ FLAGSHIP = "pricing_summary"
 # (an HLL sketch has no cross-engine value hash); it stays
 # pytest+bench-covered. The queries added LATE in round 6 are
 # pytest-oracle green and first in line for the round-7 rotation:
+# doc_bm25_topk (BM25 lexical retrieval), corpus_epoch_sample
+# (mixing weights APPLIED via deterministic fingerprint sampling),
+# doc_duplicated_ngrams (Lee-et-al substring-level dedup signal),
 # documents_ngram_contamination, corpus_mixing_weights,
 # corpus_tokenizer_fertility, the TPC-H-shape widening
 # (customer_order_count_distribution Q13, small_quantity_part_revenue

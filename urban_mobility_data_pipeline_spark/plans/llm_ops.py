@@ -2483,3 +2483,303 @@ def corpus_dedup_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("dup_rate"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# BM25 retrieval (lexical top-k against the corpus)
+# ---------------------------------------------------------------------------
+BM25_K1 = 1.2
+BM25_B = 0.75
+BM25_QUERY_TERMS = ("dup", "merge", "window")
+BM25_TOP_K = 20
+
+_BM25_TERMS_SQL = ", ".join(f"'{t}'" for t in BM25_QUERY_TERMS)
+
+
+@register(
+    "doc_bm25_topk",
+    oracle=f"""
+    WITH dl AS (
+        SELECT doc_id, CAST(len({_WORDS}) AS DOUBLE) AS dl
+        FROM documents
+    ),
+    stats AS (
+        SELECT CAST(count(*) AS DOUBLE) AS n_docs, avg(dl) AS avgdl
+        FROM dl
+    ),
+    toks AS (SELECT doc_id, unnest({_WORDS}) AS token FROM documents),
+    tf AS (
+        SELECT doc_id, token, CAST(count(*) AS DOUBLE) AS tf
+        FROM toks WHERE token IN ({_BM25_TERMS_SQL})
+        GROUP BY 1, 2
+    ),
+    df AS (SELECT token, CAST(count(*) AS DOUBLE) AS df
+           FROM tf GROUP BY 1),
+    scored AS (
+        SELECT tf.doc_id,
+               sum(ln((s.n_docs - df.df + 0.5) / (df.df + 0.5) + 1.0)
+                   * tf.tf * ({BM25_K1} + 1.0)
+                   / (tf.tf + {BM25_K1}
+                      * (1.0 - {BM25_B} + {BM25_B} * dl.dl / s.avgdl)))
+                   AS score,
+               CAST(count(*) AS INTEGER) AS n_terms_matched
+        FROM tf
+        JOIN df USING (token)
+        JOIN dl USING (doc_id)
+        CROSS JOIN stats s
+        GROUP BY tf.doc_id
+    )
+    SELECT doc_id, round(score, 6) AS bm25_score, n_terms_matched
+    FROM scored
+    ORDER BY round(score, 6) DESC, doc_id ASC
+    LIMIT {BM25_TOP_K}
+    """,
+)
+def doc_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 lexical retrieval: top-{k} documents for the fixed query
+    ``{terms}`` — the retrieval primitive behind corpus search,
+    contamination spot-checks, and RAG candidate generation, expressed
+    as pure relational algebra (Robertson/Sparck Jones BM25 with
+    k1={k1}, b={b}).
+
+    Scale shape: only QUERY tokens survive the per-doc array filter,
+    so the explode emits a few rows per matching doc — never the full
+    token stream (at 100 TB the non-query vocabulary stays inside the
+    map task). Corpus statistics (N, avgdl) and the per-term document
+    frequencies are tiny aggregates broadcast into the scoring join,
+    and the final top-k is a TakeOrderedAndProject: each partition
+    forwards at most {k} rows. The rank orders by the ROUNDED score
+    with a doc_id tiebreak so the ordering is reproducible across
+    engines (1-ulp ``ln`` differences can't flip it)."""
+    docs = table(spark, sf_dir, "documents")
+    terms = F.array(*[F.lit(t) for t in BM25_QUERY_TERMS])
+
+    toks = docs.select(
+        "doc_id",
+        T.words("text").alias("toks"),
+    ).select(
+        "doc_id",
+        F.size("toks").cast("double").alias("dl"),
+        # keep only query-term occurrences BEFORE exploding
+        F.filter("toks", lambda t: F.array_contains(terms, t)).alias(
+            "qtoks"
+        ),
+    )
+    dl = toks.select("doc_id", "dl")
+    stats = dl.agg(
+        F.count(F.lit(1)).cast("double").alias("n_docs"),
+        F.avg("dl").alias("avgdl"),
+    )
+    tf = (
+        toks.select("doc_id", F.explode("qtoks").alias("token"))
+        .groupBy("doc_id", "token")
+        .agg(F.count(F.lit(1)).cast("double").alias("tf"))
+    )
+    df_ = tf.groupBy("token").agg(
+        F.count(F.lit(1)).cast("double").alias("df")
+    )
+    k1, b = F.lit(BM25_K1), F.lit(BM25_B)
+    idf = F.log(
+        (F.col("n_docs") - F.col("df") + F.lit(0.5))
+        / (F.col("df") + F.lit(0.5))
+        + F.lit(1.0)
+    )
+    contrib = idf * F.col("tf") * (k1 + F.lit(1.0)) / (
+        F.col("tf")
+        + k1 * (F.lit(1.0) - b + b * F.col("dl") / F.col("avgdl"))
+    )
+    scored = (
+        tf.join(F.broadcast(df_), "token")
+        .join(dl, "doc_id")
+        .join(F.broadcast(stats))
+        .groupBy("doc_id")
+        .agg(
+            F.sum(contrib).alias("score"),
+            F.count(F.lit(1)).cast("int").alias("n_terms_matched"),
+        )
+    )
+    return (
+        scored.select(
+            "doc_id",
+            F.round("score", 6).alias("bm25_score"),
+            "n_terms_matched",
+        )
+        .orderBy(F.desc("bm25_score"), F.asc("doc_id"))
+        .limit(BM25_TOP_K)
+    )
+
+
+doc_bm25_topk.__doc__ = doc_bm25_topk.__doc__.format(
+    k=BM25_TOP_K, terms=" ".join(BM25_QUERY_TERMS), k1=BM25_K1, b=BM25_B
+)
+
+
+# ---------------------------------------------------------------------------
+# epoch sampling: APPLY the mixing weights deterministically
+# ---------------------------------------------------------------------------
+@register(
+    "corpus_epoch_sample",
+    oracle=f"""
+    WITH per_source AS (
+        SELECT source, CAST(sum(len({_WORDS})) AS DOUBLE) AS n_tokens
+        FROM documents GROUP BY 1
+    ),
+    tot AS (SELECT sum(n_tokens) AS t FROM per_source),
+    shares AS (
+        SELECT source, n_tokens / tot.t AS share
+        FROM per_source CROSS JOIN tot
+    ),
+    mn AS (SELECT min(share) AS m FROM shares),
+    rates AS (
+        SELECT source, pow(mn.m / share, {1.0 - MIX_ALPHA}) AS rate
+        FROM shares CROSS JOIN mn
+    )
+    SELECT d.doc_id, d.source, round(r.rate, 6) AS sample_rate
+    FROM documents d JOIN rates r USING (source)
+    WHERE CAST(('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 8))
+               AS BIGINT) / 4294967296.0 < r.rate
+    """,
+)
+def corpus_epoch_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One training epoch's document sample, with the temperature
+    mixing weights (``corpus_mixing_weights``, alpha={alpha}) actually
+    APPLIED: per-source keep-rate r_s = (min_share / share_s)^(1-alpha),
+    so the rarest source is kept in full and head sources are
+    down-sampled toward the alpha-tempered mix a trainer's loader
+    expects. Membership is a pure function of doc_id (32-bit md5
+    fingerprint < rate), so the epoch is reproducible across runs,
+    partitionings, and engines, and incremental appends join the
+    sample without disturbing prior membership — ``df.sample()`` can
+    guarantee none of that.
+
+    Scale shape: the rate table is a per-source scalar rollup
+    broadcast into a map-side filter over the corpus — no shuffle of
+    document rows at all; at 100 TB this is a single scan."""
+    docs = table(spark, sf_dir, "documents")
+    per_source = docs.groupBy("source").agg(
+        F.sum(T.whitespace_token_count("text"))
+        .cast("double")
+        .alias("n_tokens")
+    )
+    tot = per_source.agg(F.sum("n_tokens").alias("t"))
+    shares = per_source.join(F.broadcast(tot)).select(
+        "source", (F.col("n_tokens") / F.col("t")).alias("share")
+    )
+    mn = shares.agg(F.min("share").alias("m"))
+    rates = shares.join(F.broadcast(mn)).select(
+        "source",
+        F.pow(F.col("m") / F.col("share"), F.lit(1.0 - MIX_ALPHA)).alias(
+            "rate"
+        ),
+    )
+    u32 = (
+        F.conv(
+            F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8),
+            16,
+            10,
+        ).cast("long")
+        / F.lit(4294967296.0)
+    )
+    return (
+        docs.join(F.broadcast(rates), "source")
+        .where(u32 < F.col("rate"))
+        .select(
+            "doc_id",
+            "source",
+            F.round("rate", 6).alias("sample_rate"),
+        )
+    )
+
+
+corpus_epoch_sample.__doc__ = corpus_epoch_sample.__doc__.format(
+    alpha=MIX_ALPHA
+)
+
+
+# ---------------------------------------------------------------------------
+# cross-document duplicated n-gram spans (substring-level dedup signal)
+# ---------------------------------------------------------------------------
+DUP_NGRAM_N = 5
+
+_G5 = (
+    f"list_distinct(CASE WHEN len({_WORDS}) >= {DUP_NGRAM_N} THEN "
+    f"list_transform(generate_series(1, len({_WORDS}) - {DUP_NGRAM_N - 1}), "
+    f"i -> " + " || ' ' || ".join(
+        f"{_WORDS}[i+{j}]" if j else f"{_WORDS}[i]"
+        for j in range(DUP_NGRAM_N)
+    )
+    + ") ELSE CAST([] AS VARCHAR[]) END)"
+)
+
+
+@register(
+    "doc_duplicated_ngrams",
+    oracle=f"""
+    WITH g AS (SELECT doc_id, {_G5} AS gs FROM documents),
+    e AS (SELECT doc_id, unnest(gs) AS gram FROM g),
+    d AS (SELECT gram, count(*) AS nd FROM e GROUP BY 1)
+    SELECT e.doc_id,
+           count(*) AS n_ngrams,
+           CAST(sum(CASE WHEN d.nd >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_dup_ngrams,
+           round(sum(CASE WHEN d.nd >= 2 THEN 1 ELSE 0 END)
+                 / CAST(count(*) AS DOUBLE), 6) AS dup_fraction
+    FROM e JOIN d USING (gram)
+    GROUP BY e.doc_id
+    """,
+)
+def doc_duplicated_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Substring-level inter-document duplication (the signal behind
+    suffix-array style dedup a la Lee et al., "Deduplicating Training
+    Data Makes Language Models Better"): for every doc with at least
+    {n} tokens, the fraction of its distinct word {n}-grams that also
+    appear in ANOTHER document. High-fraction docs are templated /
+    boilerplate-heavy even when no whole-document near-dup exists —
+    the case MinHash-over-whole-docs misses.
+
+    Scale shape: {n}-grams are built by zipping {n} offset slices of
+    the token array (one pass, no O(len^2) positional indexing — see
+    corpus_bigram_stats), deduped per doc map-side via array_distinct,
+    and hashed to 64 bits BEFORE the explode leaves the map task: the
+    corpus-wide frequency shuffle carries (doc_id, xxhash64) pairs,
+    never n-gram text. The gram->doc-count rollup is a two-stage agg
+    and joins back on the same 64-bit key, so at 100 TB the only wide
+    exchanges move fixed-width longs. (The oracle counts distinct
+    n-gram STRINGS — identical counts unless xxhash64 collides, ~1e-8
+    at a billion distinct grams.)"""
+    docs = table(spark, sf_dir, "documents")
+    toks = T.words("text")
+    n = DUP_NGRAM_N
+    grams = F.when(
+        F.size(toks) >= n,
+        F.transform(
+            F.arrays_zip(
+                *[F.slice(toks, j + 1, F.size(toks) - (n - 1)) for j in range(n)]
+            ),
+            lambda p: F.concat_ws(" ", *[p[str(j)] for j in range(n)]),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    e = docs.select(
+        "doc_id",
+        F.explode(F.array_distinct(grams)).alias("gram"),
+    ).select("doc_id", F.xxhash64("gram").alias("h"))
+    # e is distinct per (doc_id, gram) by construction, so count(*)
+    # per h IS the document frequency
+    d = e.groupBy("h").agg(F.count(F.lit(1)).alias("nd"))
+    dup_flag = F.when(F.col("nd") >= 2, F.lit(1)).otherwise(F.lit(0))
+    return (
+        e.join(d, "h")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_ngrams"),
+            F.sum(dup_flag).alias("n_dup_ngrams"),
+            F.round(
+                F.sum(dup_flag) / F.count(F.lit(1)).cast("double"), 6
+            ).alias("dup_fraction"),
+        )
+    )
+
+
+doc_duplicated_ngrams.__doc__ = doc_duplicated_ngrams.__doc__.format(
+    n=DUP_NGRAM_N
+)
