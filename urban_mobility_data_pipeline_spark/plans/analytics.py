@@ -2344,3 +2344,377 @@ def event_daily_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
             "event_type", "day", "n", F.round(z, 4).alias("zscore")
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# min-cost supplier per part (TPC-H Q2 shape: correlated-MIN decorrelated)
+# ---------------------------------------------------------------------------
+@register(
+    "min_cost_part_supplier",
+    oracle="""
+    WITH cost AS (
+        SELECT l_partkey AS partkey, l_suppkey AS suppkey,
+               min(l_extendedprice / l_quantity) AS unit_cost
+        FROM lineitem GROUP BY 1, 2
+    ),
+    best AS (SELECT partkey, min(unit_cost) AS min_cost
+             FROM cost GROUP BY 1)
+    SELECT round(s.s_acctbal, 2) AS acctbal,
+           s.s_name              AS supplier,
+           n.n_name              AS nation,
+           p.p_partkey           AS partkey,
+           p.p_name              AS part_name,
+           round(c.unit_cost, 4) AS unit_cost
+    FROM cost c
+    JOIN best b     ON c.partkey = b.partkey AND c.unit_cost = b.min_cost
+    JOIN part p     ON p.p_partkey = c.partkey AND p.p_type = 'ECONOMY'
+    JOIN supplier s ON s.s_suppkey = c.suppkey
+    JOIN nation n   ON n.n_nationkey = s.s_nationkey
+    JOIN region r   ON r.r_regionkey = n.n_regionkey
+                   AND r.r_name = 'EUROPE'
+    ORDER BY s.s_acctbal DESC, n.n_name, s.s_name, p.p_partkey, c.suppkey
+    LIMIT 100
+    """,
+)
+def min_cost_part_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 shape (adapted: no partsupp table in this schema, so
+    supply cost is the observed min unit price per (part, supplier)
+    from lineitem): for each ECONOMY part, the European supplier(s)
+    offering the corpus-minimum unit cost, richest account first.
+
+    The correlated scalar subquery TPC-H writes (``cost = (SELECT
+    min...)``"') is decorrelated the way Catalyst would want it
+    anyway: one (part, supplier) rollup, one per-part MIN rollup, an
+    equality join back on (partkey, min_cost). min() returns an exact
+    element of the double domain, so the equality join is
+    deterministic cross-engine (identical IEEE division feeding an
+    order-independent MIN). Part/supplier/nation/region trims are
+    broadcast; the only wide exchange is the lineitem rollup keyed
+    (partkey, suppkey), and the final top-100 is a
+    TakeOrderedAndProject with a (partkey, suppkey) total-order
+    tiebreak."""
+    li = table(spark, sf_dir, "lineitem").select(
+        F.col("l_partkey").alias("partkey"),
+        F.col("l_suppkey").alias("suppkey"),
+        (F.col("l_extendedprice") / F.col("l_quantity")).alias("unit"),
+    )
+    cost = li.groupBy("partkey", "suppkey").agg(
+        F.min("unit").alias("unit_cost")
+    )
+    # derive the per-part minimum under RENAMED keys — best is derived
+    # from cost, so joining them back is a self-join and the shared
+    # column lineage would be ambiguous otherwise
+    best = cost.groupBy(F.col("partkey").alias("b_partkey")).agg(
+        F.min("unit_cost").alias("min_cost")
+    )
+    part = (
+        table(spark, sf_dir, "part")
+        .where(F.col("p_type") == "ECONOMY")
+        .select("p_partkey", "p_name")
+    )
+    supp = table(spark, sf_dir, "supplier")
+    nation = table(spark, sf_dir, "nation")
+    region = table(spark, sf_dir, "region").where(
+        F.col("r_name") == "EUROPE"
+    )
+    euro_supp = (
+        supp.join(
+            F.broadcast(
+                nation.join(
+                    F.broadcast(region),
+                    nation["n_regionkey"] == region["r_regionkey"],
+                ).select("n_nationkey", "n_name")
+            ),
+            supp["s_nationkey"] == F.col("n_nationkey"),
+        )
+        .select("s_suppkey", "s_name", "s_acctbal", "n_name")
+    )
+    return (
+        cost.join(
+            best,
+            (F.col("partkey") == F.col("b_partkey"))
+            & (F.col("unit_cost") == F.col("min_cost")),
+        )
+        .drop("b_partkey")
+        .join(F.broadcast(part), cost["partkey"] == part["p_partkey"])
+        .join(F.broadcast(euro_supp), cost["suppkey"] == F.col("s_suppkey"))
+        .orderBy(
+            F.desc("s_acctbal"),
+            F.asc("n_name"),
+            F.asc("s_name"),
+            F.asc("p_partkey"),
+            F.asc("suppkey"),
+        )
+        .limit(100)
+        .select(
+            F.round("s_acctbal", 2).alias("acctbal"),
+            F.col("s_name").alias("supplier"),
+            F.col("n_name").alias("nation"),
+            F.col("p_partkey").alias("partkey"),
+            F.col("p_name").alias("part_name"),
+            F.round("unit_cost", 4).alias("unit_cost"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# product-line profit by nation and year (TPC-H Q9 shape)
+# ---------------------------------------------------------------------------
+@register(
+    "nation_product_profit",
+    oracle="""
+    SELECT n.n_name AS nation,
+           CAST(year(o.o_orderdate) AS INTEGER) AS o_year,
+           CAST(round(sum(CAST(l.l_extendedprice * (1 - l.l_discount)
+                              - 0.5 * p.p_retailprice * l.l_quantity
+                              AS DECIMAL(18, 4))), 2) AS DOUBLE)
+               AS profit,
+           count(*) AS n_lineitems
+    FROM lineitem l
+    JOIN part p     ON p.p_partkey = l.l_partkey
+                   AND p.p_name LIKE '%gear%'
+    JOIN supplier s ON s.s_suppkey = l.l_suppkey
+    JOIN nation n   ON n.n_nationkey = s.s_nationkey
+    JOIN orders o   ON o.o_orderkey = l.l_orderkey
+    GROUP BY 1, 2
+    """,
+)
+def nation_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 shape (adapted: with no partsupp.ps_supplycost the
+    cost side is a fixed 50% of retail price): profit on '%gear%'
+    parts by supplier nation and order year.
+
+    The part-name LIKE trim lands on the broadcast part dim BEFORE
+    the fact join, so only matching lineitems survive the first probe;
+    supplier→nation is a second broadcast; the one wide exchange is
+    lineitem⋈orders on the orderkey, then a low-cardinality
+    (nation, year) rollup with map-side partials."""
+    part = (
+        table(spark, sf_dir, "part")
+        .where(F.col("p_name").like("%gear%"))
+        .select("p_partkey", "p_retailprice")
+    )
+    supp = table(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_nationkey"
+    )
+    nation = table(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_name"
+    )
+    orders = table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate"
+    )
+    li = table(spark, sf_dir, "lineitem")
+    # the revenue-minus-cost sum is summed in DECIMAL, not double:
+    # double partial-agg order differs between engines, and a sum that
+    # lands on a half-cent boundary (observed at sf0.01) flips the
+    # final round(). Per-row double→decimal(18,4) conversion is
+    # identical in both engines; the decimal sum is exact and
+    # order-independent.
+    profit = (
+        F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount"))
+        - F.lit(0.5) * F.col("p_retailprice") * F.col("l_quantity")
+    ).cast("decimal(18,4)")
+    return (
+        li.join(F.broadcast(part), li["l_partkey"] == part["p_partkey"])
+        .join(F.broadcast(supp), li["l_suppkey"] == supp["s_suppkey"])
+        .join(
+            F.broadcast(nation),
+            supp["s_nationkey"] == nation["n_nationkey"],
+        )
+        .join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").cast("int").alias("o_year"),
+        )
+        .agg(
+            F.round(F.sum(profit), 2).cast("double").alias("profit"),
+            F.count(F.lit(1)).alias("n_lineitems"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# late shipments by line status × priority class (TPC-H Q12 shape)
+# ---------------------------------------------------------------------------
+@register(
+    "linestatus_priority_late_counts",
+    oracle="""
+    SELECT l.l_linestatus AS linestatus,
+           CAST(sum(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT)
+               AS high_priority_lines,
+           CAST(sum(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                         THEN 0 ELSE 1 END) AS BIGINT)
+               AS low_priority_lines
+    FROM lineitem l
+    JOIN orders o ON o.o_orderkey = l.l_orderkey
+    WHERE l.l_shipdate > o.o_orderdate + INTERVAL 45 DAY
+    GROUP BY 1
+    """,
+)
+def linestatus_priority_late_counts(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """TPC-H Q12 shape (adapted: this schema has no l_shipmode /
+    l_receiptdate, so the mode dimension is l_linestatus and
+    "late" is shipped >45 days after ordering): per line status, how
+    many severely-late lines belonged to high- vs low-priority orders
+    — the conditional CASE-sum pivot Q12 is famous for.
+
+    The lateness predicate rides the orderkey join (no second pass),
+    and the priority CASE collapses map-side into two partial sums per
+    status — the shuffle after the fact join carries 2-long rows for a
+    2-value grouping key."""
+    orders = table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate", "o_orderpriority"
+    )
+    li = table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linestatus", "l_shipdate"
+    )
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(
+            orders,
+            (li["l_orderkey"] == orders["o_orderkey"])
+            & (li["l_shipdate"] > F.date_add(orders["o_orderdate"], 45)),
+        )
+        .groupBy(F.col("l_linestatus").alias("linestatus"))
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).alias(
+                "high_priority_lines"
+            ),
+            F.sum(F.when(high, 0).otherwise(1)).alias(
+                "low_priority_lines"
+            ),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# supplier diversity per part attributes (TPC-H Q16 shape)
+# ---------------------------------------------------------------------------
+@register(
+    "supplier_count_by_part_attrs",
+    oracle="""
+    SELECT p.p_brand AS brand,
+           p.p_type  AS type,
+           p.p_size  AS size,
+           count(DISTINCT l.l_suppkey) AS supplier_cnt
+    FROM lineitem l
+    JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE p.p_brand <> 'Brand#1'
+      AND p.p_size IN (1, 5, 9, 13, 17, 21, 25, 29)
+      AND l.l_suppkey NOT IN (
+          SELECT s_suppkey FROM supplier WHERE s_acctbal < 0
+      )
+    GROUP BY 1, 2, 3
+    """,
+)
+def supplier_count_by_part_attrs(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """TPC-H Q16 shape (adapted: the part↔supplier relationship comes
+    from lineitem instead of partsupp, and the "customer complaints"
+    exclusion is suppliers in arrears, s_acctbal < 0): how many
+    distinct eligible suppliers ship each (brand, type, size)
+    combination outside Brand#1 in the size in-list.
+
+    The NOT IN becomes a broadcast left_anti join (the exclusion list
+    is tiny); brand/size trims ride the broadcast part dim into the
+    fact probe; countDistinct shuffles (brand, type, size, suppkey)
+    once — map-side dedup of repeats first."""
+    part = (
+        table(spark, sf_dir, "part")
+        .where(
+            (F.col("p_brand") != "Brand#1")
+            & F.col("p_size").isin(1, 5, 9, 13, 17, 21, 25, 29)
+        )
+        .select("p_partkey", "p_brand", "p_type", "p_size")
+    )
+    bad_supp = (
+        table(spark, sf_dir, "supplier")
+        .where(F.col("s_acctbal") < 0)
+        .select("s_suppkey")
+    )
+    li = table(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey")
+    return (
+        li.join(
+            F.broadcast(bad_supp),
+            li["l_suppkey"] == bad_supp["s_suppkey"],
+            "left_anti",
+        )
+        .join(F.broadcast(part), li["l_partkey"] == part["p_partkey"])
+        .groupBy(
+            F.col("p_brand").alias("brand"),
+            F.col("p_type").alias("type"),
+            F.col("p_size").alias("size"),
+        )
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# dominant-share suppliers (TPC-H Q20 shape: per-key share vs threshold)
+# ---------------------------------------------------------------------------
+@register(
+    "dominant_part_suppliers",
+    oracle="""
+    WITH sp AS (
+        SELECT l_suppkey AS suppkey, l_partkey AS partkey,
+               sum(l_quantity) AS qty
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+          AND l_shipdate <  TIMESTAMP '1997-01-01'
+        GROUP BY 1, 2
+    ),
+    ptot AS (SELECT partkey, sum(qty) AS total_qty FROM sp GROUP BY 1)
+    SELECT DISTINCT s.s_name AS supplier, n.n_name AS nation
+    FROM sp
+    JOIN ptot       ON ptot.partkey = sp.partkey
+    JOIN supplier s ON s.s_suppkey = sp.suppkey
+    JOIN nation n   ON n.n_nationkey = s.s_nationkey
+    WHERE sp.qty > 0.5 * ptot.total_qty
+    """,
+)
+def dominant_part_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 shape (adapted: "excess availability" becomes market
+    dominance — with no partsupp.ps_availqty the threshold compares a
+    supplier's shipped quantity against half the part's total): the
+    suppliers who shipped more than 50% of some part's 1996 volume,
+    with their nations.
+
+    Decorrelated like Q2: one (suppkey, partkey) rollup under the
+    pushed date range, one per-part total derived FROM that rollup
+    (no second fact scan), an equality join back on partkey, then a
+    distinct over the small survivor set. l_quantity is integral, so
+    the double sums are exact and the > comparison is deterministic
+    cross-engine. Supplier/nation resolve via broadcast."""
+    li = table(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+    )
+    sp = li.groupBy(
+        F.col("l_suppkey").alias("suppkey"),
+        F.col("l_partkey").alias("partkey"),
+    ).agg(F.sum("l_quantity").alias("qty"))
+    ptot = sp.groupBy("partkey").agg(F.sum("qty").alias("total_qty"))
+    supp = table(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_name", "s_nationkey"
+    )
+    nation = table(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_name"
+    )
+    return (
+        sp.join(ptot, "partkey")
+        .where(F.col("qty") > F.lit(0.5) * F.col("total_qty"))
+        .join(F.broadcast(supp), sp["suppkey"] == supp["s_suppkey"])
+        .join(
+            F.broadcast(nation),
+            supp["s_nationkey"] == nation["n_nationkey"],
+        )
+        .select(
+            F.col("s_name").alias("supplier"),
+            F.col("n_name").alias("nation"),
+        )
+        .distinct()
+    )

@@ -48,6 +48,10 @@ FLAGSHIP = "pricing_summary"
 # doc_bm25_topk (BM25 lexical retrieval), corpus_epoch_sample
 # (mixing weights APPLIED via deterministic fingerprint sampling),
 # doc_duplicated_ngrams (Lee-et-al substring-level dedup signal),
+# the five shapes completing the full 22-query TPC-H sweep
+# (min_cost_part_supplier Q2, nation_product_profit Q9,
+# linestatus_priority_late_counts Q12, supplier_count_by_part_attrs
+# Q16, dominant_part_suppliers Q20),
 # documents_ngram_contamination, corpus_mixing_weights,
 # corpus_tokenizer_fertility, the TPC-H-shape widening
 # (customer_order_count_distribution Q13, small_quantity_part_revenue
