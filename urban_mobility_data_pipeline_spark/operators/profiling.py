@@ -1,0 +1,108 @@
+"""Single-pass table profiling: per-column null / distinct / range
+statistics — the data-quality screen run before admitting a new feed
+into the lakehouse (column drift, unexpected nulls, cardinality
+explosions all surface here first).
+
+The profile is ONE aggregate job over the table: every column's
+metrics are computed side by side in the same HashAggregate, and the
+one-row result is pivoted to a row-per-column shape with an explode of
+pre-built structs — no second scan, no driver-side loop over columns.
+The multi-column ``count(DISTINCT ...)`` does make Catalyst plan an
+Expand (one duplicate of each input row per distinct-aggregated
+column); that is the documented price of exact cardinalities in one
+pass. At 100 TB profile either a partition slice or swap
+``exact_distinct=False`` to approx_count_distinct and the Expand
+disappears (HLL partials merge map-side) — the flag exists precisely
+because the exact and approximate plans differ by that Expand.
+
+No analogue in the reference (its feeds are trusted Postgres tables;
+file feeds here are not) — closest in spirit to the DQ flag derivation
+at src/silver/trips_bronze_to_silver.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+#: column kinds the profiler understands; each decides how min/max are
+#: surfaced (numeric → double columns, everything else → strings, with
+#: timestamps formatted through an explicit pattern so the output is
+#: engine-neutral).
+NUMERIC = "numeric"
+STRING = "string"
+TIMESTAMP = "timestamp"
+
+
+def _minmax(col: str, kind: str) -> tuple[Column, Column, Column, Column]:
+    null_d = F.lit(None).cast("double")
+    null_s = F.lit(None).cast("string")
+    if kind == NUMERIC:
+        return (
+            F.min(col).cast("double"),
+            F.max(col).cast("double"),
+            null_s,
+            null_s,
+        )
+    if kind == TIMESTAMP:
+        fmt = "yyyy-MM-dd HH:mm:ss"
+        return (
+            null_d,
+            null_d,
+            F.date_format(F.min(col), fmt),
+            F.date_format(F.max(col), fmt),
+        )
+    return null_d, null_d, F.min(col).cast("string"), F.max(col).cast("string")
+
+
+def profile(
+    df: DataFrame,
+    columns: dict[str, str],
+    *,
+    exact_distinct: bool = True,
+) -> DataFrame:
+    """Profile ``columns`` (name → kind) of ``df`` in one aggregate
+    pass. Returns one row per column:
+
+    ``(col_name, n_rows, n_nulls, n_distinct, min_num, max_num,
+    min_str, max_str)``
+
+    with min/max in the numeric or string slot per the column's kind.
+    ``exact_distinct=False`` trades exact cardinalities for
+    approx_count_distinct, removing the Expand from the plan (the
+    100 TB default)."""
+    aggs: list[Column] = [F.count(F.lit(1)).alias("__n_rows")]
+    for c, kind in columns.items():
+        distinct = (
+            F.countDistinct(c)
+            if exact_distinct
+            else F.approx_count_distinct(c)
+        )
+        mn_n, mx_n, mn_s, mx_s = _minmax(c, kind)
+        aggs += [
+            F.sum(F.when(F.col(c).isNull(), 1).otherwise(0)).alias(
+                f"__nulls_{c}"
+            ),
+            distinct.alias(f"__distinct_{c}"),
+            mn_n.alias(f"__min_num_{c}"),
+            mx_n.alias(f"__max_num_{c}"),
+            mn_s.alias(f"__min_str_{c}"),
+            mx_s.alias(f"__max_str_{c}"),
+        ]
+    one_row = df.agg(*aggs)
+    rows = F.array(
+        *[
+            F.struct(
+                F.lit(c).alias("col_name"),
+                F.col("__n_rows").alias("n_rows"),
+                F.col(f"__nulls_{c}").alias("n_nulls"),
+                F.col(f"__distinct_{c}").alias("n_distinct"),
+                F.col(f"__min_num_{c}").alias("min_num"),
+                F.col(f"__max_num_{c}").alias("max_num"),
+                F.col(f"__min_str_{c}").alias("min_str"),
+                F.col(f"__max_str_{c}").alias("max_str"),
+            )
+            for c in columns
+        ]
+    )
+    return one_row.select(F.explode(rows).alias("p")).select("p.*")

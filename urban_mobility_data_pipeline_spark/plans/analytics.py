@@ -2718,3 +2718,79 @@ def dominant_part_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .distinct()
     )
+
+
+# ---------------------------------------------------------------------------
+# single-pass data profiling (operators/profiling.py)
+# ---------------------------------------------------------------------------
+ORDERS_PROFILE_COLS: dict[str, str] = {
+    "o_orderkey": "numeric",
+    "o_custkey": "numeric",
+    "o_orderstatus": "string",
+    "o_totalprice": "numeric",
+    "o_orderdate": "timestamp",
+    "o_orderpriority": "string",
+}
+
+
+def _profile_col_sql(c: str, kind: str) -> str:
+    if kind == "numeric":
+        mins = (
+            f"CAST(min({c}) AS DOUBLE) AS min_num, "
+            f"CAST(max({c}) AS DOUBLE) AS max_num, "
+            "CAST(NULL AS VARCHAR) AS min_str, "
+            "CAST(NULL AS VARCHAR) AS max_str"
+        )
+    elif kind == "timestamp":
+        mins = (
+            "CAST(NULL AS DOUBLE) AS min_num, "
+            "CAST(NULL AS DOUBLE) AS max_num, "
+            f"strftime(min({c}), '%Y-%m-%d %H:%M:%S') AS min_str, "
+            f"strftime(max({c}), '%Y-%m-%d %H:%M:%S') AS max_str"
+        )
+    else:
+        mins = (
+            "CAST(NULL AS DOUBLE) AS min_num, "
+            "CAST(NULL AS DOUBLE) AS max_num, "
+            f"CAST(min({c}) AS VARCHAR) AS min_str, "
+            f"CAST(max({c}) AS VARCHAR) AS max_str"
+        )
+    return f"""
+    SELECT '{c}' AS col_name,
+           count(*) AS n_rows,
+           CAST(sum(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_nulls,
+           count(DISTINCT {c}) AS n_distinct,
+           {mins}
+    FROM orders"""
+
+
+@register(
+    "orders_data_profile",
+    oracle="\n    UNION ALL".join(
+        _profile_col_sql(c, k) for c, k in ORDERS_PROFILE_COLS.items()
+    ),
+)
+def orders_data_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-quality profile of the orders feed: per-column null
+    counts, exact distinct cardinalities, and min/max ranges — the
+    screen run on every new extract before it is admitted downstream
+    (a silent schema drift or null storm shows up here, not in a 2am
+    page).
+
+    One aggregate pass over the table computes every column's metrics
+    side by side (operators/profiling.py); the one-row result is
+    pivoted row-per-column by exploding pre-built structs — no second
+    scan. The oracle is a UNION ALL of per-column aggregates generated
+    from the SAME column-spec constant, so the two can't drift. The
+    multi-column exact countDistinct plans an Expand (ncols copies of
+    each row pre-shuffle); profile(exact_distinct=False) swaps in HLL
+    partials for the 100 TB path — the catalog pins the exact variant
+    because the oracle needs exact numbers."""
+    from urban_mobility_data_pipeline_spark.operators.profiling import (
+        profile,
+    )
+
+    return profile(
+        table(spark, sf_dir, "orders"), ORDERS_PROFILE_COLS
+    )
