@@ -294,3 +294,41 @@ def test_cli_explain_prints_formatted_plan(spark, sf_dir, capsys, tmp_path):
     out = capsys.readouterr().out
     assert "Physical Plan" in out and "HashAggregate" in out
     assert "PushedFilters" in out
+
+
+def test_cli_profile(spark, sf_dir, capsys, tmp_path):
+    from urban_mobility_data_pipeline_spark.run import main
+
+    assert (
+        main(
+            [
+                "profile",
+                "--source",
+                f"{sf_dir}/orders.parquet",
+                "--lake",
+                str(tmp_path / "lake"),
+            ],
+            spark=spark,
+        )
+        == 0
+    )
+    out = capsys.readouterr().out
+    assert "o_orderkey:" in out and "o_orderdate:" in out
+    assert "nulls=" in out and "distinct=" in out
+
+    # approx mode runs and reports the same columns
+    assert (
+        main(
+            [
+                "profile",
+                "--source",
+                f"{sf_dir}/orders.parquet",
+                "--approx-distinct",
+                "--lake",
+                str(tmp_path / "lake"),
+            ],
+            spark=spark,
+        )
+        == 0
+    )
+    assert "o_totalprice:" in capsys.readouterr().out

@@ -106,3 +106,28 @@ def profile(
         ]
     )
     return one_row.select(F.explode(rows).alias("p")).select("p.*")
+
+
+_NUMERIC_TYPES = {
+    "tinyint", "smallint", "int", "bigint", "float", "double", "long",
+}
+_TIME_TYPES = {"timestamp", "timestamp_ntz", "date"}
+_ATOMIC_STRING = {"string", "boolean"}
+
+
+def infer_columns(df: DataFrame) -> dict[str, str]:
+    """Column spec for :func:`profile` from a frame's schema: numerics
+    and decimals → NUMERIC, timestamps/dates → TIMESTAMP,
+    strings/booleans → STRING. Complex and binary columns are skipped
+    (min/max over arrays or payload bytes is not a profile anyone
+    reads)."""
+    kinds: dict[str, str] = {}
+    for f in df.schema.fields:
+        t = f.dataType.simpleString()
+        if t in _NUMERIC_TYPES or t.startswith("decimal"):
+            kinds[f.name] = NUMERIC
+        elif t in _TIME_TYPES:
+            kinds[f.name] = TIMESTAMP
+        elif t in _ATOMIC_STRING:
+            kinds[f.name] = STRING
+    return kinds

@@ -407,6 +407,37 @@ def _optimize_job(lake: J.Lakehouse, args) -> str:
     return f"optimized {args.table}: {before} -> {after} files ({how})"
 
 
+def _profile_job(lake: J.Lakehouse, args) -> str:
+    """Profile a table in one aggregate pass (null counts, distinct
+    cardinalities, min/max per column — operators/profiling.py):
+
+        python -m ..._spark.run profile --source /path/to/table
+
+    ``--source-format`` picks the reader (parquet default);
+    ``--approx-distinct`` swaps exact countDistinct for HLL partials —
+    the large-table mode that drops the Expand from the plan."""
+    from urban_mobility_data_pipeline_spark.operators import profiling
+
+    if not args.source:
+        raise SystemExit("profile requires --source PATH")
+    df = lake.spark.read.format(args.source_format).load(args.source)
+    cols = profiling.infer_columns(df)
+    if not cols:
+        raise SystemExit("profile: no atomic columns to profile")
+    prof = profiling.profile(
+        df, cols, exact_distinct=not args.approx_distinct
+    )
+    lines = []
+    for r in prof.collect():
+        mn = r["min_num"] if r["min_num"] is not None else r["min_str"]
+        mx = r["max_num"] if r["max_num"] is not None else r["max_str"]
+        lines.append(
+            f"{r['col_name']}: rows={r['n_rows']} nulls={r['n_nulls']} "
+            f"distinct={r['n_distinct']} min={mn} max={mx}"
+        )
+    return "\n".join(lines)
+
+
 def _retention_job(lake: J.Lakehouse, args) -> str:
     J.run_retention(
         lake, bronze_days=args.bronze_days, silver_days=args.silver_days
@@ -442,6 +473,7 @@ def build_registry() -> dict:
     registry["optimize"] = _optimize_job
     registry["corpus_maintenance"] = _corpus_maintenance_job
     registry["explain"] = _explain_job
+    registry["profile"] = _profile_job
     registry["retention_cleanup"] = _retention_job
     registry["create_control_tables"] = _control_tables_job
     return registry
@@ -478,6 +510,10 @@ def main(argv: list[str] | None = None, spark=None) -> int:
     p.add_argument(
         "--explain-mode", default="formatted",
         choices=["simple", "extended", "formatted", "cost", "codegen"],
+    )
+    p.add_argument(
+        "--approx-distinct", action="store_true",
+        help="profile: HLL distinct counts instead of exact",
     )
     p.add_argument("--zorder", help="comma-separated Z-ORDER columns (optimize)")
     p.add_argument("--sort", help="comma-separated sort columns (optimize)")
