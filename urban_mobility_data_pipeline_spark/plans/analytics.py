@@ -2794,3 +2794,110 @@ def orders_data_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     return profile(
         table(spark, sf_dir, "orders"), ORDERS_PROFILE_COLS
     )
+
+
+# ---------------------------------------------------------------------------
+# PageRank over the customer↔supplier trade graph (extensions/graph.py)
+# ---------------------------------------------------------------------------
+def _pagerank_oracle() -> str:
+    """Unrolled power iteration: one CTE per superstep, generated from
+    the SAME constants the Spark loop uses, with identical per-round
+    round(, quantize) quantization — so the two engines cannot drift."""
+    from urban_mobility_data_pipeline_spark.extensions.graph import (
+        PAGERANK_DAMPING as D,
+        PAGERANK_ITERS as ITERS,
+        PAGERANK_QUANTIZE as Q,
+    )
+
+    teleport = repr(1.0 - D)
+    iters_sql = ""
+    for k in range(1, ITERS + 1):
+        iters_sql += f""",
+    r{k} AS (
+        SELECT e.dst AS node,
+               round({teleport} / (SELECT n FROM nn)
+                     + {D} * sum(r.rank / d.outdeg), {Q}) AS rank
+        FROM edges e
+        JOIN r{k - 1} r ON r.node = e.src
+        JOIN deg d      ON d.src = e.src
+        GROUP BY e.dst
+    )"""
+    return f"""
+    WITH pairs AS (
+        SELECT DISTINCT 'C' || CAST(o.o_custkey AS VARCHAR) AS c,
+                        'S' || CAST(l.l_suppkey AS VARCHAR) AS s
+        FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+        WHERE o.o_orderdate >= TIMESTAMP '1996-01-01'
+          AND o.o_orderdate <  TIMESTAMP '1997-01-01'
+    ),
+    edges AS (
+        SELECT c AS src, s AS dst FROM pairs
+        UNION ALL
+        SELECT s AS src, c AS dst FROM pairs
+    ),
+    deg AS (SELECT src, count(*) AS outdeg FROM edges GROUP BY 1),
+    nn AS (SELECT count(*) AS n FROM deg),
+    r0 AS (SELECT src AS node, 1.0 / (SELECT n FROM nn) AS rank
+           FROM deg){iters_sql}
+    SELECT node, round(rank, 8) AS rank
+    FROM r{ITERS}
+    """
+
+
+@register("trade_network_pagerank", oracle=_pagerank_oracle())
+def trade_network_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank centrality over the 1996 customer↔supplier trade
+    network: an undirected bipartite graph with an edge wherever a
+    customer ordered a lineitem from a supplier that year (distinct
+    pairs, both directions; the year trim is pushed into the orders
+    scan). High-rank suppliers are systemic — the ones whose failure
+    touches the most purchasing relationships; the analytics twin of
+    the dedup module's connected components.
+
+    The edge list is ONE distinct rollup of the lineitem⋈orders join
+    (deduped on the long key pair before node labels are built), then
+    staged with its degrees folded in; each power-iteration superstep
+    is a single join(staged_edges, ranks) → groupBy(dst)
+    (extensions/graph.py documents the quantized-rank determinism
+    contract and the periodic-materialization policy for long runs;
+    the oracle is the same iteration unrolled into one CTE per round
+    from the same constants)."""
+    from urban_mobility_data_pipeline_spark.extensions.graph import (
+        pagerank,
+    )
+
+    orders = (
+        table(spark, sf_dir, "orders")
+        .where(
+            (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp"))
+        )
+        .select("o_orderkey", "o_custkey")
+    )
+    li = table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey"
+    )
+    # distinct on the LONG key pair first, stringify after: the dedup
+    # shuffle carries two 8-byte keys instead of formatted node labels
+    pairs = (
+        li.join(
+            F.broadcast(orders), li["l_orderkey"] == orders["o_orderkey"]
+        )
+        .select("o_custkey", "l_suppkey")
+        .distinct()
+        .select(
+            F.concat(F.lit("C"), F.col("o_custkey").cast("string")).alias(
+                "c"
+            ),
+            F.concat(F.lit("S"), F.col("l_suppkey").cast("string")).alias(
+                "s"
+            ),
+        )
+    )
+    edges = pairs.select(
+        F.col("c").alias("src"), F.col("s").alias("dst")
+    ).unionByName(
+        pairs.select(F.col("s").alias("src"), F.col("c").alias("dst"))
+    )
+    ranks = pagerank(edges)
+    return ranks.select("node", F.round("rank", 8).alias("rank"))
