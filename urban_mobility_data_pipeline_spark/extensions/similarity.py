@@ -470,3 +470,143 @@ def refresh_ivf_index(
     except Exception:
         cursor.upsert(job, None, "FAIL")
         raise
+
+
+# ---------------------------------------------------------------------------
+# Product quantization (PQ): sub-vector codebooks + asymmetric search
+# ---------------------------------------------------------------------------
+#: subspaces for the catalog queries: a 64-dim embedding splits into
+#: 4 x 16-dim subvectors, each encoded as one small int — 4 bytes per
+#: vector against 256 for the raw floats, the compression that makes
+#: a 100 TB vector corpus searchable from memory (IVF prunes WHICH
+#: vectors to score; PQ shrinks WHAT is scored).
+PQ_M = 4
+
+
+def pq_codebooks(
+    embeddings: DataFrame,
+    *,
+    subdim: int,
+    vec_col: str = "embedding",
+    label_col: str = "label",
+    quantize: int = 6,
+) -> DataFrame:
+    """Per-subspace PQ codebooks → ``(code, j, codeword)``.
+
+    Deterministic oracle-friendly quantizer, same contract as
+    :func:`ivf_centroids`: the codeword for ``(label, subspace j)`` is
+    the mean of that label's j-th subvector, components rounded to
+    ``quantize`` decimals in BOTH engines so the codebook cannot
+    drift. (A production path would k-means each subspace exactly like
+    :func:`train_kmeans_centroids`; the PQ mechanics — encode, LUT,
+    ADC — are identical either way.) One posexplode + two tiny
+    aggregations; the result is codes x subspaces rows, always
+    broadcastable."""
+    exploded = embeddings.select(
+        F.col(label_col).alias("code"),
+        F.posexplode(F.col(vec_col)).alias("pos", "component"),
+    )
+    means = exploded.select(
+        "code",
+        (F.col("pos") / F.lit(subdim)).cast("int").alias("j"),
+        (F.col("pos") % F.lit(subdim)).alias("subpos"),
+        "component",
+    ).groupBy("code", "j", "subpos").agg(
+        F.round(F.avg("component"), quantize).alias("m")
+    )
+    return (
+        means.groupBy("code", "j")
+        .agg(
+            F.array_sort(F.collect_list(F.struct("subpos", "m"))).alias(
+                "pm"
+            )
+        )
+        .select(
+            "code",
+            "j",
+            F.transform("pm", lambda x: x["m"]).alias("codeword"),
+        )
+    )
+
+
+def _subvectors(vec_col: str, m: int, subdim: int):
+    """Explodable (j, subvector) structs; components cast to double so
+    downstream dot products match the oracle's DOUBLE lists."""
+    return F.explode(
+        F.array(
+            *[
+                F.struct(
+                    F.lit(j).alias("j"),
+                    F.transform(
+                        F.slice(F.col(vec_col), j * subdim + 1, subdim),
+                        lambda x: x.cast("double"),
+                    ).alias("sv"),
+                )
+                for j in range(m)
+            ]
+        )
+    )
+
+
+def pq_encode(
+    embeddings: DataFrame,
+    codebooks: DataFrame,
+    *,
+    m: int = PQ_M,
+    subdim: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Encode every vector as ``m`` codebook indices →
+    ``(vec_id, j, code)``, one row per subspace.
+
+    The codebooks broadcast (codes x subspaces rows); scoring each
+    subvector against each codeword is map-side, and the per-(vector,
+    subspace) argmax is the same max_by partial-aggregate shape as
+    :func:`ivf_assign` — the shuffle carries one partial row per
+    (vector, subspace) per partition, never the expanded candidate
+    scores. Ties break toward the smallest code in both engines."""
+    from urban_mobility_data_pipeline_spark.functions.vectors import dot
+
+    sv = embeddings.select(
+        F.col(id_col), _subvectors(vec_col, m, subdim).alias("s")
+    ).select(id_col, F.col("s.j").alias("j"), F.col("s.sv").alias("sv"))
+    scored = sv.join(F.broadcast(codebooks), "j").select(
+        id_col,
+        "j",
+        "code",
+        dot("sv", "codeword").alias("__sim"),
+    )
+    order = F.struct(F.col("__sim").alias("s"), (-F.col("code")).alias("c"))
+    return scored.groupBy(id_col, "j").agg(
+        F.max_by("code", order).alias("code")
+    )
+
+
+def pq_adc_topk(
+    codes: DataFrame,
+    codebooks: DataFrame,
+    query_subvectors: DataFrame,
+    *,
+    k: int = 10,
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Asymmetric distance computation: rank encoded vectors against
+    an UNencoded query. The per-subspace lookup table (query subvector
+    x each codeword, codes x subspaces rows) is computed once and
+    broadcast; each database vector's score is then the sum of m table
+    lookups — no float arithmetic per vector at query time, which is
+    the entire point of PQ at scale. Top-k is a
+    TakeOrderedAndProject on the rounded score with an id tiebreak."""
+    from urban_mobility_data_pipeline_spark.functions.vectors import dot
+
+    lut = codebooks.join(F.broadcast(query_subvectors), "j").select(
+        "j", "code", dot("sv", "codeword").alias("d")
+    )
+    return (
+        codes.join(F.broadcast(lut), ["j", "code"])
+        .groupBy(id_col)
+        .agg(F.round(F.sum("d"), 6).alias("adc_score"))
+        .orderBy(F.desc("adc_score"), F.asc(id_col))
+        .limit(k)
+    )

@@ -2783,3 +2783,178 @@ def doc_duplicated_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
 doc_duplicated_ngrams.__doc__ = doc_duplicated_ngrams.__doc__.format(
     n=DUP_NGRAM_N
 )
+
+
+# ---------------------------------------------------------------------------
+# product quantization: codes + asymmetric-distance search
+# ---------------------------------------------------------------------------
+from urban_mobility_data_pipeline_spark.extensions.similarity import PQ_M
+
+_PQ_SUBDIM = _EMB_DIM // PQ_M
+
+
+def _pq_normalized(emb: DataFrame) -> DataFrame:
+    """L2-normalize embeddings (double precision) so PQ's decomposable
+    inner product equals cosine; ordered-fold norm matches the
+    oracle's list_dot_product bit-for-bit."""
+    from urban_mobility_data_pipeline_spark.functions.vectors import norm
+
+    n = norm("embedding")
+    return emb.select(
+        "vec_id",
+        "label",
+        F.transform(
+            "embedding", lambda x: x.cast("double") / n
+        ).alias("embedding"),
+    )
+
+#: shared oracle prefix: the whole PQ pipeline (L2 normalization,
+#: subvector split, mean-per-label codebooks rounded at 6dp,
+#: nearest-codeword encode) replayed in DuckDB from the same
+#: constants as the Spark path. Vectors are normalized FIRST so the
+#: decomposable inner product IS cosine — the corpus similarity
+#: metric used everywhere else in this module (raw dot on these
+#: unnormalized embeddings ranks by norm, not direction).
+_PQ_PREFIX = f"""
+    WITH ex AS (
+        SELECT vec_id, label,
+               list_transform(vd,
+                   x -> x / sqrt(list_dot_product(vd, vd))) AS v
+        FROM (SELECT vec_id, label,
+                     list_transform(embedding,
+                                    x -> CAST(x AS DOUBLE)) AS vd
+              FROM embeddings)
+    ),
+    js AS (SELECT unnest(range(0, {PQ_M})) AS j),
+    sub AS (
+        SELECT e.vec_id, e.label, js.j,
+               list_slice(e.v, js.j * {_PQ_SUBDIM} + 1,
+                          js.j * {_PQ_SUBDIM} + {_PQ_SUBDIM}) AS sv
+        FROM ex e CROSS JOIN js
+    ),
+    comp AS (
+        SELECT label AS code, j, pos, round(avg(c), 6) AS m
+        FROM (SELECT label, j, unnest(sv) AS c,
+                     unnest(range(1, len(sv) + 1)) AS pos
+              FROM sub)
+        GROUP BY 1, 2, 3
+    ),
+    cb AS (SELECT code, j, list(m ORDER BY pos) AS cw
+           FROM comp GROUP BY 1, 2),
+    enc AS (
+        SELECT vec_id, j, code FROM (
+            SELECT s.vec_id, s.j, c.code,
+                   row_number() OVER (
+                       PARTITION BY s.vec_id, s.j
+                       ORDER BY list_dot_product(s.sv, c.cw) DESC,
+                                c.code ASC
+                   ) AS rn
+            FROM sub s JOIN cb c ON c.j = s.j
+        ) WHERE rn = 1
+    )"""
+
+
+@register(
+    "embedding_pq_codes",
+    oracle=_PQ_PREFIX
+    + """
+    SELECT vec_id,
+           CAST(max(CASE WHEN j = 0 THEN code END) AS INTEGER) AS c0,
+           CAST(max(CASE WHEN j = 1 THEN code END) AS INTEGER) AS c1,
+           CAST(max(CASE WHEN j = 2 THEN code END) AS INTEGER) AS c2,
+           CAST(max(CASE WHEN j = 3 THEN code END) AS INTEGER) AS c3
+    FROM enc
+    GROUP BY 1
+    """,
+)
+def embedding_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization codes for every embedding: the {dim}-dim
+    vector is L2-normalized (so PQ's decomposable inner product is
+    cosine, this module's similarity metric) and split into {m} x
+    {sub}-dim subvectors, each replaced by
+    the index of its nearest per-subspace codeword — 4 small ints
+    (effectively 4 bytes) standing in for {dim} floats, the
+    compression layer of an IVF-PQ vector index. Codebooks are the
+    deterministic mean-per-label quantizer (components rounded at 6dp
+    in both engines, same contract as the IVF centroids); encode is a
+    broadcast of the codes x subspaces codebook table and a
+    max_by partial-aggregate argmax per (vector, subspace) — the
+    corpus never shuffles its floats. The oracle replays split,
+    codebook build, and encode in SQL."""
+    from urban_mobility_data_pipeline_spark.extensions.similarity import (
+        pq_codebooks,
+        pq_encode,
+    )
+
+    emb = _pq_normalized(table(spark, sf_dir, "embeddings"))
+    cb = pq_codebooks(emb, subdim=_PQ_SUBDIM)
+    codes = pq_encode(emb, cb, m=PQ_M, subdim=_PQ_SUBDIM)
+    return codes.groupBy("vec_id").agg(
+        *[
+            F.max(F.when(F.col("j") == j, F.col("code")))
+            .cast("int")
+            .alias(f"c{j}")
+            for j in range(PQ_M)
+        ]
+    )
+
+
+embedding_pq_codes.__doc__ = embedding_pq_codes.__doc__.format(
+    dim=_EMB_DIM, m=PQ_M, sub=_PQ_SUBDIM
+)
+
+
+@register(
+    "embedding_pq_topk",
+    oracle=_PQ_PREFIX
+    + """,
+    qsub AS (SELECT j, sv FROM sub WHERE vec_id = 0),
+    lut AS (
+        SELECT c.j, c.code, list_dot_product(q.sv, c.cw) AS d
+        FROM cb c JOIN qsub q ON q.j = c.j
+    ),
+    score AS (
+        SELECT e.vec_id, round(sum(l.d), 6) AS adc_score
+        FROM enc e JOIN lut l ON l.j = e.j AND l.code = e.code
+        WHERE e.vec_id <> 0
+        GROUP BY 1
+    )
+    SELECT vec_id, adc_score
+    FROM score
+    ORDER BY adc_score DESC, vec_id ASC
+    LIMIT 10
+    """,
+)
+def embedding_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ search by asymmetric distance computation over normalized
+    vectors (the ADC score approximates COSINE): the query vector
+    stays UNencoded; its {m} subvectors are dotted against every
+    codeword ONCE (a codes x subspaces lookup table, broadcast), and
+    each database vector's score is then just the sum of {m} table
+    lookups keyed by its codes — at 100 TB the scan does integer
+    lookups, not float math, which is why PQ is the in-memory layer
+    of IVF-PQ indexes. Top-10 on the rounded score with a vec_id
+    tiebreak (TakeOrderedAndProject); the query vector excludes
+    itself. The oracle replays the codebooks, the encode, the LUT,
+    and the ADC ranking."""
+    from urban_mobility_data_pipeline_spark.extensions.similarity import (
+        _subvectors,
+        pq_adc_topk,
+        pq_codebooks,
+        pq_encode,
+    )
+
+    emb = _pq_normalized(table(spark, sf_dir, "embeddings"))
+    cb = pq_codebooks(emb, subdim=_PQ_SUBDIM)
+    codes = pq_encode(emb, cb, m=PQ_M, subdim=_PQ_SUBDIM).where(
+        F.col("vec_id") != 0
+    )
+    qsub = (
+        emb.where(F.col("vec_id") == 0)
+        .select(_subvectors("embedding", PQ_M, _PQ_SUBDIM).alias("s"))
+        .select(F.col("s.j").alias("j"), F.col("s.sv").alias("sv"))
+    )
+    return pq_adc_topk(codes, cb, qsub, k=10)
+
+
+embedding_pq_topk.__doc__ = embedding_pq_topk.__doc__.format(m=PQ_M)
