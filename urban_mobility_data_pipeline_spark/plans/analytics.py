@@ -2901,3 +2901,74 @@ def trade_network_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     ranks = pagerank(edges)
     return ranks.select("node", F.round("rank", 8).alias("rank"))
+
+
+# ---------------------------------------------------------------------------
+# equi-width histogram with data-driven bounds
+# ---------------------------------------------------------------------------
+HIST_BINS = 20
+
+
+@register(
+    "order_value_histogram",
+    oracle=f"""
+    WITH bounds AS (
+        SELECT min(o_totalprice) AS lo, max(o_totalprice) AS hi
+        FROM orders
+    ),
+    binned AS (
+        SELECT CAST(least(floor((o_totalprice - b.lo)
+                                / ((b.hi - b.lo) / {HIST_BINS})),
+                          {HIST_BINS - 1}) AS INTEGER) AS bin,
+               o_totalprice,
+               b.lo, b.hi
+        FROM orders CROSS JOIN bounds b
+    )
+    SELECT bin,
+           round(min(lo) + bin * ((min(hi) - min(lo)) / {HIST_BINS}), 4)
+               AS bin_lo,
+           count(*) AS n_orders,
+           round(sum(o_totalprice), 2) AS total_value
+    FROM binned
+    GROUP BY bin
+    """,
+)
+def order_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-width histogram of order values with DATA-DRIVEN bounds —
+    the distribution half of profiling (orders_data_profile gives the
+    range; this shows the shape, the skew a partitioner or a pricing
+    analyst cares about). The global min/max is a 1-row aggregate
+    broadcast into a map-side bin computation ({bins} bins, top edge
+    clamped into the last bin); the only shuffle is the {bins}-row
+    rollup. Bin boundaries are the identical IEEE expression in both
+    engines, so bin membership is deterministic cross-engine."""
+    orders = table(spark, sf_dir, "orders").select("o_totalprice")
+    bounds = orders.agg(
+        F.min("o_totalprice").alias("lo"),
+        F.max("o_totalprice").alias("hi"),
+    )
+    width = (F.col("hi") - F.col("lo")) / F.lit(HIST_BINS)
+    bin_ = F.least(
+        F.floor((F.col("o_totalprice") - F.col("lo")) / width),
+        F.lit(HIST_BINS - 1),
+    ).cast("int")
+    return (
+        orders.join(F.broadcast(bounds))
+        .select(bin_.alias("bin"), "o_totalprice", "lo", "hi")
+        .groupBy("bin")
+        .agg(
+            F.round(
+                F.min("lo")
+                + F.col("bin")
+                * ((F.min("hi") - F.min("lo")) / F.lit(HIST_BINS)),
+                4,
+            ).alias("bin_lo"),
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("total_value"),
+        )
+    )
+
+
+order_value_histogram.__doc__ = order_value_histogram.__doc__.format(
+    bins=HIST_BINS
+)

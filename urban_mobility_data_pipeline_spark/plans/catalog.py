@@ -52,6 +52,10 @@ FLAGSHIP = "pricing_summary"
 # (min_cost_part_supplier Q2, nation_product_profit Q9,
 # linestatus_priority_late_counts Q12, supplier_count_by_part_attrs
 # Q16, dominant_part_suppliers Q20),
+# orders_data_profile (single-pass profiler),
+# trade_network_pagerank (iterative graph centrality, unrolled-CTE
+# oracle), embedding_pq_codes / embedding_pq_topk (product
+# quantization + ADC search),
 # documents_ngram_contamination, corpus_mixing_weights,
 # corpus_tokenizer_fertility, the TPC-H-shape widening
 # (customer_order_count_distribution Q13, small_quantity_part_revenue
