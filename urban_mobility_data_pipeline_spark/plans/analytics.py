@@ -2972,3 +2972,71 @@ def order_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
 order_value_histogram.__doc__ = order_value_histogram.__doc__.format(
     bins=HIST_BINS
 )
+
+
+# ---------------------------------------------------------------------------
+# order inter-arrival gaps (lag window → segment rollup)
+# ---------------------------------------------------------------------------
+@register(
+    "segment_order_interarrival",
+    oracle="""
+    WITH gaps AS (
+        SELECT o.o_custkey,
+               date_diff('day',
+                         CAST(lag(o.o_orderdate) OVER (
+                             PARTITION BY o.o_custkey
+                             ORDER BY o.o_orderdate, o.o_orderkey
+                         ) AS DATE),
+                         CAST(o.o_orderdate AS DATE)) AS gap_days
+        FROM orders o
+    ),
+    valid AS (SELECT * FROM gaps WHERE gap_days IS NOT NULL)
+    SELECT c.c_mktsegment AS mktsegment,
+           count(*) AS n_gaps,
+           round(avg(v.gap_days), 4) AS avg_gap_days,
+           CAST(min(v.gap_days) AS BIGINT) AS min_gap_days,
+           CAST(max(v.gap_days) AS BIGINT) AS max_gap_days
+    FROM valid v
+    JOIN customer c ON c.c_custkey = v.o_custkey
+    GROUP BY 1
+    """,
+)
+def segment_order_interarrival(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Purchase-cadence profile: per market segment, the distribution
+    of day-gaps between a customer's consecutive orders — the
+    inter-arrival statistic behind churn models and demand forecasts.
+
+    One window pass partitioned by customer (ordered by date with an
+    orderkey tiebreak so same-day orders sequence identically in both
+    engines) produces the lag gaps; the rollup joins the broadcast
+    customer dim for the segment and aggregates exact integer day
+    counts — avg is a single division of exact sums, so no
+    cross-engine float drift."""
+    orders = table(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderkey", "o_orderdate"
+    )
+    w = Window.partitionBy("o_custkey").orderBy(
+        "o_orderdate", "o_orderkey"
+    )
+    gaps = orders.select(
+        "o_custkey",
+        F.datediff(
+            F.to_date("o_orderdate"),
+            F.to_date(F.lag("o_orderdate").over(w)),
+        ).alias("gap_days"),
+    ).where(F.col("gap_days").isNotNull())
+    cust = table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment"
+    )
+    return (
+        gaps.join(
+            F.broadcast(cust), gaps["o_custkey"] == cust["c_custkey"]
+        )
+        .groupBy(F.col("c_mktsegment").alias("mktsegment"))
+        .agg(
+            F.count(F.lit(1)).alias("n_gaps"),
+            F.round(F.avg("gap_days"), 4).alias("avg_gap_days"),
+            F.min("gap_days").cast("long").alias("min_gap_days"),
+            F.max("gap_days").cast("long").alias("max_gap_days"),
+        )
+    )
