@@ -2958,3 +2958,71 @@ def embedding_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 embedding_pq_topk.__doc__ = embedding_pq_topk.__doc__.format(m=PQ_M)
+
+
+# ---------------------------------------------------------------------------
+# weighted sampling without replacement (Efraimidis-Spirakis keys)
+# ---------------------------------------------------------------------------
+ES_SAMPLE_K = 100
+
+
+@register(
+    "documents_token_weighted_sample",
+    oracle=f"""
+    WITH wd AS (
+        SELECT doc_id,
+               CAST(len({_WORDS}) AS DOUBLE) AS n_tokens,
+               CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+                    AS BIGINT) / 4294967296.0 AS u
+        FROM documents
+    )
+    SELECT doc_id,
+           CAST(n_tokens AS BIGINT) AS n_tokens,
+           round(pow(u, 1.0 / n_tokens), 12) AS es_key
+    FROM wd
+    ORDER BY round(pow(u, 1.0 / n_tokens), 12) DESC, doc_id ASC
+    LIMIT {ES_SAMPLE_K}
+    """,
+)
+def documents_token_weighted_sample(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Weighted sampling WITHOUT replacement, documents drawn with
+    probability proportional to token count — the unbiased way to
+    subsample a corpus when the unit that matters downstream is the
+    token, not the document (a uniform doc sample over-represents
+    short docs in token space). Efraimidis-Spirakis: each doc gets
+    key u^(1/w) with u its deterministic 32-bit md5 fingerprint in
+    [0,1); the top-{k} keys ARE a w-weighted sample, and because u is
+    a pure function of doc_id the draw is reproducible across runs,
+    partitionings, and engines — no RNG, no seed drift.
+
+    Scale shape: key computation is map-only; the top-{k} is a
+    TakeOrderedAndProject (each partition forwards at most {k} rows).
+    Ordering uses the 12dp-rounded key with a doc_id tiebreak so a
+    1-ulp cross-engine pow() difference cannot reorder the sample."""
+    docs = table(spark, sf_dir, "documents")
+    u = (
+        F.conv(
+            F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8),
+            16,
+            10,
+        ).cast("long")
+        / F.lit(4294967296.0)
+    )
+    n_tokens = T.whitespace_token_count("text").cast("double")
+    key = F.round(F.pow(u, F.lit(1.0) / n_tokens), 12)
+    return (
+        docs.select(
+            "doc_id",
+            n_tokens.cast("long").alias("n_tokens"),
+            key.alias("es_key"),
+        )
+        .orderBy(F.desc("es_key"), F.asc("doc_id"))
+        .limit(ES_SAMPLE_K)
+    )
+
+
+documents_token_weighted_sample.__doc__ = (
+    documents_token_weighted_sample.__doc__.format(k=ES_SAMPLE_K)
+)
