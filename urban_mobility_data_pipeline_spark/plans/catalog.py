@@ -55,7 +55,11 @@ FLAGSHIP = "pricing_summary"
 # orders_data_profile (single-pass profiler),
 # trade_network_pagerank (iterative graph centrality, unrolled-CTE
 # oracle), embedding_pq_codes / embedding_pq_topk (product
-# quantization + ADC search),
+# quantization + ADC search), order_value_histogram,
+# segment_order_interarrival, documents_token_weighted_sample
+# (Efraimidis-Spirakis), and streaming_purchase_attribution (the
+# FIFTH real-readStream row — a watermarked stream-stream interval
+# join sharing its oracle with the batch twin),
 # documents_ngram_contamination, corpus_mixing_weights,
 # corpus_tokenizer_fertility, the TPC-H-shape widening
 # (customer_order_count_distribution Q13, small_quantity_part_revenue

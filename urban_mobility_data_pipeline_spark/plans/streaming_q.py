@@ -327,3 +327,94 @@ def streaming_distinct_user_event_days(
     )
     query.awaitTermination()
     return spark.table(sink_name)
+
+
+@register(
+    "streaming_purchase_attribution",
+    oracle="""
+    WITH l AS (
+        SELECT event_id AS signup_id, user_id, epoch_us(ts) AS signup_us
+        FROM events WHERE event_type = 'signup'
+    ),
+    r AS (
+        SELECT event_id AS purchase_id, user_id, epoch_us(ts) AS purchase_us
+        FROM events WHERE event_type = 'purchase'
+    )
+    SELECT l.signup_id, l.user_id, l.signup_us, r.purchase_id, r.purchase_us
+    FROM l JOIN r
+      ON l.user_id = r.user_id
+     AND r.purchase_us >= l.signup_us
+     AND r.purchase_us <= l.signup_us + 7200000000
+    """,
+)
+def streaming_purchase_attribution(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """STREAM-STREAM interval join executed as a real Structured
+    Streaming query: purchases attributed to a signup by the same user
+    within 2 hours, two watermarked readStream sources joined with an
+    explicit event-time interval (streaming/joins.py interval_join —
+    the watermark delay + interval width bound each side's join state,
+    so the buffers hold O(rate x 3h) regardless of stream length).
+    Inner stream-stream joins emit matches eagerly, so availableNow
+    drains the complete result; the oracle is the SAME SQL that pins
+    the batch twin (events_interval_join_purchases) — one join
+    implementation, two execution modes, one contract."""
+    from urban_mobility_data_pipeline_spark.streaming.joins import (
+        interval_join,
+    )
+
+    configure_session(spark)
+    try:
+        schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    except Exception:
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    ts_type = schema["ts"].dataType.simpleString()
+
+    def side(event_type: str, id_alias: str, ts_alias: str) -> DataFrame:
+        stream = (
+            spark.readStream.schema(schema)
+            .option("pathGlobFilter", "events.parquet")
+            .parquet(sf_dir)
+        )
+        return (
+            stream.withColumn(
+                "event_ts", F.timestamp_micros(events_ts_us(ts_type))
+            )
+            .where(F.col("event_type") == event_type)
+            .select(
+                F.col("event_id").alias(id_alias),
+                "user_id",
+                F.col("event_ts").alias(ts_alias),
+            )
+        )
+
+    joined = interval_join(
+        side("signup", "signup_id", "signup_ts"),
+        side("purchase", "purchase_id", "purchase_ts"),
+        on=["user_id"],
+        left_ts="signup_ts",
+        right_ts="purchase_ts",
+        lower="0 seconds",
+        upper="2 hours",
+        left_watermark="1 hour",
+        right_watermark="1 hour",
+    )
+    sink_name = f"stream_attrib_{uuid.uuid4().hex[:8]}"
+    query = (
+        joined.writeStream.format("memory")
+        .queryName(sink_name)
+        .outputMode("append")
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="umdp_ckpt_"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination()
+    return spark.table(sink_name).select(
+        "signup_id",
+        "user_id",
+        F.unix_micros(F.col("signup_ts")).alias("signup_us"),
+        "purchase_id",
+        F.unix_micros(F.col("purchase_ts")).alias("purchase_us"),
+    )
