@@ -3040,3 +3040,64 @@ def segment_order_interarrival(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("gap_days").cast("long").alias("max_gap_days"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# year-over-year customer retention (cohort self-join on orders)
+# ---------------------------------------------------------------------------
+@register(
+    "customer_yearly_retention",
+    oracle="""
+    WITH active AS (
+        SELECT DISTINCT CAST(year(o_orderdate) AS INTEGER) AS yr,
+                        o_custkey
+        FROM orders
+    )
+    SELECT a.yr,
+           count(*) AS n_active,
+           CAST(count(b.o_custkey) AS BIGINT) AS n_retained_next_year,
+           round(count(b.o_custkey) / CAST(count(*) AS DOUBLE), 6)
+               AS retention_rate
+    FROM active a
+    LEFT JOIN active b
+      ON b.o_custkey = a.o_custkey AND b.yr = a.yr + 1
+    GROUP BY a.yr
+    """,
+)
+def customer_yearly_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Year-over-year retention on the orders fact: of the customers
+    active in year Y, how many ordered again in Y+1 — the cohort
+    health metric a subscription or marketplace team tracks (the
+    events-based twin, user_retention_cohorts, works on daily event
+    cohorts; this is the coarse revenue-side view).
+
+    One distinct rollup of (year, customer) — the shuffle carries an
+    int pair per order, collapsed map-side — self-joined on
+    (customer, year+1). Both sides are the SAME staged rollup keyed by
+    customer, so the join co-partitions; the final per-year rollup is
+    a handful of rows."""
+    orders = table(spark, sf_dir, "orders").select(
+        F.year("o_orderdate").cast("int").alias("yr"), "o_custkey"
+    )
+    active = orders.distinct()
+    nxt = active.select(
+        (F.col("yr") - 1).alias("prev_yr"),
+        F.col("o_custkey").alias("next_cust"),
+    )
+    return (
+        active.join(
+            nxt,
+            (active["o_custkey"] == nxt["next_cust"])
+            & (active["yr"] == nxt["prev_yr"]),
+            "left",
+        )
+        .groupBy("yr")
+        .agg(
+            F.count(F.lit(1)).alias("n_active"),
+            F.count("next_cust").alias("n_retained_next_year"),
+            F.round(
+                F.count("next_cust") / F.count(F.lit(1)).cast("double"),
+                6,
+            ).alias("retention_rate"),
+        )
+    )
