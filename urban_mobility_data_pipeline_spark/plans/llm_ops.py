@@ -3026,3 +3026,109 @@ def documents_token_weighted_sample(
 documents_token_weighted_sample.__doc__ = (
     documents_token_weighted_sample.__doc__.format(k=ES_SAMPLE_K)
 )
+
+
+# ---------------------------------------------------------------------------
+# bigram cross-entropy (perplexity-style fluency filter, CCNet-ish)
+# ---------------------------------------------------------------------------
+PPL_LAMBDA = 0.75  # bigram weight; 1-λ backs off to the unigram model
+
+
+@register(
+    "doc_bigram_cross_entropy",
+    oracle=f"""
+    WITH toks AS (SELECT doc_id, unnest({_WORDS}) AS w FROM documents),
+    uni AS (SELECT w, CAST(count(*) AS DOUBLE) AS u FROM toks GROUP BY 1),
+    nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM toks),
+    docbg AS (
+        SELECT doc_id, pair[1] AS w1, pair[2] AS w2
+        FROM (SELECT doc_id,
+                     unnest(list_transform(
+                         generate_series(1, len({_WORDS}) - 1),
+                         i -> [{_WORDS}[i], {_WORDS}[i + 1]])) AS pair
+              FROM documents
+              WHERE len({_WORDS}) >= 2)
+    ),
+    dtf AS (SELECT doc_id, w1, w2, CAST(count(*) AS DOUBLE) AS tf
+            FROM docbg GROUP BY 1, 2, 3),
+    bgc AS (SELECT w1, w2, sum(tf) AS b FROM dtf GROUP BY 1, 2)
+    SELECT d.doc_id,
+           CAST(sum(d.tf) AS BIGINT) AS n_bigrams,
+           round(sum(d.tf * -ln({PPL_LAMBDA} * bgc.b / u1.u
+                                 + {1.0 - PPL_LAMBDA} * u2.u / nn.n))
+                 / sum(d.tf), 6) AS avg_nll
+    FROM dtf d
+    JOIN bgc ON bgc.w1 = d.w1 AND bgc.w2 = d.w2
+    JOIN uni u1 ON u1.w = d.w1
+    JOIN uni u2 ON u2.w = d.w2
+    CROSS JOIN nn
+    GROUP BY 1
+    """,
+)
+def doc_bigram_cross_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perplexity-style fluency scoring (the CCNet recipe, with the LM
+    trained on the corpus itself): per document, the average negative
+    log-probability of its word bigrams under an interpolated bigram/
+    unigram model — p(w2|w1) = {lam}·B(w1,w2)/U(w1) + {bak}·U(w2)/N.
+    Low avg_nll = statistically typical text; high = outlier token
+    sequences (OCR garbage, wrong language, machine gibberish) — the
+    filter axis length/punct heuristics can't see.
+
+    Plan shape: one exploded-token pass trains the unigram table and
+    (via the zip-slice bigram build, see corpus_bigram_stats) the
+    bigram table; per-doc bigram multisets collapse map-side to
+    (doc, w1, w2, tf) partials before any join. The unigram table
+    broadcasts at this vocab; the bigram join keys (w1, w2) would
+    hash to 64-bit at web scale exactly like doc_duplicated_ngrams.
+    All counts are exact integers, so the probability expression is
+    the identical IEEE arithmetic in both engines."""
+    docs = table(spark, sf_dir, "documents")
+    toks_col = T.words("text")
+    toks = docs.select("doc_id", F.explode(toks_col).alias("w"))
+    uni = toks.groupBy("w").agg(
+        F.count(F.lit(1)).cast("double").alias("u")
+    )
+    nn = toks.agg(F.count(F.lit(1)).cast("double").alias("n"))
+
+    long_docs = docs.where(F.size(toks_col) >= 2)
+    pairs = long_docs.select(
+        "doc_id",
+        F.explode(
+            F.arrays_zip(
+                F.slice(toks_col, 1, F.size(toks_col) - 1),
+                F.slice(toks_col, 2, F.size(toks_col) - 1),
+            )
+        ).alias("p"),
+    ).select(
+        "doc_id",
+        F.col("p")["0"].alias("w1"),
+        F.col("p")["1"].alias("w2"),
+    )
+    dtf = pairs.groupBy("doc_id", "w1", "w2").agg(
+        F.count(F.lit(1)).cast("double").alias("tf")
+    )
+    bgc = dtf.groupBy("w1", "w2").agg(F.sum("tf").alias("b"))
+    u1 = uni.select(F.col("w").alias("w1"), F.col("u").alias("u1"))
+    u2 = uni.select(F.col("w").alias("w2"), F.col("u").alias("u2"))
+    prob = (
+        F.lit(PPL_LAMBDA) * F.col("b") / F.col("u1")
+        + F.lit(1.0 - PPL_LAMBDA) * F.col("u2") / F.col("n")
+    )
+    return (
+        dtf.join(bgc, ["w1", "w2"])
+        .join(F.broadcast(u1), "w1")
+        .join(F.broadcast(u2), "w2")
+        .join(F.broadcast(nn))
+        .groupBy("doc_id")
+        .agg(
+            F.sum("tf").cast("long").alias("n_bigrams"),
+            F.round(
+                F.sum(F.col("tf") * -F.log(prob)) / F.sum("tf"), 6
+            ).alias("avg_nll"),
+        )
+    )
+
+
+doc_bigram_cross_entropy.__doc__ = doc_bigram_cross_entropy.__doc__.format(
+    lam=PPL_LAMBDA, bak=round(1.0 - PPL_LAMBDA, 2)
+)
