@@ -64,10 +64,14 @@ def test_exact_vs_approx_plan(spark):
         .executedPlan()
         .toString()
     )
-    # exact multi-column countDistinct pays an Expand; the HLL variant
-    # must not — that asymmetry is the operator's documented contract
-    assert "Expand" in exact_plan
+    # NEITHER mode may pay the multi-distinct Expand: exact mode runs
+    # per-column distinct subtrees instead (visible as one extra
+    # aggregate subtree per column), approx uses HLL in the base agg
+    assert "Expand" not in exact_plan
     assert "Expand" not in approx_plan
+    assert exact_plan.count("HashAggregate") > approx_plan.count(
+        "HashAggregate"
+    )
 
 
 def test_approx_sane(spark):
