@@ -3132,3 +3132,131 @@ def doc_bigram_cross_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
 doc_bigram_cross_entropy.__doc__ = doc_bigram_cross_entropy.__doc__.format(
     lam=PPL_LAMBDA, bak=round(1.0 - PPL_LAMBDA, 2)
 )
+
+
+# ---------------------------------------------------------------------------
+# IVF-PQ: coarse cell pruning + ADC scoring — the canonical vector index
+# ---------------------------------------------------------------------------
+IVFPQ_NPROBE = 3
+
+
+@register(
+    "embedding_ivfpq_topk",
+    oracle=_PQ_PREFIX
+    + f""",
+    exr AS (
+        SELECT vec_id, label,
+               list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vr
+        FROM embeddings
+    ),
+    compc AS (
+        SELECT label AS cell, pos, round(avg(c), 6) AS cm
+        FROM (SELECT label, unnest(vr) AS c,
+                     unnest(range(1, len(vr) + 1)) AS pos
+              FROM exr)
+        GROUP BY 1, 2
+    ),
+    cent AS (SELECT cell, list(cm ORDER BY pos) AS centroid
+             FROM compc GROUP BY 1),
+    q AS (SELECT vr AS qv FROM exr WHERE vec_id = 0),
+    cellrank AS (
+        SELECT cell
+        FROM cent, q
+        ORDER BY list_dot_product(centroid, qv)
+                 / (sqrt(list_dot_product(centroid, centroid))
+                    * sqrt(list_dot_product(qv, qv))) DESC,
+                 cell
+        LIMIT {IVFPQ_NPROBE}
+    ),
+    assigned AS (
+        SELECT e.vec_id, c.cell,
+               row_number() OVER (
+                   PARTITION BY e.vec_id
+                   ORDER BY list_dot_product(e.vr, c.centroid)
+                            / (sqrt(list_dot_product(e.vr, e.vr))
+                               * sqrt(list_dot_product(c.centroid, c.centroid))) DESC,
+                            c.cell
+               ) AS rn
+        FROM exr e CROSS JOIN cent c
+    ),
+    cand AS (
+        SELECT a.vec_id
+        FROM assigned a JOIN cellrank USING (cell)
+        WHERE a.rn = 1 AND a.vec_id <> 0
+    ),
+    qsub AS (SELECT j, sv FROM sub WHERE vec_id = 0),
+    lut AS (
+        SELECT c.j, c.code, list_dot_product(q2.sv, c.cw) AS d
+        FROM cb c JOIN qsub q2 ON q2.j = c.j
+    ),
+    score AS (
+        SELECT e.vec_id, round(sum(l.d), 6) AS adc_score
+        FROM enc e
+        JOIN lut l ON l.j = e.j AND l.code = e.code
+        JOIN cand ca ON ca.vec_id = e.vec_id
+        GROUP BY 1
+    )
+    SELECT vec_id, adc_score
+    FROM score
+    ORDER BY adc_score DESC, vec_id ASC
+    LIMIT 10
+    """,
+)
+def embedding_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ — the composition that IS a production vector index: the
+    IVF coarse quantizer prunes the corpus to nprobe={np} probed cells
+    (file-level pruning against the materialized index of
+    embedding_ivf_topk_indexed), and PQ's asymmetric distance ranks
+    only those candidates with broadcast-LUT lookups instead of float
+    math. Both stages reuse their individually-verified pipelines
+    (cells from the raw-vector cosine assignment; codes from the
+    normalized-vector codebooks), and the oracle replays the ENTIRE
+    composed pipeline — quantizer, assignment, pruning, codebooks,
+    encode, LUT, ADC ranking — in one SQL statement."""
+    from urban_mobility_data_pipeline_spark.extensions.similarity import (
+        _subvectors,
+        ivf_assign,
+        ivf_centroids,
+        pq_adc_topk,
+        pq_codebooks,
+        pq_encode,
+    )
+    from urban_mobility_data_pipeline_spark.functions.vectors import cosine
+
+    emb_raw = table(spark, sf_dir, "embeddings")
+    cents = ivf_centroids(emb_raw).select(
+        "cell",
+        F.transform("centroid", lambda x: F.round(x, 6)).alias("centroid"),
+    )
+    assigned = ivf_assign(emb_raw, cents)
+    q = emb_raw.where(F.col("vec_id") == 0).select(
+        F.col("embedding").alias("__qv")
+    )
+    cell_rank = (
+        cents.join(F.broadcast(q))
+        .select("cell", cosine("centroid", "__qv").alias("__sim"))
+        .orderBy(F.desc("__sim"), F.asc("cell"))
+        .limit(IVFPQ_NPROBE)
+        .select("cell")
+    )
+    cand = (
+        assigned.join(F.broadcast(cell_rank), "cell")
+        .where(F.col("vec_id") != 0)
+        .select("vec_id")
+    )
+    emb_n = _pq_normalized(emb_raw)
+    cb = pq_codebooks(emb_n, subdim=_PQ_SUBDIM)
+    codes = pq_encode(emb_n, cb, m=PQ_M, subdim=_PQ_SUBDIM).join(
+        cand, "vec_id", "left_semi"
+    )
+    qsub = (
+        emb_n.where(F.col("vec_id") == 0)
+        .select(_subvectors("embedding", PQ_M, _PQ_SUBDIM).alias("s"))
+        .select(F.col("s.j").alias("j"), F.col("s.sv").alias("sv"))
+    )
+    return pq_adc_topk(codes, cb, qsub, k=10)
+
+
+embedding_ivfpq_topk.__doc__ = embedding_ivfpq_topk.__doc__.format(
+    np=IVFPQ_NPROBE
+)
