@@ -57,9 +57,14 @@ FLAGSHIP = "pricing_summary"
 # oracle), embedding_pq_codes / embedding_pq_topk (product
 # quantization + ADC search), order_value_histogram,
 # segment_order_interarrival, documents_token_weighted_sample
-# (Efraimidis-Spirakis), and streaming_purchase_attribution (the
+# (Efraimidis-Spirakis), streaming_purchase_attribution (the
 # FIFTH real-readStream row — a watermarked stream-stream interval
 # join sharing its oracle with the batch twin),
+# customer_yearly_retention (YoY cohort self-join),
+# doc_bigram_cross_entropy (CCNet-style perplexity filter), and
+# embedding_ivfpq_topk (IVF cell pruning composed with PQ/ADC — the
+# full-pipeline oracle covers quantizer, assignment, pruning,
+# codebooks, encode, LUT, and ranking in one statement),
 # documents_ngram_contamination, corpus_mixing_weights,
 # corpus_tokenizer_fertility, the TPC-H-shape widening
 # (customer_order_count_distribution Q13, small_quantity_part_revenue
