@@ -3102,3 +3102,91 @@ def customer_yearly_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("retention_rate"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# return-rate ranking by Wilson lower bound
+# ---------------------------------------------------------------------------
+WILSON_Z = 1.96  # 95% confidence
+
+
+@register(
+    "brand_return_rate_ranked",
+    oracle=f"""
+    WITH per_brand AS (
+        SELECT p.p_brand AS brand,
+               CAST(count(*) AS DOUBLE) AS n,
+               CAST(sum(CASE WHEN l.l_returnflag = 'R' THEN 1 ELSE 0 END)
+                    AS DOUBLE) AS r
+        FROM lineitem l
+        JOIN part p ON p.p_partkey = l.l_partkey
+        GROUP BY 1
+    )
+    SELECT brand,
+           CAST(n AS BIGINT) AS n_lineitems,
+           CAST(r AS BIGINT) AS n_returned,
+           round(r / n, 6) AS return_rate,
+           round(((r / n) + {WILSON_Z} * {WILSON_Z} / (2 * n)
+                  - {WILSON_Z} * sqrt((r / n) * (1 - r / n) / n
+                        + {WILSON_Z} * {WILSON_Z} / (4 * n * n)))
+                 / (1 + {WILSON_Z} * {WILSON_Z} / n), 6)
+               AS wilson_lower_bound
+    FROM per_brand
+    ORDER BY round(((r / n) + {WILSON_Z} * {WILSON_Z} / (2 * n)
+                  - {WILSON_Z} * sqrt((r / n) * (1 - r / n) / n
+                        + {WILSON_Z} * {WILSON_Z} / (4 * n * n)))
+                 / (1 + {WILSON_Z} * {WILSON_Z} / n), 6) DESC,
+             brand ASC
+    """,
+)
+def brand_return_rate_ranked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brand return rates ranked by the Wilson-score LOWER confidence
+    bound (z={z}) — the statistically honest "worst offenders" list: a
+    brand with 3/4 returns must not outrank one with 300/1000, which
+    is exactly what sorting by the raw rate gets wrong. One broadcast
+    part join, one low-cardinality rollup with map-side CASE partials;
+    the Wilson arithmetic operates on exact integer counts, so both
+    engines compute the identical IEEE expression, and the ordering
+    uses the ROUNDED bound with a brand tiebreak."""
+    part = table(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    li = table(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_returnflag"
+    )
+    per_brand = (
+        li.join(F.broadcast(part), li["l_partkey"] == part["p_partkey"])
+        .groupBy(F.col("p_brand").alias("brand"))
+        .agg(
+            F.count(F.lit(1)).cast("double").alias("n"),
+            F.sum(
+                F.when(F.col("l_returnflag") == "R", 1).otherwise(0)
+            )
+            .cast("double")
+            .alias("r"),
+        )
+    )
+    z = F.lit(WILSON_Z)
+    p = F.col("r") / F.col("n")
+    n = F.col("n")
+    wilson = (
+        p
+        + z * z / (F.lit(2) * n)
+        - z
+        * F.sqrt(
+            p * (F.lit(1) - p) / n + z * z / (F.lit(4) * n * n)
+        )
+    ) / (F.lit(1) + z * z / n)
+    return (
+        per_brand.select(
+            "brand",
+            F.col("n").cast("long").alias("n_lineitems"),
+            F.col("r").cast("long").alias("n_returned"),
+            F.round(p, 6).alias("return_rate"),
+            F.round(wilson, 6).alias("wilson_lower_bound"),
+        )
+        .orderBy(F.desc("wilson_lower_bound"), F.asc("brand"))
+    )
+
+
+brand_return_rate_ranked.__doc__ = brand_return_rate_ranked.__doc__.format(
+    z=WILSON_Z
+)
