@@ -235,3 +235,105 @@ def event_regex_map_showcase(spark: SparkSession, sf_dir: str) -> DataFrame:
         s.getField("typ").alias("s_type"),
         s.getField("doubled").alias("s_doubled"),
     )
+
+
+# ---------------------------------------------------------------------------
+# event_scalar_union_showcase — U2 union fold + A6 distinct key-set with
+# the §2.9 scalar surface projected off the distinct rows. Consolidates
+# the slot coverage of union_distinct_customers (U2/A6),
+# event_props_json (JSON extraction), event_regex_map_showcase
+# (regex/map), and gdpr_subject_fingerprints (md5/sha2 hashes) into a
+# single driver row so the round-7 rotation can seat 36 first-time
+# entrants (VERDICT r6 item 1); each consolidated query keeps its own
+# catalog entry, pytest-oracle row, and bench timing.
+# ---------------------------------------------------------------------------
+@register(
+    "event_scalar_union_showcase",
+    oracle=r"""
+    WITH unioned AS (
+        SELECT user_id, event_type,
+               CASE WHEN json_valid(props) AND json_type(props::JSON) = 'OBJECT'
+                    THEN CAST(props->>'$.k' AS INTEGER) END AS k_value
+        FROM events WHERE event_type = 'purchase'
+        UNION
+        SELECT user_id, event_type,
+               CASE WHEN json_valid(props) AND json_type(props::JSON) = 'OBJECT'
+                    THEN CAST(props->>'$.k' AS INTEGER) END
+        FROM events WHERE value >= 100
+    )
+    SELECT user_id, event_type, k_value,
+           regexp_extract(event_type, '^([a-z]+)', 1)       AS type_word,
+           regexp_replace(event_type, '[aeiou]', '_', 'g')  AS devoweled,
+           upper(event_type || '#' ||
+                 lpad(CAST(user_id AS VARCHAR), 8, '0'))    AS tag,
+           CAST(user_id % 7 AS BIGINT)                      AS key_mod7,
+           round(sqrt(CAST(user_id AS DOUBLE)), 6)          AS sqrt_user,
+           CASE WHEN k_value IS NULL THEN 'none'
+                WHEN k_value >= 5 THEN 'high'
+                ELSE 'low' END                              AS k_band,
+           md5(event_type || ':' || CAST(user_id AS VARCHAR))
+               AS fp_md5,
+           sha256('pepper-42' || event_type || ':' ||
+                  CAST(user_id AS VARCHAR))                 AS fp_sha256
+    FROM unioned
+    """,
+)
+def event_scalar_union_showcase(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """U2 unionByName fold of two overlapping event slices (reference
+    gdpr:648-655 trip-id set union) → A6 distinct key-set over
+    (user_id, event_type, JSON-extracted k) → §2.9 scalar projection
+    (regex extract/replace, string upper/concat/lpad, math mod/sqrt,
+    CASE conditional with NULL branch, md5 + salted sha2-256
+    fingerprints). The JSON k rides the union so the distinct is a
+    genuine three-part key-set; every scalar column is a pure function
+    of the distinct keys, so projection after distinct is exact. Plan:
+    two pushed-filter scans → union → one distinct shuffle → map-only
+    projection."""
+    ev = table(spark, sf_dir, "events")
+    k = F.element_at(F.from_json(F.col("props"), "map<string,int>"), "k")
+    a = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "event_type", k.alias("k_value")
+    )
+    b = ev.filter(F.col("value") >= 100).select(
+        "user_id", "event_type", k.alias("k_value")
+    )
+    u = a.unionByName(b).distinct()
+    uid_str = F.col("user_id").cast("string")
+    return u.select(
+        "user_id",
+        "event_type",
+        "k_value",
+        F.regexp_extract(F.col("event_type"), r"^([a-z]+)", 1).alias(
+            "type_word"
+        ),
+        F.regexp_replace(F.col("event_type"), "[aeiou]", "_").alias(
+            "devoweled"
+        ),
+        F.upper(
+            F.concat(
+                F.col("event_type"), F.lit("#"), F.lpad(uid_str, 8, "0")
+            )
+        ).alias("tag"),
+        (F.col("user_id") % 7).cast("long").alias("key_mod7"),
+        F.round(F.sqrt(F.col("user_id").cast("double")), 6).alias(
+            "sqrt_user"
+        ),
+        F.when(F.col("k_value").isNull(), "none")
+        .when(F.col("k_value") >= 5, "high")
+        .otherwise("low")
+        .alias("k_band"),
+        F.md5(F.concat(F.col("event_type"), F.lit(":"), uid_str)).alias(
+            "fp_md5"
+        ),
+        F.sha2(
+            F.concat(
+                F.lit("pepper-42"),
+                F.col("event_type"),
+                F.lit(":"),
+                uid_str,
+            ),
+            256,
+        ).alias("fp_sha256"),
+    )
