@@ -843,9 +843,12 @@ def run_dedup_index_soak(spark: SparkSession) -> dict:
     batch per cycle, per-cycle index refresh time must stay ~flat
     (it reads only the changed docs), while the naive alternative —
     re-running the full near-dup pipeline — grows with the corpus.
-    Gates: the last refresh is within 2.5x of the median early
-    refresh, and the maintained index stays row-identical to a
-    from-scratch rebuild at the end."""
+    Gates: the last refresh is within ±20%-ish of the median
+    mid-run refresh (the delete+append refresh does O(batch) work —
+    bloom-probe the changed ids, append their band rows, top up the
+    sidecar — so the curve must be FLAT, not merely sublinear; 1.35x
+    covers timer noise on a busy VM), and the maintained index stays
+    row-identical to a from-scratch rebuild at the end."""
     from urban_mobility_data_pipeline_spark.extensions.dedup_index import (
         band_rows,
         refresh_dedup_index,
@@ -857,7 +860,7 @@ def run_dedup_index_soak(spark: SparkSession) -> dict:
 
     out: dict = {"metric": "dedup_index_soak"}
     root = tempfile.mkdtemp(prefix="umdp_dedupidx_bench_")
-    batch, cycles = 4_000, 6
+    batch, cycles = 4_000, 10
     try:
         corpus = MergeTable(spark, os.path.join(root, "corpus"))
         index = MergeTable(
@@ -891,10 +894,10 @@ def run_dedup_index_soak(spark: SparkSession) -> dict:
             }
         )
         # flat maintenance: the last (biggest-corpus) refresh stays
-        # within 2.5x of the early-cycle median — O(changed), not
+        # within noise of the mid-run median — O(batch), not
         # O(corpus). (First cycle is the bootstrap; compare from c1.)
-        med_early = sorted(refresh_secs[1:4])[1]
-        assert refresh_secs[-1] <= med_early * 2.5 + 0.5, out
+        med_mid = sorted(refresh_secs[1:-1])[len(refresh_secs[1:-1]) // 2]
+        assert refresh_secs[-1] <= med_mid * 1.35 + 0.5, out
         # and the maintained index is exactly a from-scratch rebuild
         rebuilt = band_rows(corpus.read())
         live = index.read()

@@ -244,3 +244,122 @@ def test_stream_ingest_rejects_near_dups(spark, tmp_path):
     assert len(dead) == 1
     payload = _json.loads(dead[0]["raw_record"])
     assert payload["doc_id"] == 2 and payload["matched_doc_id"] == 1
+
+
+def test_refresh_appends_without_rewriting_untouched_files(
+    spark, store, split_docs
+):
+    """The O(changed) contract, pinned at the FILE level (VERDICT r6
+    item 2): a refresh whose batch is all brand-new doc ids must not
+    read or rewrite ANY existing index file (every bloom rejects every
+    key; new band rows arrive as appended files), and an update-only
+    refresh must carry over every bloom-negative file untouched."""
+    corpus, index, cursor = store
+    _, old, new = split_docs
+    refresh_dedup_index(corpus, index, cursor)
+    before = set(index.live_files())
+    assert before, "bootstrap must produce files"
+
+    # cycle 1: append-only batch of NEW ids
+    corpus.append(new)
+    n = refresh_dedup_index(corpus, index, cursor)
+    assert n == new.count()
+    after_append = set(index.live_files())
+    assert before <= after_append, (
+        "append-only refresh rewrote existing index files: "
+        f"{sorted(before - after_append)}"
+    )
+
+    # cycle 2: update ONE doc — only index files that might contain an
+    # id from the refresh's changed-id feed (the corpus CDC re-emits
+    # every row of a rewritten corpus file, so the feed is wider than
+    # the single victim) may be replaced; every bloom-negative file
+    # must survive untouched
+    victim = corpus.read().select("doc_id").first()[0]
+    pre_merge_version = corpus.history()[0]["version"]
+    upd = corpus.read().filter(F.col("doc_id") == victim).withColumn(
+        "text", F.lit("replacement body for the io-assertion test")
+    )
+    corpus.merge(upd, keys=["doc_id"], update_set={"text": F.col("s.text")})
+    changed_ids = [
+        r[0]
+        for r in corpus.read_changes(pre_merge_version)
+        .select("doc_id")
+        .unionByName(
+            corpus.read_removed(pre_merge_version).select("doc_id")
+        )
+        .distinct()
+        .collect()
+    ]
+    assert victim in changed_ids
+    cands, _skipped = index.prune_files_by_keys(["doc_id"], changed_ids)
+    refresh_dedup_index(corpus, index, cursor)
+    after_update = set(index.live_files())
+    untouched = after_append - set(cands)
+    assert untouched <= after_update, (
+        "update refresh rewrote bloom-negative files: "
+        f"{sorted(untouched - after_update)}"
+    )
+    # and the maintained index still equals a from-scratch rebuild
+    rebuilt = band_rows(corpus.read())
+    live = index.read()
+    assert (
+        live.exceptAll(rebuilt).count() == 0
+        and rebuilt.exceptAll(live).count() == 0
+    )
+
+
+def test_mass_erasure_never_builds_driver_in_list(spark, tmp_path, split_docs):
+    """~100k-id takedown through the band index (VERDICT r6 item 3):
+    above the collect limit the delete must take the anti-join path —
+    the ids stay a DataFrame end to end, the plan carries a join, and
+    on a doc_id-bucketed table only the key set's hash buckets are
+    rewritten."""
+    docs, _, _ = split_docs
+    corpus = MergeTable(spark, str(tmp_path / "corpus"))
+    corpus.create(docs)
+    index = MergeTable(
+        spark, str(tmp_path / "index"), bucket_keys=["doc_id"],
+        num_buckets=8,
+    )
+    cursor = VersionCursor(spark, str(tmp_path / "cursor"))
+    refresh_dedup_index(corpus, index, cursor)
+
+    all_ids = {r[0] for r in docs.select("doc_id").collect()}
+    # 100k-id takedown manifest: every even id up to 200k — erases the
+    # even half of the corpus, keeps the odd half
+    erase = spark.range(0, 200_000, 2).withColumnRenamed("id", "doc_id")
+    erased_present = {i for i in all_ids if i % 2 == 0}
+    survivors_want = all_ids - erased_present
+    assert erased_present and survivors_want, "fixture must split"
+
+    stats = index.delete_keys_in(
+        "doc_id", erase.select(F.col("doc_id").cast("long"))
+    )
+    assert stats["path"] == "bucket-anti-join", stats
+    left = {r[0] for r in index.read().select("doc_id").distinct().collect()}
+    assert left == survivors_want
+
+
+def test_mass_erasure_ivf_index_anti_join(spark, tmp_path, sf_dir):
+    """Same contract through the IVF vector index: a 100k-id erase
+    frame routes through delete_keys_in's anti-join (cell-partitioned
+    table → full-rewrite branch), never an isin literal."""
+    from urban_mobility_data_pipeline_spark.extensions.similarity import (
+        build_ivf_index,
+        ivf_centroids,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    cents = ivf_centroids(emb)
+    index = MergeTable(spark, str(tmp_path / "ivf"))
+    build_ivf_index(emb, cents, index)
+    all_ids = {r[0] for r in emb.select("vec_id").collect()}
+    erase = spark.range(0, 100_000).withColumnRenamed("id", "vec_id")
+    want = {i for i in all_ids if i >= 100_000}
+    stats = index.delete_keys_in(
+        "vec_id", erase.select(F.col("vec_id").cast("long"))
+    )
+    assert stats["path"] == "anti-join", stats
+    left = {r[0] for r in index.read().select("vec_id").collect()}
+    assert left == want

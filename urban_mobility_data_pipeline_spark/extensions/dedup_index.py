@@ -60,10 +60,22 @@ def refresh_dedup_index(
 
     Bootstrap signatures the full corpus once; every later refresh
     reads ONLY changed docs (change feed for adds/updates, removed-side
-    feed for the delete half), then one MERGE on (doc_id, band_id)
-    upserts their B rows and one keyed DELETE drops erased docs. At
-    scale construct ``index`` with ``bucket_keys=[id_col]`` so both
-    mutations rewrite only the touched key-hash buckets."""
+    feed for the delete half) and pays O(changed), never O(index):
+
+    1. ``delete_keys_in(id_col, changed_ids)`` drops any stale band
+       rows through the bloom sidecar — files that cannot contain a
+       changed doc are neither read nor rewritten, and a refresh whose
+       batch is all brand-new ids touches ZERO existing files (every
+       bloom rejects every key). Mass erasures above the collect limit
+       anti-join, never building a driver IN-list.
+    2. ``append(band_rows(live_changed))`` adds the changed docs'
+       fresh B rows as NEW files — an append-only commit, no
+       rewrite of grown cells (the round-6 creep: a MERGE upsert
+       re-emitted every touched bucket, so refresh cost tracked the
+       corpus instead of the batch).
+    3. ``build_blooms(id_col)`` tops up the sidecar for exactly the
+       files appended in (2), keeping step (1) pruned next refresh.
+    """
     head_hist = corpus.history()
     head = head_hist[0]["version"] if head_hist else 0
     cur = cursor.read_version(job)
@@ -73,38 +85,33 @@ def refresh_dedup_index(
             index.replace(full)
         else:
             index.create(full)
+        index.build_blooms(id_col)
         n = corpus.read().count()
         cursor.upsert(job, head, "OK")
         return n
     if head <= cur:
         cursor.upsert(job, None, "OK")
         return 0
+    from urban_mobility_data_pipeline_spark.cache import scratch_persist
+
     try:
-        changed_ids = (
+        changed_ids = scratch_persist(
             corpus.read_changes(cur)
             .select(id_col)
             .unionByName(corpus.read_removed(cur).select(id_col))
             .distinct()
         )
-        live = corpus.read()
-        current_changed = live.join(changed_ids, id_col)
-        n = current_changed.count()
-        if n:
-            index.merge(
-                band_rows(current_changed, id_col, text_col),
-                keys=[id_col, "band_id"],
-                update_set={"band_key": F.col("s.band_key")},
-                insert=True,
-            )
-        # erased docs: in the changed set but no longer in the corpus
-        erased = changed_ids.join(
-            live.select(id_col), id_col, "left_anti"
-        )
-        erased_ids = [r[0] for r in erased.collect()]
-        if erased_ids:
-            index.delete(F.col(id_col).isin(erased_ids))
+        n_changed = changed_ids.count()
+        if n_changed == 0:
+            cursor.upsert(job, head, "OK")
+            return 0
+        index.delete_keys_in(id_col, changed_ids)
+        live_changed = corpus.read().join(changed_ids, id_col)
+        if live_changed.limit(1).count():
+            index.append(band_rows(live_changed, id_col, text_col))
+            index.build_blooms(id_col)
         cursor.upsert(job, head, "OK")
-        return n + len(erased_ids)
+        return n_changed
     except Exception:
         cursor.upsert(job, None, "FAIL")
         raise

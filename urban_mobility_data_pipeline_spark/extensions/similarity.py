@@ -462,11 +462,15 @@ def refresh_ivf_index(
                 current_changed, centroids, index_table, id_col, vec_col
             )
         erased = changed_ids.join(live.select(id_col), id_col, "left_anti")
-        erased_ids = [r[0] for r in erased.collect()]
-        if erased_ids:
-            index_table.delete(F.col(id_col).isin(erased_ids))
+        n_erased = erased.count()
+        if n_erased:
+            # DataFrame-native keyed delete: a GDPR-request-sized set
+            # routes through the pruned point-delete, a mass takedown
+            # anti-joins — the erased ids never become a driver-side
+            # IN-list (VERDICT r6 item 3).
+            index_table.delete_keys_in(id_col, erased.select(id_col))
         cursor.upsert(job, head, "OK")
-        return n + len(erased_ids)
+        return n + n_erased
     except Exception:
         cursor.upsert(job, None, "FAIL")
         raise

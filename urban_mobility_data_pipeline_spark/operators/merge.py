@@ -99,7 +99,12 @@ MAX_PRUNED_PARTITIONS = 4096
 #: through ``str(python_value)`` — the set for which a pruned DELETE can
 #: map predicate values to existing directories without a Spark write.
 _PRUNABLE_DELETE_TYPES = {
-    "string", "integer", "long", "short", "byte", "date",
+    # Catalyst simpleString() names — NOT the python-side class names
+    # ("int"/"bigint"/"smallint"/"tinyint" are what StructField
+    # reports; the long-form aliases are kept for schemas written by
+    # hand)
+    "string", "int", "bigint", "smallint", "tinyint", "date",
+    "integer", "long", "short", "byte",
 }
 
 
@@ -1565,6 +1570,125 @@ class MergeTable:
         return {
             "rewritten_files": len(cands),
             "kept_files": len(skipped),
+        }
+
+    def delete_keys_in(
+        self,
+        col: str | Sequence[str],
+        keys_df: DataFrame,
+        collect_limit: int = 10_000,
+    ) -> dict:
+        """Keyed DELETE whose key set is a **DataFrame** — the
+        mass-erasure path (a source takedown can carry millions of
+        subject ids; a GDPR request tens). Small sets (≤
+        ``collect_limit`` distinct keys) route through the pruned
+        point-delete machinery: :meth:`delete_by_keys` when the bloom
+        sidecar exists (bloom-negative files are neither read nor
+        rewritten), else the partition-pruned :meth:`delete`. Larger
+        sets NEVER serialize the ids through the driver: the table is
+        anti-joined against the key frame and rewritten — pruned to
+        the key set's hash buckets when the table is bucketed on
+        exactly the probe column (the buckets are computed from the
+        key frame alone, ≤ ``num_buckets`` driver-side values, no
+        table scan), full-rewrite otherwise. The plan carries a join,
+        never a literal IN-list.
+
+        ``keys_df`` must have exactly one column whose type matches
+        the probe column's (the bucket hash and the join key both
+        depend on it). With several probe columns the delete is
+        ANY-semantics (a row goes when any probe column matches a
+        key), matching :meth:`delete_by_keys`. NULL keys are ignored,
+        like ``isin``.
+        """
+        cols = [col] if isinstance(col, str) else list(col)
+        if len(keys_df.columns) != 1:
+            raise ValueError("keys_df must have exactly one column")
+        keys = (
+            keys_df.toDF("__probe_key")
+            .filter(F.col("__probe_key").isNotNull())
+            .distinct()
+        )
+        sample = keys.limit(collect_limit + 1).collect()
+        if len(sample) <= collect_limit:
+            vals = [r[0] for r in sample]
+            if not vals:
+                manifest, _ = self._load()
+                return {
+                    "path": "noop",
+                    "rewritten_files": 0,
+                    "kept_files": len(manifest["files"]),
+                }
+            if self.has_blooms(cols):
+                return {"path": "bloom", **self.delete_by_keys(cols, vals)}
+            self.delete(self._keys_pred(cols, vals))
+            return {
+                "path": "pruned-isin",
+                "rewritten_files": -1,
+                "kept_files": -1,
+            }
+
+        manifest, parent = self._load()
+        pcols = list(manifest["partition_by"])
+        bucketed = bool(manifest["bucket_keys"]) and pcols == [BUCKET_COL]
+
+        def survivors(frame: DataFrame) -> DataFrame:
+            out = frame
+            for c in cols:
+                out = out.join(
+                    keys, out[c] == keys["__probe_key"], "left_anti"
+                )
+            return out
+
+        if (
+            bucketed
+            and parent > 0
+            and len(cols) == 1
+            and list(manifest["bucket_keys"]) == cols
+        ):
+            buckets = [
+                (r[0],)
+                for r in keys.select(
+                    F.pmod(
+                        F.xxhash64(F.col("__probe_key")),
+                        F.lit(manifest["num_buckets"]),
+                    )
+                    .cast("int")
+                    .alias(BUCKET_COL)
+                )
+                .distinct()
+                .collect()
+            ]
+            replaced = self._dirs_for_vals(manifest, buckets)
+            if (
+                replaced is not None
+                and len(buckets) <= MAX_PRUNED_PARTITIONS
+            ):
+                sub = self._read_snapshot(
+                    manifest, include_internal=True
+                ).filter(self._vals_pred(pcols, buckets))
+                self._commit_pruned(
+                    survivors(sub), manifest, parent, replaced, "delete"
+                )
+                untouched = len(manifest["files"]) - sum(
+                    1
+                    for f in manifest["files"]
+                    if os.path.dirname(f) in replaced
+                )
+                return {
+                    "path": "bucket-anti-join",
+                    "rewritten_files": len(manifest["files"]) - untouched,
+                    "kept_files": untouched,
+                }
+        target = (
+            self._read_snapshot(manifest, include_internal=True)
+            if parent > 0
+            else self.read(include_internal=True)
+        )
+        self._commit_rewrite(survivors(target), pcols, op="delete")
+        return {
+            "path": "anti-join",
+            "rewritten_files": len(manifest["files"]),
+            "kept_files": 0,
         }
 
     # -- CHECK constraints (Delta ALTER TABLE ADD CONSTRAINT analogue) -----
