@@ -148,23 +148,41 @@ def main() -> None:
                             r'"([a-z_0-9]+)": ([0-9.]+)', base["tail"]
                         )
                     }
-                # normalize for machine weather when the baseline also
-                # recorded the calibration probe; either way require a
-                # 1s absolute delta — a 0.4s->0.9s sub-second drift is
-                # host noise (measured 1.3-2x run-to-run on identical
-                # code, see NOTES), not a plan regression.
+                # calibration-normalized gate (VERDICT r6 item 4): both
+                # sides divide by their own run's CPU probe, so the
+                # comparison is in machine-independent units — a cold VM
+                # can't fake a regression (everything inflates together)
+                # and a warm re-run can't MASK one (the old one-sided
+                # max(scale, 1) gate only forgave slowness, it never
+                # tightened when the current host ran faster). The 1s
+                # absolute floor is applied in baseline-weather seconds:
+                # sub-second drift is host noise, not a plan change.
                 base_cal = base.get("calibration_sec") or 0.0
-                scale = (calibration / base_cal) if base_cal > 0 else 1.0
+                normalized = base_cal > 0 and calibration > 0
                 for name, t in timings.items():
                     prev = prev_times.get(name, -1.0)
-                    if (
-                        prev > 0.05
-                        and t > 2 * prev * max(scale, 1.0)
-                        and t - prev > 1.0
-                    ):
-                        regressions[name] = {"prev": prev, "now": t}
+                    if prev <= 0.05 or t < 0:
+                        continue
+                    if normalized:
+                        now_n = t / calibration
+                        prev_n = prev / base_cal
+                        slow = (
+                            now_n > 2 * prev_n
+                            and (now_n - prev_n) * base_cal > 1.0
+                        )
+                    else:
+                        now_n = prev_n = -1.0
+                        slow = t > 2 * prev and t - prev > 1.0
+                    if slow:
+                        regressions[name] = {
+                            "prev": prev,
+                            "now": t,
+                            "prev_norm": round(prev_n, 4),
+                            "now_norm": round(now_n, 4),
+                        }
                         print(
-                            f"bench: REGRESSION {name}: {prev}s -> {t}s",
+                            f"bench: REGRESSION {name}: {prev}s -> {t}s"
+                            f" (normalized {prev_n:.2f} -> {now_n:.2f})",
                             file=sys.stderr,
                         )
         except Exception as exc:
@@ -180,11 +198,29 @@ def main() -> None:
         "regressions": regressions,
     }
 
-    # durable, complete artifact (committed per round)
+    # durable, complete artifact (committed per round) — carries BOTH
+    # the raw seconds and the calibration-normalized map (t divided by
+    # this run's CPU probe), so any two rounds compare in
+    # machine-independent units
     local_name = f"BENCH_LOCAL_r{this_round:02d}.json"
+    queries_normalized = (
+        {
+            n: round(t / calibration, 4)
+            for n, t in timings.items()
+            if t >= 0
+        }
+        if calibration > 0
+        else {}
+    )
     with open(os.path.join(here, local_name), "w") as f:
         json.dump(
-            dict(result, round=this_round, cpus=int(cpus), notes=NOTES),
+            dict(
+                result,
+                round=this_round,
+                cpus=int(cpus),
+                queries_normalized=queries_normalized,
+                notes=NOTES,
+            ),
             f,
             indent=1,
             sort_keys=True,

@@ -1,0 +1,222 @@
+"""Materialized BM25 lexical index (inverted postings as a MergeTable).
+
+``doc_bm25_topk`` (plans/llm_ops.py) recomputes corpus statistics and
+the per-term document frequencies from the raw text on every query —
+at 100 TB that is a full corpus re-tokenization per search. This module
+is ``ivf_topk_indexed`` applied to lexical retrieval (VERDICT r6 item
+6): tokenize ONCE into a persisted postings table, then a query reads
+only the query terms' postings.
+
+Layout decisions, each load-bearing at scale:
+
+- **Postings** ``(token, doc_id, tf, dl)`` with the document length
+  DENORMALIZED into every posting — a probe never joins a corpus-wide
+  doc-length table; everything BM25 needs about a (term, doc) pair is
+  in the row. Construct the table with ``bucket_keys=["token"]`` so
+  appends cluster a term's postings into few files, and blooms on
+  ``token`` let :meth:`MergeTable.read_by_keys` skip every file that
+  cannot contain a query term (the lexical analogue of reading nprobe
+  IVF cells). Blooms on ``doc_id`` serve the erasure path.
+- **df is derived from the probed postings themselves** (rows per
+  token = documents containing the term), so probe-time statistics are
+  exact-by-construction and cannot drift from the batch definition.
+- **Stats** ``(n_docs, total_dl)`` — one row, maintained by DELTA
+  (adds minus before-images) like ``vocab.refresh_vocabulary``, so a
+  refresh never rescans the corpus to recount it. ``avgdl`` is
+  ``total_dl / n_docs`` at probe time.
+
+Reference scope note: the reference has no retrieval surface at all;
+this is engine capability for the LLM-corpus extension (SURVEY §2
+extensions table), sharing its oracle with ``doc_bm25_topk``.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from urban_mobility_data_pipeline_spark.functions import text as T
+from urban_mobility_data_pipeline_spark.operators.merge import MergeTable
+from urban_mobility_data_pipeline_spark.operators.watermark import VersionCursor
+
+BM25_INDEX_JOB = "corpus_bm25_index"
+
+
+def bm25_postings(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """(token, doc_id, tf, dl) for a document slice — the index's row
+    format, via the SAME tokenizer as the batch BM25 query."""
+    toks = docs.select(
+        F.col(id_col), T.words(text_col).alias("toks")
+    ).select(
+        id_col,
+        F.size("toks").cast("double").alias("dl"),
+        F.explode("toks").alias("token"),
+    )
+    return toks.groupBy("token", id_col, "dl").agg(
+        F.count(F.lit(1)).cast("double").alias("tf")
+    )
+
+
+def bm25_stats(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """One-row (n_docs, total_dl) rollup of a document slice."""
+    return docs.select(
+        F.col(id_col), F.size(T.words(text_col)).cast("double").alias("dl")
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("dl").alias("total_dl"),
+    )
+
+
+def build_bm25_index(
+    docs: DataFrame,
+    postings: MergeTable,
+    stats: MergeTable,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> None:
+    """Materialize the inverted index: postings (+ blooms on token for
+    probe skipping and on id for erasure) and the one-row stats."""
+    rows = bm25_postings(docs, id_col, text_col)
+    if postings.exists():
+        postings.replace(rows)
+    else:
+        postings.create(rows)
+    postings.build_blooms("token")
+    postings.build_blooms(id_col)
+    st = bm25_stats(docs, id_col, text_col)
+    if stats.exists():
+        stats.replace(st)
+    else:
+        stats.create(st)
+
+
+def bm25_topk_indexed(
+    postings: MergeTable,
+    stats: MergeTable,
+    terms: Sequence[str],
+    k: int = 20,
+    k1: float = 1.2,
+    b: float = 0.75,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """BM25 top-k through the materialized index: the scan touches only
+    files whose token bloom admits a query term (``read_by_keys``), the
+    one-row stats broadcast into the scoring expression, df folds out
+    of the probed rows, and the final rank is a TakeOrderedAndProject.
+    Identical semantics (and oracle) to the from-scratch
+    ``doc_bm25_topk`` — rounded-score ordering with an id tiebreak, so
+    1-ulp ``ln`` noise can't flip the rank."""
+    rows = postings.read_by_keys(["token"], list(terms))
+    st = stats.read().select(
+        F.col("n_docs").cast("double").alias("n_docs"),
+        (F.col("total_dl") / F.col("n_docs")).alias("avgdl"),
+    )
+    df_ = rows.groupBy("token").agg(
+        F.count(F.lit(1)).cast("double").alias("df")
+    )
+    k1c, bc = F.lit(float(k1)), F.lit(float(b))
+    idf = F.log(
+        (F.col("n_docs") - F.col("df") + F.lit(0.5))
+        / (F.col("df") + F.lit(0.5))
+        + F.lit(1.0)
+    )
+    contrib = idf * F.col("tf") * (k1c + F.lit(1.0)) / (
+        F.col("tf")
+        + k1c * (F.lit(1.0) - bc + bc * F.col("dl") / F.col("avgdl"))
+    )
+    return (
+        rows.join(F.broadcast(df_), "token")
+        .join(F.broadcast(st))
+        .groupBy(id_col)
+        .agg(
+            F.sum(contrib).alias("score"),
+            F.count(F.lit(1)).cast("int").alias("n_terms_matched"),
+        )
+        .select(
+            id_col,
+            F.round("score", 6).alias("bm25_score"),
+            "n_terms_matched",
+        )
+        .orderBy(F.desc("bm25_score"), F.asc(id_col))
+        .limit(int(k))
+    )
+
+
+def refresh_bm25_index(
+    corpus: MergeTable,
+    postings: MergeTable,
+    stats: MergeTable,
+    cursor: VersionCursor,
+    job: str = BM25_INDEX_JOB,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> int:
+    """Fold corpus commits since the cursor into the index, O(changed)
+    — the same delete+append+bloom-top-up contract as
+    ``dedup_index.refresh_dedup_index``, plus a DELTA update of the
+    one-row stats (after minus before contributions over the changed
+    ids, so re-emitted unchanged docs cancel to zero and the corpus is
+    never recounted)."""
+    head_hist = corpus.history()
+    head = head_hist[0]["version"] if head_hist else 0
+    cur = cursor.read_version(job)
+    if not postings.exists() or cur == 0:
+        build_bm25_index(corpus.read(), postings, stats, id_col, text_col)
+        n = corpus.read().count()
+        cursor.upsert(job, head, "OK")
+        return n
+    if head <= cur:
+        cursor.upsert(job, None, "OK")
+        return 0
+    from urban_mobility_data_pipeline_spark.cache import scratch_persist
+
+    try:
+        changed_ids = scratch_persist(
+            corpus.read_changes(cur)
+            .select(id_col)
+            .unionByName(corpus.read_removed(cur).select(id_col))
+            .distinct()
+        )
+        n_changed = changed_ids.count()
+        if n_changed == 0:
+            cursor.upsert(job, head, "OK")
+            return 0
+        after = corpus.read().join(changed_ids, id_col)
+        before = corpus.read(version=cur).join(changed_ids, id_col)
+        postings.delete_keys_in(id_col, changed_ids)
+        if after.limit(1).count():
+            postings.append(bm25_postings(after, id_col, text_col))
+            postings.build_blooms("token")
+            postings.build_blooms(id_col)
+        a = bm25_stats(after, id_col, text_col)
+        bfr = bm25_stats(before, id_col, text_col)
+        delta = a.join(
+            bfr.select(
+                F.col("n_docs").alias("n_b"),
+                F.col("total_dl").alias("dl_b"),
+            )
+        ).select(
+            (F.col("n_docs") - F.col("n_b")).alias("d_docs"),
+            (
+                F.coalesce("total_dl", F.lit(0.0))
+                - F.coalesce("dl_b", F.lit(0.0))
+            ).alias("d_dl"),
+        )
+        cur_stats = stats.read().join(delta).select(
+            (F.col("n_docs") + F.col("d_docs")).alias("n_docs"),
+            (F.coalesce("total_dl", F.lit(0.0)) + F.col("d_dl")).alias(
+                "total_dl"
+            ),
+        )
+        stats.replace(cur_stats)
+        cursor.upsert(job, head, "OK")
+        return n_changed
+    except Exception:
+        cursor.upsert(job, None, "FAIL")
+        raise

@@ -705,6 +705,9 @@ class MergeTable:
         if not self.exists():
             self.create(df)
             return
+        manifest, _ = self._load()
+        if manifest["bucket_keys"] and BUCKET_COL not in df.columns:
+            df = df.withColumn(BUCKET_COL, self._bucket_expr(manifest))
         self._commit_rewrite(df, op="replace")
 
     def _commit_rewrite(

@@ -2614,6 +2614,39 @@ doc_bm25_topk.__doc__ = doc_bm25_topk.__doc__.format(
 )
 
 
+@register("doc_bm25_topk_indexed", oracle=ORACLES["doc_bm25_topk"])
+def doc_bm25_topk_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 top-k through the MATERIALIZED inverted index (VERDICT r6
+    item 6 — ``ivf_topk_indexed`` applied to lexical retrieval):
+    ``build_bm25_index`` tokenizes the corpus ONCE into a
+    token-bucketed postings MergeTable (+ token blooms + a one-row
+    stats table), then the search reads only files whose bloom admits
+    a query term — no corpus re-tokenization, no corpus-wide stats
+    recompute per query. Must hash-match the same oracle as
+    ``doc_bm25_topk`` (the index is a layout change, not a semantics
+    change); tests/test_lexical_index.py additionally pins the file
+    skipping and the incremental refresh."""
+    import tempfile
+
+    from urban_mobility_data_pipeline_spark.extensions.lexical_index import (
+        bm25_topk_indexed,
+        build_bm25_index,
+    )
+    from urban_mobility_data_pipeline_spark.operators.merge import MergeTable
+
+    docs = table(spark, sf_dir, "documents")
+    root = tempfile.mkdtemp(prefix="umdp_bm25_idx_")
+    postings = MergeTable(
+        spark, root + "/postings", bucket_keys=["token"], num_buckets=8
+    )
+    stats = MergeTable(spark, root + "/stats")
+    build_bm25_index(docs, postings, stats)
+    return bm25_topk_indexed(
+        postings, stats, BM25_QUERY_TERMS, k=BM25_TOP_K,
+        k1=BM25_K1, b=BM25_B,
+    )
+
+
 # ---------------------------------------------------------------------------
 # epoch sampling: APPLY the mixing weights deterministically
 # ---------------------------------------------------------------------------
