@@ -73,6 +73,27 @@ def read_pushdown(
     return read_table(spark, url, query, properties)
 
 
+#: JDBC URL prefixes whose Spark dialect CLAIMS limit-pushdown support
+#: but whose SQL dialect does not execute the emitted clause — Spark
+#: drops its own TakeOrdered, the database returns the full result,
+#: and the query silently yields extra rows. Derby is the pinned case
+#: (test_jdbc_limit_pushdown_hazard_on_derby); the registry exists so
+#: the NEXT dialect found to lie lands here as one line plus a test,
+#: not a rewrite. Prefixes are matched with str.startswith on the URL.
+LIMIT_PUSHDOWN_UNSAFE_PREFIXES: tuple[str, ...] = ("jdbc:derby",)
+
+
+def limit_pushdown_safe(url: str) -> bool:
+    """The AUTO policy for ``register_jdbc_catalog(push_limit=None)``:
+    True unless the URL matches a dialect in
+    :data:`LIMIT_PUSHDOWN_UNSAFE_PREFIXES`. Only Derby is verified
+    LIVE in this environment (the only embedded driver shipped with
+    Spark; no H2/SQLite jar is installable here) — Postgres/MySQL/H2
+    return True on the strength of their upstream dialect tests, a
+    documented single-live-dialect limitation."""
+    return not url.startswith(LIMIT_PUSHDOWN_UNSAFE_PREFIXES)
+
+
 def register_jdbc_catalog(
     spark: SparkSession,
     name: str,
@@ -89,16 +110,18 @@ def register_jdbc_catalog(
     supports it, ORDER BY+LIMIT top-N. Grouped aggregates are
     attempted and FALL BACK to a plain scan when the dialect can't
     bind Spark's generated SQL (embedded Derby can't; Postgres/MySQL
-    can) — correctness never depends on aggregate pushdown.
+    can) — correctness never depends on aggregate pushdown, which is
+    why it needs no per-dialect guard: it either binds or falls back
+    (pinned by test_jdbc_v2_grouped_pushdown_falls_back_correct).
 
-    ``push_limit`` defaults to AUTO: disabled for Derby URLs because
-    Spark's Derby dialect claims limit support it doesn't deliver —
-    the scan drops the Spark-side TakeOrdered but Derby executes
+    ``push_limit`` defaults to AUTO via :func:`limit_pushdown_safe`:
+    disabled for dialects in :data:`LIMIT_PUSHDOWN_UNSAFE_PREFIXES`
+    because those claim limit support they don't deliver — the scan
+    drops the Spark-side TakeOrdered but the database executes
     without the LIMIT, silently returning extra rows (wrong results,
-    pinned by test_jdbc_limit_pushdown_hazard_on_derby). Aggregate
-    pushdown has no such hazard: it either binds or falls back."""
+    pinned by test_jdbc_limit_pushdown_hazard_on_derby)."""
     if push_limit is None:
-        push_limit = not url.startswith("jdbc:derby")
+        push_limit = limit_pushdown_safe(url)
     base = f"spark.sql.catalog.{name}"
     spark.conf.set(
         base,
