@@ -290,3 +290,63 @@ def test_blooms_on_bucketed_table(spark, tmp_path):
     m, _ = t._load()
     assert m["bucket_keys"] == ["doc_id"]  # layout preserved
     assert all(f.startswith("__kb=") for f in m["files"])
+
+
+def test_multi_column_build_matches_sequential(spark):
+    """build_blooms(["a","b"]) reads each file ONCE but must produce
+    byte-identical sidecars to two sequential single-column builds —
+    the single-scan path is an IO optimization, never a content
+    change. Also pins NULL handling (null keys are never bitmapped)
+    and the per-column incremental contract (a column's existing
+    bloom survives a multi-column top-up untouched)."""
+    rows = spark.range(N_ROWS).select(
+        F.col("id").alias("doc_id"),
+        F.when(F.col("id") % 7 != 0, F.concat(F.lit("tok"), F.col("id") % 50))
+        .alias("token"),  # 1-in-7 NULL
+        (F.col("id") % 97).alias("grp"),
+    ).repartition(N_FILES)
+
+    seq_path = tempfile.mkdtemp(prefix="umdp_bloom_seq_")
+    t_seq = MergeTable(spark, seq_path)
+    t_seq.create(rows)
+    t_seq.build_blooms("doc_id")
+    t_seq.build_blooms("token")
+
+    multi_path = tempfile.mkdtemp(prefix="umdp_bloom_multi_")
+    t_multi = MergeTable(spark, multi_path)
+    t_multi.create(rows)
+    built = t_multi.build_blooms(["doc_id", "token"])
+    assert len(built) == N_FILES
+
+    def sidecar(t):
+        with open(t._bloom_sidecar_path()) as f:
+            raw = json.load(f)
+        # file names differ between the two tables; compare the sorted
+        # multiset of per-column entries instead
+        return sorted(
+            sorted((c, e["m"], e["k"], e["b64"]) for c, e in v.items())
+            for v in raw.values()
+        )
+
+    assert sidecar(t_multi) == sidecar(t_seq)
+
+    # pruning through the multi-built sidecars behaves per column
+    cands, skipped = t_multi.prune_files_by_keys("doc_id", [10_000_000])
+    assert len(skipped) >= N_FILES - 1
+    cands, _ = t_multi.prune_files_by_keys("token", ["tok1"])
+    assert cands  # present key is admitted somewhere
+
+    # incremental: appending new rows then multi-building tops up ONLY
+    # the new file; the old files' entries are byte-identical
+    before = sidecar(t_multi)
+    t_multi.append(
+        spark.range(N_ROWS, N_ROWS + 10).select(
+            F.col("id").alias("doc_id"),
+            F.concat(F.lit("tok"), F.col("id") % 50).alias("token"),
+            (F.col("id") % 97).alias("grp"),
+        ).coalesce(1)
+    )
+    t_multi.build_blooms(["doc_id", "token"])
+    after = sidecar(t_multi)
+    assert len(after) == len(before) + 1
+    assert [e for e in before if e in after] == before

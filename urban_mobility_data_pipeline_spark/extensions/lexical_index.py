@@ -87,8 +87,7 @@ def build_bm25_index(
         postings.replace(rows)
     else:
         postings.create(rows)
-    postings.build_blooms("token")
-    postings.build_blooms(id_col)
+    postings.build_blooms(["token", id_col])  # one scan, both sidecars
     st = bm25_stats(docs, id_col, text_col)
     if stats.exists():
         stats.replace(st)
@@ -192,8 +191,7 @@ def refresh_bm25_index(
         postings.delete_keys_in(id_col, changed_ids)
         if after.limit(1).count():
             postings.append(bm25_postings(after, id_col, text_col))
-            postings.build_blooms("token")
-            postings.build_blooms(id_col)
+            postings.build_blooms(["token", id_col])
         a = bm25_stats(after, id_col, text_col)
         bfr = bm25_stats(before, id_col, text_col)
         delta = a.join(

@@ -1326,17 +1326,25 @@ class MergeTable:
             for r in probe.select(h1, h2).collect()
         ]
 
-    def build_blooms(self, col: str, fpp: float = 0.01) -> dict[str, dict]:
-        """Build (or top up) per-file bloom filters for ``col``.
+    def build_blooms(
+        self, col: str | Sequence[str], fpp: float = 0.01
+    ) -> dict[str, dict]:
+        """Build (or top up) per-file bloom filters for one or more
+        columns IN A SINGLE SCAN.
 
         Data files are immutable, so only files missing a bloom are
-        touched — an append then re-build reads just the new files. The
-        bitmap for each file is aggregated EXECUTOR-side by a vectorized
-        ``applyInPandas`` kernel (numpy packbits over JVM-computed
-        xxhash64 pairs): what crosses the wire per file is the packed
-        ``m/8``-byte bitmap (~1.8 bytes/key at 1% fpp), never the
-        positions (8·k bytes/key). The per-file m/k are sized from the
-        parquet footer row count, broadcast onto the scan keyed by
+        touched — an append then re-build reads just the new files, per
+        column. Passing several columns (an index maintaining blooms on
+        both its probe key and its erasure key, e.g. the BM25 postings
+        table's token + doc_id) reads each file once instead of once
+        per column — at 100 TB the bloom build is scan-bound, so this
+        halves it. The bitmap for each (file, column) is aggregated
+        EXECUTOR-side by a vectorized ``applyInPandas`` kernel (numpy
+        packbits over JVM-computed xxhash64 pairs): what crosses the
+        wire per file is the packed ``m/8``-byte bitmap per column
+        (~1.8 bytes/key at 1% fpp), never the positions (8·k
+        bytes/key). The per-file m/k are sized from the parquet footer
+        row count, broadcast onto the scan keyed by
         ``_metadata.file_path``. This is one of the documented Pandas
         kernels (SURVEY §2.11): a bitset fold has no Column-algebra
         expression, and per-row UDFs are banned."""
@@ -1344,14 +1352,18 @@ class MergeTable:
 
         import pyarrow.parquet as pq
 
+        cols = [col] if isinstance(col, str) else list(col)
         local = self._local_path()
         manifest, _ = self._load()
         blooms = self._load_blooms()
-        missing: list[str] = [
-            rel
-            for rel in manifest["files"]
-            if col not in blooms.get(rel, {})
-        ]
+        # per-file list of columns still lacking a bloom; a file that
+        # already has one column's bloom is NOT rebuilt for it (the
+        # existing entry may carry a different fpp the caller chose)
+        missing: dict[str, list[str]] = {}
+        for rel in manifest["files"]:
+            need = [c for c in cols if c not in blooms.get(rel, {})]
+            if need:
+                missing[rel] = need
         if not missing:
             return {
                 f: blooms[f] for f in manifest["files"] if f in blooms
@@ -1379,29 +1391,34 @@ class MergeTable:
         scan = reader.parquet(
             *[os.path.join(self.path, rel) for _uri, rel, _m, _k in params]
         )
-        h1, h2 = self._bloom_hash_cols(col)
         # _metadata.file_path is a Hadoop URI (file:/tmp/... with any
         # number of slashes); normalize to the local absolute path so
-        # it joins against the footer-derived params
-        keyed = (
-            scan.filter(F.col(col).isNotNull())
-            .select(
-                F.regexp_replace(
-                    F.col("_metadata.file_path"), "^[a-zA-Z0-9+.-]+:/+", "/"
-                ).alias("file_path"),
-                h1.alias("h1"),
-                h2.alias("h2"),
-            )
-            .join(
-                F.broadcast(
-                    self.spark.createDataFrame(
-                        [(u, m, k) for u, _rel, m, k in params],
-                        "file_path string, m long, k long",
-                    )
-                ),
-                "file_path",
-            )
+        # it joins against the footer-derived params. Per column: the
+        # hash pair plus a validity flag — NULL keys must not be
+        # bitmapped, and the flag keeps the hashes exact int64 (a
+        # nullable hash column would decay to float64 in pandas and
+        # corrupt bits past the 53-bit mantissa)
+        sel = [
+            F.regexp_replace(
+                F.col("_metadata.file_path"), "^[a-zA-Z0-9+.-]+:/+", "/"
+            ).alias("file_path")
+        ]
+        for i, c in enumerate(cols):
+            h1, h2 = self._bloom_hash_cols(c)
+            nn = F.col(c).isNotNull()
+            sel.append(F.when(nn, h1).otherwise(F.lit(0)).alias(f"h1_{i}"))
+            sel.append(F.when(nn, h2).otherwise(F.lit(0)).alias(f"h2_{i}"))
+            sel.append(nn.alias(f"v_{i}"))
+        keyed = scan.select(*sel).join(
+            F.broadcast(
+                self.spark.createDataFrame(
+                    [(u, m, k) for u, _rel, m, k in params],
+                    "file_path string, m long, k long",
+                )
+            ),
+            "file_path",
         )
+        n_cols = len(cols)
 
         def pack(pdf):
             import numpy as np
@@ -1409,47 +1426,64 @@ class MergeTable:
 
             m = int(pdf["m"].iloc[0])
             k = int(pdf["k"].iloc[0])
-            u1 = pdf["h1"].to_numpy(np.int64).astype(np.uint64)
-            u2 = pdf["h2"].to_numpy(np.int64).astype(np.uint64)
-            bits = np.zeros(m, dtype=bool)
-            for i in range(k):
-                pos = ((u1 + np.uint64(i) * u2) % np.uint64(m)).astype(
-                    np.int64
+            out = []
+            for i in range(n_cols):
+                valid = pdf[f"v_{i}"].to_numpy(bool)
+                u1 = (
+                    pdf[f"h1_{i}"].to_numpy(np.int64)[valid].astype(np.uint64)
                 )
-                bits[pos] = True
-            return pd.DataFrame(
-                [
+                u2 = (
+                    pdf[f"h2_{i}"].to_numpy(np.int64)[valid].astype(np.uint64)
+                )
+                bits = np.zeros(m, dtype=bool)
+                for j in range(k):
+                    pos = (
+                        (u1 + np.uint64(j) * u2) % np.uint64(m)
+                    ).astype(np.int64)
+                    bits[pos] = True
+                out.append(
                     {
                         "file_path": pdf["file_path"].iloc[0],
+                        "col_idx": i,
                         "m": m,
                         "k": k,
                         "bloom": np.packbits(bits).tobytes(),
                     }
-                ]
-            )
+                )
+            return pd.DataFrame(out)
 
         built = keyed.groupBy("file_path").applyInPandas(
-            pack, "file_path string, m long, k long, bloom binary"
+            pack,
+            "file_path string, col_idx int, m long, k long, bloom binary",
         )
         rel_by_uri = {u: rel for u, rel, _m, _k in params}
-        sized = {(u, m, k) for u, _rel, m, k in params}
+        # (uri, col) combos that must end up with a bloom; kernel rows
+        # cross them off, the remainder (all-NULL or zero-row files)
+        # get an all-zeros bloom — they can never contain a probe key
+        pending = {
+            (u, c, m, k)
+            for u, rel, m, k in params
+            for c in missing[rel]
+        }
         for row in built.collect():
             rel = rel_by_uri.get(row["file_path"])
             if rel is None:
                 continue
-            entry = blooms.setdefault(rel, {})
-            entry[col] = {
+            c = cols[row["col_idx"]]
+            if c not in missing[rel]:
+                continue  # this file already had c's bloom — keep it
+            blooms.setdefault(rel, {})[c] = {
                 "m": int(row["m"]),
                 "k": int(row["k"]),
                 "fpp": fpp,
                 "b64": base64.b64encode(bytes(row["bloom"])).decode(),
             }
-            sized.discard((row["file_path"], int(row["m"]), int(row["k"])))
-        # files whose every row is NULL in `col` produce no kernel row:
-        # store an all-zeros bloom (they can never contain a probe key)
-        for u, m, k in sized:
+            pending.discard(
+                (row["file_path"], c, int(row["m"]), int(row["k"]))
+            )
+        for u, c, m, k in pending:
             rel = rel_by_uri[u]
-            blooms.setdefault(rel, {})[col] = {
+            blooms.setdefault(rel, {})[c] = {
                 "m": m,
                 "k": k,
                 "fpp": fpp,
