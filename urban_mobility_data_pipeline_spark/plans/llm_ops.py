@@ -2914,12 +2914,16 @@ def embedding_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
     max_by partial-aggregate argmax per (vector, subspace) — the
     corpus never shuffles its floats. The oracle replays split,
     codebook build, and encode in SQL."""
+    from urban_mobility_data_pipeline_spark.cache import scratch_persist
     from urban_mobility_data_pipeline_spark.extensions.similarity import (
         pq_codebooks,
         pq_encode,
     )
 
-    emb = _pq_normalized(table(spark, sf_dir, "embeddings"))
+    # the normalized projection feeds both the codebook aggregation and
+    # the encode join — stage it once (500 rows x dim doubles; tiny
+    # next to the two extra normalize+scan subtrees it replaces)
+    emb = scratch_persist(_pq_normalized(table(spark, sf_dir, "embeddings")))
     cb = pq_codebooks(emb, subdim=_PQ_SUBDIM)
     codes = pq_encode(emb, cb, m=PQ_M, subdim=_PQ_SUBDIM)
     return codes.groupBy("vec_id").agg(
@@ -2970,6 +2974,7 @@ def embedding_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     tiebreak (TakeOrderedAndProject); the query vector excludes
     itself. The oracle replays the codebooks, the encode, the LUT,
     and the ADC ranking."""
+    from urban_mobility_data_pipeline_spark.cache import scratch_persist
     from urban_mobility_data_pipeline_spark.extensions.similarity import (
         _subvectors,
         pq_adc_topk,
@@ -2977,8 +2982,11 @@ def embedding_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         pq_encode,
     )
 
-    emb = _pq_normalized(table(spark, sf_dir, "embeddings"))
-    cb = pq_codebooks(emb, subdim=_PQ_SUBDIM)
+    # three consumers of the normalized projection (codebooks, encode,
+    # query subvectors) and two of the codebooks (encode, ADC LUT) —
+    # stage both once
+    emb = scratch_persist(_pq_normalized(table(spark, sf_dir, "embeddings")))
+    cb = scratch_persist(pq_codebooks(emb, subdim=_PQ_SUBDIM))
     codes = pq_encode(emb, cb, m=PQ_M, subdim=_PQ_SUBDIM).where(
         F.col("vec_id") != 0
     )
@@ -3246,6 +3254,7 @@ def embedding_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     normalized-vector codebooks), and the oracle replays the ENTIRE
     composed pipeline — quantizer, assignment, pruning, codebooks,
     encode, LUT, ADC ranking — in one SQL statement."""
+    from urban_mobility_data_pipeline_spark.cache import scratch_persist
     from urban_mobility_data_pipeline_spark.extensions.similarity import (
         _subvectors,
         ivf_assign,
@@ -3256,7 +3265,10 @@ def embedding_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     from urban_mobility_data_pipeline_spark.functions.vectors import cosine
 
-    emb_raw = table(spark, sf_dir, "embeddings")
+    # the raw table feeds centroids + assignment + the query row, the
+    # normalized projection feeds codebooks + encode + query
+    # subvectors — stage each once for the composed pipeline
+    emb_raw = scratch_persist(table(spark, sf_dir, "embeddings"))
     cents = ivf_centroids(emb_raw).select(
         "cell",
         F.transform("centroid", lambda x: F.round(x, 6)).alias("centroid"),
@@ -3277,8 +3289,8 @@ def embedding_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("vec_id") != 0)
         .select("vec_id")
     )
-    emb_n = _pq_normalized(emb_raw)
-    cb = pq_codebooks(emb_n, subdim=_PQ_SUBDIM)
+    emb_n = scratch_persist(_pq_normalized(emb_raw))
+    cb = scratch_persist(pq_codebooks(emb_n, subdim=_PQ_SUBDIM))
     codes = pq_encode(emb_n, cb, m=PQ_M, subdim=_PQ_SUBDIM).join(
         cand, "vec_id", "left_semi"
     )
