@@ -2123,24 +2123,32 @@ def documents_ngram_contamination(spark: SparkSession, sf_dir: str) -> DataFrame
         train_test_split,
     )
 
+    from urban_mobility_data_pipeline_spark.cache import scratch_persist
+
     docs = table(spark, sf_dir, "documents")
     tagged = train_test_split(docs, key="doc_id", test_pct=20)
-    grams = tagged.select(
-        "doc_id",
-        "split",
-        T.words("text").alias("ws"),
-    ).select(
-        "doc_id",
-        "split",
-        F.explode(
-            F.when(
-                F.size("ws") >= N,
-                F.transform(
-                    F.sequence(F.lit(1), F.size("ws") - N + 1),
-                    lambda i: F.md5(F.array_join(F.slice("ws", i, N), " ")),
-                ),
-            ).otherwise(F.array().cast("array<string>"))
-        ).alias("gram"),
+    # the hashed gram table is read twice (train-side distinct, eval
+    # probe) — stage it so tokenize+explode runs once
+    grams = scratch_persist(
+        tagged.select(
+            "doc_id",
+            "split",
+            T.words("text").alias("ws"),
+        ).select(
+            "doc_id",
+            "split",
+            F.explode(
+                F.when(
+                    F.size("ws") >= N,
+                    F.transform(
+                        F.sequence(F.lit(1), F.size("ws") - N + 1),
+                        lambda i: F.md5(
+                            F.array_join(F.slice("ws", i, N), " ")
+                        ),
+                    ),
+                ).otherwise(F.array().cast("array<string>"))
+            ).alias("gram"),
+        )
     )
     train_grams = (
         grams.filter(F.col("split") == "train").select("gram").distinct()
@@ -2792,10 +2800,17 @@ def doc_duplicated_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
             lambda p: F.concat_ws(" ", *[p[str(j)] for j in range(n)]),
         ),
     ).otherwise(F.array().cast("array<string>"))
-    e = docs.select(
-        "doc_id",
-        F.explode(F.array_distinct(grams)).alias("gram"),
-    ).select("doc_id", F.xxhash64("gram").alias("h"))
+    from urban_mobility_data_pipeline_spark.cache import scratch_persist
+
+    # the hashed gram table feeds both the document-frequency rollup
+    # and the join back — stage it so tokenize+gram-build+explode (the
+    # dominant pass) runs once; rows are (long, long), spill-friendly
+    e = scratch_persist(
+        docs.select(
+            "doc_id",
+            F.explode(F.array_distinct(grams)).alias("gram"),
+        ).select("doc_id", F.xxhash64("gram").alias("h"))
+    )
     # e is distinct per (doc_id, gram) by construction, so count(*)
     # per h IS the document frequency
     d = e.groupBy("h").agg(F.count(F.lit(1)).alias("nd"))
