@@ -482,6 +482,8 @@ def main() -> int:
         sections["bloom"] = run_bloom_pointops(spark)
     if run_all or "--dedupindex" in args:
         sections["dedup_index"] = run_dedup_index_soak(spark)
+    if run_all or "--bm25index" in args:
+        sections["bm25_index"] = run_bm25_index_soak(spark)
 
     for payload in sections.values():
         print(json.dumps(payload))
@@ -903,6 +905,82 @@ def run_dedup_index_soak(spark: SparkSession) -> dict:
         live = index.read()
         diff = live.exceptAll(rebuilt).count() + rebuilt.exceptAll(live).count()
         assert diff == 0, diff
+        out["index_matches_rebuild"] = True
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+    return out
+
+
+def run_bm25_index_soak(spark: SparkSession) -> dict:
+    """Scale proof for the incrementally maintained BM25 inverted
+    index (extensions/lexical_index.py), the lexical twin of
+    ``run_dedup_index_soak``: as the corpus grows by a CONSTANT batch
+    per cycle, per-cycle ``refresh_bm25_index`` must stay ~flat — it
+    deletes the changed docs' postings through the doc_id bloom
+    sidecar, appends their re-tokenized rows, and folds a DELTA into
+    the one-row stats, so the work is O(batch), never O(corpus).
+    Gates: the last refresh is within noise of the mid-run median, the
+    maintained postings are row-identical to a from-scratch rebuild,
+    and the delta-maintained stats equal a recount."""
+    from urban_mobility_data_pipeline_spark.extensions.lexical_index import (
+        bm25_postings,
+        bm25_stats,
+        refresh_bm25_index,
+    )
+    from urban_mobility_data_pipeline_spark.operators.merge import MergeTable
+    from urban_mobility_data_pipeline_spark.operators.watermark import (
+        VersionCursor,
+    )
+
+    out: dict = {"metric": "bm25_index_soak"}
+    root = tempfile.mkdtemp(prefix="umdp_bm25idx_bench_")
+    batch, cycles = 4_000, 10
+    try:
+        corpus = MergeTable(spark, os.path.join(root, "corpus"))
+        postings = MergeTable(
+            spark, os.path.join(root, "postings"),
+            bucket_keys=["token"], num_buckets=16,
+        )
+        stats = MergeTable(spark, os.path.join(root, "stats"))
+        cursor = VersionCursor(spark, os.path.join(root, "cursor"))
+        refresh_secs, corpus_rows = [], []
+        for c in range(cycles):
+            feed = os.path.join(root, f"f{c}")
+            _gen_feed(spark, feed, batch, id_offset=c * batch, files=4)
+            docs = (
+                spark.read.json(feed, schema="doc_id long, text string")
+                .filter(F.col("text").isNotNull())
+            )
+            if corpus.exists():
+                corpus.append(docs)
+            else:
+                corpus.create(docs)
+            t0 = time.perf_counter()
+            n = refresh_bm25_index(corpus, postings, stats, cursor)
+            refresh_secs.append(round(time.perf_counter() - t0, 2))
+            corpus_rows.append(corpus.read().count())
+            assert n >= batch * 0.9, (c, n)
+        out.update(
+            {
+                "batch_docs": batch,
+                "cycles": cycles,
+                "corpus_rows": corpus_rows,
+                "refresh_secs": refresh_secs,
+            }
+        )
+        # flat maintenance (c0 is the bootstrap build — compare from c1)
+        med_mid = sorted(refresh_secs[1:-1])[len(refresh_secs[1:-1]) // 2]
+        assert refresh_secs[-1] <= med_mid * 1.35 + 0.5, out
+        # maintained index == from-scratch rebuild, rows and stats
+        cols = ["token", "doc_id", "dl", "tf"]  # exceptAll is positional
+        live = postings.read().select(*cols)
+        rebuilt = bm25_postings(corpus.read()).select(*cols)
+        diff = live.exceptAll(rebuilt).count() + rebuilt.exceptAll(live).count()
+        assert diff == 0, diff
+        st = stats.read().first()
+        st_full = bm25_stats(corpus.read()).first()
+        assert st["n_docs"] == st_full["n_docs"], (st, st_full)
+        assert abs(st["total_dl"] - st_full["total_dl"]) < 1e-6, (st, st_full)
         out["index_matches_rebuild"] = True
     finally:
         shutil.rmtree(root, ignore_errors=True)
