@@ -369,6 +369,22 @@ class MergeTable:
             df = reader.parquet(
                 *[os.path.join(self.path, f) for f in files]
             )
+            ents = self._dvs_for(manifest, files)
+            if ents:
+                # merge-on-read: subtract deletion-vector positions.
+                # Broadcast is safe by construction — purge_deletes
+                # materializes DVs long before they rival table size.
+                dv = self._read_dv_rows(ents)
+                df = (
+                    self._with_pos(df)
+                    .join(
+                        F.broadcast(dv),
+                        (F.col("__dv_file") == dv["file"])
+                        & (F.col("__dv_pos") == dv["pos"]),
+                        "left_anti",
+                    )
+                    .drop("__dv_file", "__dv_pos")
+                )
         if not include_internal and BUCKET_COL in df.columns:
             df = df.drop(BUCKET_COL)
         return df
@@ -459,6 +475,7 @@ class MergeTable:
                 size += os.path.getsize(os.path.join(local, f))
             except OSError:
                 pass
+        live_dvs = self._dvs_for(manifest, manifest["files"])
         return {
             "version": v,
             "num_files": len(manifest["files"]),
@@ -466,6 +483,8 @@ class MergeTable:
             "partition_by": list(manifest["partition_by"]),
             "bucket_keys": list(manifest["bucket_keys"]),
             "num_buckets": manifest["num_buckets"],
+            "num_dv_files": len(live_dvs),
+            "dv_rows": sum(e["rows"] for e in live_dvs),
         }
 
     def history(self) -> list[dict]:
@@ -522,7 +541,45 @@ class MergeTable:
             raise ValueError(f"version {since_version} is ahead of head {v}")
         old_manifest, _ = self._load(since_version)
         removed = sorted(set(old_manifest["files"]) - set(head["files"]))
-        return self._read_snapshot({**old_manifest, "files": removed})
+        out = self._read_snapshot({**old_manifest, "files": removed})
+        # rows deleted by NEW deletion vectors on files that still
+        # exist — precise row-level delete images (no re-emission):
+        # scan only the covered files, subtract positions already
+        # deleted at since_version, keep positions in the new DVs
+        old_paths = {e["path"] for e in old_manifest.get("dvs") or []}
+        old_set = set(old_manifest["files"])
+        new_ents = [
+            e
+            for e in head.get("dvs") or []
+            if e["path"] not in old_paths and old_set & set(e["files"])
+        ]
+        if new_ents:
+            covered = sorted(
+                {f for e in new_ents for f in e["files"] if f in old_set}
+            )
+            raw = self._with_pos(
+                self._read_snapshot(
+                    {**old_manifest, "files": covered, "dvs": []}
+                )
+            )
+            prior = self._dvs_for(old_manifest, covered)
+            if prior:
+                old_dv = self._read_dv_rows(prior)
+                raw = raw.join(
+                    F.broadcast(old_dv),
+                    (F.col("__dv_file") == old_dv["file"])
+                    & (F.col("__dv_pos") == old_dv["pos"]),
+                    "left_anti",
+                )
+            new_dv = self._read_dv_rows(new_ents)
+            images = raw.join(
+                F.broadcast(new_dv),
+                (F.col("__dv_file") == new_dv["file"])
+                & (F.col("__dv_pos") == new_dv["pos"]),
+                "left_semi",
+            ).drop("__dv_file", "__dv_pos")
+            out = out.unionByName(images)
+        return out
 
     def diff(
         self, from_version: int, to_version: int | None = None
@@ -540,6 +597,16 @@ class MergeTable:
         manifest_to, head = self._load(to_version)
         manifest_from, _ = self._load(from_version)
         shared = set(manifest_from["files"]) & set(manifest_to["files"])
+        # a file present in both snapshots still diffs if its DELETION
+        # VECTORS changed between them (a MOR delete adds no files) —
+        # pull those files back into the compared sets
+        from_dv = {e["path"] for e in manifest_from.get("dvs") or []}
+        to_dv = {e["path"] for e in manifest_to.get("dvs") or []}
+        dv_changed = from_dv ^ to_dv
+        for m in (manifest_from, manifest_to):
+            for e in m.get("dvs") or []:
+                if e["path"] in dv_changed:
+                    shared -= set(e["files"])
         old_only = [f for f in manifest_from["files"] if f not in shared]
         new_only = [f for f in manifest_to["files"] if f not in shared]
         old_df = self._read_snapshot({**manifest_from, "files": old_only})
@@ -575,6 +642,12 @@ class MergeTable:
             f
             for f in manifest["files"]
             if not os.path.isfile(os.path.join(local, f))
+        ] + [
+            e["path"]
+            for e in self._dvs_for(manifest, manifest["files"])
+            if not os.path.isdir(
+                os.path.join(self._dv_local_dir(), e["path"])
+            )
         ]
         if missing:
             raise FileNotFoundError(
@@ -685,6 +758,7 @@ class MergeTable:
                         "num_buckets": manifest["num_buckets"],
                         "schema": schema_json,
                         "txn": txn,
+                        "dvs": list(manifest.get("dvs") or []),
                     },
                     parent,
                 )
@@ -766,6 +840,9 @@ class MergeTable:
                 "num_buckets": manifest["num_buckets"],
                 "schema": schema_json or manifest.get("schema"),
                 "txn": manifest.get("txn") or {},
+                # DVs covering a kept file stay live (rewritten files
+                # were read DV-applied, so their entries go inert)
+                "dvs": self._dvs_for(manifest, kept),
             },
             parent,
         )
@@ -1249,6 +1326,7 @@ class MergeTable:
                     "num_buckets": manifest["num_buckets"],
                     "schema": manifest.get("schema"),
                     "txn": manifest.get("txn") or {},
+                    "dvs": self._dvs_for(manifest, kept),
                 },
                 parent,
             )
@@ -1643,6 +1721,7 @@ class MergeTable:
                 "num_buckets": manifest["num_buckets"],
                 "schema": manifest.get("schema"),
                 "txn": manifest.get("txn") or {},
+                "dvs": self._dvs_for(manifest, skipped),
             },
             parent,
         )
@@ -1770,6 +1849,225 @@ class MergeTable:
             "kept_files": 0,
         }
 
+    # -- deletion vectors (merge-on-read DELETE; Delta DV analogue) --------
+    # Copy-on-write deletes pay a file REWRITE per touched file — the
+    # right trade for retention sweeps that drop whole files, the wrong
+    # one for a point delete touching 1 row in each of 10k multi-GB
+    # files (a GDPR erasure at 100 TB would rewrite terabytes to remove
+    # kilobytes). A deletion vector records the deleted ROW POSITIONS
+    # in a tiny sidecar parquet instead; the manifest references it and
+    # every snapshot read anti-joins the positions back out
+    # (``_metadata.row_index`` is stable per file, so positions are a
+    # durable row identity). Deletes become O(deleted rows) of IO;
+    # reads pay one broadcast anti-join until ``purge_deletes``
+    # materializes the DVs into rewritten files (Delta's
+    # ``REORG TABLE ... APPLY (PURGE)``). Because every mutation reads
+    # through the DV-applied snapshot, rewrites can never resurrect a
+    # DV-deleted row; time travel and RESTORE see each version's own
+    # ``dvs`` list.
+
+    def _dv_local_dir(self) -> str:
+        return os.path.join(self._log_dir(), "dv")
+
+    def _rel_file_col(self) -> Column:
+        """Scanned file's path relative to the table root (matches the
+        manifest's file-list entries), derived from
+        ``_metadata.file_path`` (``file:/abs/path/...``)."""
+        return F.substring_index(
+            F.col("_metadata.file_path"),
+            self._local_path().rstrip("/") + "/",
+            -1,
+        )
+
+    def _with_pos(self, df: DataFrame) -> DataFrame:
+        """Materialize (relative file, row position) as real columns.
+        Must be applied directly on a file-scan DataFrame — metadata
+        pseudo-columns do not survive joins."""
+        return df.withColumn("__dv_file", self._rel_file_col()).withColumn(
+            "__dv_pos", F.col("_metadata.row_index")
+        )
+
+    @staticmethod
+    def _dvs_for(
+        manifest: Mapping[str, object], files: Sequence[str]
+    ) -> list[dict]:
+        """DV entries relevant to ``files`` (entries covering only
+        other / dropped files are inert and skipped)."""
+        dvs = manifest.get("dvs") or []
+        fset = set(files)
+        return [e for e in dvs if fset & set(e["files"])]
+
+    def _read_dv_rows(self, entries: Sequence[Mapping]) -> DataFrame:
+        return self.spark.read.parquet(
+            *[
+                os.path.join(self._dv_local_dir(), e["path"])
+                for e in entries
+            ]
+        ).select("file", "pos")
+
+    def _commit_dv(
+        self, manifest: dict, parent: int, hits: DataFrame
+    ) -> dict:
+        """Write ``hits`` (``file``,``pos``) as a new DV sidecar and
+        commit a metadata-only version referencing it. Returns delete
+        stats; commits nothing when no row matched."""
+        name = f"dv-{uuid.uuid4().hex}"
+        out_dir = os.path.join(self._dv_local_dir(), name)
+        hits.write.parquet(out_dir)
+        per_file = (
+            self.spark.read.parquet(out_dir)
+            .groupBy("file")
+            .count()
+            .collect()
+        )
+        if not per_file:
+            shutil.rmtree(out_dir, ignore_errors=True)
+            return {"deleted_rows": 0, "dv_files": 0, "rewritten_files": 0}
+        n_rows = sum(r["count"] for r in per_file)
+        entry = {
+            "path": name,
+            "rows": int(n_rows),
+            "files": sorted(r["file"] for r in per_file),
+        }
+        self._commit(
+            {
+                "op": "delete-dv",
+                "files": list(manifest["files"]),
+                "partition_by": list(manifest["partition_by"]),
+                "bucket_keys": manifest["bucket_keys"],
+                "num_buckets": manifest["num_buckets"],
+                "schema": manifest.get("schema"),
+                "txn": manifest.get("txn") or {},
+                "dvs": list(manifest.get("dvs") or []) + [entry],
+                "metrics": {"deleted_rows": int(n_rows)},
+            },
+            parent,
+        )
+        return {
+            "deleted_rows": int(n_rows),
+            "dv_files": 1,
+            "covered_files": len(entry["files"]),
+            "rewritten_files": 0,
+        }
+
+    def _dv_hits(
+        self,
+        manifest: Mapping[str, object],
+        files: Sequence[str],
+        condition: Column,
+    ) -> DataFrame:
+        """(file, pos) of live rows in ``files`` matching
+        ``condition`` — existing DV positions are subtracted so a
+        re-issued delete never double-counts (and DV sidecars stay
+        duplicate-free)."""
+        raw = self._with_pos(
+            self._read_snapshot(
+                {**manifest, "files": list(files), "dvs": []},
+                include_internal=True,
+            )
+        )
+        hits = raw.filter(F.coalesce(condition, F.lit(False))).select(
+            F.col("__dv_file").alias("file"),
+            F.col("__dv_pos").alias("pos"),
+        )
+        prior = self._dvs_for(manifest, files)
+        if prior:
+            old = self._read_dv_rows(prior)
+            hits = hits.join(F.broadcast(old), ["file", "pos"], "left_anti")
+        return hits
+
+    def delete_mor(self, condition: Column) -> dict:
+        """Merge-on-read DELETE-where: rows matching ``condition`` are
+        recorded in a deletion vector; NO data file is rewritten. One
+        scan finds the positions (filter-pushed like any scan); the
+        commit is metadata plus a sidecar of (file, pos) pairs. The
+        complement of :meth:`delete` — use MOR when matches are sparse
+        relative to file size, CoW when whole partitions/files go."""
+        manifest, parent = self._load()
+        return self._commit_dv(
+            manifest,
+            parent,
+            self._dv_hits(manifest, manifest["files"], condition),
+        )
+
+    def delete_keys_mor(
+        self, col: str | Sequence[str], keys: Sequence[object]
+    ) -> dict:
+        """Point DELETE by key through blooms AND deletion vectors —
+        the 100 TB GDPR-erasure fast path: bloom-negative files are
+        never read (same pruning as :meth:`delete_by_keys`), and the
+        bloom-positive files are only SCANNED for positions, never
+        rewritten. IO is O(matching files' bytes read) + O(deleted
+        rows written); the table's data files are untouched until
+        ``purge_deletes``/``compact`` materializes."""
+        cols = [col] if isinstance(col, str) else list(col)
+        manifest, parent = self._load()
+        if self.has_blooms(cols):
+            cands, skipped = self.prune_files_by_keys(cols, keys)
+        else:
+            cands, skipped = list(manifest["files"]), []
+        if not cands:
+            return {
+                "deleted_rows": 0,
+                "dv_files": 0,
+                "rewritten_files": 0,
+                "scanned_files": 0,
+                "skipped_files": len(skipped),
+            }
+        stats = self._commit_dv(
+            manifest,
+            parent,
+            self._dv_hits(manifest, cands, self._keys_pred(cols, keys)),
+        )
+        return {
+            **stats,
+            "scanned_files": len(cands),
+            "skipped_files": len(skipped),
+        }
+
+    def dv_rows(self) -> int:
+        """Total deleted-row positions pending materialization (the
+        read-overhead gauge operators use to schedule a purge)."""
+        manifest, _ = self._load()
+        return sum(e["rows"] for e in manifest.get("dvs") or [])
+
+    def purge_deletes(self) -> dict:
+        """Materialize pending deletion vectors (Delta ``REORG TABLE
+        ... APPLY (PURGE)``): ONLY files carrying DV'd rows are read
+        (DV-applied) and rewritten; every clean file carries over
+        untouched. Afterwards reads are anti-join-free again and the
+        old files + DV sidecars await vacuum."""
+        manifest, parent = self._load()
+        live = list(manifest["files"])
+        ents = self._dvs_for(manifest, live)
+        if not ents:
+            return {"rewritten_files": 0, "kept_files": len(live)}
+        live_set = set(live)
+        covered = sorted(
+            {f for e in ents for f in e["files"] if f in live_set}
+        )
+        remain = self._read_snapshot(
+            {**manifest, "files": covered}, include_internal=True
+        )
+        new_files, _ = self._write_files(
+            remain, list(manifest["partition_by"])
+        )
+        covered_set = set(covered)
+        kept = [f for f in live if f not in covered_set]
+        self._commit(
+            {
+                "op": "purge-dv",
+                "files": kept + new_files,
+                "partition_by": list(manifest["partition_by"]),
+                "bucket_keys": manifest["bucket_keys"],
+                "num_buckets": manifest["num_buckets"],
+                "schema": manifest.get("schema"),
+                "txn": manifest.get("txn") or {},
+            },
+            parent,
+        )
+        return {"rewritten_files": len(covered), "kept_files": len(kept)}
+
     # -- CHECK constraints (Delta ALTER TABLE ADD CONSTRAINT analogue) -----
     # SQL semantics: a row passes when the expression is TRUE or NULL;
     # only FALSE is a violation. Constraints live in a sidecar beside
@@ -1843,6 +2141,12 @@ class MergeTable:
             dst = os.path.join(dest_local, rel)
             os.makedirs(os.path.dirname(dst) or dest_local, exist_ok=True)
             os.link(os.path.join(src_local, rel), dst)
+        live_dvs = self._dvs_for(manifest, manifest["files"])
+        for e in live_dvs:
+            shutil.copytree(
+                os.path.join(self._dv_local_dir(), e["path"]),
+                os.path.join(dest._dv_local_dir(), e["path"]),
+            )
         dest._commit(
             {
                 "op": "clone",
@@ -1852,6 +2156,7 @@ class MergeTable:
                 "num_buckets": manifest["num_buckets"],
                 "schema": manifest.get("schema"),
                 "txn": {},
+                "dvs": live_dvs,
             },
             0,
         )
@@ -1882,10 +2187,12 @@ class MergeTable:
         local = self._local_path()
         horizon = time.time() - retain_hours * 3600.0
         keep: set[str] = set()
+        keep_dvs: set[str] = set()
         for v in versions:
             m, _ = self._load(v)
             if v == versions[-1] or (m.get("ts") or 0) >= horizon:
                 keep.update(m["files"])
+                keep_dvs.update(e["path"] for e in m.get("dvs") or [])
         if dry_run:
             return sum(
                 1 for rel in self._data_files() if rel not in keep
@@ -1917,6 +2224,15 @@ class MergeTable:
         for entry in os.listdir(local):
             if entry.startswith("_staged-"):
                 shutil.rmtree(os.path.join(local, entry))
+        # deletion-vector sidecars referenced only by vacuumed versions
+        dv_dir = self._dv_local_dir()
+        if os.path.isdir(dv_dir):
+            for entry in os.listdir(dv_dir):
+                if entry not in keep_dvs:
+                    shutil.rmtree(
+                        os.path.join(dv_dir, entry), ignore_errors=True
+                    )
+                    removed += 1
         # drop now-empty partition dirs so directory listings stay clean
         for dirpath, dirs, files in os.walk(local, topdown=False):
             if dirpath == local:
