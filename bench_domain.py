@@ -484,6 +484,8 @@ def main() -> int:
         sections["dedup_index"] = run_dedup_index_soak(spark)
     if run_all or "--bm25index" in args:
         sections["bm25_index"] = run_bm25_index_soak(spark)
+    if run_all or "--dv" in args:
+        sections["dv_pointops"] = run_dv_pointops(spark)
 
     for payload in sections.values():
         print(json.dumps(payload))
@@ -835,6 +837,94 @@ def run_bloom_pointops(spark: SparkSession) -> dict:
     finally:
         shutil.rmtree(root, ignore_errors=True)
     return out
+
+def run_dv_pointops(spark: SparkSession) -> dict:
+    """Deletion-vector proof at the same GDPR point-delete shape as
+    ``run_bloom_pointops``: uniformly-spread keys over many files, a
+    handful of victims. CoW (delete_by_keys) rewrites every
+    bloom-positive file — terabytes at 100 TB; MOR (delete_keys_mor)
+    scans them for positions and rewrites NOTHING. Gates:
+
+    - the MOR delete rewrites 0 files (manifest file list identical);
+    - the read-side DV overhead (broadcast anti-join) costs < 2x a
+      clean full scan at this scale;
+    - ``purge_deletes`` rewrites only the covered files and restores
+      anti-join-free reads with identical rows."""
+    from urban_mobility_data_pipeline_spark.operators.merge import MergeTable
+
+    out: dict = {"metric": "dv_pointops"}
+    root = tempfile.mkdtemp(prefix="umdp_dv_bench_")
+    n_rows, n_files = 2_000_000, 64
+    try:
+        base = spark.range(n_rows).select(
+            F.col("id").alias("doc_id"),
+            F.sha2(F.col("id").cast("string"), 256).alias("body"),
+        )
+        t_mor = MergeTable(spark, os.path.join(root, "mor"))
+        t_mor.create(base.repartition(n_files))
+        t_cow = MergeTable(spark, os.path.join(root, "cow"))
+        t_cow.create(base.repartition(n_files))
+        for t in (t_mor, t_cow):
+            t.build_blooms("doc_id", fpp=0.001)
+
+        victims = [123, 456_789, 1_111_111, 1_999_999]
+        files_before = list(t_mor._load()[0]["files"])
+
+        t0 = time.perf_counter()
+        mor_stats = t_mor.delete_keys_mor("doc_id", victims)
+        del_mor_s = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        cow_stats = t_cow.delete_by_keys("doc_id", victims)
+        del_cow_s = time.perf_counter() - t0
+
+        assert mor_stats["rewritten_files"] == 0, mor_stats
+        assert mor_stats["deleted_rows"] == len(victims), mor_stats
+        assert t_mor._load()[0]["files"] == files_before
+        assert cow_stats["rewritten_files"] >= 1, cow_stats
+
+        t0 = time.perf_counter()
+        n_dv = t_mor.read().count()
+        read_dv_s = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        n_cow = t_cow.read().count()
+        read_clean_s = time.perf_counter() - t0
+        assert n_dv == n_cow == n_rows - len(victims)
+
+        t0 = time.perf_counter()
+        purge_stats = t_mor.purge_deletes()
+        purge_s = time.perf_counter() - t0
+        assert purge_stats["rewritten_files"] == mor_stats[
+            "scanned_files"
+        ], (purge_stats, mor_stats)
+        assert t_mor.read().count() == n_rows - len(victims)
+        assert (
+            t_mor.read().filter(F.col("doc_id").isin(victims)).count() == 0
+        )
+
+        out.update(
+            {
+                "rows": n_rows,
+                "files": len(files_before),
+                "victims": len(victims),
+                "delete_mor_s": round(del_mor_s, 2),
+                "delete_cow_s": round(del_cow_s, 2),
+                "mor_rewritten_files": mor_stats["rewritten_files"],
+                "mor_scanned_files": mor_stats["scanned_files"],
+                "mor_skipped_files": mor_stats["skipped_files"],
+                "cow_rewritten_files": cow_stats["rewritten_files"],
+                "read_with_dv_s": round(read_dv_s, 2),
+                "read_clean_s": round(read_clean_s, 2),
+                "purge_s": round(purge_s, 2),
+                "purge_rewritten_files": purge_stats["rewritten_files"],
+                "purge_kept_files": purge_stats["kept_files"],
+            }
+        )
+        # read overhead of the broadcast anti-join stays bounded
+        assert read_dv_s < read_clean_s * 2 + 0.5, out
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+    return out
+
 
 # ---------------------------------------------------------------------------
 # dedup-index section: O(changed) maintenance vs O(corpus) recompute
