@@ -2833,6 +2833,147 @@ doc_duplicated_ngrams.__doc__ = doc_duplicated_ngrams.__doc__.format(
 )
 
 
+@register(
+    "documents_dedup_ngram_scrub",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, {_WORDS} AS w FROM documents),
+    g AS (
+        SELECT doc_id, i AS gpos,
+               {" || ' ' || ".join(f"w[i+{j}]" if j else "w[i]" for j in range(DUP_NGRAM_N))} AS gram
+        FROM (
+            SELECT doc_id, w,
+                   unnest(generate_series(1, len(w) - {DUP_NGRAM_N - 1}))
+                       AS i
+            FROM t
+        )
+    ),
+    d AS (
+        SELECT gram FROM (SELECT DISTINCT doc_id, gram FROM g)
+        GROUP BY gram HAVING count(*) >= 2
+    ),
+    c AS (
+        SELECT DISTINCT doc_id, gpos + j AS p FROM (
+            SELECT g.doc_id, g.gpos,
+                   unnest(generate_series(0, {DUP_NGRAM_N - 1})) AS j
+            FROM g JOIN d USING (gram)
+        )
+    ),
+    tok AS (
+        SELECT doc_id, p, w[p] AS tk FROM (
+            SELECT doc_id, w,
+                   unnest(generate_series(1, len(w))) AS p
+            FROM t
+        )
+    ),
+    kept AS (
+        SELECT doc_id, p, tk FROM tok ANTI JOIN c USING (doc_id, p)
+    ),
+    asm AS (
+        SELECT doc_id, count(*) AS n_kept,
+               string_agg(tk, ' ' ORDER BY p) AS cleaned
+        FROM kept GROUP BY doc_id
+    )
+    SELECT t.doc_id,
+           CAST(len(t.w) AS BIGINT) AS n_tokens,
+           CAST(coalesce(asm.n_kept, 0) AS BIGINT) AS n_kept,
+           CAST(len(t.w) - coalesce(asm.n_kept, 0) AS BIGINT)
+               AS n_removed,
+           md5(coalesce(asm.cleaned, '')) AS cleaned_md5
+    FROM t LEFT JOIN asm USING (doc_id)
+    """,
+)
+def documents_dedup_ngram_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Substring-level dedup with REMOVAL (the acting half of Lee et
+    al.'s ExactSubstr dedup, at word-{n}-gram granularity):
+    every token covered by a {n}-gram that also appears in ANOTHER
+    document is scrubbed, and each document is re-emitted cleaned —
+    per doc: token counts before/after and an md5 of the cleaned text
+    (cross-engine-stable; the raw text column would dominate the
+    result for no verification value). ``doc_duplicated_ngrams``
+    measures the duplication; this op removes it — the step a
+    training-data pipeline runs between near-dup detection and
+    packing.
+
+    Scale shape: the only corpus-wide exchanges carry (doc_id, 64-bit
+    gram hash, int position) rows — never text. Duplicated-gram
+    document frequency is a two-stage agg on the hash; covered
+    positions come back as ONE array per document (collect_set of
+    ints, bounded by the doc's own token count), broadcast-joined to
+    the corpus when small; the scrub itself is a map-side
+    higher-order-function pass over the token array (filter by
+    position), so document text is never shuffled — a 100 TB corpus
+    moves only its duplicated spans' coordinates."""
+    docs = table(spark, sf_dir, "documents")
+    toks = T.words("text")
+    n = DUP_NGRAM_N
+    grams = F.when(
+        F.size(toks) >= n,
+        F.transform(
+            F.arrays_zip(
+                *[
+                    F.slice(toks, j + 1, F.size(toks) - (n - 1))
+                    for j in range(n)
+                ]
+            ),
+            lambda p: F.concat_ws(" ", *[p[str(j)] for j in range(n)]),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    from urban_mobility_data_pipeline_spark.cache import scratch_persist
+
+    # positional gram instances feed BOTH the doc-frequency rollup and
+    # the covered-span derivation — one tokenize+explode pass, staged
+    inst = scratch_persist(
+        docs.select(
+            "doc_id", F.posexplode(grams).alias("gpos", "gram")
+        ).select("doc_id", "gpos", F.xxhash64("gram").alias("h"))
+    )
+    dup = (
+        inst.select("doc_id", "h")
+        .distinct()
+        .groupBy("h")
+        .agg(F.count(F.lit(1)).alias("nd"))
+        .filter(F.col("nd") >= 2)
+        .select("h")
+    )
+    covered = (
+        inst.join(dup, "h")
+        .select(
+            "doc_id",
+            F.explode(
+                F.sequence(F.col("gpos"), F.col("gpos") + F.lit(n - 1))
+            ).alias("p"),
+        )
+        .groupBy("doc_id")
+        .agg(F.collect_set("p").alias("cov"))
+    )
+    cov = F.coalesce(F.col("cov"), F.array().cast("array<int>"))
+    kept = F.filter(
+        F.transform(
+            toks, lambda tk, i: F.struct(i.alias("i"), tk.alias("tk"))
+        ),
+        lambda s: ~F.array_contains(cov, s["i"]),
+    )
+    return (
+        docs.join(covered, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.size(toks).cast("long").alias("n_tokens"),
+            F.size(kept).cast("long").alias("n_kept"),
+            (F.size(toks) - F.size(kept)).cast("long").alias("n_removed"),
+            F.md5(
+                F.concat_ws(
+                    " ", F.transform(kept, lambda s: s["tk"])
+                )
+            ).alias("cleaned_md5"),
+        )
+    )
+
+
+documents_dedup_ngram_scrub.__doc__ = (
+    documents_dedup_ngram_scrub.__doc__.format(n=DUP_NGRAM_N)
+)
+
+
 # ---------------------------------------------------------------------------
 # product quantization: codes + asymmetric-distance search
 # ---------------------------------------------------------------------------
