@@ -216,3 +216,66 @@ def test_erasure_reaches_the_dedup_index_immediately(spark, sf_dir, tmp_path):
     assert deleted["dedup_index"] > 0  # the B band rows
     assert index.read().filter(F.col("doc_id") == victim).count() == 0
     assert corpus.read().filter(F.col("doc_id") == victim).count() == 0
+
+
+def test_mor_erasure_is_logical_then_physical(spark, sf_dir, tmp_path):
+    """Two-phase GDPR: mode="mor" stops every read IMMEDIATELY with
+    zero file rewrites (deletion vectors); finalize_erasure later
+    makes it physical — purge rewrites only covered files, vacuum
+    drops the old bytes, and no surviving parquet file contains the
+    victim."""
+    from urban_mobility_data_pipeline_spark.extensions.gdpr_corpus import (
+        finalize_erasure,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    t_docs = MergeTable(spark, str(tmp_path / "documents"))
+    t_docs.create(docs.repartition(8))
+    t_docs.build_blooms("doc_id")
+    pairs = near_dup_pairs(docs, threshold=0.1)
+    t_pairs = MergeTable(spark, str(tmp_path / "near_dup_pairs"))
+    t_pairs.create(pairs)
+    tables = {"documents": t_docs, "near_dup_pairs": t_pairs}
+
+    a_pair = t_pairs.read().select("doc_a").first()
+    victim = int(a_pair["doc_a"])
+    audit = AuditLog(spark, str(tmp_path / "audit"), salt="s3cret")
+
+    files_before = list(t_docs._load()[0]["files"])
+    deleted = erase_document_ids(
+        spark, [victim], tables, audit=audit, mode="mor"
+    )
+    assert deleted["documents"] == 1
+    assert deleted["near_dup_pairs"] >= 1
+    # logical: reads are clean, but NO file was rewritten
+    assert t_docs._load()[0]["files"] == files_before
+    for name, cols in (("documents", ["doc_id"]),
+                       ("near_dup_pairs", ["doc_a", "doc_b"])):
+        assert _ids_in_table(tables[name], cols, [victim]) == 0
+    assert audit.table.read().count() == 2
+    # the bytes are STILL on disk (that is the deferred part)
+    on_disk = 0
+    base = t_docs._local_path()
+    for f in glob.glob(os.path.join(base, "**", "*.parquet"), recursive=True):
+        if os.sep + "_" in f[len(base):]:
+            continue
+        on_disk += pq.read_table(f, columns=["doc_id"]).column(
+            "doc_id"
+        ).to_pylist().count(victim)
+    assert on_disk == 1
+
+    stats = finalize_erasure(tables)
+    assert stats["documents"]["rewritten_files"] >= 1
+    assert stats["documents"]["kept_files"] >= 1  # only covered files
+    for name, cols in (("documents", ["doc_id"]),
+                       ("near_dup_pairs", ["doc_a", "doc_b"])):
+        assert _ids_in_table(tables[name], cols, [victim]) == 0
+        base = tables[name]._local_path()
+        for f in glob.glob(
+            os.path.join(base, "**", "*.parquet"), recursive=True
+        ):
+            if os.sep + "_" in f[len(base):]:
+                continue
+            t = pq.read_table(f, columns=cols)
+            for c in cols:
+                assert victim not in t.column(c).to_pylist(), (name, f)

@@ -70,6 +70,7 @@ def erase_document_ids(
     id_cols: Mapping[str, Sequence[str]] | None = None,
     audit: AuditLog | None = None,
     vacuum: bool = True,
+    mode: str = "cow",
 ) -> dict[str, int]:
     """Erase ``doc_ids`` from every corpus table: DELETE rows whose id
     column (any of them, for pair tables) matches, audit each table,
@@ -78,7 +79,15 @@ def erase_document_ids(
 
     ``tables`` maps a name from :data:`CORPUS_ID_COLS` (or any name
     present in ``id_cols``) to its :class:`MergeTable`.
-    """
+
+    ``mode="mor"`` records the deletions as DELETION VECTORS instead of
+    rewriting files (``MergeTable.delete_keys_mor``): the rows vanish
+    from every read IMMEDIATELY (the legal "stop processing" clock
+    stops) while the physical rewrite is deferred to a scheduled
+    :func:`finalize_erasure` — at 100 TB an erasure request then costs
+    O(matching files scanned), not O(matching files rewritten), and
+    the purge batches many requests into one rewrite pass. ``vacuum``
+    is ignored under MOR (nothing is dereferenced until the purge)."""
     ids = sorted(set(int(i) for i in doc_ids))
     if not ids:
         return {}
@@ -105,6 +114,17 @@ def erase_document_ids(
         for c in cols:
             term = F.col(c).isin(ids)
             cond = term if cond is None else (cond | term)
+        if mode == "mor":
+            before = table.delete_keys_mor(cols, ids)["deleted_rows"]
+            deleted[name] = before
+            if audit is not None and subjects is not None:
+                audit.record(
+                    "corpus",
+                    name,
+                    subjects,
+                    [f"{c}:row-deleted" for c in col_map[name]],
+                )
+            continue
         if table.has_blooms(cols):
             # bloom fast path: count over only the candidate files and
             # rewrite only those — a handful of ids against a large
@@ -127,6 +147,27 @@ def erase_document_ids(
                 [f"{c}:row-deleted" for c in col_map[name]],
             )
     return deleted
+
+
+def finalize_erasure(
+    tables: Mapping[str, MergeTable], vacuum: bool = True
+) -> dict[str, dict]:
+    """Make MOR erasures physical: for every table, materialize pending
+    deletion vectors (``purge_deletes`` rewrites ONLY the files
+    carrying DV'd rows) and vacuum the dereferenced bytes + sidecars.
+    Run on a compliance schedule (e.g. daily) — one purge pass absorbs
+    every ``mode="mor"`` erasure since the last run, so N requests cost
+    one rewrite of the union of their touched files instead of N
+    rewrites."""
+    stats: dict[str, dict] = {}
+    for name, table in tables.items():
+        if not table.exists():
+            stats[name] = {"rewritten_files": 0, "kept_files": 0}
+            continue
+        stats[name] = table.purge_deletes()
+        if vacuum:
+            table.vacuum(0.0)
+    return stats
 
 
 def erase_document_ids_df(
