@@ -234,3 +234,18 @@ def test_cow_delete_on_dv_table_keeps_dvs_on_kept_files(spark, tmp_path):
     t.delete(F.col("p") == 1)
     assert t.read().count() == 90
     assert t.read().filter(F.col("id") < 20).count() == 0
+
+
+def test_auto_compact_purges_past_dv_threshold(spark, tmp_path, monkeypatch):
+    t = MergeTable(spark, str(tmp_path / "ac"))
+    t.create(spark.range(500).withColumn("val", F.col("id")).repartition(4))
+    t.delete_mor(F.col("id") < 100)
+    monkeypatch.setattr(MergeTable, "AUTO_PURGE_DV_ROWS", 50)
+    assert t.auto_compact(max_files=1000) is True  # purge ran, no compact
+    assert t.dv_rows() == 0
+    assert t.read().count() == 400
+    # below threshold: nothing to do
+    t.delete_mor(F.col("id") < 110)
+    monkeypatch.setattr(MergeTable, "AUTO_PURGE_DV_ROWS", 1_000_000)
+    assert t.auto_compact(max_files=1000) is False
+    assert t.dv_rows() == 10

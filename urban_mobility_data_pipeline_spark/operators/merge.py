@@ -2411,10 +2411,23 @@ class MergeTable:
         free on the no-compaction path. ``leaf_contains`` counts (and
         ``where`` rewrites) a single partition's files — the bronze
         append shape, where only the current load_date accumulates.
-        Returns True when a compaction ran."""
+        Returns True when a compaction ran.
+
+        ``max_dv_rows`` (class attribute ``AUTO_PURGE_DV_ROWS``): when
+        pending deletion-vector rows cross it, the check also purges —
+        keeping the read-side broadcast anti-join bounded without a
+        separate scheduler. Both checks plan from the manifest alone."""
+        purged = False
+        if self.dv_rows() > self.AUTO_PURGE_DV_ROWS:
+            self.purge_deletes()
+            purged = True
         if len(self.live_files(leaf_contains)) <= max_files:
-            return False
+            return purged
         self.compact(
             target_partitions=target_partitions, sort_by=sort_by, where=where
         )
         return True
+
+    #: pending DV positions beyond which auto_compact purges; sized so
+    #: the broadcast stays trivially small (8 bytes/row ≈ 8 MB)
+    AUTO_PURGE_DV_ROWS = 1_000_000
