@@ -240,3 +240,59 @@ def test_refresh_ivf_index_incremental_and_erasure(spark, sf_dir, tmp_path):
         live.exceptAll(rebuilt).count() == 0
         and rebuilt.exceptAll(live).count() == 0
     )
+
+
+def test_semantic_dedup_keeps_farthest_from_centroid(spark):
+    """SemDeDup representative rule on a hand-built cluster: two
+    near-identical vectors plus one oddball. The near-dup pair resolves
+    to ONE keeper — the member with the LOWER centroid similarity — and
+    the oddball survives untouched."""
+    from urban_mobility_data_pipeline_spark.extensions.similarity import (
+        ivf_centroids,
+        semantic_dedup,
+    )
+
+    rows = [
+        # cluster 0: 1 and 2 are near-identical; 3 points elsewhere
+        (1, [1.0, 0.0, 0.0, 0.0], 0),
+        (2, [1.0, 0.05, 0.0, 0.0], 0),
+        (3, [0.0, 1.0, 0.2, 0.0], 0),
+        # cluster 1: far away so assignment never mixes
+        (4, [0.0, 0.0, -1.0, -1.0], 1),
+        (5, [0.0, 0.0, -1.0, -0.9], 1),
+    ]
+    emb = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    )
+    cents = ivf_centroids(emb)
+    out = semantic_dedup(emb, cents, threshold=0.95)
+    verdicts = {r["vec_id"]: r for r in out.collect()}
+    assert len(verdicts) == 5  # one verdict row per input vector
+    # pair (1,2): exactly one kept, and it's the lower-centroid-sim one
+    pair = [verdicts[1], verdicts[2]]
+    kept = [r for r in pair if r["kept"]]
+    assert len(kept) == 1
+    dropped = [r for r in pair if not r["kept"]][0]
+    assert kept[0]["centroid_sim"] <= dropped["centroid_sim"]
+    # the oddball in the same cell and the other cluster's pair resolve
+    # on their own merits
+    assert verdicts[3]["kept"]
+    kept_45 = [v for v in (verdicts[4], verdicts[5]) if v["kept"]]
+    assert len(kept_45) == 1
+
+
+def test_semantic_dedup_identical_corpus_keeps_one(spark):
+    """Degenerate all-duplicates cell collapses to a single keeper —
+    the lowest id at equal centroid similarity."""
+    from urban_mobility_data_pipeline_spark.extensions.similarity import (
+        ivf_centroids,
+        semantic_dedup,
+    )
+
+    rows = [(i, [1.0, 1.0, 0.0, 0.0], 0) for i in range(10, 16)]
+    emb = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    )
+    out = semantic_dedup(emb, ivf_centroids(emb), threshold=0.99)
+    kept = [r["vec_id"] for r in out.collect() if r["kept"]]
+    assert kept == [10]

@@ -476,6 +476,78 @@ def refresh_ivf_index(
         raise
 
 
+def semantic_dedup(
+    embeddings: DataFrame,
+    centroids: DataFrame,
+    threshold: float = 0.9,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023,
+    arXiv:2303.09540): cluster the corpus with a coarse quantizer, then
+    prune semantic duplicates *within* each cluster — a pair is a
+    duplicate when its cosine exceeds ``threshold``, and the kept
+    representative is the member FARTHEST from the cluster centroid
+    (the paper's keep-low-centroid-similarity rule, which retains the
+    most "marginal" — informative — example of each neighborhood).
+
+    Deterministic pairwise rule (engine-portable, no greedy iteration):
+    a vector is ``kept = false`` iff some same-cell vector with higher
+    keep priority — lower rounded centroid-similarity, ties broken by
+    lower id — is within ``threshold`` cosine of it.
+
+    Scale shape: assignment is a broadcast-join map over the corpus;
+    the duplicate probe is a self-join co-partitioned on ``cell``, so
+    the pair space is O(Σ cell²) — bounded by the quantizer's cluster
+    granularity (the paper uses ~50k clusters at web scale precisely so
+    cells stay small), never |corpus|². Nothing collects to the driver;
+    output is one row per input vector with the verdict, so the kept
+    corpus is a ``kept`` filter away.
+    """
+    assigned = ivf_assign(embeddings, centroids, id_col, vec_col)
+    withc = assigned.join(F.broadcast(centroids), "cell").select(
+        F.col(id_col),
+        F.col(vec_col),
+        F.col("cell"),
+        F.round(cosine(vec_col, "centroid"), 6).alias("centroid_sim"),
+    )
+    a = withc.select(
+        F.col(id_col).alias("__aid"),
+        F.col(vec_col).alias("__avec"),
+        F.col("cell"),
+        F.col("centroid_sim").alias("__acsim"),
+    )
+    b = withc.select(
+        F.col(id_col).alias("__bid"),
+        F.col(vec_col).alias("__bvec"),
+        F.col("cell"),
+        F.col("centroid_sim").alias("__bcsim"),
+    )
+    higher_priority = (F.col("__acsim") < F.col("__bcsim")) | (
+        (F.col("__acsim") == F.col("__bcsim"))
+        & (F.col("__aid") < F.col("__bid"))
+    )
+    removed = (
+        a.join(b, "cell")
+        .filter(higher_priority)
+        .filter(
+            F.round(cosine("__avec", "__bvec"), 6) >= F.lit(threshold)
+        )
+        .select(F.col("__bid").alias(id_col))
+        .distinct()
+        .withColumn("__removed", F.lit(True))
+    )
+    return (
+        withc.join(removed, id_col, "left")
+        .select(
+            id_col,
+            "cell",
+            "centroid_sim",
+            F.coalesce(~F.col("__removed"), F.lit(True)).alias("kept"),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # Product quantization (PQ): sub-vector codebooks + asymmetric search
 # ---------------------------------------------------------------------------
