@@ -1,0 +1,113 @@
+"""Distributed BPE training vs a pure-Python reference implementation
+of Sennrich et al.'s algorithm on the same corpus — merge list must
+match rule for rule, count for count."""
+
+from __future__ import annotations
+
+from urban_mobility_data_pipeline_spark.extensions.bpe import (
+    EOW,
+    apply_bpe,
+    learn_bpe,
+    word_frequencies,
+)
+
+
+def _gold_bpe(word_freqs: dict[str, int], n_merges: int):
+    """Reference BPE: dict-based, sequential scan, same tiebreak."""
+    vocab: dict[tuple[str, ...], int] = {}
+    for w, f in word_freqs.items():
+        key = tuple(list(w) + [EOW])
+        vocab[key] = vocab.get(key, 0) + f
+    merges = []
+    for rank in range(n_merges):
+        pairs: dict[tuple[str, str], int] = {}
+        for syms, f in vocab.items():
+            for i in range(len(syms) - 1):
+                p = (syms[i], syms[i + 1])
+                pairs[p] = pairs.get(p, 0) + f
+        if not pairs:
+            break
+        (left, right), cnt = min(
+            pairs.items(), key=lambda kv: (-kv[1], kv[0])
+        )
+        merges.append((rank, left, right, left + right, cnt))
+        new: dict[tuple[str, ...], int] = {}
+        for syms, f in vocab.items():
+            out, i = [], 0
+            while i < len(syms):
+                if (
+                    i < len(syms) - 1
+                    and syms[i] == left
+                    and syms[i + 1] == right
+                ):
+                    out.append(left + right)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            k = tuple(out)
+            new[k] = new.get(k, 0) + f
+        vocab = new
+    return merges, vocab
+
+
+def _gold_encode(word: str, merges) -> list[str]:
+    syms = list(word) + [EOW]
+    for _, left, right, merged, _ in merges:
+        out, i = [], 0
+        while i < len(syms):
+            if i < len(syms) - 1 and syms[i] == left and syms[i + 1] == right:
+                out.append(merged)
+                i += 2
+            else:
+                out.append(syms[i])
+                i += 1
+        syms = out
+    return syms
+
+
+def test_learn_bpe_matches_gold_on_testdata(spark, sf_dir):
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    wf = {
+        r["word"]: r["freq"] for r in word_frequencies(docs).collect()
+    }
+    got = learn_bpe(docs, n_merges=12)
+    want, _ = _gold_bpe(wf, 12)
+    assert [
+        (m["rank"], m["left"], m["right"], m["merged"], m["freq"])
+        for m in got
+    ] == want
+
+
+def test_learn_bpe_overlapping_runs(spark):
+    """aaaa under merge (a,a) → [aa, aa]: the fold and the sequential
+    scan must agree on overlap resolution, and the learned second rule
+    must count post-merge symbols, not raw chars."""
+    docs = spark.createDataFrame(
+        [(1, "aaaa aaaa aa")], "doc_id long, text string"
+    )
+    wf = {"aaaa": 2, "aa": 1}
+    got = learn_bpe(docs, n_merges=3)
+    want, _ = _gold_bpe(wf, 3)
+    assert [
+        (m["rank"], m["left"], m["right"], m["merged"], m["freq"])
+        for m in got
+    ] == want
+
+
+def test_apply_bpe_token_counts_match_gold(spark, sf_dir):
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    merges = learn_bpe(docs, n_merges=12)
+    gold_rules = [
+        (m["rank"], m["left"], m["right"], m["merged"], m["freq"])
+        for m in merges
+    ]
+    got = {
+        r["doc_id"]: (r["n_bpe_tokens"], r["n_chars"])
+        for r in apply_bpe(docs, merges).collect()
+    }
+    for row in docs.select("doc_id", "text").collect():
+        words = [w for w in row["text"].strip().lower().split() if w]
+        n_toks = sum(len(_gold_encode(w, gold_rules)) for w in words)
+        n_chars = sum(len(w) for w in words)
+        assert got[row["doc_id"]] == (n_toks, n_chars), row["doc_id"]

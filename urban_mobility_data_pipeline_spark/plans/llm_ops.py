@@ -2367,6 +2367,57 @@ def corpus_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# BPE tokenizer training (iterative — rows-only driver check by nature)
+# ---------------------------------------------------------------------------
+BPE_MERGES = 12
+
+
+@register("corpus_bpe_merges")
+def corpus_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train a BPE tokenizer on the corpus: the learned merge-rule
+    table ``(rank, left, right, merged, freq)`` in learned order — the
+    model AS data. Iterative by nature (each rule depends on counts
+    after the previous rewrite), so there is no SQL oracle; the rule
+    list is pinned rule-for-rule against a pure-Python reference
+    implementation of Sennrich's algorithm in tests/test_bpe.py, and
+    ties break lexicographically so the output is deterministic. One
+    full-corpus pass builds the Zipf-bounded word-frequency table;
+    every round after that runs on that small table only (see
+    extensions/bpe.py for the 100 TB shape)."""
+    from urban_mobility_data_pipeline_spark.extensions.bpe import learn_bpe
+
+    docs = table(spark, sf_dir, "documents")
+    merges = learn_bpe(docs, n_merges=BPE_MERGES)
+    return spark.createDataFrame(
+        [
+            (m["rank"], m["left"], m["right"], m["merged"], m["freq"])
+            for m in merges
+        ],
+        "rank int, left string, right string, merged string, freq long",
+    )
+
+
+@register("documents_bpe_token_counts")
+def documents_bpe_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenize the corpus with the in-engine-trained BPE model:
+    per-document BPE token and character counts — the real token
+    budget under the learned vocabulary (whitespace and regex counts
+    are proxies; this is the tokenizer the corpus would actually
+    train). Encoding chains the learned rules as nested JVM folds —
+    map-only, no shuffle, no UDF; the rule list is the tiny driver-side
+    model. Gold-checked word-for-word in tests/test_bpe.py; rows-only
+    at the driver (the trainer is iterative, see corpus_bpe_merges)."""
+    from urban_mobility_data_pipeline_spark.extensions.bpe import (
+        apply_bpe,
+        learn_bpe,
+    )
+
+    docs = table(spark, sf_dir, "documents")
+    merges = learn_bpe(docs, n_merges=BPE_MERGES)
+    return apply_bpe(docs, merges)
+
+
+# ---------------------------------------------------------------------------
 # document length deciles (curriculum bucketing)
 # ---------------------------------------------------------------------------
 @register(
