@@ -296,3 +296,74 @@ def test_semantic_dedup_identical_corpus_keeps_one(spark):
     out = semantic_dedup(emb, ivf_centroids(emb), threshold=0.99)
     kept = [r["vec_id"] for r in out.collect() if r["kept"]]
     assert kept == [10]
+
+
+def test_incremental_semantic_dups_matches_bruteforce(spark, sf_dir, tmp_path):
+    """Probe with nprobe = all cells must equal the brute-force
+    batch × corpus cosine cross-check; nprobe=1 must be a subset of it
+    and still catch the same-cell twin."""
+    from pyspark.sql import functions as F
+
+    from urban_mobility_data_pipeline_spark.extensions.similarity import (
+        build_ivf_index,
+        incremental_semantic_dups,
+    )
+    from urban_mobility_data_pipeline_spark.functions.vectors import cosine
+    from urban_mobility_data_pipeline_spark.operators.merge import MergeTable
+
+    emb = _emb(spark, sf_dir)
+    cents = ivf_centroids(emb)
+    index = MergeTable(spark, str(tmp_path / "ivf_index"))
+    build_ivf_index(emb, cents, index)
+
+    # incoming batch: two existing corpus vectors re-submitted under new
+    # ids (guaranteed near-dups at cosine 1.0) plus their negations
+    # (guaranteed misses)
+    base = emb.filter(F.col("vec_id").isin([3, 17])).select("embedding")
+    batch = base.select(
+        (F.monotonically_increasing_id() + 100000).alias("vec_id"),
+        "embedding",
+    ).unionByName(
+        base.select(
+            (F.monotonically_increasing_id() + 200000).alias("vec_id"),
+            F.transform("embedding", lambda x: -x).alias("embedding"),
+        )
+    )
+
+    threshold = 0.9
+    brute = {
+        (r["new_id"], r["corpus_id"])
+        for r in batch.select(
+            F.col("vec_id").alias("new_id"),
+            F.col("embedding").alias("__nv"),
+        )
+        .crossJoin(
+            emb.select(
+                F.col("vec_id").alias("corpus_id"),
+                F.col("embedding").alias("__iv"),
+            )
+        )
+        .filter(F.round(cosine("__nv", "__iv"), 6) >= threshold)
+        .collect()
+    }
+    assert brute  # the resubmitted twins must be in there
+
+    all_cells = cents.count()
+    got_full = {
+        (r["new_id"], r["corpus_id"])
+        for r in incremental_semantic_dups(
+            batch, index, cents, threshold=threshold, nprobe=all_cells
+        ).collect()
+    }
+    assert got_full == brute
+
+    got_1 = {
+        (r["new_id"], r["corpus_id"])
+        for r in incremental_semantic_dups(
+            batch, index, cents, threshold=threshold, nprobe=1
+        ).collect()
+    }
+    assert got_1 <= brute
+    # an exact twin lands in its original's cell — nprobe=1 finds it
+    corpus_hits = {c for _, c in got_1}
+    assert {3, 17} <= corpus_hits

@@ -548,6 +548,72 @@ def semantic_dedup(
     )
 
 
+def incremental_semantic_dups(
+    new_vecs: DataFrame,
+    index_table,
+    centroids: DataFrame,
+    threshold: float = 0.9,
+    nprobe: int = 1,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Semantic near-dup probe for an INCOMING batch against the
+    materialized IVF index — the embedding twin of
+    ``dedup_index.incremental_near_dups``: "does this morning's crawl
+    semantically duplicate anything we already have?" without touching
+    the corpus. Returns ``(new_id, corpus_id, cosine)`` with cosine ≥
+    ``threshold``. Run BEFORE merging the batch into the index, or
+    every vector matches itself.
+
+    Shape: each new vector ranks the broadcast centroids and probes its
+    ``nprobe`` nearest cells (nprobe > 1 buys back the recall lost to
+    near-boundary twins landing one cell apart — the standard IVF
+    dial); the batch's distinct probed cells — bounded by k, metadata-
+    class — collect into a static ``cell IN (...)`` filter so the index
+    scan file-prunes to exactly those inverted lists, and the batch
+    side broadcasts into a within-cell pair probe. Work is
+    O(|batch| × probed-cell size), never O(corpus).
+    """
+    from pyspark.sql import Window
+
+    scored = new_vecs.join(F.broadcast(centroids)).select(
+        F.col(id_col).alias("new_id"),
+        F.col(vec_col).alias("__nv"),
+        F.col("cell"),
+        cosine(vec_col, "centroid").alias("__sim"),
+    )
+    w = Window.partitionBy("new_id").orderBy(
+        F.col("__sim").desc(), F.col("cell")
+    )
+    probes = (
+        scored.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= nprobe)
+        .select("new_id", "__nv", "cell")
+    )
+    cells = [
+        r["cell"] for r in probes.select("cell").distinct().collect()
+    ]
+    idx = index_table.read().filter(F.col("cell").isin(cells)).select(
+        F.col(id_col).alias("corpus_id"),
+        F.col(vec_col).alias("__iv"),
+        "cell",
+    )
+    return (
+        F.broadcast(probes)
+        .join(idx, "cell")
+        .filter(F.col("new_id") != F.col("corpus_id"))
+        .select(
+            "new_id",
+            "corpus_id",
+            F.round(cosine("__nv", "__iv"), 6).alias("cosine"),
+        )
+        .filter(F.col("cosine") >= F.lit(threshold))
+        # no distinct needed: the index holds each corpus vector in
+        # exactly one cell, so a (new, corpus) pair can join only once
+        # even when the new vector probes several cells
+    )
+
+
 # ---------------------------------------------------------------------------
 # Product quantization (PQ): sub-vector codebooks + asymmetric search
 # ---------------------------------------------------------------------------

@@ -121,9 +121,13 @@ FLAGSHIP = "pricing_summary"
 # oracle, and corpus_mixing_weights' rate math is applied verbatim
 # inside corpus_epoch_sample (in). All nine stay hash-checked by
 # tests/test_parity_oracle.py and timed by bench.py every round, and
-# are first in line for the round-8 rotation together with any queries
-# added late in round 7. daily_distinct_users_sketch remains rows-only
-# BY DESIGN (HLL sketch, no cross-engine value hash).
+# are first in line for the round-8 rotation together with the
+# late-round-7 additions (oracle-backed: documents_dedup_ngram_scrub,
+# embedding_semantic_dedup, doc_lang_nb_classifier; rows-only by
+# nature: corpus_bpe_merges / documents_bpe_token_counts — iterative
+# trainer, gold-pinned by tests/test_bpe.py).
+# daily_distinct_users_sketch remains rows-only BY DESIGN (HLL sketch,
+# no cross-engine value hash).
 # ---------------------------------------------------------------------------
 DRIVER_QUERY_NAMES: tuple[str, ...] = (
     # parity core (SURVEY §2 operator inventory)
