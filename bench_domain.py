@@ -486,6 +486,8 @@ def main() -> int:
         sections["bm25_index"] = run_bm25_index_soak(spark)
     if run_all or "--dv" in args:
         sections["dv_pointops"] = run_dv_pointops(spark)
+    if run_all or "--semdedup" in args:
+        sections["semdedup_probe"] = run_semdedup_probe(spark)
 
     for payload in sections.values():
         print(json.dumps(payload))
@@ -1072,6 +1074,150 @@ def run_bm25_index_soak(spark: SparkSession) -> dict:
         assert st["n_docs"] == st_full["n_docs"], (st, st_full)
         assert abs(st["total_dl"] - st_full["total_dl"]) < 1e-6, (st, st_full)
         out["index_matches_rebuild"] = True
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+    return out
+
+
+def run_semdedup_probe(spark: SparkSession) -> dict:
+    """Scale proof for semantic dedup-at-ingest
+    (extensions/similarity.py:incremental_semantic_dups): an incoming
+    batch probes ONLY its assigned cells of the materialized IVF index,
+    so the probe must (a) beat the naive batch × corpus brute-force
+    cosine sweep by a wide margin, (b) demonstrably read a strict
+    subset of the index's cell partitions, and (c) still find every
+    planted duplicate (exact twins land in their original's cell, so
+    cell pruning costs them nothing)."""
+    import glob
+
+    import numpy as np
+
+    from urban_mobility_data_pipeline_spark.extensions.similarity import (
+        build_ivf_index,
+        incremental_semantic_dups,
+    )
+    from urban_mobility_data_pipeline_spark.functions.vectors import cosine
+    from urban_mobility_data_pipeline_spark.operators.merge import MergeTable
+
+    out: dict = {"metric": "semdedup_probe"}
+    root = tempfile.mkdtemp(prefix="umdp_semdedup_bench_")
+    dim, k_cells, corpus_n, batch_n, planted = 32, 16, 24_000, 500, 40
+    rng = np.random.default_rng(7)
+    centers = rng.normal(size=(k_cells, dim)) * 6.0
+    try:
+        vecs = []
+        for vid in range(corpus_n):
+            c = vid % k_cells
+            v = centers[c] + rng.normal(size=dim)
+            vecs.append((vid, [float(x) for x in v], c))
+        emb = spark.createDataFrame(
+            vecs, "vec_id long, embedding array<float>, label int"
+        ).coalesce(8)
+        cents_rows = [
+            (c, [float(x) for x in centers[c]]) for c in range(k_cells)
+        ]
+        cents = spark.createDataFrame(
+            cents_rows, "cell int, centroid array<double>"
+        )
+        index = MergeTable(spark, os.path.join(root, "ivf"))
+        build_ivf_index(emb, cents, index)
+
+        # the batch: planted exact twins of corpus vectors from THREE
+        # clusters plus fresh non-dup vectors from the same clusters —
+        # a topically concentrated crawl, the shape cell pruning pays on
+        hot = [0, 5, 11]
+        batch_rows = []
+        for i in range(planted):
+            src = hot[i % 3] + k_cells * (i * 7 % (corpus_n // k_cells))
+            batch_rows.append((100_000 + i, vecs[src][1]))
+        for i in range(planted, batch_n):
+            c = hot[i % 3]
+            v = centers[c] + rng.normal(size=dim)
+            batch_rows.append((100_000 + i, [float(x) for x in v]))
+        batch = spark.createDataFrame(
+            batch_rows, "vec_id long, embedding array<float>"
+        ).coalesce(1)
+        batch.persist().count()
+
+        def best_of(fn, n: int = 2) -> float:
+            best = float("inf")
+            for _ in range(n):
+                t0 = time.perf_counter()
+                fn()
+                best = min(best, time.perf_counter() - t0)
+            return round(best, 2)
+
+        thresh = 0.999
+        probe_df = incremental_semantic_dups(
+            batch, index, cents, threshold=thresh, nprobe=2
+        )
+        probe_sec = best_of(lambda: probe_df.count())
+        found = {
+            (r["new_id"], r["corpus_id"]) for r in probe_df.collect()
+        }
+
+        naive = (
+            batch.select(
+                F.col("vec_id").alias("new_id"),
+                F.col("embedding").alias("__nv"),
+            )
+            .crossJoin(
+                emb.select(
+                    F.col("vec_id").alias("corpus_id"),
+                    F.col("embedding").alias("__iv"),
+                )
+            )
+            .select(
+                "new_id",
+                "corpus_id",
+                F.round(cosine("__nv", "__iv"), 6).alias("cosine"),
+            )
+            .filter(F.col("cosine") >= thresh)
+        )
+        naive_sec = best_of(lambda: naive.count())
+        naive_found = {
+            (r["new_id"], r["corpus_id"]) for r in naive.collect()
+        }
+
+        # (c) every planted twin found, and nothing the sweep didn't see
+        planted_pairs = {p for p in naive_found if p[0] < 100_000 + planted}
+        assert len(planted_pairs) >= planted, len(planted_pairs)
+        assert planted_pairs <= found <= naive_found, (
+            len(planted_pairs), len(found), len(naive_found),
+        )
+        # (b) the probe plans a PartitionFilters entry on cell — the
+        # index scan is pruned to the batch's probed cells at the
+        # FileIndex level, never a full-table read
+        import contextlib
+        import io
+
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            probe_df.explain("formatted")
+        plan_txt = buf.getvalue()
+        assert "PartitionFilters" in plan_txt and "cell" in plan_txt, (
+            plan_txt[:2000]
+        )
+        all_cells = len(glob.glob(os.path.join(root, "ivf", "cell=*")))
+        assert all_cells == k_cells, all_cells
+        # (a) wide margin over the brute-force sweep
+        assert probe_sec * 2 <= naive_sec, (probe_sec, naive_sec)
+        out.update(
+            {
+                "corpus_vecs": corpus_n,
+                "batch_vecs": batch_n,
+                "planted_dups": planted,
+                "probe_sec": probe_sec,
+                "naive_sweep_sec": naive_sec,
+                "speedup": round(naive_sec / max(probe_sec, 1e-9), 2),
+                "probe_found_pairs": len(found),
+                "naive_found_pairs": len(naive_found),
+                "recall_vs_naive": round(
+                    len(found) / max(len(naive_found), 1), 4
+                ),
+            }
+        )
+        batch.unpersist()
     finally:
         shutil.rmtree(root, ignore_errors=True)
     return out
