@@ -24,7 +24,9 @@ from pyspark.sql import functions as F
 
 from urban_mobility_data_pipeline_spark.functions.vectors import (
     cosine,
+    dot,
     hyperplane_sign_bucket,
+    norm,
 )
 
 ANN_PLANES = 8
@@ -145,30 +147,38 @@ def embedding_near_dup_pairs(
     # instead of each side re-scanning and re-projecting the corpus.
     # Registered with the scratch-cache registry so a long-lived
     # session (bench, catalog driver) releases it between queries
-    # instead of leaking one cached relation per invocation (ADVICE r5)
+    # instead of leaking one cached relation per invocation (ADVICE r5).
+    # Each vector's norm is folded ONCE here and reused across every
+    # pair it participates in — per-pair cosine() would redo both
+    # self-dots for all O(bucket²) candidates. dot/(na*nb) is
+    # IEEE-identical to cosine(): same doubles, same fold order.
     with_buckets = scratch_persist(
         embeddings.select(
             F.col(id_col),
             F.col(vec_col),
             hyperplane_sign_bucket(vec_col, planes).alias("bucket"),
+            norm(F.col(vec_col)).alias("__nrm"),
         )
     )
     a = with_buckets.select(
         F.col(id_col).alias("vec_a"),
         F.col(vec_col).alias("va"),
         F.col("bucket"),
+        F.col("__nrm").alias("__na"),
     )
     b = with_buckets.select(
         F.col(id_col).alias("vec_b"),
         F.col(vec_col).alias("vb"),
         F.col("bucket"),
+        F.col("__nrm").alias("__nb"),
     )
     pairs = a.join(b, "bucket").filter(F.col("vec_a") < F.col("vec_b"))
+    pair_cos = dot("va", "vb") / (F.col("__na") * F.col("__nb"))
     return (
         pairs.select(
             "vec_a",
             "vec_b",
-            F.round(cosine("va", "vb"), 6).alias("cosine"),
+            F.round(pair_cos, 6).alias("cosine"),
         )
         .filter(F.col("cosine") >= threshold)
     )
@@ -504,11 +514,6 @@ def semantic_dedup(
     output is one row per input vector with the verdict, so the kept
     corpus is a ``kept`` filter away.
     """
-    from urban_mobility_data_pipeline_spark.functions.vectors import (
-        dot,
-        norm,
-    )
-
     assigned = ivf_assign(embeddings, centroids, id_col, vec_col)
     # each vector's norm is computed ONCE here and reused across every
     # pair it participates in — the naive per-pair cosine would redo
@@ -599,10 +604,16 @@ def incremental_semantic_dups(
     w = Window.partitionBy("new_id").orderBy(
         F.col("__sim").desc(), F.col("cell")
     )
+    # norms fold once per side: a corpus vector meets every probe in
+    # its cell (and a probe meets every corpus vector), so per-pair
+    # cosine() would redo both self-dots |pairs| times. dot/(nn*ni)
+    # is IEEE-identical (same doubles, same fold order).
     probes = (
         scored.withColumn("__rn", F.row_number().over(w))
         .filter(F.col("__rn") <= nprobe)
-        .select("new_id", "__nv", "cell")
+        .select(
+            "new_id", "__nv", "cell", norm(F.col("__nv")).alias("__nn")
+        )
     )
     cells = [
         r["cell"] for r in probes.select("cell").distinct().collect()
@@ -611,7 +622,9 @@ def incremental_semantic_dups(
         F.col(id_col).alias("corpus_id"),
         F.col(vec_col).alias("__iv"),
         "cell",
+        norm(F.col(vec_col)).alias("__ni"),
     )
+    pair_cos = dot("__nv", "__iv") / (F.col("__nn") * F.col("__ni"))
     return (
         F.broadcast(probes)
         .join(idx, "cell")
@@ -619,7 +632,7 @@ def incremental_semantic_dups(
         .select(
             "new_id",
             "corpus_id",
-            F.round(cosine("__nv", "__iv"), 6).alias("cosine"),
+            F.round(pair_cos, 6).alias("cosine"),
         )
         .filter(F.col("cosine") >= F.lit(threshold))
         # no distinct needed: the index holds each corpus vector in
