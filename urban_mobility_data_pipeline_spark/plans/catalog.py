@@ -123,9 +123,10 @@ FLAGSHIP = "pricing_summary"
 # tests/test_parity_oracle.py and timed by bench.py every round, and
 # are first in line for the round-8 rotation together with the
 # late-round-7 additions (oracle-backed: documents_dedup_ngram_scrub,
-# embedding_semantic_dedup, doc_lang_nb_classifier; rows-only by
-# nature: corpus_bpe_merges / documents_bpe_token_counts — iterative
-# trainer, gold-pinned by tests/test_bpe.py).
+# embedding_semantic_dedup, embedding_semantic_dedup_ingest,
+# doc_lang_nb_classifier; rows-only by nature: corpus_bpe_merges /
+# documents_bpe_token_counts — iterative trainer, gold-pinned by
+# tests/test_bpe.py).
 # daily_distinct_users_sketch remains rows-only BY DESIGN (HLL sketch,
 # no cross-engine value hash).
 # ---------------------------------------------------------------------------
