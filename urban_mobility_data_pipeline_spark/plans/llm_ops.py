@@ -2881,6 +2881,152 @@ def doc_bm25_topk_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# hybrid retrieval: BM25 + embedding cosine fused by reciprocal rank
+# ---------------------------------------------------------------------------
+RRF_K = 60
+HYBRID_QUERY_VEC_ID = 0
+HYBRID_TOP_K = 10
+
+
+@register(
+    "doc_hybrid_retrieval_rrf",
+    oracle=f"""
+    WITH dl AS (
+        SELECT doc_id, CAST(len({_WORDS}) AS DOUBLE) AS dl
+        FROM documents
+    ),
+    stats AS (
+        SELECT CAST(count(*) AS DOUBLE) AS n_docs, avg(dl) AS avgdl
+        FROM dl
+    ),
+    toks AS (SELECT doc_id, unnest({_WORDS}) AS token FROM documents),
+    tf AS (
+        SELECT doc_id, token, CAST(count(*) AS DOUBLE) AS tf
+        FROM toks WHERE token IN ({_BM25_TERMS_SQL})
+        GROUP BY 1, 2
+    ),
+    df AS (SELECT token, CAST(count(*) AS DOUBLE) AS df
+           FROM tf GROUP BY 1),
+    bm25 AS (
+        SELECT tf.doc_id,
+               round(sum(ln((s.n_docs - df.df + 0.5) / (df.df + 0.5) + 1.0)
+                   * tf.tf * ({BM25_K1} + 1.0)
+                   / (tf.tf + {BM25_K1}
+                      * (1.0 - {BM25_B} + {BM25_B} * dl.dl / s.avgdl))), 6)
+                   AS score
+        FROM tf
+        JOIN df USING (token)
+        JOIN dl USING (doc_id)
+        CROSS JOIN stats s
+        GROUP BY tf.doc_id
+    ),
+    lex AS (
+        SELECT doc_id,
+               CAST(row_number() OVER (ORDER BY score DESC, doc_id ASC)
+                    AS INTEGER) AS lex_rank
+        FROM bm25
+        ORDER BY score DESC, doc_id ASC
+        LIMIT {BM25_TOP_K}
+    ),
+    q AS (SELECT list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qv
+          FROM embeddings WHERE vec_id = {HYBRID_QUERY_VEC_ID}),
+    cos AS (
+        SELECT e.vec_id AS doc_id,
+               round(
+                 list_dot_product(list_transform(e.embedding, x -> CAST(x AS DOUBLE)), q.qv)
+                 / (sqrt(list_dot_product(list_transform(e.embedding, x -> CAST(x AS DOUBLE)),
+                                          list_transform(e.embedding, x -> CAST(x AS DOUBLE))))
+                    * sqrt(list_dot_product(q.qv, q.qv))), 6) AS cosine
+        FROM embeddings e, q
+        WHERE e.vec_id <> {HYBRID_QUERY_VEC_ID}
+    ),
+    sem AS (
+        SELECT doc_id,
+               CAST(row_number() OVER (ORDER BY cosine DESC, doc_id ASC)
+                    AS INTEGER) AS sem_rank
+        FROM cos
+        ORDER BY cosine DESC, doc_id ASC
+        LIMIT {BM25_TOP_K}
+    ),
+    fused AS (
+        SELECT coalesce(l.doc_id, s.doc_id) AS doc_id,
+               l.lex_rank, s.sem_rank,
+               round(coalesce(1.0 / ({RRF_K} + l.lex_rank), 0.0)
+                     + coalesce(1.0 / ({RRF_K} + s.sem_rank), 0.0), 6)
+                   AS rrf_score
+        FROM lex l FULL OUTER JOIN sem s ON l.doc_id = s.doc_id
+    )
+    SELECT doc_id, lex_rank, sem_rank, rrf_score
+    FROM fused
+    ORDER BY rrf_score DESC, doc_id ASC
+    LIMIT {HYBRID_TOP_K}
+    """,
+)
+def doc_hybrid_retrieval_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval — the RAG candidate generator: the BM25 lexical
+    top-{pool} (query ``{terms}``) and the exact-cosine semantic
+    top-{pool} (query = embedding {qid}) fused by reciprocal rank:
+    rrf = sum over legs of 1/({rrfk} + rank). Rank fusion needs no
+    score normalization across incomparable scales (BM25 vs cosine),
+    which is exactly why RRF is the standard hybrid combiner.
+
+    Scale shape: each leg is the already-audited k-bounded pipeline
+    (query-term-filtered explode + broadcast stats for BM25; 1-row
+    broadcast + TakeOrderedAndProject for cosine), so the fusion
+    inputs are two {pool}-row frames — the rank windows and the full
+    outer join are metadata-sized no matter the corpus. Ranks are over
+    ROUNDED leg scores with doc_id tiebreaks, and both legs emit ranks
+    1..{pool} identically in any engine, so the fused ordering is
+    reproducible; the oracle replays both legs and the fusion."""
+    from pyspark.sql import Window
+
+    from urban_mobility_data_pipeline_spark.extensions.similarity import (
+        cosine_topk,
+    )
+
+    lex = doc_bm25_topk(spark, sf_dir).select(
+        "doc_id",
+        F.row_number()
+        .over(Window.orderBy(F.desc("bm25_score"), F.asc("doc_id")))
+        .cast("int")
+        .alias("lex_rank"),
+    )
+    emb = table(spark, sf_dir, "embeddings")
+    sem = cosine_topk(
+        emb, query_vec_id=HYBRID_QUERY_VEC_ID, k=BM25_TOP_K
+    ).select(
+        F.col("vec_id").alias("doc_id"),
+        F.row_number()
+        .over(Window.orderBy(F.desc("cosine"), F.asc("vec_id")))
+        .cast("int")
+        .alias("sem_rank"),
+    )
+    rrf = F.round(
+        F.coalesce(
+            F.lit(1.0) / (F.lit(RRF_K) + F.col("lex_rank")), F.lit(0.0)
+        )
+        + F.coalesce(
+            F.lit(1.0) / (F.lit(RRF_K) + F.col("sem_rank")), F.lit(0.0)
+        ),
+        6,
+    )
+    return (
+        lex.join(sem, "doc_id", "full_outer")
+        .select("doc_id", "lex_rank", "sem_rank", rrf.alias("rrf_score"))
+        .orderBy(F.desc("rrf_score"), F.asc("doc_id"))
+        .limit(HYBRID_TOP_K)
+    )
+
+
+doc_hybrid_retrieval_rrf.__doc__ = doc_hybrid_retrieval_rrf.__doc__.format(
+    pool=BM25_TOP_K,
+    terms=" ".join(BM25_QUERY_TERMS),
+    qid=HYBRID_QUERY_VEC_ID,
+    rrfk=RRF_K,
+)
+
+
+# ---------------------------------------------------------------------------
 # epoch sampling: APPLY the mixing weights deterministically
 # ---------------------------------------------------------------------------
 @register(
