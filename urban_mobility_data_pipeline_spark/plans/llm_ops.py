@@ -2643,6 +2643,132 @@ corpus_bigram_stats.__doc__ = corpus_bigram_stats.__doc__.format(
 
 
 # ---------------------------------------------------------------------------
+# PMI collocations: statistically-bound word pairs
+# ---------------------------------------------------------------------------
+PMI_MIN_COUNT = 5
+PMI_TOP_K = 20
+
+
+@register(
+    "corpus_pmi_collocations",
+    oracle=f"""
+    WITH sp AS (SELECT doc_id, {_WORDS} AS t FROM documents),
+    ucnt AS (
+        SELECT token, CAST(count(*) AS DOUBLE) AS c
+        FROM (SELECT unnest(t) AS token FROM sp) GROUP BY 1
+    ),
+    utot AS (SELECT sum(c) AS n FROM ucnt),
+    bcnt AS (
+        SELECT bigram, CAST(count(*) AS DOUBLE) AS cb
+        FROM (
+            SELECT unnest(list_transform(range(1, len(t)),
+                                         i -> t[i] || ' ' || t[i + 1]))
+                       AS bigram
+            FROM sp
+        ) GROUP BY 1
+    ),
+    btot AS (SELECT sum(cb) AS m FROM bcnt),
+    scored AS (
+        SELECT b.bigram,
+               CAST(b.cb AS BIGINT) AS n_pairs,
+               round(ln((b.cb / bt.m)
+                        / ((u1.c / ut.n) * (u2.c / ut.n))), 6) AS pmi
+        FROM bcnt b
+        JOIN ucnt u1 ON u1.token = split_part(b.bigram, ' ', 1)
+        JOIN ucnt u2 ON u2.token = split_part(b.bigram, ' ', 2)
+        CROSS JOIN utot ut CROSS JOIN btot bt
+        WHERE b.cb >= {PMI_MIN_COUNT}
+    )
+    SELECT bigram, n_pairs, pmi FROM scored
+    ORDER BY pmi DESC, bigram ASC
+    LIMIT {PMI_TOP_K}
+    """,
+)
+def corpus_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-{k} collocations by pointwise mutual information:
+    pmi = ln(p(ab) / (p(a)p(b))) over adjacent-pair bigrams with at
+    least {minc} occurrences — the association statistic behind
+    multi-word-expression mining for tokenizer vocab curation (a pair
+    that is frequent AND far above chance co-occurrence deserves a
+    merge rule; a merely frequent pair of frequent words does not).
+
+    Scale shape: bigrams come from the same zip-slice build as
+    corpus_bigram_stats (token arrays never shuffle; only (bigram,
+    partial-count) pairs do), unigram and bigram totals are one-row
+    aggregates broadcast into the scoring join, and the two
+    unigram-probability lookups are shuffle joins on the Zipf-bounded
+    vocab — never the corpus. The min-count filter cuts the long tail
+    BEFORE the lookups, and the final top-k is a
+    TakeOrderedAndProject ranked on ROUNDED pmi with a bigram
+    tiebreaker so 1-ulp ln differences can't reorder engines."""
+    docs = table(spark, sf_dir, "documents")
+    toks = docs.select(T.words("text").alias("t"))
+    uni = toks.select(F.explode("t").alias("token"))
+    ucnt = uni.groupBy("token").agg(
+        F.count(F.lit(1)).cast("double").alias("c")
+    )
+    utot = ucnt.agg(F.sum("c").alias("n"))
+    bigrams = toks.select(
+        F.explode(
+            F.when(
+                F.size("t") >= 2,
+                F.transform(
+                    F.arrays_zip(
+                        F.slice("t", 1, F.size("t") - 1),
+                        F.slice("t", 2, F.size("t") - 1),
+                    ),
+                    lambda p: F.struct(
+                        p["0"].alias("t1"), p["1"].alias("t2")
+                    ),
+                ),
+            ).otherwise(
+                F.array().cast("array<struct<t1:string,t2:string>>")
+            )
+        ).alias("pair")
+    ).select(F.col("pair.t1").alias("t1"), F.col("pair.t2").alias("t2"))
+    bcnt = bigrams.groupBy("t1", "t2").agg(
+        F.count(F.lit(1)).cast("double").alias("cb")
+    )
+    btot = bcnt.agg(F.sum("cb").alias("m"))
+    pmi = F.round(
+        F.log(
+            (F.col("cb") / F.col("m"))
+            / ((F.col("c1") / F.col("n")) * (F.col("c2") / F.col("n")))
+        ),
+        6,
+    )
+    return (
+        bcnt.filter(F.col("cb") >= PMI_MIN_COUNT)
+        .join(
+            ucnt.select(
+                F.col("token").alias("t1"), F.col("c").alias("c1")
+            ),
+            "t1",
+        )
+        .join(
+            ucnt.select(
+                F.col("token").alias("t2"), F.col("c").alias("c2")
+            ),
+            "t2",
+        )
+        .join(F.broadcast(utot))
+        .join(F.broadcast(btot))
+        .select(
+            F.concat_ws(" ", "t1", "t2").alias("bigram"),
+            F.col("cb").cast("bigint").alias("n_pairs"),
+            pmi.alias("pmi"),
+        )
+        .orderBy(F.desc("pmi"), F.asc("bigram"))
+        .limit(PMI_TOP_K)
+    )
+
+
+corpus_pmi_collocations.__doc__ = corpus_pmi_collocations.__doc__.format(
+    k=PMI_TOP_K, minc=PMI_MIN_COUNT
+)
+
+
+# ---------------------------------------------------------------------------
 # dedup-rate dashboard by source
 # ---------------------------------------------------------------------------
 @register(
