@@ -124,7 +124,8 @@ FLAGSHIP = "pricing_summary"
 # are first in line for the round-8 rotation together with the
 # late-round-7 additions (oracle-backed: documents_dedup_ngram_scrub,
 # embedding_semantic_dedup, embedding_semantic_dedup_ingest,
-# doc_lang_nb_classifier; rows-only by nature: corpus_bpe_merges /
+# doc_lang_nb_classifier, doc_hybrid_retrieval_rrf,
+# corpus_pmi_collocations; rows-only by nature: corpus_bpe_merges /
 # documents_bpe_token_counts — iterative trainer, gold-pinned by
 # tests/test_bpe.py).
 # daily_distinct_users_sketch remains rows-only BY DESIGN (HLL sketch,
