@@ -779,3 +779,101 @@ def pq_adc_topk(
         .orderBy(F.desc("adc_score"), F.asc(id_col))
         .limit(k)
     )
+
+
+# ---------------------------------------------------------------------------
+# binary quantization (sign-bit codes + Hamming candidate generation)
+# ---------------------------------------------------------------------------
+#: Bits per packed word. 32 keeps every fold value strictly inside a
+#: signed 64-bit range (max 2^32-1), so the identical integer arithmetic
+#: runs overflow-free in Spark and in any SQL oracle engine — packing
+#: all 64 sign bits into one word would hit the signed-overflow edge at
+#: bit 63, where engines disagree (wrap vs error).
+BQ_WORD_BITS = 32
+
+
+def bq_pack_word(vec_col: str, lo_dim: int, hi_dim: int):
+    """Fold dims [lo_dim, hi_dim) (0-based) of an array column into one
+    integer word: bit = 1 iff component > 0, MSB-first fold
+    ``acc*2 + bit``. JVM-side `aggregate` over an index sequence — no
+    UDF, and the same fold is one `list_reduce` in SQL engines."""
+    return F.aggregate(
+        F.sequence(F.lit(lo_dim + 1), F.lit(hi_dim)),  # 1-based element_at
+        F.lit(0).cast("long"),
+        lambda acc, i: acc * 2
+        + F.when(
+            F.element_at(F.col(vec_col), i).cast("double") > 0.0, F.lit(1)
+        )
+        .otherwise(F.lit(0))
+        .cast("long"),
+    )
+
+
+def bq_codes(
+    embeddings: DataFrame,
+    *,
+    dim: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Sign-bit binary quantization: 64-d float vector -> two 32-bit
+    words (64x storage cut vs float32 x dim). A map-only projection;
+    the words are what ships to the candidate-generation scan."""
+    assert dim == 2 * BQ_WORD_BITS, "bq_codes packs exactly 2 words"
+    return embeddings.select(
+        F.col(id_col),
+        bq_pack_word(vec_col, 0, BQ_WORD_BITS).alias("bq_lo"),
+        bq_pack_word(vec_col, BQ_WORD_BITS, dim).alias("bq_hi"),
+    )
+
+
+def bq_hamming_topk(
+    embeddings: DataFrame,
+    query_vec_id: int,
+    *,
+    dim: int,
+    k: int = 10,
+    candidates: int = 40,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Binary-quantized search: Hamming distance over sign-bit codes
+    generates a candidate set, exact cosine reranks it.
+
+    Scale shape: the corpus scan touches only the two 8-byte words per
+    vector (the float vectors stay in their files until the rerank);
+    candidate generation is a TakeOrderedAndProject on
+    ``bit_count(xor)`` — each partition forwards at most ``candidates``
+    rows. The rerank joins the tiny candidate id set (broadcast) back
+    to the corpus to fetch just those float vectors, then scores
+    against the broadcast query. Ordering uses the integer Hamming
+    distance and the ROUNDED cosine with id tiebreaks, so the result
+    is engine-portable."""
+    codes = bq_codes(embeddings, dim=dim, id_col=id_col, vec_col=vec_col)
+    q = codes.filter(F.col(id_col) == query_vec_id).select(
+        F.col("bq_lo").alias("__qlo"), F.col("bq_hi").alias("__qhi")
+    )
+    hamming = F.bit_count(
+        F.col("bq_lo").bitwiseXOR(F.col("__qlo"))
+    ) + F.bit_count(F.col("bq_hi").bitwiseXOR(F.col("__qhi")))
+    cand = (
+        codes.filter(F.col(id_col) != query_vec_id)
+        .join(F.broadcast(q))
+        .select(F.col(id_col), hamming.cast("int").alias("hamming"))
+        .orderBy(F.asc("hamming"), F.asc(id_col))
+        .limit(candidates)
+    )
+    qv = embeddings.filter(F.col(id_col) == query_vec_id).select(
+        F.col(vec_col).alias("__qv")
+    )
+    return (
+        embeddings.join(F.broadcast(cand), id_col)
+        .join(F.broadcast(qv))
+        .select(
+            F.col(id_col),
+            "hamming",
+            F.round(cosine(vec_col, "__qv"), 6).alias("cosine"),
+        )
+        .orderBy(F.desc("cosine"), F.asc(id_col))
+        .limit(k)
+    )

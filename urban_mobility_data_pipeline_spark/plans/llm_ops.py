@@ -4083,3 +4083,86 @@ def embedding_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 embedding_ivfpq_topk.__doc__ = embedding_ivfpq_topk.__doc__.format(
     np=IVFPQ_NPROBE
 )
+
+
+# ---------------------------------------------------------------------------
+# binary quantization + Hamming candidate generation (1-bit search)
+# ---------------------------------------------------------------------------
+BQ_CANDIDATES = 40
+BQ_TOP_K = 10
+
+_BQ_LO = (
+    "list_reduce(list_prepend(CAST(0 AS BIGINT), "
+    "list_transform(generate_series(1, 32), "
+    "i -> CASE WHEN ve[i] > 0 THEN CAST(1 AS BIGINT) "
+    "ELSE CAST(0 AS BIGINT) END)), (a, b) -> a * 2 + b)"
+)
+_BQ_HI = (
+    "list_reduce(list_prepend(CAST(0 AS BIGINT), "
+    "list_transform(generate_series(33, 64), "
+    "i -> CASE WHEN ve[i] > 0 THEN CAST(1 AS BIGINT) "
+    "ELSE CAST(0 AS BIGINT) END)), (a, b) -> a * 2 + b)"
+)
+
+
+@register(
+    "embedding_bq_hamming_topk",
+    oracle=f"""
+    WITH v AS (
+        SELECT vec_id,
+               list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ve
+        FROM embeddings
+    ),
+    codes AS (
+        SELECT vec_id, {_BQ_LO} AS bq_lo, {_BQ_HI} AS bq_hi FROM v
+    ),
+    q AS (SELECT bq_lo AS qlo, bq_hi AS qhi FROM codes WHERE vec_id = 0),
+    cand AS (
+        SELECT c.vec_id,
+               CAST(bit_count(xor(c.bq_lo, q.qlo))
+                    + bit_count(xor(c.bq_hi, q.qhi)) AS INTEGER) AS hamming
+        FROM codes c, q
+        WHERE c.vec_id <> 0
+        ORDER BY hamming ASC, c.vec_id ASC
+        LIMIT {BQ_CANDIDATES}
+    ),
+    qv AS (SELECT ve AS qv FROM v WHERE vec_id = 0)
+    SELECT cand.vec_id, cand.hamming,
+           round(list_dot_product(v.ve, qv.qv)
+                 / (sqrt(list_dot_product(v.ve, v.ve))
+                    * sqrt(list_dot_product(qv.qv, qv.qv))), 6) AS cosine
+    FROM cand
+    JOIN v ON v.vec_id = cand.vec_id
+    CROSS JOIN qv
+    ORDER BY cosine DESC, cand.vec_id ASC
+    LIMIT {BQ_TOP_K}
+    """,
+)
+def embedding_bq_hamming_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """1-bit binary quantization search: every 64-d float vector packs
+    to two 32-bit sign-bit words (64x smaller than float32); Hamming
+    distance over the words ranks a {c}-candidate set; exact cosine
+    reranks it to the final top-{k}. The modern memory-bound ANN recipe
+    (the quantize->Hamming->rescore pattern used by binary-embedding
+    vector stores): candidate generation reads 16 bytes per vector —
+    at 100 TB of float embeddings the Hamming scan touches ~1.5 TB —
+    and plans as a TakeOrderedAndProject; only the {c} winners' float
+    vectors are ever fetched (broadcast semi-join back to the corpus),
+    so the rerank is O(candidates), not O(corpus). Packing folds are
+    JVM-side `aggregate` over an index sequence; both orderings use the
+    integer Hamming / ROUNDED cosine with id tiebreaks, so the result
+    is reproducible in any engine (the same fold is `list_reduce` in
+    the oracle)."""
+    from urban_mobility_data_pipeline_spark.extensions.similarity import (
+        bq_hamming_topk,
+    )
+
+    emb = table(spark, sf_dir, "embeddings")
+    return bq_hamming_topk(
+        emb, query_vec_id=0, dim=64, k=BQ_TOP_K, candidates=BQ_CANDIDATES
+    )
+
+
+embedding_bq_hamming_topk.__doc__ = embedding_bq_hamming_topk.__doc__.format(
+    c=BQ_CANDIDATES, k=BQ_TOP_K
+)
