@@ -4166,3 +4166,89 @@ def embedding_bq_hamming_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 embedding_bq_hamming_topk.__doc__ = embedding_bq_hamming_topk.__doc__.format(
     c=BQ_CANDIDATES, k=BQ_TOP_K
 )
+
+
+# ---------------------------------------------------------------------------
+# DSIR importance resampling (data selection for a target domain)
+# ---------------------------------------------------------------------------
+DSIR_TARGET_SOURCES = ("src0", "src1", "src2")
+DSIR_K = 80
+
+_DSIR_TGT_SQL = ", ".join(f"'{s}'" for s in DSIR_TARGET_SOURCES)
+_DSIR_FEATS = (
+    "list_concat(toks, CASE WHEN len(toks) >= 2 "
+    "THEN list_transform(generate_series(1, len(toks) - 1), "
+    "i -> toks[i] || ' ' || toks[i + 1]) ELSE [] END)"
+)
+
+
+@register(
+    "corpus_dsir_sample",
+    oracle=f"""
+    WITH w AS (SELECT doc_id, source, {_WORDS} AS toks FROM documents),
+    feats AS (
+        SELECT doc_id, source, unnest({_DSIR_FEATS}) AS f FROM w
+    ),
+    fb AS (
+        SELECT doc_id, source,
+               CAST(('0x' || substr(md5(f), 1, 4)) AS INT) % 256 AS bucket,
+               count(*) AS c
+        FROM feats GROUP BY 1, 2, 3
+    ),
+    raw AS (SELECT bucket, sum(c) AS r FROM fb GROUP BY 1),
+    tgt AS (SELECT bucket, sum(c) AS t FROM fb
+            WHERE source IN ({_DSIR_TGT_SQL}) GROUP BY 1),
+    tot AS (SELECT (SELECT sum(r) FROM raw) AS cr,
+                   (SELECT sum(t) FROM tgt) AS ct),
+    lw AS (
+        SELECT fb.doc_id, fb.source,
+               CAST(sum(fb.c) AS BIGINT) AS n_feats,
+               round(sum(fb.c * (ln((coalesce(tgt.t, 0) + 1.0)
+                                    / (tot.ct + 256.0))
+                               - ln((raw.r + 1.0) / (tot.cr + 256.0)))), 6)
+                   AS log_weight
+        FROM fb
+        JOIN raw USING (bucket)
+        LEFT JOIN tgt USING (bucket)
+        CROSS JOIN tot
+        GROUP BY 1, 2
+    )
+    SELECT doc_id, source, n_feats, log_weight,
+           round(log_weight + (-ln(-ln(
+               (CAST(('0x' || substr(md5('g|' || CAST(doc_id AS VARCHAR)),
+                                     1, 8)) AS BIGINT) + 0.5)
+               / 4294967296.0))), 6) AS priority
+    FROM lw
+    ORDER BY priority DESC, doc_id ASC
+    LIMIT {DSIR_K}
+    """,
+)
+def corpus_dsir_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR data selection (arXiv:2302.03169): pick the {k} raw
+    documents that look most like the target domain ``{tgt}`` by
+    importance weight between two hashed-n-gram (uni+bigram, 256
+    buckets, add-1) bag models, resampled with deterministic Gumbel
+    top-k — importance sampling without replacement, reproducible
+    across engines/partitionings.
+
+    Scale shape: one explode pass reduces the corpus to (doc, bucket
+    int, count) partials map-side; both bucket models are <=256-row
+    broadcasts; totals are 1-row broadcast scalars; the resample is a
+    TakeOrderedAndProject on the ROUNDED priority with doc_id
+    tiebreak. At 100 TB nothing but small ints and the final {k} rows
+    ever leaves the executors."""
+    from urban_mobility_data_pipeline_spark.extensions.dsir import (
+        doc_bucket_counts,
+        dsir_log_weights,
+        dsir_resample,
+    )
+
+    docs = table(spark, sf_dir, "documents")
+    fb = doc_bucket_counts(docs, T.words("text"))
+    weights = dsir_log_weights(fb, DSIR_TARGET_SOURCES)
+    return dsir_resample(weights, DSIR_K)
+
+
+corpus_dsir_sample.__doc__ = corpus_dsir_sample.__doc__.format(
+    k=DSIR_K, tgt=",".join(DSIR_TARGET_SOURCES)
+)
