@@ -4252,3 +4252,136 @@ def corpus_dsir_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 corpus_dsir_sample.__doc__ = corpus_dsir_sample.__doc__.format(
     k=DSIR_K, tgt=",".join(DSIR_TARGET_SOURCES)
 )
+
+
+# ---------------------------------------------------------------------------
+# UniMax mixing weights (epoch-capped uniform budget allocation)
+# ---------------------------------------------------------------------------
+UNIMAX_EPOCH_CAP = 1.08
+UNIMAX_BUDGET_RATIO = 1.05
+
+
+@register(
+    "corpus_unimax_mixing",
+    oracle=f"""
+    WITH n AS (
+        SELECT source,
+               CAST(sum(len({_WORDS})) AS BIGINT) AS n_tokens
+        FROM documents GROUP BY source
+    ),
+    tot AS (SELECT sum(n_tokens) AS t, count(*) AS s FROM n),
+    r AS (
+        SELECT source, n_tokens,
+               row_number() OVER (ORDER BY n_tokens, source) AS i,
+               sum(n_tokens) OVER (ORDER BY n_tokens, source
+                                   ROWS UNBOUNDED PRECEDING) - n_tokens
+                   AS cum_prev
+        FROM n
+    ),
+    f AS (
+        SELECT r.*, tot.t, tot.s,
+               CASE WHEN {UNIMAX_EPOCH_CAP} * n_tokens * (s - i + 1)
+                         <= {UNIMAX_BUDGET_RATIO} * t
+                            - {UNIMAX_EPOCH_CAP} * cum_prev
+                    THEN 1 ELSE 0 END AS cond
+        FROM r CROSS JOIN tot
+    ),
+    p AS (SELECT coalesce(min(CASE WHEN cond = 0 THEN i END) - 1, max(i))
+                 AS pp FROM f),
+    caps AS (SELECT coalesce(sum(CASE WHEN f.i <= p.pp THEN f.n_tokens END),
+                             0) AS cum_p
+             FROM f CROSS JOIN p)
+    SELECT f.source, f.n_tokens,
+           CAST(CASE WHEN f.i <= p.pp THEN 1 ELSE 0 END AS INTEGER)
+               AS capped,
+           round(CASE WHEN f.i <= p.pp
+                      THEN {UNIMAX_EPOCH_CAP} * f.n_tokens
+                      ELSE ({UNIMAX_BUDGET_RATIO} * f.t
+                            - {UNIMAX_EPOCH_CAP} * caps.cum_p)
+                           / (f.s - p.pp) END, 4) AS alloc_tokens,
+           round(CASE WHEN f.i <= p.pp
+                      THEN {UNIMAX_EPOCH_CAP} * f.n_tokens
+                      ELSE ({UNIMAX_BUDGET_RATIO} * f.t
+                            - {UNIMAX_EPOCH_CAP} * caps.cum_p)
+                           / (f.s - p.pp) END / f.n_tokens, 6) AS epochs
+    FROM f CROSS JOIN p CROSS JOIN caps
+    """,
+)
+def corpus_unimax_mixing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UniMax corpus mixing (Chung et al., 2023): split a token budget
+    of {br}x the corpus as uniformly as possible across sources while
+    capping every source at {c} epochs — the language/source-balancing
+    allocator that replaces ad-hoc temperature sampling. Classic
+    waterfilling, solved in closed form with window functions: sort
+    sources by size, find the capped prefix P (smallest sources hit
+    the epoch cap before the uniform fill level), split the leftover
+    budget evenly over the rest.
+
+    Scale shape: the only corpus-sized work is the per-source token
+    count (map-side partial sums); everything after runs on one row
+    per source — the unpartitioned windows are over the SOURCE list
+    (tens to thousands of rows at any corpus size), not the corpus.
+    All comparisons are integer-times-constant arithmetic, so the
+    capped prefix is identical in every IEEE-754 engine."""
+    docs = table(spark, sf_dir, "documents")
+    n = docs.groupBy("source").agg(
+        F.sum(F.size(T.words("text"))).cast("long").alias("n_tokens")
+    )
+    tot = n.agg(
+        F.sum("n_tokens").alias("t"), F.count(F.lit(1)).alias("s")
+    )
+    w = Window.orderBy("n_tokens", "source")
+    r = n.select(
+        "source",
+        "n_tokens",
+        F.row_number().over(w).alias("i"),
+        (
+            F.sum("n_tokens").over(
+                w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+            )
+            - F.col("n_tokens")
+        ).alias("cum_prev"),
+    )
+    cap, br = F.lit(UNIMAX_EPOCH_CAP), F.lit(UNIMAX_BUDGET_RATIO)
+    f = r.join(F.broadcast(tot)).withColumn(
+        "cond",
+        F.when(
+            cap * F.col("n_tokens") * (F.col("s") - F.col("i") + 1)
+            <= br * F.col("t") - cap * F.col("cum_prev"),
+            F.lit(1),
+        ).otherwise(F.lit(0)),
+    )
+    p = f.agg(
+        F.coalesce(
+            F.min(F.when(F.col("cond") == 0, F.col("i"))) - 1,
+            F.max("i"),
+        ).alias("pp")
+    )
+    fp = f.join(F.broadcast(p))
+    caps = fp.agg(
+        F.coalesce(
+            F.sum(F.when(F.col("i") <= F.col("pp"), F.col("n_tokens"))),
+            F.lit(0),
+        ).alias("cum_p")
+    )
+    alloc = F.when(
+        F.col("i") <= F.col("pp"), cap * F.col("n_tokens")
+    ).otherwise(
+        (br * F.col("t") - cap * F.col("cum_p"))
+        / (F.col("s") - F.col("pp"))
+    )
+    return fp.join(F.broadcast(caps)).select(
+        "source",
+        "n_tokens",
+        F.when(F.col("i") <= F.col("pp"), F.lit(1))
+        .otherwise(F.lit(0))
+        .cast("int")
+        .alias("capped"),
+        F.round(alloc, 4).alias("alloc_tokens"),
+        F.round(alloc / F.col("n_tokens"), 6).alias("epochs"),
+    )
+
+
+corpus_unimax_mixing.__doc__ = corpus_unimax_mixing.__doc__.format(
+    c=UNIMAX_EPOCH_CAP, br=UNIMAX_BUDGET_RATIO
+)
