@@ -4385,3 +4385,149 @@ def corpus_unimax_mixing(spark: SparkSession, sf_dir: str) -> DataFrame:
 corpus_unimax_mixing.__doc__ = corpus_unimax_mixing.__doc__.format(
     c=UNIMAX_EPOCH_CAP, br=UNIMAX_BUDGET_RATIO
 )
+
+
+# ---------------------------------------------------------------------------
+# retrieval evaluation harness (self-retrieval MRR / recall@k)
+# ---------------------------------------------------------------------------
+RETR_EVAL_STRIDE = 100
+RETR_EVAL_QTOKENS = 5
+RETR_EVAL_HIT_K = 10
+
+
+@register(
+    "doc_retrieval_eval_mrr",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, {_WORDS} AS toks FROM documents),
+    q AS (
+        SELECT doc_id AS query_id,
+               list_distinct(toks[1:{RETR_EVAL_QTOKENS}]) AS qts
+        FROM t WHERE doc_id % {RETR_EVAL_STRIDE} = 0
+    ),
+    qt AS (SELECT query_id, unnest(qts) AS token FROM q),
+    dl AS (SELECT doc_id, CAST(len(toks) AS DOUBLE) AS dl FROM t),
+    stats AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs, avg(dl) AS avgdl
+              FROM dl),
+    tf AS (
+        SELECT doc_id, tok AS token, CAST(count(*) AS DOUBLE) AS tf
+        FROM (SELECT doc_id, unnest(toks) AS tok FROM t)
+        WHERE tok IN (SELECT DISTINCT token FROM qt)
+        GROUP BY 1, 2
+    ),
+    df AS (SELECT token, CAST(count(*) AS DOUBLE) AS df FROM tf GROUP BY 1),
+    scored AS (
+        SELECT qt.query_id, tf.doc_id,
+               round(sum(ln((s.n_docs - df.df + 0.5) / (df.df + 0.5) + 1.0)
+                         * tf.tf * ({BM25_K1} + 1.0)
+                         / (tf.tf + {BM25_K1}
+                            * (1.0 - {BM25_B}
+                               + {BM25_B} * dl.dl / s.avgdl))), 6) AS score
+        FROM qt
+        JOIN tf USING (token)
+        JOIN df USING (token)
+        JOIN dl ON dl.doc_id = tf.doc_id
+        CROSS JOIN stats s
+        GROUP BY 1, 2
+    ),
+    ranked AS (
+        SELECT query_id, doc_id,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY score DESC, doc_id) AS rnk,
+               count(*) OVER (PARTITION BY query_id) AS n_candidates
+        FROM scored
+    )
+    SELECT query_id,
+           CAST(n_candidates AS BIGINT) AS n_candidates,
+           CAST(rnk AS INTEGER) AS self_rank,
+           round(1.0 / rnk, 6) AS reciprocal_rank,
+           CAST(CASE WHEN rnk <= {RETR_EVAL_HIT_K} THEN 1 ELSE 0 END
+                AS INTEGER) AS hit_at_{RETR_EVAL_HIT_K}
+    FROM ranked WHERE doc_id = query_id
+    """,
+)
+def doc_retrieval_eval_mrr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retrieval QUALITY evaluation — the harness a data team runs
+    before trusting a retriever for RAG or contamination checks.
+    Self-retrieval protocol (no labels needed): every {s}-th document
+    becomes a query (its first {qt} distinct tokens); BM25 ranks the
+    whole corpus per query; the metric row per query is the rank of
+    the source document itself, its reciprocal rank (mean over rows =
+    MRR), and hit@{k}.
+
+    Batch-retrieval plan shape — the multi-query generalization of
+    doc_bm25_topk: ONE corpus pass builds (doc, token, tf) partials
+    for the union of all query terms (everything else dies map-side),
+    document frequencies and corpus stats broadcast, and all queries
+    score in a single (query_id, token)-keyed join — no per-query
+    loop, no driver iteration. The per-query ranking window shuffles
+    on query_id, bounded by queries x matching docs. Ordering uses the
+    ROUNDED score with doc_id tiebreak, so ranks are engine-exact."""
+    docs = table(spark, sf_dir, "documents")
+    t = docs.select("doc_id", T.words("text").alias("toks"))
+    q = t.where(F.col("doc_id") % RETR_EVAL_STRIDE == 0).select(
+        F.col("doc_id").alias("query_id"),
+        F.array_distinct(F.slice("toks", 1, RETR_EVAL_QTOKENS)).alias("qts"),
+    )
+    qt = q.select("query_id", F.explode("qts").alias("token"))
+    qtokens = qt.select("token").distinct()
+    dl = t.select("doc_id", F.size("toks").cast("double").alias("dl"))
+    stats = dl.agg(
+        F.count(F.lit(1)).cast("double").alias("n_docs"),
+        F.avg("dl").alias("avgdl"),
+    )
+    tf = (
+        t.select("doc_id", F.explode("toks").alias("token"))
+        .join(F.broadcast(qtokens), "token", "left_semi")
+        .groupBy("doc_id", "token")
+        .agg(F.count(F.lit(1)).cast("double").alias("tf"))
+    )
+    df_ = tf.groupBy("token").agg(
+        F.count(F.lit(1)).cast("double").alias("df")
+    )
+    k1, b = F.lit(BM25_K1), F.lit(BM25_B)
+    contrib = (
+        F.log(
+            (F.col("n_docs") - F.col("df") + F.lit(0.5))
+            / (F.col("df") + F.lit(0.5))
+            + F.lit(1.0)
+        )
+        * F.col("tf")
+        * (k1 + F.lit(1.0))
+        / (
+            F.col("tf")
+            + k1 * (F.lit(1.0) - b + b * F.col("dl") / F.col("avgdl"))
+        )
+    )
+    scored = (
+        F.broadcast(qt)
+        .join(tf, "token")
+        .join(F.broadcast(df_), "token")
+        .join(dl, "doc_id")
+        .join(F.broadcast(stats))
+        .groupBy("query_id", "doc_id")
+        .agg(F.round(F.sum(contrib), 6).alias("score"))
+    )
+    w = Window.partitionBy("query_id")
+    ranked = scored.select(
+        "query_id",
+        "doc_id",
+        F.row_number()
+        .over(w.orderBy(F.desc("score"), F.asc("doc_id")))
+        .alias("rnk"),
+        F.count(F.lit(1)).over(w).alias("n_candidates"),
+    )
+    return ranked.where(F.col("doc_id") == F.col("query_id")).select(
+        "query_id",
+        F.col("n_candidates").cast("long").alias("n_candidates"),
+        F.col("rnk").cast("int").alias("self_rank"),
+        F.round(F.lit(1.0) / F.col("rnk"), 6).alias("reciprocal_rank"),
+        F.when(F.col("rnk") <= RETR_EVAL_HIT_K, F.lit(1))
+        .otherwise(F.lit(0))
+        .cast("int")
+        .alias(f"hit_at_{RETR_EVAL_HIT_K}"),
+    )
+
+
+doc_retrieval_eval_mrr.__doc__ = doc_retrieval_eval_mrr.__doc__.format(
+    s=RETR_EVAL_STRIDE, qt=RETR_EVAL_QTOKENS, k=RETR_EVAL_HIT_K
+)
