@@ -4531,3 +4531,317 @@ def doc_retrieval_eval_mrr(spark: SparkSession, sf_dir: str) -> DataFrame:
 doc_retrieval_eval_mrr.__doc__ = doc_retrieval_eval_mrr.__doc__.format(
     s=RETR_EVAL_STRIDE, qt=RETR_EVAL_QTOKENS, k=RETR_EVAL_HIT_K
 )
+
+
+# ---------------------------------------------------------------------------
+# temperature-based mixing weights (multilingual sampling classic)
+# ---------------------------------------------------------------------------
+TEMP_MIX_ALPHA = 0.3
+
+
+@register(
+    "corpus_temperature_mixing",
+    oracle=f"""
+    WITH n AS (
+        SELECT source, CAST(sum(len({_WORDS})) AS BIGINT) AS n_tokens
+        FROM documents GROUP BY source
+    ),
+    w AS (SELECT source, n_tokens,
+                 round(pow(n_tokens, {TEMP_MIX_ALPHA}), 6) AS w FROM n),
+    tot AS (SELECT sum(w) AS tw, sum(n_tokens) AS t FROM w)
+    SELECT source, n_tokens,
+           round(w / tot.tw, 6) AS sample_prob,
+           round(w / tot.tw * tot.t, 4) AS expected_tokens,
+           round(w / tot.tw * tot.t / n_tokens, 6) AS epochs
+    FROM w CROSS JOIN tot
+    """,
+)
+def corpus_temperature_mixing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature sampling weights (the exponentiated-share recipe
+    from multilingual pretraining): p_s ∝ n_s^{a} flattens the source
+    distribution — small sources up-weighted, big ones down — with
+    {a}=1 recovering proportional and {a}=0 uniform. The one-line
+    allocator teams use before graduating to UniMax's hard caps
+    (corpus_unimax_mixing). Corpus-sized work is one map-side token
+    count; the rest is a <=|sources|-row broadcast frame. pow outputs
+    are rounded before the share division so 1-ulp libm differences
+    can't leak into the hash."""
+    docs = table(spark, sf_dir, "documents")
+    n = docs.groupBy("source").agg(
+        F.sum(F.size(T.words("text"))).cast("long").alias("n_tokens")
+    )
+    w = n.select(
+        "source",
+        "n_tokens",
+        F.round(F.pow("n_tokens", F.lit(TEMP_MIX_ALPHA)), 6).alias("w"),
+    )
+    tot = w.agg(F.sum("w").alias("tw"), F.sum("n_tokens").alias("t"))
+    share = F.col("w") / F.col("tw")
+    return w.join(F.broadcast(tot)).select(
+        "source",
+        "n_tokens",
+        F.round(share, 6).alias("sample_prob"),
+        F.round(share * F.col("t"), 4).alias("expected_tokens"),
+        F.round(share * F.col("t") / F.col("n_tokens"), 6).alias("epochs"),
+    )
+
+
+corpus_temperature_mixing.__doc__ = corpus_temperature_mixing.__doc__.format(
+    a=TEMP_MIX_ALPHA
+)
+
+
+# ---------------------------------------------------------------------------
+# vocabulary coverage curve (tokenizer budget selection)
+# ---------------------------------------------------------------------------
+VOCAB_CURVE_POINTS = (1, 2, 5, 10, 20, 50)
+
+_VOCAB_POINTS_SQL = ", ".join(f"({n})" for n in VOCAB_CURVE_POINTS)
+
+
+@register(
+    "corpus_vocab_coverage_curve",
+    oracle=f"""
+    WITH toks AS (SELECT unnest({_WORDS}) AS w FROM documents),
+    counts AS (SELECT w, count(*) AS c FROM toks GROUP BY 1),
+    ranked AS (
+        SELECT c, row_number() OVER (ORDER BY c DESC, w ASC) AS rnk
+        FROM counts
+    ),
+    tot AS (SELECT sum(c) AS t, count(*) AS vocab FROM counts),
+    pts(n_top) AS (VALUES {_VOCAB_POINTS_SQL})
+    SELECT pts.n_top,
+           CAST(count(ranked.c) AS BIGINT) AS n_words,
+           round(coalesce(sum(ranked.c), 0) / (SELECT t FROM tot), 6)
+               AS coverage
+    FROM pts
+    LEFT JOIN ranked ON ranked.rnk <= pts.n_top
+    GROUP BY pts.n_top
+    """,
+)
+def corpus_vocab_coverage_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary coverage curve: what fraction of all token
+    occurrences the top-N most frequent words cover, at N in {pts} —
+    the Zipf curve a team reads to pick a tokenizer vocab budget (and
+    the denominator behind OOV-rate targets). One exploded-token count
+    (map-side partials), then the curve is computed on the VOCAB table
+    (thousands of rows at any corpus size): rank window, one small
+    range join against the N points. Counts are exact integers; the
+    only division is rounded."""
+    docs = table(spark, sf_dir, "documents")
+    counts = (
+        docs.select(F.explode(T.words("text")).alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    ranked = counts.select(
+        "c",
+        F.row_number()
+        .over(Window.orderBy(F.desc("c"), F.asc("w")))
+        .alias("rnk"),
+    )
+    tot = counts.agg(F.sum("c").alias("t"))
+    pts = ranked.sparkSession.createDataFrame(
+        [(n,) for n in VOCAB_CURVE_POINTS], "n_top int"
+    )
+    return (
+        F.broadcast(pts)
+        .join(ranked, ranked.rnk <= pts.n_top, "left")
+        .join(F.broadcast(tot))
+        .groupBy("n_top", "t")
+        .agg(
+            F.count("c").cast("long").alias("n_words"),
+            F.round(
+                F.coalesce(F.sum("c"), F.lit(0)) / F.first("t"), 6
+            ).alias("coverage"),
+        )
+        .drop("t")
+    )
+
+
+corpus_vocab_coverage_curve.__doc__ = corpus_vocab_coverage_curve.__doc__.format(
+    pts=VOCAB_CURVE_POINTS
+)
+
+
+# ---------------------------------------------------------------------------
+# CCNet perplexity buckets (head / middle / tail corpus split)
+# ---------------------------------------------------------------------------
+@register(
+    "corpus_ccnet_ppl_buckets",
+    oracle=f"""
+    WITH toks AS (SELECT doc_id, unnest({_WORDS}) AS w FROM documents),
+    uni AS (SELECT w, CAST(count(*) AS DOUBLE) AS u FROM toks GROUP BY 1),
+    nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM toks),
+    docbg AS (
+        SELECT doc_id, pair[1] AS w1, pair[2] AS w2
+        FROM (SELECT doc_id,
+                     unnest(list_transform(
+                         generate_series(1, len({_WORDS}) - 1),
+                         i -> [{_WORDS}[i], {_WORDS}[i + 1]])) AS pair
+              FROM documents
+              WHERE len({_WORDS}) >= 2)
+    ),
+    dtf AS (SELECT doc_id, w1, w2, CAST(count(*) AS DOUBLE) AS tf
+            FROM docbg GROUP BY 1, 2, 3),
+    bgc AS (SELECT w1, w2, sum(tf) AS b FROM dtf GROUP BY 1, 2),
+    nll AS (
+        SELECT d.doc_id,
+               round(sum(d.tf * -ln({PPL_LAMBDA} * bgc.b / u1.u
+                                     + {1.0 - PPL_LAMBDA} * u2.u / nn.n))
+                     / sum(d.tf), 6) AS avg_nll
+        FROM dtf d
+        JOIN bgc ON bgc.w1 = d.w1 AND bgc.w2 = d.w2
+        JOIN uni u1 ON u1.w = d.w1
+        JOIN uni u2 ON u2.w = d.w2
+        CROSS JOIN nn
+        GROUP BY 1
+    )
+    SELECT nll.doc_id, doc.source, nll.avg_nll,
+           CASE ntile(3) OVER (PARTITION BY doc.source
+                               ORDER BY nll.avg_nll ASC, nll.doc_id ASC)
+                WHEN 1 THEN 'head' WHEN 2 THEN 'middle' ELSE 'tail'
+           END AS ppl_bucket
+    FROM nll JOIN documents doc ON doc.doc_id = nll.doc_id
+    """,
+)
+def corpus_ccnet_ppl_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The CCNet head/middle/tail corpus split: per-source NTILE(3)
+    over each document's LM cross-entropy (the doc_bigram_cross_entropy
+    model) — head = most fluent third of each source, tail = least.
+    This is the published CommonCrawl curation recipe: train on head,
+    sample middle, drop or audit tail; bucketing PER SOURCE keeps one
+    crawl's systematic noise from eating another's quota.
+
+    Scale shape: identical to doc_bigram_cross_entropy (one exploded
+    pass, broadcast unigram/bigram models, map-side (doc, bigram)
+    partials) plus one window shuffled on source — each source's docs
+    rank independently, so skew is bounded by the largest source, not
+    the corpus. NTILE runs over the ROUNDED nll with doc_id tiebreak:
+    bucket boundaries are engine-exact."""
+    nll = doc_bigram_cross_entropy(spark, sf_dir).select(
+        "doc_id", "avg_nll"
+    )
+    docs = table(spark, sf_dir, "documents").select("doc_id", "source")
+    w = Window.partitionBy("source").orderBy(
+        F.asc("avg_nll"), F.asc("doc_id")
+    )
+    t = F.ntile(3).over(w)
+    return (
+        nll.join(docs, "doc_id")
+        .select(
+            "doc_id",
+            "source",
+            "avg_nll",
+            F.when(t == 1, F.lit("head"))
+            .when(t == 2, F.lit("middle"))
+            .otherwise(F.lit("tail"))
+            .alias("ppl_bucket"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# matryoshka truncation: retrieval recall vs stored dimensionality
+# ---------------------------------------------------------------------------
+TRUNC_DIMS = (8, 16, 32, 64)
+TRUNC_K = 10
+
+_TRUNC_COS = (
+    "round(list_dot_product(ve[1:{d}], qv[1:{d}])"
+    " / (sqrt(list_dot_product(ve[1:{d}], ve[1:{d}]))"
+    "    * sqrt(list_dot_product(qv[1:{d}], qv[1:{d}]))), 6)"
+)
+
+_TRUNC_LEGS_SQL = "\n    UNION ALL\n".join(
+    f"""
+    (SELECT {d} AS trunc_dim, v.vec_id
+     FROM v CROSS JOIN q
+     WHERE v.vec_id <> 0
+     ORDER BY {_TRUNC_COS.format(d=d)} DESC, v.vec_id ASC
+     LIMIT {TRUNC_K})"""
+    for d in TRUNC_DIMS
+)
+
+
+@register(
+    "embedding_dim_truncation_recall",
+    oracle=f"""
+    WITH v AS (SELECT vec_id,
+                      list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ve
+               FROM embeddings),
+    q AS (SELECT ve AS qv FROM v WHERE vec_id = 0),
+    legs AS ({_TRUNC_LEGS_SQL}),
+    full_k AS (SELECT vec_id FROM legs WHERE trunc_dim = {TRUNC_DIMS[-1]})
+    SELECT legs.trunc_dim,
+           round(CAST(count(full_k.vec_id) AS DOUBLE) / {TRUNC_K}, 6)
+               AS recall_at_{TRUNC_K}
+    FROM legs
+    LEFT JOIN full_k ON full_k.vec_id = legs.vec_id
+    GROUP BY legs.trunc_dim
+    """,
+)
+def embedding_dim_truncation_recall(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Matryoshka-style storage sizing: retrieval recall@{k} when only
+    the first d of 64 embedding dims are stored, for d in {dims} —
+    the curve a team reads to decide how many dims to keep (half the
+    dims = half the vector storage and bandwidth at 100 TB; this row
+    measures what that costs in retrieval quality against the
+    full-dim ranking as ground truth).
+
+    Plan shape: one leg per d (a constant fan-out of {n} legs), each
+    an embedding scan scored on a PREFIX slice of the vector against
+    the broadcast query and cut by TakeOrderedAndProject to {k} rows;
+    the recall join then runs on {n}x{k} rows total. Rankings order by
+    the ROUNDED cosine with id tiebreaks — engine-exact."""
+    from urban_mobility_data_pipeline_spark.functions.vectors import cosine
+
+    emb = table(spark, sf_dir, "embeddings")
+    ve = emb.select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias("ve"),
+    )
+    q = ve.where(F.col("vec_id") == 0).select(F.col("ve").alias("qv"))
+    legs = None
+    for d in TRUNC_DIMS:
+        leg = (
+            ve.where(F.col("vec_id") != 0)
+            .join(F.broadcast(q))
+            .select(
+                F.lit(d).alias("trunc_dim"),
+                "vec_id",
+                F.round(
+                    cosine(
+                        F.slice("ve", 1, d), F.slice("qv", 1, d)
+                    ),
+                    6,
+                ).alias("__c"),
+            )
+            .orderBy(F.desc("__c"), F.asc("vec_id"))
+            .limit(TRUNC_K)
+            .drop("__c")
+        )
+        legs = leg if legs is None else legs.unionByName(leg)
+    full_k = legs.where(
+        F.col("trunc_dim") == TRUNC_DIMS[-1]
+    ).select(F.col("vec_id").alias("__fv"))
+    return (
+        legs.join(
+            F.broadcast(full_k), legs.vec_id == F.col("__fv"), "left"
+        )
+        .groupBy("trunc_dim")
+        .agg(
+            F.round(
+                F.count("__fv").cast("double") / TRUNC_K, 6
+            ).alias(f"recall_at_{TRUNC_K}")
+        )
+    )
+
+
+embedding_dim_truncation_recall.__doc__ = (
+    embedding_dim_truncation_recall.__doc__.format(
+        k=TRUNC_K, dims=TRUNC_DIMS, n=len(TRUNC_DIMS)
+    )
+)
