@@ -145,3 +145,42 @@ def dsir_resample(weights: DataFrame, k: int) -> DataFrame:
         .orderBy(F.desc("priority"), F.asc("doc_id"))
         .limit(k)
     )
+
+
+def dsir_bucket_log_ratios(
+    fb: DataFrame,
+    target_sources: tuple[str, ...],
+    *,
+    buckets: int = DSIR_BUCKETS,
+) -> DataFrame:
+    """(bucket, lr): the per-bucket log importance ratio
+    ln p_target(b) - ln p_raw(b), ROUNDED to 9 decimals — the broadcast
+    'model' a stateless streaming gate scores against. Rounding here
+    (before any per-doc summation) makes the per-feature contributions
+    bit-identical across engines, so a map-side array fold in Spark
+    and a bucket-count join in SQL agree after the final round."""
+    raw = fb.groupBy("bucket").agg(F.sum("c").alias("r"))
+    tgt = (
+        fb.where(F.col("source").isin(*target_sources))
+        .groupBy("bucket")
+        .agg(F.sum("c").alias("t"))
+    )
+    totals = raw.agg(F.sum("r").alias("cr")).join(
+        tgt.agg(F.sum("t").alias("ct"))
+    )
+    b = F.lit(float(buckets))
+    return (
+        raw.join(tgt, "bucket", "left")
+        .join(F.broadcast(totals))
+        .select(
+            "bucket",
+            F.round(
+                F.log(
+                    (F.coalesce(F.col("t"), F.lit(0)) + F.lit(1.0))
+                    / (F.col("ct") + b)
+                )
+                - F.log((F.col("r") + F.lit(1.0)) / (F.col("cr") + b)),
+                9,
+            ).alias("lr"),
+        )
+    )

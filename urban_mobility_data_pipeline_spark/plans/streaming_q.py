@@ -418,3 +418,125 @@ def streaming_purchase_attribution(
         "purchase_id",
         F.unix_micros(F.col("purchase_ts")).alias("purchase_us"),
     )
+
+
+# ---------------------------------------------------------------------------
+# streaming DSIR gate (stateless model-scored ingest filter)
+# ---------------------------------------------------------------------------
+STREAM_DSIR_MIN_LOGW = 0.0
+
+
+def _dsir_gate_oracle() -> str:
+    from urban_mobility_data_pipeline_spark.plans.llm_ops import (
+        _DSIR_FEATS,
+        _DSIR_TGT_SQL,
+        _WORDS,
+    )
+
+    return f"""
+    WITH w AS (SELECT doc_id, source, {_WORDS} AS toks FROM documents),
+    feats AS (
+        SELECT doc_id, source, unnest({_DSIR_FEATS}) AS f FROM w
+    ),
+    fb AS (
+        SELECT doc_id, source,
+               CAST(('0x' || substr(md5(f), 1, 4)) AS INT) % 256 AS bucket,
+               count(*) AS c
+        FROM feats GROUP BY 1, 2, 3
+    ),
+    raw AS (SELECT bucket, sum(c) AS r FROM fb GROUP BY 1),
+    tgt AS (SELECT bucket, sum(c) AS t FROM fb
+            WHERE source IN ({_DSIR_TGT_SQL}) GROUP BY 1),
+    tot AS (SELECT (SELECT sum(r) FROM raw) AS cr,
+                   (SELECT sum(t) FROM tgt) AS ct),
+    ratio AS (
+        SELECT raw.bucket,
+               round(ln((coalesce(tgt.t, 0) + 1.0) / (tot.ct + 256.0))
+                     - ln((raw.r + 1.0) / (tot.cr + 256.0)), 9) AS lr
+        FROM raw LEFT JOIN tgt USING (bucket) CROSS JOIN tot
+    ),
+    lw AS (
+        SELECT fb.doc_id, fb.source,
+               CAST(sum(fb.c) AS BIGINT) AS n_feats,
+               round(sum(fb.c * ratio.lr), 6) AS log_weight
+        FROM fb JOIN ratio USING (bucket)
+        GROUP BY 1, 2
+    )
+    SELECT * FROM lw WHERE log_weight > {STREAM_DSIR_MIN_LOGW}
+    """
+
+
+@register("streaming_dsir_gate", oracle=_dsir_gate_oracle())
+def streaming_dsir_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR-at-ingest as a REAL stream: the target-vs-raw hashed-n-gram
+    bucket model (extensions/dsir.py) is trained BATCH-side, its <=256
+    (bucket, log-ratio) rows collected and embedded in the streaming
+    plan as a literal map — the 'broadcast model' deployment pattern —
+    and every arriving document is scored MAP-SIDE by folding its
+    feature array through the map. Documents whose log importance
+    weight clears the threshold pass the gate; the rest never reach
+    the corpus. Stateless map/filter: no watermark, no state store, no
+    shuffle — scales to any ingest rate, the streaming complement of
+    the batch corpus_dsir_sample resample.
+
+    Per-bucket ratios are rounded to 9 decimals BEFORE the fold, so
+    the array-ordered Spark sum and the oracle's bucket-count join sum
+    agree after the final 6-decimal round."""
+    from urban_mobility_data_pipeline_spark.extensions.dsir import (
+        doc_bucket_counts,
+        dsir_bucket_log_ratios,
+        hashed_feature_buckets,
+    )
+    from urban_mobility_data_pipeline_spark.functions import text as T
+    from urban_mobility_data_pipeline_spark.plans._helpers import table
+    from urban_mobility_data_pipeline_spark.plans.llm_ops import (
+        DSIR_TARGET_SOURCES,
+    )
+
+    configure_session(spark)
+    docs = table(spark, sf_dir, "documents")
+    fb = doc_bucket_counts(docs, T.words("text"))
+    model = dsir_bucket_log_ratios(fb, DSIR_TARGET_SOURCES).collect()
+    kv: list = []
+    for r in model:
+        kv.append(F.lit(int(r["bucket"])))
+        kv.append(F.lit(float(r["lr"])))
+    lr_map = F.create_map(*kv)
+
+    schema = spark.read.parquet(f"{sf_dir}/documents.parquet").schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", "documents.parquet")
+        .parquet(sf_dir)
+    )
+    staged = stream.select(
+        "doc_id",
+        "source",
+        hashed_feature_buckets(T.words("text")).alias("__fb"),
+    )
+    logw = F.round(
+        F.aggregate(
+            "__fb",
+            F.lit(0.0),
+            lambda acc, b: acc
+            + F.coalesce(F.element_at(lr_map, b), F.lit(0.0)),
+        ),
+        6,
+    )
+    out = staged.select(
+        "doc_id",
+        "source",
+        F.size("__fb").cast("long").alias("n_feats"),
+        logw.alias("log_weight"),
+    ).filter(F.col("log_weight") > STREAM_DSIR_MIN_LOGW)
+    sink_name = f"stream_dsir_{uuid.uuid4().hex[:8]}"
+    query = (
+        out.writeStream.format("memory")
+        .queryName(sink_name)
+        .outputMode("append")
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="umdp_ckpt_"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination()
+    return spark.table(sink_name)
