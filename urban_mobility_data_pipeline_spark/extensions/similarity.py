@@ -837,19 +837,44 @@ def bq_hamming_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
-    """Binary-quantized search: Hamming distance over sign-bit codes
-    generates a candidate set, exact cosine reranks it.
+    """Binary-quantized search with codes computed inline (the
+    one-shot form; a deployment stores the codes once and queries them
+    via :func:`bq_topk_from_codes`)."""
+    codes = bq_codes(embeddings, dim=dim, id_col=id_col, vec_col=vec_col)
+    return bq_topk_from_codes(
+        codes,
+        embeddings,
+        query_vec_id,
+        k=k,
+        candidates=candidates,
+        id_col=id_col,
+        vec_col=vec_col,
+    )
 
-    Scale shape: the corpus scan touches only the two 8-byte words per
-    vector (the float vectors stay in their files until the rerank);
-    candidate generation is a TakeOrderedAndProject on
+
+def bq_topk_from_codes(
+    codes: DataFrame,
+    embeddings: DataFrame,
+    query_vec_id: int,
+    *,
+    k: int = 10,
+    candidates: int = 40,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Binary-quantized search over STORED sign-bit codes: Hamming
+    distance generates a candidate set, exact cosine reranks it.
+
+    Scale shape: the candidate scan touches only the two 8-byte words
+    per vector — at 100 TB of float embeddings the codes table is
+    ~1.5 TB, and the float vectors stay in their files until the
+    rerank; candidate generation is a TakeOrderedAndProject on
     ``bit_count(xor)`` — each partition forwards at most ``candidates``
     rows. The rerank joins the tiny candidate id set (broadcast) back
     to the corpus to fetch just those float vectors, then scores
     against the broadcast query. Ordering uses the integer Hamming
     distance and the ROUNDED cosine with id tiebreaks, so the result
     is engine-portable."""
-    codes = bq_codes(embeddings, dim=dim, id_col=id_col, vec_col=vec_col)
     q = codes.filter(F.col(id_col) == query_vec_id).select(
         F.col("bq_lo").alias("__qlo"), F.col("bq_hi").alias("__qhi")
     )

@@ -125,9 +125,14 @@ FLAGSHIP = "pricing_summary"
 # late-round-7 additions (oracle-backed: documents_dedup_ngram_scrub,
 # embedding_semantic_dedup, embedding_semantic_dedup_ingest,
 # doc_lang_nb_classifier, doc_hybrid_retrieval_rrf,
-# corpus_pmi_collocations; rows-only by nature: corpus_bpe_merges /
-# documents_bpe_token_counts — iterative trainer, gold-pinned by
-# tests/test_bpe.py).
+# corpus_pmi_collocations, and the round-7 extension wave:
+# embedding_bq_hamming_topk, corpus_dsir_sample, streaming_dsir_gate
+# (sixth real-readStream row), corpus_unimax_mixing,
+# corpus_temperature_mixing, doc_retrieval_eval_mrr,
+# corpus_vocab_coverage_curve, corpus_ccnet_ppl_buckets,
+# embedding_dim_truncation_recall; rows-only by nature:
+# corpus_bpe_merges / documents_bpe_token_counts — iterative trainer,
+# gold-pinned by tests/test_bpe.py).
 # daily_distinct_users_sketch remains rows-only BY DESIGN (HLL sketch,
 # no cross-engine value hash).
 # ---------------------------------------------------------------------------
