@@ -125,3 +125,31 @@ def test_maintained_model_survives_erasure(spark, tmp_path):
         (r["bucket"], r["r"], r["t"]) for r in live.collect()
     }
     assert got == full
+
+
+def test_dsir_model_refresh_cli(spark, tmp_path):
+    """The dsir_model_refresh job drives delta maintenance through the
+    CLI dispatcher after a corpus_ingest cycle."""
+    from urban_mobility_data_pipeline_spark.run import main
+
+    (tmp_path / "feed").mkdir()
+    (tmp_path / "feed" / "f.jsonl").write_text("\n".join(B1) + "\n")
+    lake = str(tmp_path / "lake")
+    assert main(
+        ["corpus_ingest", "--lake", lake, "--source", str(tmp_path / "feed")],
+        spark=spark,
+    ) == 0
+    assert main(["dsir_model_refresh", "--lake", lake], spark=spark) == 0
+    corpus = MergeTable(spark, str(tmp_path / "lake" / "corpus" / "documents"))
+    model = MergeTable(spark, str(tmp_path / "lake" / "corpus" / "dsir_model"))
+    full = {
+        (r["bucket"], r["r"], r["t"])
+        for r in dsir_contributions(corpus.read(), TARGET()).collect()
+    }
+    got = {
+        (r["bucket"], r["r"], r["t"])
+        for r in model.read().filter(F.col("r") > 0).collect()
+    }
+    assert got == full
+    # second run is a no-op (cursor drained), not a recompute
+    assert main(["dsir_model_refresh", "--lake", lake], spark=spark) == 0

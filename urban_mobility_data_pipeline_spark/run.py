@@ -223,6 +223,37 @@ def _vocab_refresh_job(lake: J.Lakehouse, args) -> str:
     return f"vocab refresh: folded {n} changed docs"
 
 
+def _dsir_model_refresh_job(lake: J.Lakehouse, args) -> str:
+    """Incrementally maintained DSIR bucket model: fold the corpus
+    commits since the version cursor into the <=256-row (bucket, r, t)
+    model table (delta maintenance — O(changed docs), not O(corpus)),
+    so the ingest gate's importance-weight model stays current without
+    retraining. Target slice: English documents (the corpus tables
+    this CLI manages carry ``lang``, not ``source``)."""
+    from pyspark.sql import functions as F
+
+    from urban_mobility_data_pipeline_spark.extensions.dsir_model import (
+        refresh_dsir_model,
+    )
+    from urban_mobility_data_pipeline_spark.operators.merge import MergeTable
+    from urban_mobility_data_pipeline_spark.operators.watermark import (
+        VersionCursor,
+    )
+
+    root = args.corpus or os.path.join(args.lake, "corpus")
+    corpus = MergeTable(lake.spark, os.path.join(root, "documents"))
+    if not corpus.exists():
+        raise SystemExit("dsir_model_refresh: no corpus at " + root)
+    model = MergeTable(lake.spark, os.path.join(root, "dsir_model"))
+    cursor = VersionCursor(
+        lake.spark, os.path.join(root, "dsir_model_cursor")
+    )
+    n = refresh_dsir_model(
+        corpus, model, cursor, F.col("lang") == "en"
+    )
+    return f"dsir model refresh: folded {n} changed docs"
+
+
 def _dedup_index_job(lake: J.Lakehouse, args) -> str:
     """Incrementally maintained MinHash-LSH band index: fold the corpus
     commits since the version cursor into the index MergeTable, so the
@@ -468,6 +499,7 @@ def build_registry() -> dict:
     registry["corpus_erase"] = _corpus_erase_job
     registry["corpus_ingest"] = _corpus_ingest_job
     registry["vocab_refresh"] = _vocab_refresh_job
+    registry["dsir_model_refresh"] = _dsir_model_refresh_job
     registry["corpus_index_build"] = _corpus_index_job
     registry["dedup_index_refresh"] = _dedup_index_job
     registry["optimize"] = _optimize_job
