@@ -4845,3 +4845,53 @@ embedding_dim_truncation_recall.__doc__ = (
         k=TRUNC_K, dims=TRUNC_DIMS, n=len(TRUNC_DIMS)
     )
 )
+
+
+# ---------------------------------------------------------------------------
+# NB classifier confusion matrix (model quality audit)
+# ---------------------------------------------------------------------------
+@register(
+    "doc_lang_nb_confusion",
+    oracle=f"""
+    WITH base AS ({{inner}}),
+    cm AS (
+        SELECT actual_lang, predicted_lang, count(*) AS n
+        FROM base GROUP BY 1, 2
+    )
+    SELECT actual_lang, predicted_lang,
+           CAST(n AS BIGINT) AS n_docs,
+           round(CAST(n AS DOUBLE)
+                 / sum(n) OVER (PARTITION BY actual_lang), 6)
+               AS recall_share,
+           round(CAST(n AS DOUBLE)
+                 / sum(n) OVER (PARTITION BY predicted_lang), 6)
+               AS precision_share
+    FROM cm
+    """.format(inner=ORACLES["doc_lang_nb_classifier"]),
+)
+def doc_lang_nb_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The confusion matrix over the in-engine Naive Bayes language
+    classifier — the audit a team runs before trusting a model-based
+    filter: per (actual, predicted) cell, document count plus its
+    share of the actual row (recall decomposition) and of the
+    predicted column (precision decomposition). Composes directly on
+    doc_lang_nb_classifier's per-doc output; the extra work beyond the
+    classifier is one |classes|^2-cell aggregate and two windows over
+    that tiny frame."""
+    base = doc_lang_nb_classifier(spark, sf_dir)
+    cm = base.groupBy("actual_lang", "predicted_lang").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    wa = Window.partitionBy("actual_lang")
+    wp = Window.partitionBy("predicted_lang")
+    return cm.select(
+        "actual_lang",
+        "predicted_lang",
+        F.col("n").cast("long").alias("n_docs"),
+        F.round(
+            F.col("n").cast("double") / F.sum("n").over(wa), 6
+        ).alias("recall_share"),
+        F.round(
+            F.col("n").cast("double") / F.sum("n").over(wp), 6
+        ).alias("precision_share"),
+    )
