@@ -184,3 +184,25 @@ def dsir_bucket_log_ratios(
             ).alias("lr"),
         )
     )
+
+
+def log_ratios_from_counts(
+    counts: DataFrame, *, buckets: int = DSIR_BUCKETS
+) -> DataFrame:
+    """(bucket, lr) from a (bucket, r, t) counts frame — the shared
+    tail of model training: totals broadcast, add-1 smoothing, ratio
+    rounded to 9 decimals. Identical doubles whether the counts came
+    from a one-pass corpus rollup (``dsir_model.dsir_contributions``),
+    the per-doc fb table (:func:`dsir_bucket_log_ratios`), or the
+    incrementally maintained model table."""
+    live = counts.filter(F.col("r") > 0)
+    totals = live.agg(F.sum("r").alias("cr"), F.sum("t").alias("ct"))
+    b = F.lit(float(buckets))
+    return live.join(F.broadcast(totals)).select(
+        "bucket",
+        F.round(
+            F.log((F.col("t") + F.lit(1.0)) / (F.col("ct") + b))
+            - F.log((F.col("r") + F.lit(1.0)) / (F.col("cr") + b)),
+            9,
+        ).alias("lr"),
+    )

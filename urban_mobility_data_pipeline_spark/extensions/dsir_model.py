@@ -156,16 +156,8 @@ def current_log_ratios(
     batch ``dsir_bucket_log_ratios`` over the current corpus. Buckets
     whose raw count has dropped to zero (all containing docs since
     erased) are filtered like zero-df vocab tokens."""
-    live = model.read().filter(F.col("r") > 0)
-    totals = live.agg(
-        F.sum("r").alias("cr"), F.sum("t").alias("ct")
+    from urban_mobility_data_pipeline_spark.extensions.dsir import (
+        log_ratios_from_counts,
     )
-    b = F.lit(float(buckets))
-    return live.join(F.broadcast(totals)).select(
-        "bucket",
-        F.round(
-            F.log((F.col("t") + F.lit(1.0)) / (F.col("ct") + b))
-            - F.log((F.col("r") + F.lit(1.0)) / (F.col("cr") + b)),
-            9,
-        ).alias("lr"),
-    )
+
+    return log_ratios_from_counts(model.read(), buckets=buckets)

@@ -483,9 +483,11 @@ def streaming_dsir_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     the array-ordered Spark sum and the oracle's bucket-count join sum
     agree after the final 6-decimal round."""
     from urban_mobility_data_pipeline_spark.extensions.dsir import (
-        doc_bucket_counts,
-        dsir_bucket_log_ratios,
         hashed_feature_buckets,
+        log_ratios_from_counts,
+    )
+    from urban_mobility_data_pipeline_spark.extensions.dsir_model import (
+        dsir_contributions,
     )
     from urban_mobility_data_pipeline_spark.functions import text as T
     from urban_mobility_data_pipeline_spark.plans._helpers import table
@@ -495,8 +497,13 @@ def streaming_dsir_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     configure_session(spark)
     docs = table(spark, sf_dir, "documents")
-    fb = doc_bucket_counts(docs, T.words("text"))
-    model = dsir_bucket_log_ratios(fb, DSIR_TARGET_SOURCES).collect()
+    # one doc-free (bucket) rollup — no (doc, bucket) shuffle; the
+    # counts (and therefore the rounded ratios) are integer-identical
+    # to the per-doc fb path the batch resample uses
+    counts = dsir_contributions(
+        docs, F.col("source").isin(*DSIR_TARGET_SOURCES)
+    )
+    model = log_ratios_from_counts(counts).collect()
     kv: list = []
     for r in model:
         kv.append(F.lit(int(r["bucket"])))
