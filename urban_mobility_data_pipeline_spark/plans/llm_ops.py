@@ -4323,9 +4323,17 @@ def corpus_unimax_mixing(spark: SparkSession, sf_dir: str) -> DataFrame:
     (tens to thousands of rows at any corpus size), not the corpus.
     All comparisons are integer-times-constant arithmetic, so the
     capped prefix is identical in every IEEE-754 engine."""
+    from urban_mobility_data_pipeline_spark.cache import scratch_persist
+
     docs = table(spark, sf_dir, "documents")
-    n = docs.groupBy("source").agg(
-        F.sum(F.size(T.words("text"))).cast("long").alias("n_tokens")
+    # the waterfilling DAG references the per-source frame from four
+    # branches (ranked rows, the capped-prefix scalar, the capped-sum
+    # scalar, the output); stage it once so the corpus token count
+    # runs ONE scan, not four
+    n = scratch_persist(
+        docs.groupBy("source").agg(
+            F.sum(F.size(T.words("text"))).cast("long").alias("n_tokens")
+        )
     )
     tot = n.agg(
         F.sum("n_tokens").alias("t"), F.count(F.lit(1)).alias("s")
