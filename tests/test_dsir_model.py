@@ -153,3 +153,32 @@ def test_dsir_model_refresh_cli(spark, tmp_path):
     assert got == full
     # second run is a no-op (cursor drained), not a recompute
     assert main(["dsir_model_refresh", "--lake", lake], spark=spark) == 0
+
+
+def test_dataset_card_cli(spark, tmp_path):
+    """dataset_card publishes a reproducible JSON card keyed to the
+    corpus version: same corpus -> byte-identical card; card numbers
+    match direct aggregation."""
+    import json
+
+    from urban_mobility_data_pipeline_spark.run import main
+
+    (tmp_path / "feed").mkdir()
+    (tmp_path / "feed" / "f.jsonl").write_text("\n".join(B1) + "\n")
+    lake = str(tmp_path / "lake")
+    assert main(
+        ["corpus_ingest", "--lake", lake, "--source", str(tmp_path / "feed")],
+        spark=spark,
+    ) == 0
+    assert main(["dataset_card", "--lake", lake], spark=spark) == 0
+    path = tmp_path / "lake" / "corpus" / "dataset_card.json"
+    card = json.loads(path.read_text())
+    corpus = MergeTable(spark, str(tmp_path / "lake" / "corpus" / "documents"))
+    assert card["n_docs"] == corpus.read().count()
+    assert set(card["languages"]) == {
+        r["lang"] for r in corpus.read().select("lang").distinct().collect()
+    }
+    assert card["exact_dup_rate"] == 0.0
+    first = path.read_bytes()
+    assert main(["dataset_card", "--lake", lake], spark=spark) == 0
+    assert path.read_bytes() == first  # reproducible on unchanged corpus

@@ -4903,3 +4903,53 @@ def doc_lang_nb_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n").cast("double") / F.sum("n").over(wp), 6
         ).alias("precision_share"),
     )
+
+
+# ---------------------------------------------------------------------------
+# packing efficiency (padding-waste audit of the packed sequences)
+# ---------------------------------------------------------------------------
+@register(
+    "documents_packing_efficiency",
+    oracle=f"""
+    WITH base AS ({{inner}}),
+    bins AS (
+        SELECT shard, bin, sum(n_piece_tokens) AS fill
+        FROM base GROUP BY 1, 2
+    )
+    SELECT shard,
+           CAST(count(*) AS BIGINT) AS n_bins,
+           CAST(sum(fill) AS BIGINT) AS n_tokens,
+           round(sum(fill) / (count(*) * {PACK_CTX_TOKENS}.0), 6)
+               AS utilization,
+           CAST(sum(CASE WHEN fill = {PACK_CTX_TOKENS} THEN 1 ELSE 0 END)
+                AS BIGINT) AS full_bins
+    FROM bins
+    GROUP BY shard
+    """.format(inner=ORACLES["documents_packed_sequences"]),
+)
+def documents_packing_efficiency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Padding-waste audit of the packed training sequences: per
+    shard, how many {ctx}-token bins the packer produced, how many
+    tokens landed in them, the utilization (filled/capacity — the
+    complement is paid for as padding at training time), and how many
+    bins are exactly full. Composes on documents_packed_sequences'
+    piece table; the audit itself is two small aggregations over
+    (shard, bin) — at 100 TB the piece table is already the packer's
+    output, so this is a metadata-scale pass."""
+    base = documents_packed_sequences(spark, sf_dir)
+    bins = base.groupBy("shard", "bin").agg(
+        F.sum("n_piece_tokens").alias("fill")
+    )
+    ctx = F.lit(float(PACK_CTX_TOKENS))
+    return bins.groupBy("shard").agg(
+        F.count(F.lit(1)).cast("long").alias("n_bins"),
+        F.sum("fill").cast("long").alias("n_tokens"),
+        F.round(
+            F.sum("fill") / (F.count(F.lit(1)) * ctx), 6
+        ).alias("utilization"),
+        F.sum(
+            F.when(F.col("fill") == PACK_CTX_TOKENS, 1).otherwise(0)
+        )
+        .cast("long")
+        .alias("full_bins"),
+    )

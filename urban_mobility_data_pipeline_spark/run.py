@@ -254,6 +254,69 @@ def _dsir_model_refresh_job(lake: J.Lakehouse, args) -> str:
     return f"dsir model refresh: folded {n} changed docs"
 
 
+def _dataset_card_job(lake: J.Lakehouse, args) -> str:
+    """Publish a dataset card for the corpus: one JSON document with
+    the numbers a consumer needs before training on it — volume, token
+    count, language mix, exact-duplicate rate, length stats — keyed to
+    the corpus txn-log VERSION it describes (re-running on an
+    unchanged corpus reproduces the card byte-for-byte; no wall-clock
+    fields). Two small aggregation passes; written atomically beside
+    the corpus."""
+    import json as _json
+
+    from pyspark.sql import functions as F
+
+    from urban_mobility_data_pipeline_spark.functions import text as T
+    from urban_mobility_data_pipeline_spark.operators.merge import MergeTable
+
+    root = args.corpus or os.path.join(args.lake, "corpus")
+    corpus = MergeTable(lake.spark, os.path.join(root, "documents"))
+    if not corpus.exists():
+        raise SystemExit("dataset_card: no corpus at " + root)
+    hist = corpus.history()
+    version = hist[0]["version"] if hist else 0
+    feats = corpus.read().select(
+        "lang",
+        F.md5("text").alias("h"),
+        F.size(T.words("text")).alias("n_words"),
+    )
+    g = feats.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_words").alias("n_tokens"),
+        F.countDistinct("h").alias("n_distinct"),
+        F.round(F.avg("n_words"), 2).alias("avg_words"),
+        F.min("n_words").alias("min_words"),
+        F.max("n_words").alias("max_words"),
+    ).collect()[0]
+    langs = {
+        r["lang"]: {"n_docs": r["n"], "n_tokens": r["t"]}
+        for r in feats.groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("n_words").alias("t"))
+        .collect()
+    }
+    card = {
+        "corpus_version": version,
+        "n_docs": g["n_docs"],
+        "n_tokens": g["n_tokens"],
+        "exact_dup_rate": round(
+            1.0 - g["n_distinct"] / g["n_docs"], 6
+        )
+        if g["n_docs"]
+        else 0.0,
+        "avg_words": g["avg_words"],
+        "min_words": g["min_words"],
+        "max_words": g["max_words"],
+        "languages": langs,
+    }
+    path = os.path.join(root, "dataset_card.json")
+    tmp = path + ".tmp"
+    with open(tmp, "w") as f:
+        _json.dump(card, f, indent=1, sort_keys=True)
+        f.write("\n")
+    os.replace(tmp, path)
+    return f"dataset card: v{version}, {g['n_docs']} docs -> {path}"
+
+
 def _dedup_index_job(lake: J.Lakehouse, args) -> str:
     """Incrementally maintained MinHash-LSH band index: fold the corpus
     commits since the version cursor into the index MergeTable, so the
@@ -500,6 +563,7 @@ def build_registry() -> dict:
     registry["corpus_ingest"] = _corpus_ingest_job
     registry["vocab_refresh"] = _vocab_refresh_job
     registry["dsir_model_refresh"] = _dsir_model_refresh_job
+    registry["dataset_card"] = _dataset_card_job
     registry["corpus_index_build"] = _corpus_index_job
     registry["dedup_index_refresh"] = _dedup_index_job
     registry["optimize"] = _optimize_job
