@@ -4953,3 +4953,126 @@ def documents_packing_efficiency(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("full_bins"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Gopher-rules quality gate (the published heuristic filter bundle)
+# ---------------------------------------------------------------------------
+GOPHER_MIN_WORDS = 20       # published: 50   (scaled to this corpus)
+GOPHER_MAX_WORDS = 100_000  # published: 100k
+GOPHER_MIN_AVG_WLEN = 3.0   # published: 3
+GOPHER_MAX_AVG_WLEN = 10.0  # published: 10
+GOPHER_MAX_SYMBOL_RATIO = 0.1
+GOPHER_MIN_STOP_HITS = 2    # published: >=2 stopwords present
+GOPHER_MAX_DUP_BIGRAM = 0.4  # stand-in for the duplicate-line rules
+
+_GOPHER_W = _WORDS
+_GOPHER_AVGW = (
+    f"round(CAST(list_sum(list_transform({_GOPHER_W}, w -> length(w)))"
+    f" AS BIGINT) / greatest(len({_GOPHER_W}), 1), 4)"
+)
+_GOPHER_PUNCT = (
+    "round(len(regexp_extract_all(text, '[^A-Za-z0-9\\s]'))"
+    " / CAST(greatest(length(text), 1) AS DOUBLE), 6)"
+)
+_GOPHER_STOPS = (
+    f"len(list_filter({_GOPHER_W},"
+    " w -> w IN ('the','and','of','to','a','in','is')))"
+)
+_GOPHER_BG = (
+    f"CASE WHEN len({_GOPHER_W}) >= 2 THEN "
+    f"list_transform(generate_series(1, len({_GOPHER_W}) - 1), "
+    f"i -> {_GOPHER_W}[i] || ' ' || {_GOPHER_W}[i + 1]) "
+    "ELSE [] END"
+)
+_GOPHER_DUPBG = (
+    f"round(CASE WHEN len({_GOPHER_BG}) <= 0 THEN 0.0 ELSE "
+    f"1.0 - len(list_distinct({_GOPHER_BG}))"
+    f" / CAST(len({_GOPHER_BG}) AS DOUBLE) END, 6)"
+)
+
+
+@register(
+    "documents_gopher_gate",
+    oracle=f"""
+    WITH feats AS (
+        SELECT doc_id,
+               CAST(len({_GOPHER_W}) AS INTEGER) AS n_words,
+               {_GOPHER_AVGW} AS avg_word_len,
+               {_GOPHER_PUNCT} AS symbol_ratio,
+               CAST({_GOPHER_STOPS} AS INTEGER) AS stop_hits,
+               {_GOPHER_DUPBG} AS dup_bigram_frac
+        FROM documents
+    )
+    SELECT doc_id, n_words, avg_word_len, symbol_ratio, stop_hits,
+           dup_bigram_frac,
+           CASE
+             WHEN n_words < {GOPHER_MIN_WORDS}
+                  OR n_words > {GOPHER_MAX_WORDS} THEN 'word_count'
+             WHEN avg_word_len < {GOPHER_MIN_AVG_WLEN}
+                  OR avg_word_len > {GOPHER_MAX_AVG_WLEN}
+                 THEN 'avg_word_len'
+             WHEN symbol_ratio > {GOPHER_MAX_SYMBOL_RATIO}
+                 THEN 'symbol_ratio'
+             WHEN stop_hits < {GOPHER_MIN_STOP_HITS} THEN 'stopwords'
+             WHEN dup_bigram_frac > {GOPHER_MAX_DUP_BIGRAM}
+                 THEN 'repetition'
+             ELSE 'pass'
+           END AS verdict
+    FROM feats
+    """,
+)
+def documents_gopher_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Gopher quality-rule bundle (Rae et al. 2021, the heuristic
+    gate most crawled corpora pass through before model-based filters):
+    word-count window, mean-word-length window, symbol-to-char ratio,
+    minimum stopword evidence, and a repetition ceiling
+    (duplicate-bigram fraction standing in for the paper's
+    duplicate-line family — this corpus has no line structure). Emits
+    every signal plus the FIRST failed rule as a verdict, so the gate
+    is auditable per rule, not just pass/fail. Thresholds are module
+    constants (word-count floor scaled from the published 50 to this
+    synthetic corpus's length scale).
+
+    Entirely map-side array expressions — no explode, no shuffle, no
+    UDF; the whole gate rides one corpus scan at any size."""
+    docs = table(spark, sf_dir, "documents")
+    staged = docs.select(
+        "doc_id", "text", T.words("text").alias("__w")
+    )
+    q = T.quality_features("text", words_col=F.col("__w"))
+    r = T.repetition_features(F.col("__w"))
+    stop_hits = F.size(
+        F.filter("__w", lambda x: x.isin(*T.LANG_MARKERS["en"]))
+    )
+    feats = staged.select(
+        "doc_id",
+        q["n_words"].alias("n_words"),
+        q["avg_word_len"].alias("avg_word_len"),
+        q["punct_ratio"].alias("symbol_ratio"),
+        stop_hits.cast("int").alias("stop_hits"),
+        r["dup_bigram_frac"].alias("dup_bigram_frac"),
+    )
+    verdict = (
+        F.when(
+            (F.col("n_words") < GOPHER_MIN_WORDS)
+            | (F.col("n_words") > GOPHER_MAX_WORDS),
+            F.lit("word_count"),
+        )
+        .when(
+            (F.col("avg_word_len") < GOPHER_MIN_AVG_WLEN)
+            | (F.col("avg_word_len") > GOPHER_MAX_AVG_WLEN),
+            F.lit("avg_word_len"),
+        )
+        .when(
+            F.col("symbol_ratio") > GOPHER_MAX_SYMBOL_RATIO,
+            F.lit("symbol_ratio"),
+        )
+        .when(F.col("stop_hits") < GOPHER_MIN_STOP_HITS, F.lit("stopwords"))
+        .when(
+            F.col("dup_bigram_frac") > GOPHER_MAX_DUP_BIGRAM,
+            F.lit("repetition"),
+        )
+        .otherwise(F.lit("pass"))
+    )
+    return feats.withColumn("verdict", verdict)
