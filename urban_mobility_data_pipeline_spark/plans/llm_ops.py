@@ -5076,3 +5076,77 @@ def documents_gopher_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.lit("pass"))
     )
     return feats.withColumn("verdict", verdict)
+
+
+# ---------------------------------------------------------------------------
+# contamination report: near-dup + exact-n-gram evidence joined
+# ---------------------------------------------------------------------------
+@register(
+    "documents_contamination_report",
+    oracle=f"""
+    WITH nd_pairs AS ({{minhash}}),
+    nd AS (
+        SELECT eval_doc,
+               CAST(count(*) AS BIGINT) AS near_dup_partners,
+               max(jaccard) AS max_jaccard
+        FROM nd_pairs GROUP BY 1
+    ),
+    ng AS ({{ngram}})
+    SELECT coalesce(nd.eval_doc, ng.eval_doc) AS eval_doc,
+           coalesce(nd.near_dup_partners, 0) AS near_dup_partners,
+           nd.max_jaccard,
+           coalesce(ng.n_hit, 0) AS ngram_hits,
+           ng.hit_ratio AS ngram_hit_ratio,
+           CASE
+             WHEN nd.eval_doc IS NOT NULL AND ng.eval_doc IS NOT NULL
+                 THEN 'both'
+             WHEN nd.eval_doc IS NOT NULL THEN 'near_dup_only'
+             ELSE 'ngram_only'
+           END AS evidence
+    FROM nd FULL OUTER JOIN ng ON ng.eval_doc = nd.eval_doc
+    """.format(
+        minhash=ORACLES["documents_train_eval_contamination"],
+        ngram=ORACLES["documents_ngram_contamination"],
+    ),
+)
+def documents_contamination_report(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The decontamination DECISION table: one row per flagged eval
+    doc, joining the two independent evidence channels — MinHash
+    near-duplication (catches paraphrased/whole-doc overlap) and exact
+    8-gram probes (catches verbatim excerpts too short to move
+    Jaccard) — with an evidence verdict ('both' is the
+    delete-with-confidence tier; single-channel hits go to review).
+    The channels disagree by design; measuring WHERE they disagree is
+    the audit (same composition pattern as cross_modal_dedup_
+    agreement). Both inputs are the audited bucket-bounded pipelines;
+    the report join runs on the flagged handful."""
+    nd = (
+        documents_train_eval_contamination(spark, sf_dir)
+        .groupBy("eval_doc")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("near_dup_partners"),
+            F.max("jaccard").alias("max_jaccard"),
+        )
+    )
+    ng = documents_ngram_contamination(spark, sf_dir).select(
+        F.col("eval_doc").alias("__ng_doc"), "n_hit", "hit_ratio"
+    )
+    j = nd.join(ng, nd.eval_doc == F.col("__ng_doc"), "full_outer")
+    return j.select(
+        F.coalesce("eval_doc", "__ng_doc").alias("eval_doc"),
+        F.coalesce("near_dup_partners", F.lit(0)).alias(
+            "near_dup_partners"
+        ),
+        "max_jaccard",
+        F.coalesce("n_hit", F.lit(0)).alias("ngram_hits"),
+        F.col("hit_ratio").alias("ngram_hit_ratio"),
+        F.when(
+            F.col("eval_doc").isNotNull() & F.col("__ng_doc").isNotNull(),
+            F.lit("both"),
+        )
+        .when(F.col("eval_doc").isNotNull(), F.lit("near_dup_only"))
+        .otherwise(F.lit("ngram_only"))
+        .alias("evidence"),
+    )
