@@ -1,0 +1,81 @@
+"""Plan-shape pins for the round-7 extension wave: the properties that
+make each query scale-safe must survive optimizer/engine upgrades, so
+they are asserted on the physical plan, not just prose in docstrings.
+(Mirrors test_analytics_extra.py's plan checks for the core catalog.)"""
+
+from __future__ import annotations
+
+import pytest
+
+from urban_mobility_data_pipeline_spark.plans.catalog import QUERIES
+
+
+def _plan(spark, sf_dir, name: str) -> str:
+    return (
+        QUERIES[name](spark, sf_dir)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+
+
+def test_dsir_sample_is_takeordered_with_broadcast_models(spark, sf_dir):
+    """The resample must forward at most k rows per partition and both
+    bucket models must broadcast — never shuffle the corpus on bucket."""
+    plan = _plan(spark, sf_dir, "corpus_dsir_sample")
+    assert "TakeOrderedAndProject(limit=80" in plan
+    assert "BroadcastHashJoin" in plan
+    assert "BatchEvalPython" not in plan
+
+
+def test_bq_topk_is_nested_takeordered(spark, sf_dir):
+    """Candidate generation (limit=candidates) and the rerank (limit=k)
+    must BOTH plan as TakeOrderedAndProject; the candidate set joins
+    back by broadcast, so the float vectors never shuffle."""
+    plan = _plan(spark, sf_dir, "embedding_bq_hamming_topk")
+    assert "TakeOrderedAndProject(limit=40" in plan
+    assert "TakeOrderedAndProject(limit=10" in plan
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_retrieval_eval_windows_partition_by_query(spark, sf_dir):
+    """Per-query ranking must partition the window on query_id (bounded
+    by queries x matching docs) and the stats/df sides must broadcast —
+    a SortMergeJoin would mean the corpus is shuffling on tokens."""
+    plan = _plan(spark, sf_dir, "doc_retrieval_eval_mrr")
+    assert "windowspecdefinition(query_id" in plan
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_gopher_gate_is_single_scan_no_shuffle(spark, sf_dir):
+    """The rule bundle is map-side only: one scan, no exchange besides
+    none at all, no Python."""
+    plan = _plan(spark, sf_dir, "documents_gopher_gate")
+    assert "Exchange" not in plan
+    assert "BatchEvalPython" not in plan
+    assert plan.count("FileScan") == 1
+
+
+@pytest.mark.parametrize(
+    "name",
+    [
+        "corpus_unimax_mixing",
+        "corpus_temperature_mixing",
+        "corpus_vocab_coverage_curve",
+    ],
+)
+def test_mixing_queries_scan_corpus_once(spark, sf_dir, name):
+    """The allocators' corpus-sized work is ONE token-count scan; the
+    waterfilling/share math must run on the tiny per-source or vocab
+    frame, staged via the scratch registry where the DAG branches (an
+    InMemoryTableScan in the plan = every extra branch reads the cached
+    20-row frame, not the corpus)."""
+    plan = _plan(spark, sf_dir, name)
+    assert "InMemoryTableScan" in plan
+
+
+def test_packing_efficiency_no_python(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "documents_packing_efficiency")
+    assert "BatchEvalPython" not in plan

@@ -4574,14 +4574,20 @@ def corpus_temperature_mixing(spark: SparkSession, sf_dir: str) -> DataFrame:
     count; the rest is a <=|sources|-row broadcast frame. pow outputs
     are rounded before the share division so 1-ulp libm differences
     can't leak into the hash."""
+    from urban_mobility_data_pipeline_spark.cache import scratch_persist
+
     docs = table(spark, sf_dir, "documents")
     n = docs.groupBy("source").agg(
         F.sum(F.size(T.words("text"))).cast("long").alias("n_tokens")
     )
-    w = n.select(
-        "source",
-        "n_tokens",
-        F.round(F.pow("n_tokens", F.lit(TEMP_MIX_ALPHA)), 6).alias("w"),
+    # staged: the totals branch and the output branch both read this
+    # per-source frame — one corpus token-count scan, not two
+    w = scratch_persist(
+        n.select(
+            "source",
+            "n_tokens",
+            F.round(F.pow("n_tokens", F.lit(TEMP_MIX_ALPHA)), 6).alias("w"),
+        )
     )
     tot = w.agg(F.sum("w").alias("tw"), F.sum("n_tokens").alias("t"))
     share = F.col("w") / F.col("tw")
@@ -4636,8 +4642,12 @@ def corpus_vocab_coverage_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     (thousands of rows at any corpus size): rank window, one small
     range join against the N points. Counts are exact integers; the
     only division is rounded."""
+    from urban_mobility_data_pipeline_spark.cache import scratch_persist
+
     docs = table(spark, sf_dir, "documents")
-    counts = (
+    # staged: the rank branch and the totals branch both read the vocab
+    # counts — one exploded-token scan, not two
+    counts = scratch_persist(
         docs.select(F.explode(T.words("text")).alias("w"))
         .groupBy("w")
         .agg(F.count(F.lit(1)).alias("c"))
