@@ -1,0 +1,90 @@
+"""Incremental replication: after every refresh the replica's content
+must equal the source's, across inserts, updates, deletes, compaction
+re-emission, and interleaved cycles — with each delta cycle shipping
+only the touched keys."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from urban_mobility_data_pipeline_spark.extensions.replicate import (
+    replica_lag,
+    replicate_table,
+)
+from urban_mobility_data_pipeline_spark.operators.merge import MergeTable
+from urban_mobility_data_pipeline_spark.operators.watermark import VersionCursor
+
+
+def _rows(t: MergeTable):
+    return {
+        tuple(r) for r in t.read().select("doc_id", "text", "lang").collect()
+    }
+
+
+def _mk(spark, tmp_path):
+    src = MergeTable(spark, str(tmp_path / "src"))
+    dst = MergeTable(spark, str(tmp_path / "dst"))
+    cursor = VersionCursor(spark, str(tmp_path / "cursor"))
+    src.create(
+        spark.createDataFrame(
+            [(i, f"doc {i} body", "en") for i in range(20)],
+            "doc_id long, text string, lang string",
+        )
+    )
+    return src, dst, cursor
+
+
+def test_replica_tracks_source(spark, tmp_path):
+    src, dst, cursor = _mk(spark, tmp_path)
+
+    r = replicate_table(src, dst, cursor, "doc_id")
+    assert r["mode"] == "bootstrap"
+    assert _rows(dst) == _rows(src)
+    assert replica_lag(src, cursor) == 0
+
+    # insert + update on the source
+    src.merge(
+        spark.createDataFrame(
+            [(3, "doc 3 REVISED", "en"), (99, "doc 99 new", "es")],
+            "doc_id long, text string, lang string",
+        ),
+        keys=["doc_id"],
+        update_set={"text": F.col("s.text"), "lang": F.col("s.lang")},
+        insert=True,
+    )
+    assert replica_lag(src, cursor) == 1
+    r = replicate_table(src, dst, cursor, "doc_id")
+    assert r["mode"] == "delta" and r["deleted"] == 0
+    # only the touched keys shipped, not the table
+    assert 0 < r["upserted"] <= 21
+    assert _rows(dst) == _rows(src)
+
+    # delete on the source must propagate
+    src.delete(F.col("doc_id").isin(5, 99))
+    r = replicate_table(src, dst, cursor, "doc_id")
+    assert r["mode"] == "delta" and r["deleted"] >= 2
+    assert _rows(dst) == _rows(src)
+    assert dst.read().where(F.col("doc_id").isin(5, 99)).count() == 0
+
+    # no-op cycle
+    assert replicate_table(src, dst, cursor, "doc_id")["mode"] == "noop"
+    assert _rows(dst) == _rows(src)
+
+
+def test_replica_survives_source_compaction(spark, tmp_path):
+    """auto_compact rewrites source files, re-emitting unchanged rows
+    through the change feed — the replica must absorb them as no-op
+    upserts, never diverge, never resurrect deleted rows."""
+    src, dst, cursor = _mk(spark, tmp_path)
+    replicate_table(src, dst, cursor, "doc_id")
+
+    src.delete(F.col("doc_id") == 7)
+    replicate_table(src, dst, cursor, "doc_id")
+    assert _rows(dst) == _rows(src)
+
+    compacted = src.auto_compact(max_files=1)
+    if compacted:
+        r = replicate_table(src, dst, cursor, "doc_id")
+        assert r["mode"] in ("delta", "noop")
+    assert _rows(dst) == _rows(src)
+    assert dst.read().where(F.col("doc_id") == 7).count() == 0
