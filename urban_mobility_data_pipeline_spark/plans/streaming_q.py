@@ -547,3 +547,73 @@ def streaming_dsir_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     query.awaitTermination()
     return spark.table(sink_name)
+
+
+# ---------------------------------------------------------------------------
+# custom stateful operator as a driver row (applyInPandasWithState)
+# ---------------------------------------------------------------------------
+@register(
+    "streaming_running_profiles",
+    oracle="""
+    SELECT user_id,
+           CAST(count(*) AS BIGINT) AS n_events,
+           round(sum(value), 6) AS total_value,
+           max(epoch_us(ts)) AS last_ts_us
+    FROM events
+    GROUP BY user_id
+    """,
+)
+def streaming_running_profiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The custom STATEFUL operator (streaming/stateful.py:
+    running_user_profiles, applyInPandasWithState) executed as a real
+    stream and checked against a SQL oracle: per-user accumulators
+    (count, value sum, last-seen) carried in checkpointed state across
+    micro-batches, update-mode output. After an availableNow drain the
+    LAST update per user IS the full-history profile — which is what
+    the batch aggregation oracle asserts, closing the loop on the one
+    operator class where Python is the documented exception (Arrow
+    batches, per-key state, no SQL equivalent for the incremental
+    form).
+
+    State is per-user and partitioned by the grouping key; the
+    dedupe-to-final step ranks the sink's updates by n_events (strictly
+    increasing per user), so multi-batch drains reduce identically."""
+    configure_session(spark)
+    try:
+        schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    except Exception:
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    ts_type = schema["ts"].dataType.simpleString()
+    stream = (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    from urban_mobility_data_pipeline_spark.streaming.stateful import (
+        running_user_profiles,
+    )
+
+    ev = stream.select(
+        "user_id", "value", events_ts_us(ts_type).alias("ts_us")
+    )
+    prof = running_user_profiles(ev)
+    sink_name = f"stream_prof_{uuid.uuid4().hex[:8]}"
+    query = (
+        prof.writeStream.format("memory")
+        .queryName(sink_name)
+        .outputMode("update")
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="umdp_ckpt_"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination()
+    from pyspark.sql import Window
+
+    updates = spark.table(sink_name)
+    w = Window.partitionBy("user_id").orderBy(F.desc("n_events"))
+    return (
+        updates.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") == 1)
+        .select("user_id", "n_events", "total_value", "last_ts_us")
+    )
