@@ -130,7 +130,10 @@ FLAGSHIP = "pricing_summary"
 # (sixth real-readStream row), corpus_unimax_mixing,
 # corpus_temperature_mixing, doc_retrieval_eval_mrr,
 # corpus_vocab_coverage_curve, corpus_ccnet_ppl_buckets,
-# embedding_dim_truncation_recall; rows-only by nature:
+# embedding_dim_truncation_recall, doc_lang_nb_confusion,
+# documents_packing_efficiency, documents_gopher_gate,
+# documents_contamination_report, streaming_running_profiles (the
+# applyInPandasWithState row); rows-only by nature:
 # corpus_bpe_merges / documents_bpe_token_counts — iterative trainer,
 # gold-pinned by tests/test_bpe.py).
 # daily_distinct_users_sketch remains rows-only BY DESIGN (HLL sketch,
