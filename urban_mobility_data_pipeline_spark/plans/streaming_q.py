@@ -617,3 +617,83 @@ def streaming_running_profiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("__rn") == 1)
         .select("user_id", "n_events", "total_value", "last_ts_us")
     )
+
+
+# ---------------------------------------------------------------------------
+# watermark lateness audit (batch QA that prices a watermark setting)
+# ---------------------------------------------------------------------------
+LATENESS_WINDOWS_US = {
+    "10m": 10 * 60 * 1_000_000,
+    "30m": 30 * 60 * 1_000_000,
+    "60m": 60 * 60 * 1_000_000,
+}
+
+
+@register(
+    "events_watermark_lateness_audit",
+    oracle=f"""
+    WITH arr AS (
+        SELECT event_type, epoch_us(ts) AS ts_us,
+               max(epoch_us(ts)) OVER (
+                   PARTITION BY event_type ORDER BY event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+               ) AS high_water
+        FROM events
+    )
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(sum(CASE WHEN ts_us < high_water
+                              - {LATENESS_WINDOWS_US["10m"]}
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_late_10m,
+           CAST(sum(CASE WHEN ts_us < high_water
+                              - {LATENESS_WINDOWS_US["30m"]}
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_late_30m,
+           CAST(sum(CASE WHEN ts_us < high_water
+                              - {LATENESS_WINDOWS_US["60m"]}
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_late_60m
+    FROM arr
+    GROUP BY event_type
+    """,
+)
+def events_watermark_lateness_audit(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """How many events WOULD a given watermark drop? Per event type
+    (the per-stream stand-in), replay the feed in arrival order
+    (event_id) and count rows whose event time trails the running
+    high-water mark by more than 10/30/60 minutes — the numbers that
+    justify the session/window queries' watermark settings with data
+    instead of folklore (streaming/windows.py uses 30m).
+
+    Scale shape: one window partitioned by event_type ordered by the
+    arrival key (skew bounded by the biggest type's partition — never
+    a global ordered window), then an ordinary rollup. Arrival rank is
+    the unique event_id, so the running max is engine-exact."""
+    from urban_mobility_data_pipeline_spark.plans._helpers import table
+
+    from pyspark.sql import Window
+
+    ev = table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    arr = ev.select(
+        "event_type",
+        "ts_us",
+        F.max("ts_us").over(w).alias("high_water"),
+    )
+    aggs = [
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+    ] + [
+        F.sum(
+            F.when(
+                F.col("ts_us") < F.col("high_water") - F.lit(us), 1
+            ).otherwise(0)
+        )
+        .cast("long")
+        .alias(f"n_late_{label}")
+        for label, us in LATENESS_WINDOWS_US.items()
+    ]
+    return arr.groupBy("event_type").agg(*aggs)
