@@ -635,7 +635,12 @@ LATENESS_WINDOWS_US = {
     WITH arr AS (
         SELECT event_type, epoch_us(ts) AS ts_us,
                max(epoch_us(ts)) OVER (
-                   PARTITION BY event_type ORDER BY event_id
+                   PARTITION BY event_type
+                   ORDER BY epoch_us(ts)
+                            + CAST(('0x' || substr(
+                                  md5('j|' || CAST(event_id AS VARCHAR)),
+                                  1, 8)) AS BIGINT) % 3600000000,
+                            event_id
                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
                ) AS high_water
         FROM events
@@ -665,18 +670,39 @@ def events_watermark_lateness_audit(
     justify the session/window queries' watermark settings with data
     instead of folklore (streaming/windows.py uses 30m).
 
+    The synthetic feed is generated already time-sorted, so a verbatim
+    replay would see zero lateness; arrival is therefore SIMULATED as
+    event time plus a deterministic per-event delivery delay (md5 of
+    the id, bounded at 60 minutes) — the bounded-jitter model real
+    feeds exhibit. The bound makes the audit's own math visible in the
+    output: lateness falls as the watermark widens and must hit zero
+    at the 60m window, since no event can be outrun by one more than
+    the maximum delay younger.
+
     Scale shape: one window partitioned by event_type ordered by the
     arrival key (skew bounded by the biggest type's partition — never
-    a global ordered window), then an ordinary rollup. Arrival rank is
-    the unique event_id, so the running max is engine-exact."""
+    a global ordered window), then an ordinary rollup. The arrival
+    rank is unique, so the running max is engine-exact."""
     from urban_mobility_data_pipeline_spark.plans._helpers import table
 
     from pyspark.sql import Window
 
     ev = table(spark, sf_dir, "events")
+    jitter = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("j|"), F.col("event_id").cast("string"))),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("long")
+        % F.lit(3_600_000_000)
+    )
     w = (
         Window.partitionBy("event_type")
-        .orderBy("event_id")
+        .orderBy((F.col("ts_us") + jitter).asc(), F.col("event_id").asc())
         .rowsBetween(Window.unboundedPreceding, -1)
     )
     arr = ev.select(
