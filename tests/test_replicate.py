@@ -88,3 +88,45 @@ def test_replica_survives_source_compaction(spark, tmp_path):
         assert r["mode"] in ("delta", "noop")
     assert _rows(dst) == _rows(src)
     assert dst.read().where(F.col("doc_id") == 7).count() == 0
+
+
+def test_replica_follows_source_schema_evolution(spark, tmp_path):
+    """A column added on the source appears on the replica at the next
+    cycle; rows not re-shipped carry NULL, re-shipped rows carry the
+    value — the same contract as MERGE schema evolution."""
+    src, dst, cursor = _mk(spark, tmp_path)
+    replicate_table(src, dst, cursor, "doc_id")
+
+    evolved = spark.createDataFrame(
+        [(2, "doc 2 tagged", "en", "crawl-7")],
+        "doc_id long, text string, lang string, origin string",
+    )
+    src.merge(
+        evolved,
+        keys=["doc_id"],
+        update_set={
+            "text": F.col("s.text"),
+            "lang": F.col("s.lang"),
+            "origin": F.col("s.origin"),
+        },
+        insert=True,
+        evolve_schema=True,
+    )
+    r = replicate_table(src, dst, cursor, "doc_id")
+    assert r["mode"] == "delta"
+    assert "origin" in dst.read().columns
+    got = {
+        r["doc_id"]: r["origin"]
+        for r in dst.read().select("doc_id", "origin").collect()
+    }
+    assert got[2] == "crawl-7"
+    assert got[1] is None
+    src_rows = {
+        tuple(r)
+        for r in src.read().select("doc_id", "text", "lang", "origin").collect()
+    }
+    dst_rows = {
+        tuple(r)
+        for r in dst.read().select("doc_id", "text", "lang", "origin").collect()
+    }
+    assert dst_rows == src_rows

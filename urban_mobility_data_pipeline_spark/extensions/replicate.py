@@ -78,11 +78,14 @@ def replicate_table(
         )
         live = src.read().join(touched, key, "left_semi")
         non_key = [c for c in live.columns if c != key]
+        # evolve_schema: a column added on the source appends to the
+        # replica on the next cycle (NULL for rows not yet re-shipped)
         dst.merge(
             live,
             keys=[key],
             update_set={c: F.col(f"s.{c}") for c in non_key},
             insert=True,
+            evolve_schema=True,
         )
         upserted = live.count()
         gone = touched.join(src.read().select(key), key, "left_anti")
