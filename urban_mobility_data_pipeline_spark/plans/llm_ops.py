@@ -5160,3 +5160,72 @@ def documents_contamination_report(
         .otherwise(F.lit("ngram_only"))
         .alias("evidence"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Zipf fit (rank-frequency power-law slope of the vocabulary)
+# ---------------------------------------------------------------------------
+@register(
+    "corpus_zipf_fit",
+    oracle=f"""
+    WITH toks AS (SELECT unnest({_WORDS}) AS w FROM documents),
+    counts AS (SELECT w, CAST(count(*) AS DOUBLE) AS c
+               FROM toks GROUP BY 1),
+    ranked AS (
+        SELECT ln(row_number() OVER (ORDER BY c DESC, w ASC)) AS x,
+               ln(c) AS y
+        FROM counts
+    ),
+    s AS (
+        SELECT CAST(count(*) AS DOUBLE) AS n,
+               sum(x) AS sx, sum(y) AS sy,
+               sum(x * x) AS sxx, sum(x * y) AS sxy
+        FROM ranked
+    )
+    SELECT CAST(n AS BIGINT) AS vocab_size,
+           round((n * sxy - sx * sy) / (n * sxx - sx * sx), 6)
+               AS zipf_slope,
+           round((sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx)
+                 / n, 6) AS intercept
+    FROM s
+    """,
+)
+def corpus_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf coefficient of the corpus: least-squares slope of
+    ln(frequency) against ln(rank) over the vocabulary — natural text
+    sits near -1; a flat slope means synthetic/templated token
+    distributions (as here), a cliff means boilerplate domination.
+    One health number a corpus report leads with.
+
+    The corpus-sized work is the token count; the regression runs in
+    closed form over the VOCAB table (rank window + one aggregate of
+    five sums — no iteration, no ML library)."""
+    docs = table(spark, sf_dir, "documents")
+    counts = (
+        docs.select(F.explode(T.words("text")).alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).cast("double").alias("c"))
+    )
+    ranked = counts.select(
+        F.log(
+            F.row_number().over(Window.orderBy(F.desc("c"), F.asc("w")))
+        ).alias("x"),
+        F.log("c").alias("y"),
+    )
+    s = ranked.agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+    )
+    slope = (
+        F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    ) / (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx"))
+    return s.select(
+        F.col("n").cast("long").alias("vocab_size"),
+        F.round(slope, 6).alias("zipf_slope"),
+        F.round(
+            (F.col("sy") - slope * F.col("sx")) / F.col("n"), 6
+        ).alias("intercept"),
+    )
