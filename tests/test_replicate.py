@@ -130,3 +130,36 @@ def test_replica_follows_source_schema_evolution(spark, tmp_path):
         for r in dst.read().select("doc_id", "text", "lang", "origin").collect()
     }
     assert dst_rows == src_rows
+
+
+def test_multiple_commits_between_refreshes_ship_latest(spark, tmp_path):
+    """Two updates to one key plus an update-then-delete of another,
+    all inside one refresh window: the replica must land on the LATEST
+    state (one current row, no resurrection, no duplicate-key fanout
+    from the stacked after-images)."""
+    src, dst, cursor = _mk(spark, tmp_path)
+    replicate_table(src, dst, cursor, "doc_id")
+
+    def upd(doc_id, text):
+        src.merge(
+            spark.createDataFrame(
+                [(doc_id, text, "en")],
+                "doc_id long, text string, lang string",
+            ),
+            keys=["doc_id"],
+            update_set={"text": F.col("s.text"), "lang": F.col("s.lang")},
+            insert=True,
+        )
+
+    upd(4, "doc 4 v1")
+    upd(4, "doc 4 v2 FINAL")
+    upd(6, "doc 6 doomed")
+    src.delete(F.col("doc_id") == 6)
+
+    r = replicate_table(src, dst, cursor, "doc_id")
+    assert r["mode"] == "delta"
+    assert _rows(dst) == _rows(src)
+    got = {r["doc_id"]: r["text"] for r in dst.read().collect()}
+    assert got[4] == "doc 4 v2 FINAL"
+    assert 6 not in got
+    assert dst.read().groupBy("doc_id").count().where("count > 1").count() == 0

@@ -70,25 +70,53 @@ def replicate_table(
         cursor.upsert(job, None, "OK")
         return {"mode": "noop", "upserted": 0, "deleted": 0}
     try:
-        touched = (
-            src.read_changes(cur)
-            .select(key)
-            .unionByName(src.read_removed(cur).select(key))
-            .distinct()
-        )
-        live = src.read().join(touched, key, "left_semi")
-        non_key = [c for c in live.columns if c != key]
+        # file-level CDC over-approximates: a compaction or a pruned
+        # MERGE rewrite re-emits untouched rows. Reduce to the TRUE
+        # row delta before shipping: after-image rows minus identical
+        # before-image rows (a rewrite's re-emissions cancel exactly)
+        # name the changed KEYS, and each changed key ships its one
+        # CURRENT row from the snapshot — immune to duplicate after
+        # images when several commits landed between refreshes, and
+        # the wire carries O(genuinely-changed rows) no matter how the
+        # source's file layout churns.
+        after = src.read_changes(cur)
+        before = src.read_removed(cur)
+        common = [c for c in after.columns if c in before.columns]
+        extra = [c for c in after.columns if c not in before.columns]
+        if extra:
+            # source schema evolved this window: the cross-schema row
+            # diff can't see a change confined to the new column, so
+            # ship every touched key's current row once
+            changed_keys = (
+                after.select(key)
+                .unionByName(before.select(key))
+                .distinct()
+            )
+        else:
+            changed_keys = (
+                after.select(common)
+                .exceptAll(before.select(common))
+                .select(key)
+                .distinct()
+            )
+        changed = src.read().join(changed_keys, key, "left_semi")
+        non_key = [c for c in after.columns if c != key]
         # evolve_schema: a column added on the source appends to the
         # replica on the next cycle (NULL for rows not yet re-shipped)
         dst.merge(
-            live,
+            changed,
             keys=[key],
             update_set={c: F.col(f"s.{c}") for c in non_key},
             insert=True,
             evolve_schema=True,
         )
-        upserted = live.count()
-        gone = touched.join(src.read().select(key), key, "left_anti")
+        upserted = changed.count()
+        # keys present in the before image but gone from the source
+        gone = (
+            before.select(key)
+            .distinct()
+            .join(src.read().select(key), key, "left_anti")
+        )
         deleted = 0
         if gone.limit(1).count() > 0:
             dst.delete_keys_in(key, gone)
