@@ -133,7 +133,8 @@ FLAGSHIP = "pricing_summary"
 # embedding_dim_truncation_recall, doc_lang_nb_confusion,
 # documents_packing_efficiency, documents_gopher_gate,
 # documents_contamination_report, streaming_running_profiles (the
-# applyInPandasWithState row); rows-only by nature:
+# applyInPandasWithState row), events_watermark_lateness_audit,
+# corpus_zipf_fit; rows-only by nature:
 # corpus_bpe_merges / documents_bpe_token_counts — iterative trainer,
 # gold-pinned by tests/test_bpe.py).
 # daily_distinct_users_sketch remains rows-only BY DESIGN (HLL sketch,
