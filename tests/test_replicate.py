@@ -163,3 +163,28 @@ def test_multiple_commits_between_refreshes_ship_latest(spark, tmp_path):
     assert got[4] == "doc 4 v2 FINAL"
     assert 6 not in got
     assert dst.read().groupBy("doc_id").count().where("count > 1").count() == 0
+
+
+def test_corpus_replicate_cli(spark, tmp_path):
+    """corpus_replicate drives row-delta replication through the CLI
+    dispatcher after corpus_ingest cycles."""
+    from urban_mobility_data_pipeline_spark.run import main
+
+    feed = [
+        '{"doc_id": 1, "text": "the data engine runs the merge in a batch", "lang": "en"}',
+        '{"doc_id": 2, "text": "a stream is a log of batches in the engine", "lang": "en"}',
+    ]
+    (tmp_path / "feed").mkdir()
+    (tmp_path / "feed" / "f.jsonl").write_text("\n".join(feed) + "\n")
+    lake = str(tmp_path / "lake")
+    assert main(
+        ["corpus_ingest", "--lake", lake, "--source", str(tmp_path / "feed")],
+        spark=spark,
+    ) == 0
+    assert main(["corpus_replicate", "--lake", lake], spark=spark) == 0
+    src = MergeTable(spark, str(tmp_path / "lake" / "corpus" / "documents"))
+    dst = MergeTable(spark, str(tmp_path / "lake" / "replica" / "documents"))
+    assert _rows(dst) == _rows(src)
+    # idempotent second run
+    assert main(["corpus_replicate", "--lake", lake], spark=spark) == 0
+    assert _rows(dst) == _rows(src)

@@ -254,6 +254,35 @@ def _dsir_model_refresh_job(lake: J.Lakehouse, args) -> str:
     return f"dsir model refresh: folded {n} changed docs"
 
 
+def _corpus_replicate_job(lake: J.Lakehouse, args) -> str:
+    """Keep a replica of the corpus documents table current: row-delta
+    replication driven by the change feed (extensions/replicate.py).
+    --table names the replica root (default <lake>/replica); run after
+    ingest/erasure cycles like the other maintenance jobs."""
+    from urban_mobility_data_pipeline_spark.extensions.replicate import (
+        replicate_table,
+    )
+    from urban_mobility_data_pipeline_spark.operators.merge import MergeTable
+    from urban_mobility_data_pipeline_spark.operators.watermark import (
+        VersionCursor,
+    )
+
+    root = args.corpus or os.path.join(args.lake, "corpus")
+    src = MergeTable(lake.spark, os.path.join(root, "documents"))
+    if not src.exists():
+        raise SystemExit("corpus_replicate: no corpus at " + root)
+    replica_root = args.table or os.path.join(args.lake, "replica")
+    dst = MergeTable(lake.spark, os.path.join(replica_root, "documents"))
+    cursor = VersionCursor(
+        lake.spark, os.path.join(replica_root, "replicate_cursor")
+    )
+    r = replicate_table(src, dst, cursor, "doc_id")
+    return (
+        f"replicate ({r['mode']}): {r['upserted']} upserted, "
+        f"{r['deleted']} deleted -> {replica_root}"
+    )
+
+
 def _dataset_card_job(lake: J.Lakehouse, args) -> str:
     """Publish a dataset card for the corpus: one JSON document with
     the numbers a consumer needs before training on it — volume, token
@@ -564,6 +593,7 @@ def build_registry() -> dict:
     registry["vocab_refresh"] = _vocab_refresh_job
     registry["dsir_model_refresh"] = _dsir_model_refresh_job
     registry["dataset_card"] = _dataset_card_job
+    registry["corpus_replicate"] = _corpus_replicate_job
     registry["corpus_index_build"] = _corpus_index_job
     registry["dedup_index_refresh"] = _dedup_index_job
     registry["optimize"] = _optimize_job
