@@ -523,3 +523,102 @@ def audio_features(df: DataFrame, rolloff: float = 0.85) -> DataFrame:
             yield pd.DataFrame(rows, columns=cols)
 
     return df.mapInPandas(kernel, AUDIO_FEATURES_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# perceptual image hashing (dHash) + Hamming near-dup candidates
+# ---------------------------------------------------------------------------
+DHASH_SCHEMA = "media_id long, width int, height int, dhash_lo long, dhash_hi long"
+
+
+def _dhash_words(payload: bytes) -> tuple[int, int, int, int]:
+    """Difference hash of a binary PPM: grayscale, nearest-neighbor
+    resample to a 9x8 grid, bit = left pixel brighter than its right
+    neighbor — 64 bits packed MSB-first into two 32-bit words (the
+    same overflow-free two-word layout the sign-bit embedding codes
+    use, so the bit_count(xor) Hamming machinery applies verbatim)."""
+    width, height, maxval, pos = _parse_ppm_header(payload)
+    px = np.frombuffer(
+        payload, dtype=np.uint8, count=width * height * 3, offset=pos
+    ).reshape(height, width, 3)
+    gray = px.astype(np.float64).mean(axis=2)
+    ys = (np.arange(8) * height) // 8
+    xs = (np.arange(9) * width) // 9
+    grid = gray[np.ix_(ys, xs)]
+    bits = (grid[:, :-1] > grid[:, 1:]).astype(np.int64).ravel()
+    lo = int("".join(map(str, bits[:32])), 2)
+    hi = int("".join(map(str, bits[32:])), 2)
+    return width, height, lo, hi
+
+
+def image_dhash(df: DataFrame) -> DataFrame:
+    """Perceptual dHash per ppm payload via ``mapInPandas`` — the
+    IMAGE near-dup fingerprint (robust to re-encode/resize/brightness,
+    unlike the exact payload digest): two 32-bit words per image, so
+    candidate pairs come from the exact same Hamming machinery as
+    binary-quantized embeddings (``similarity.bq_topk_from_codes``-
+    style bit_count(xor) joins), and only 16 bytes per image ever
+    leave the decode stage."""
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = ["media_id", "width", "height", "dhash_lo", "dhash_hi"]
+        for pdf in batches:
+            rows = []
+            for media_id, payload, meta in zip(
+                pdf["media_id"], pdf["payload"], pdf["meta"]
+            ):
+                fmt = meta["format"] if isinstance(meta, dict) else meta.format
+                if fmt != "ppm":
+                    continue
+                w, h, lo, hi = _dhash_words(bytes(payload))
+                rows.append(
+                    {
+                        "media_id": media_id,
+                        "width": w,
+                        "height": h,
+                        "dhash_lo": lo,
+                        "dhash_hi": hi,
+                    }
+                )
+            yield pd.DataFrame(rows, columns=cols)
+
+    return df.mapInPandas(kernel, DHASH_SCHEMA)
+
+
+def image_near_dup_pairs(
+    codes: DataFrame, max_hamming: int = 10
+) -> DataFrame:
+    """Image near-dup candidate pairs from dHash words: band the hash
+    (each 32-bit word is a band — a true near-dup at <=``max_hamming``
+    differing bits usually leaves one band intact or close) via an
+    equi-join on either word, then verify the full 64-bit Hamming
+    distance. The join keys are integers, the pair space is
+    O(sum bucket^2) per band value — never all-pairs — and the verify
+    is two bit_counts. Same design as the LSH band join for text."""
+    a = codes.select(
+        F.col("media_id").alias("id_a"),
+        F.col("dhash_lo").alias("lo_a"),
+        F.col("dhash_hi").alias("hi_a"),
+    )
+    b = codes.select(
+        F.col("media_id").alias("id_b"),
+        F.col("dhash_lo").alias("lo_b"),
+        F.col("dhash_hi").alias("hi_b"),
+    )
+    cand = a.join(
+        b,
+        (F.col("id_a") < F.col("id_b"))
+        & (
+            (F.col("lo_a") == F.col("lo_b"))
+            | (F.col("hi_a") == F.col("hi_b"))
+        ),
+    )
+    hamming = F.bit_count(
+        F.col("lo_a").bitwiseXOR(F.col("lo_b"))
+    ) + F.bit_count(F.col("hi_a").bitwiseXOR(F.col("hi_b")))
+    return (
+        cand.select(
+            "id_a", "id_b", hamming.cast("int").alias("hamming")
+        )
+        .where(F.col("hamming") <= max_hamming)
+    )
