@@ -622,3 +622,85 @@ def image_near_dup_pairs(
         )
         .where(F.col("hamming") <= max_hamming)
     )
+
+
+# ---------------------------------------------------------------------------
+# real frame sampling over a concatenated-PPM container + video near-dup
+# ---------------------------------------------------------------------------
+def _split_ppms(payload: bytes) -> list[bytes]:
+    """Split a concatenated-P6 container into its frame payloads (the
+    self-describing header of each frame gives its extent)."""
+    frames, pos, n = [], 0, len(payload)
+    while pos < n:
+        width, height, _maxval, data_off = _parse_ppm_header(payload[pos:])
+        end = pos + data_off + width * height * 3
+        if end > n:
+            break
+        frames.append(payload[pos:end])
+        pos = end
+    return frames
+
+
+def frame_sample_ppms(
+    df: DataFrame, every_n: int = 5, max_frames: int = 4
+) -> DataFrame:
+    """REAL frame sampling for the concatenated-PPM video container
+    (the in-repo stand-in for an mp4: self-describing frames, no
+    ffmpeg needed): split the payload into frames, keep every
+    ``every_n``-th up to ``max_frames``, and emit each sampled frame's
+    PERCEPTUAL dHash (the image near-dup fingerprint) — 1 row in,
+    k rows out, payloads never leave the decode stage. Same output
+    contract as the fake-path ``frame_sample``, so downstream joins
+    are agnostic to which decoder produced the rows."""
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for media_id, payload, meta in zip(
+                pdf["media_id"], pdf["payload"], pdf["meta"]
+            ):
+                fmt = meta["format"] if isinstance(meta, dict) else meta.format
+                if fmt != "ppms":
+                    continue
+                frames = _split_ppms(bytes(payload))
+                for idx, fi in enumerate(range(0, len(frames), every_n)):
+                    if idx >= max_frames:
+                        break
+                    _w, _h, lo, hi = _dhash_words(frames[fi])
+                    rows.append(
+                        {
+                            "media_id": media_id,
+                            "frame_index": fi,
+                            "frame_phash": f"{lo:08x}{hi:08x}",
+                        }
+                    )
+            yield pd.DataFrame(
+                rows, columns=["media_id", "frame_index", "frame_phash"]
+            )
+
+    return df.mapInPandas(kernel, FRAME_SAMPLE_SCHEMA)
+
+
+def video_near_dup_pairs(
+    frames: DataFrame, min_shared: int = 2
+) -> DataFrame:
+    """Video near-dup candidates from sampled frame hashes: two videos
+    sharing >= ``min_shared`` perceptual frame fingerprints (trims,
+    re-encodes, and watermark-free copies share most frames; unrelated
+    footage shares none). The join is an equi-join on the 16-char
+    fingerprint — pair space O(sum videos-per-hash squared), never
+    all-pairs — followed by a count filter; only (id, hash) rows
+    shuffle."""
+    a = frames.select(
+        F.col("media_id").alias("id_a"), F.col("frame_phash").alias("h")
+    ).distinct()
+    b = frames.select(
+        F.col("media_id").alias("id_b"), F.col("frame_phash").alias("h")
+    ).distinct()
+    return (
+        a.join(b, "h")
+        .where(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).cast("int").alias("shared_frames"))
+        .where(F.col("shared_frames") >= min_shared)
+    )
