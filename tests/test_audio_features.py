@@ -82,3 +82,48 @@ def test_silence_gates_to_zero(feats):
 def test_non_wav_payloads_skipped(feats):
     assert 9 not in feats
     assert set(feats) == {1, 2, 3, 4}
+
+
+# ---------------------------------------------------------------------------
+# perceptual fingerprint
+# ---------------------------------------------------------------------------
+def _ham(a, b):
+    return bin(a[0] ^ b[0]).count("1") + bin(a[1] ^ b[1]).count("1")
+
+
+def test_audio_fingerprint_gain_invariant_and_discriminative(spark):
+    """Gain scaling cancels exactly (energy ratios drive the bits); a
+    structurally different melody lands far away."""
+    from urban_mobility_data_pipeline_spark.extensions.multimodal import (
+        audio_fingerprint,
+    )
+
+    t = np.arange(SR) / SR
+    rng = np.random.default_rng(11)
+    # a "melody": frequency stepping per 1/9th-second slice
+    steps_a = [300, 500, 400, 800, 350, 900, 450, 700, 600]
+    steps_b = [900, 300, 700, 350, 800, 400, 600, 500, 450]
+
+    def melody(steps, gain):
+        x = np.concatenate(
+            [
+                np.sin(2 * np.pi * f * t[: SR // 9])
+                for f in steps
+            ]
+        )
+        return gain * (x + 0.01 * rng.standard_normal(x.size))
+
+    rows = [
+        (1, bytearray(_wav(melody(steps_a, 0.5))), {"format": "wav"}),
+        (2, bytearray(_wav(melody(steps_a, 0.5) * 0.3)), {"format": "wav"}),
+        (3, bytearray(_wav(melody(steps_b, 0.5))), {"format": "wav"}),
+    ]
+    df = spark.createDataFrame(
+        rows, "media_id long, payload binary, meta map<string,string>"
+    )
+    fp = {
+        r["media_id"]: (r["afp_lo"], r["afp_hi"])
+        for r in audio_fingerprint(df).collect()
+    }
+    assert _ham(fp[1], fp[2]) <= 2   # gain-scaled copy
+    assert _ham(fp[1], fp[3]) > 12   # different melody
