@@ -492,6 +492,8 @@ def main() -> int:
         sections["bq_scan"] = run_bq_scan(spark)
     if run_all or "--replicate" in args:
         sections["replicate"] = run_replicate(spark)
+    if run_all or "--scaling" in args:
+        sections["corpus_scaling"] = run_scaling(spark)
 
     for payload in sections.values():
         print(json.dumps(payload))
@@ -1427,6 +1429,67 @@ def run_replicate(spark: SparkSession) -> dict:
                 "rows_shipped_per_cycle": upserts[0],
                 "rows_shipped_full_copy": n,
                 "wire_reduction": round(n / max(upserts[0], 1), 1),
+            }
+        )
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+    return out
+
+
+# ---------------------------------------------------------------------------
+# scaling section: corpus-operator wall vs data volume
+# ---------------------------------------------------------------------------
+def run_scaling(spark: SparkSession) -> dict:
+    """Scaling-law evidence for the headline corpus operators: run
+    exact dedup, MinHash-LSH pair generation, and BM25 top-k at 1x /
+    2x / 4x of the sf0.1 documents table (volume grown by replicating
+    rows under fresh doc_ids — same text distribution, same bucket
+    skew) and assert the wall grows SUB-QUADRATICALLY (t(4x)/t(1x)
+    well under 16x; the pair pipeline's bound is O(sum bucket^2),
+    which this corpus's duplicate structure keeps near-linear). The
+    design claim every operator docstring makes, measured."""
+    from urban_mobility_data_pipeline_spark.cache import release_scratch
+    from urban_mobility_data_pipeline_spark.plans.catalog import QUERIES
+
+    out: dict = {"metric": "corpus_scaling"}
+    root = tempfile.mkdtemp(prefix="umdp_scale_bench_")
+    base_dir = "/root/testdata/sf0.1"
+    names = ["dedup_exact_docs", "doc_near_dup_pairs", "doc_bm25_topk"]
+    try:
+        base = spark.read.parquet(f"{base_dir}/documents.parquet")
+        n_base = base.count()
+        walls: dict[str, list[float]] = {n: [] for n in names}
+        for mult in (1, 2, 4):
+            d = os.path.join(root, f"x{mult}")
+            os.makedirs(d)
+            df = base
+            for k in range(1, mult):
+                df = df.unionByName(
+                    base.withColumn(
+                        "doc_id", F.col("doc_id") + F.lit(k * 10_000_000)
+                    )
+                )
+            df.write.parquet(os.path.join(d, "documents.parquet"))
+            for name in names:
+                t0 = time.perf_counter()
+                QUERIES[name](spark, d).write.format("noop").mode(
+                    "overwrite"
+                ).save()
+                walls[name].append(round(time.perf_counter() - t0, 2))
+                release_scratch()
+                spark.catalog.clearCache()
+        ratios = {
+            n: round(w[2] / max(w[0], 1e-9), 2) for n, w in walls.items()
+        }
+        # 4x data must cost far less than the quadratic 16x
+        for n, r in ratios.items():
+            assert r < 8.0, (n, walls[n])
+        out.update(
+            {
+                "base_docs": n_base,
+                "multipliers": [1, 2, 4],
+                "wall_secs": walls,
+                "t4x_over_t1x": ratios,
             }
         )
     finally:
