@@ -5229,3 +5229,111 @@ def corpus_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("sy") - slope * F.col("sx")) / F.col("n"), 6
         ).alias("intercept"),
     )
+
+
+# ---------------------------------------------------------------------------
+# intra-document repetition scrub (per-row complement of the cross-doc
+# n-gram scrub)
+# ---------------------------------------------------------------------------
+_INTRA_TRIS = (
+    "CASE WHEN len(toks) >= 3 THEN "
+    "list_transform(generate_series(1, len(toks) - 2), "
+    "i -> toks[i] || ' ' || toks[i + 1] || ' ' || toks[i + 2]) "
+    "ELSE [] END"
+)
+
+
+@register(
+    "documents_intradoc_dedup_scrub",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, {_WORDS} AS toks FROM documents),
+    g AS (SELECT doc_id, toks, {_INTRA_TRIS} AS tris FROM t),
+    dup AS (
+        SELECT doc_id, toks,
+               list_filter(generate_series(1, len(tris)),
+                           i -> list_position(tris, tris[i]) < i) AS dupi
+        FROM g
+    )
+    SELECT doc_id,
+           CAST(len(toks) AS INTEGER) AS n_tokens,
+           CAST(len(list_filter(generate_series(1, len(toks)),
+                j -> len(list_filter(dupi,
+                     i -> j >= i AND j <= i + 2)) > 0)) AS INTEGER)
+               AS n_scrubbed,
+           md5(array_to_string(list_filter(toks,
+               (tok, j) -> len(list_filter(dupi,
+                    i -> j >= i AND j <= i + 2)) = 0), ' '))
+               AS clean_md5
+    FROM dup
+    """,
+)
+def documents_intradoc_dedup_scrub(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """WITHIN-document repetition removal — the per-row complement of
+    the cross-document ``documents_dedup_ngram_scrub`` (Gopher's
+    repetition signals DETECT loops; this removes them): any token
+    covered by a word trigram whose identical copy appeared earlier in
+    the same document is scrubbed, and the row carries the scrub count
+    plus the digest of the cleaned text.
+
+    Entirely map-side ARRAY expressions — no explode, no shuffle, no
+    state: repeated-trigram indexes via array_position, coverage via a
+    per-position exists. Per-row cost is O(L^2) in document length
+    (fine at prose lengths; a pathological megabyte-of-loops doc is
+    exactly what the scrub deletes fastest), and rows stream through
+    the scan independently at any corpus size."""
+    docs = table(spark, sf_dir, "documents")
+    t = docs.select("doc_id", T.words("text").alias("toks"))
+    tris = F.when(
+        F.size("toks") >= 3,
+        F.transform(
+            F.sequence(F.lit(1), F.size("toks") - 2),
+            lambda i: F.concat_ws(
+                " ",
+                F.element_at("toks", i),
+                F.element_at("toks", i + 1),
+                F.element_at("toks", i + 2),
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    g = t.select("doc_id", "toks", tris.alias("tris"))
+    dup = g.select(
+        "doc_id",
+        "toks",
+        F.filter(
+            F.sequence(F.lit(1), F.size("tris")),
+            lambda i: F.array_position(
+                F.col("tris"), F.element_at("tris", i)
+            )
+            < i.cast("long"),
+        ).alias("dupi"),
+    )
+    covered = lambda j: (  # noqa: E731 — j is a 1-based position column
+        F.size(
+            F.filter(
+                F.col("dupi"), lambda i: (j >= i) & (j <= i + 2)
+            )
+        )
+        > 0
+    )
+    return dup.select(
+        "doc_id",
+        F.size("toks").cast("int").alias("n_tokens"),
+        F.size(
+            F.filter(
+                F.sequence(F.lit(1), F.size("toks")),
+                lambda j: covered(j),
+            )
+        )
+        .cast("int")
+        .alias("n_scrubbed"),
+        F.md5(
+            F.array_join(
+                F.filter(
+                    "toks", lambda tok, j0: ~covered(j0 + F.lit(1))
+                ),
+                " ",
+            )
+        ).alias("clean_md5"),
+    )
