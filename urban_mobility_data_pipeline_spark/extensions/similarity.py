@@ -902,3 +902,103 @@ def bq_topk_from_codes(
         .orderBy(F.desc("cosine"), F.asc(id_col))
         .limit(k)
     )
+
+
+# ---------------------------------------------------------------------------
+# Lloyd's k-means as pure DataFrame operations (spherical variant)
+# ---------------------------------------------------------------------------
+
+
+def _positional_mean_centroids(assigned: DataFrame, vec_col: str) -> DataFrame:
+    """Per-cell positional mean vector, components rounded to 6dp.
+
+    The rounding is the cross-engine determinism contract (same as the
+    IVF quantizer): every iteration's centroids are identical doubles in
+    Spark and any SQL oracle, so assignment argmaxes can't drift.
+    """
+    exploded = assigned.select(
+        "cell", F.posexplode(F.col(vec_col)).alias("pos", "component")
+    )
+    means = exploded.groupBy("cell", "pos").agg(
+        F.round(F.avg("component"), 6).alias("m")
+    )
+    return (
+        means.groupBy("cell")
+        .agg(F.array_sort(F.collect_list(F.struct("pos", "m"))).alias("pm"))
+        .select("cell", F.transform("pm", lambda x: x["m"]).alias("centroid"))
+    )
+
+
+def _assign_cells(
+    embeddings: DataFrame, centroids: DataFrame, id_col: str, vec_col: str
+) -> DataFrame:
+    """Nearest-centroid assignment by max cosine, ties to the lower cell.
+
+    Identical mechanics to :func:`ivf_assign` but keeps the similarity
+    column for callers that want the objective value.
+    """
+    from pyspark.sql import Window
+
+    scored = embeddings.join(F.broadcast(centroids)).select(
+        F.col(id_col),
+        F.col(vec_col),
+        F.col("cell"),
+        cosine(vec_col, "centroid").alias("__sim"),
+    )
+    w = Window.partitionBy(id_col).orderBy(F.desc("__sim"), F.asc("cell"))
+    return (
+        scored.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+
+
+def spherical_kmeans(
+    embeddings: DataFrame,
+    k: int = 8,
+    iters: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> tuple[DataFrame, DataFrame]:
+    """Lloyd's k-means, spherical variant (Dhillon & Modha 2001), as pure
+    Catalyst operations — no Spark ML, no RNG, no driver collects.
+
+    - **init**: the ``k`` vectors with the lowest ids become cells
+      ``0..k-1`` (deterministic, engine-replayable — no random seeds).
+    - **assign**: argmax cosine to the current centroids, ties to the
+      lower cell (cosine is scale-invariant, so the unnormalized mean
+      gives the same assignment as the normalized spherical centroid).
+    - **update**: per-cell positional mean, rounded to 6dp in every
+      engine so iterations can't drift cross-engine.
+
+    Returns ``(assignments, centroids)`` where assignments carries
+    ``(id_col, cell, centroid_cos)`` for the FINAL centroids. Each
+    iteration is one broadcast join (k rows broadcast) + one shuffle
+    (the per-cell mean); at 100 TB the corpus is scanned ``iters + 1``
+    times and never shuffled on anything wider than (cell, pos).
+    Empty cells drop out (both engines identically).
+    """
+    from pyspark.sql import Window
+
+    dbl = embeddings.select(
+        F.col(id_col),
+        F.transform(vec_col, lambda x: x.cast("double")).alias(vec_col),
+    )
+    w_init = Window.orderBy(id_col)
+    cents = (
+        dbl.orderBy(id_col)
+        .limit(k)
+        .select(
+            (F.row_number().over(w_init) - 1).alias("cell"),
+            F.col(vec_col).alias("centroid"),
+        )
+    )
+    for _ in range(iters):
+        assigned = _assign_cells(dbl, cents, id_col, vec_col)
+        cents = _positional_mean_centroids(assigned, vec_col)
+    final = _assign_cells(dbl, cents, id_col, vec_col).select(
+        id_col,
+        "cell",
+        F.round("__sim", 6).alias("centroid_cos"),
+    )
+    return final, cents

@@ -5337,3 +5337,80 @@ def documents_intradoc_dedup_scrub(
             )
         ).alias("clean_md5"),
     )
+
+
+# --- Lloyd's k-means (spherical), oracle-replayed iteration by iteration ---
+
+_KMEANS_K = 8
+_KMEANS_ITERS = 3
+
+_DUCK_COS = (
+    "list_dot_product({a}, {b}) / (sqrt(list_dot_product({a}, {a})) "
+    "* sqrt(list_dot_product({b}, {b})))"
+)
+
+
+def _kmeans_oracle(k: int, iters: int) -> str:
+    """Unrolled-CTE replay of :func:`spherical_kmeans` — the PageRank
+    pattern applied to clustering: every assign/update round is its own
+    CTE pair, so the oracle checks the whole training trajectory, not
+    just the final labels."""
+    cos = _DUCK_COS.format(a="e.v", b="c.centroid")
+    ctes = [
+        "ex AS (SELECT vec_id, "
+        "list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v "
+        "FROM embeddings)",
+        f"cent0 AS (SELECT CAST(row_number() OVER (ORDER BY vec_id) AS INT)"
+        f" - 1 AS cell, v AS centroid "
+        f"FROM (SELECT vec_id, v FROM ex ORDER BY vec_id LIMIT {k}) t)",
+    ]
+    for i in range(1, iters + 1):
+        ctes.append(
+            f"a{i} AS (SELECT e.vec_id, e.v, c.cell, "
+            f"row_number() OVER (PARTITION BY e.vec_id "
+            f"ORDER BY {cos} DESC, c.cell) AS rn "
+            f"FROM ex e CROSS JOIN cent{i - 1} c)"
+        )
+        ctes.append(
+            f"cent{i} AS (SELECT cell, list(m ORDER BY pos) AS centroid "
+            f"FROM (SELECT cell, pos, round(avg(comp), 6) AS m "
+            f"FROM (SELECT cell, unnest(v) AS comp, "
+            f"unnest(range(1, len(v) + 1)) AS pos FROM a{i} WHERE rn = 1) "
+            f"GROUP BY 1, 2) GROUP BY 1)"
+        )
+    ctes.append(
+        f"fin AS (SELECT e.vec_id, c.cell, {cos} AS sim, "
+        f"row_number() OVER (PARTITION BY e.vec_id "
+        f"ORDER BY {cos} DESC, c.cell) AS rn "
+        f"FROM ex e CROSS JOIN cent{iters} c)"
+    )
+    return (
+        "WITH "
+        + ",\n    ".join(ctes)
+        + "\n    SELECT vec_id, cell, round(sim, 6) AS centroid_cos "
+        "FROM fin WHERE rn = 1"
+    )
+
+
+@register(
+    "embedding_kmeans_cells", oracle=_kmeans_oracle(_KMEANS_K, _KMEANS_ITERS)
+)
+def embedding_kmeans_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lloyd's k-means (spherical) trained entirely in Catalyst — the
+    REAL coarse-quantizer training path for IVF/SemDeDup, replacing the
+    label-mean stand-in, with the full 3-iteration trajectory
+    hash-checked against a DuckDB unrolled-CTE replay. Deterministic
+    lowest-id init, argmax-cosine assignment (ties to the lower cell),
+    6dp-rounded positional-mean update in BOTH engines so no iteration
+    can drift. Per iteration: one k-row broadcast join + one
+    (cell, pos)-keyed shuffle — at 100 TB that's iters+1 corpus scans
+    and never a shuffle wider than dim × k rows out."""
+    from urban_mobility_data_pipeline_spark.extensions.similarity import (
+        spherical_kmeans,
+    )
+
+    emb = table(spark, sf_dir, "embeddings")
+    assignments, _cents = spherical_kmeans(
+        emb, k=_KMEANS_K, iters=_KMEANS_ITERS
+    )
+    return assignments
