@@ -59,3 +59,26 @@ def md5_int_key(cols: Sequence[str | Column]) -> Column:
     h15 = F.substring(F.md5(F.concat_ws("||", *parts)), 1, 15)
     as_long = F.conv(h15, 16, 10).cast("long")
     return (F.pmod(as_long, F.lit(KEY_MODULUS)) + 1).cast("int")
+
+
+def rendezvous_shard(key: str | Column, n_shards: int) -> Column:
+    """Rendezvous (highest-random-weight, Thaler & Ravishankar 1998)
+    shard assignment: shard = argmax_s md5(key '#' s).
+
+    The property that matters at 100 TB: growing ``n_shards`` by one
+    moves ONLY the keys whose new shard wins the argmax — an expected
+    1/(n+1) of the corpus — where ``pmod(hash, n)`` reshuffles ~all of
+    it. Entirely map-side: a ``greatest`` over ``n_shards`` (weight,
+    shard) structs, no shuffle, no lookup table. Weights are fixed-width
+    md5 hex prefixes (lexicographic == numeric); ties are impossible in
+    practice and break to the higher shard (``greatest`` on the struct).
+    """
+    k = _as_cols([key])[0].cast("string")
+    candidates = [
+        F.struct(
+            F.substring(F.md5(F.concat_ws("#", k, F.lit(str(s)))), 1, 16).alias("w"),
+            F.lit(s).alias("shard"),
+        )
+        for s in range(n_shards)
+    ]
+    return F.greatest(*candidates).getField("shard")

@@ -5414,3 +5414,137 @@ def embedding_kmeans_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
         emb, k=_KMEANS_K, iters=_KMEANS_ITERS
     )
     return assignments
+
+
+# --- rendezvous sharding + count-min heavy hitters --------------------------
+
+_RDV_SHARDS = 8
+
+
+@register(
+    "documents_rendezvous_shards",
+    oracle=f"""
+    WITH w AS (
+        SELECT doc_id, CAST(s AS INT) AS shard,
+               row_number() OVER (
+                   PARTITION BY doc_id
+                   ORDER BY substring(md5(CAST(doc_id AS VARCHAR) || '#'
+                            || CAST(s AS VARCHAR)), 1, 16) DESC, s DESC
+               ) AS rn
+        FROM documents
+        CROSS JOIN (SELECT unnest(range({_RDV_SHARDS})) AS s)
+    )
+    SELECT doc_id, shard,
+           count(*) OVER (PARTITION BY shard) AS shard_size
+    FROM w WHERE rn = 1
+    """,
+)
+def documents_rendezvous_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stable shard assignment via rendezvous (highest-random-weight)
+    hashing — the distribution layer for a growing 100 TB corpus:
+    unlike ``pmod(hash, n)``, adding a shard relocates only the ~1/(n+1)
+    of documents the new shard wins (pinned by
+    tests/test_sharding_cms.py), so a reshard is an incremental MERGE
+    instead of a full rewrite. The assignment itself is one map-side
+    ``greatest`` over (md5 weight, shard) structs — no shuffle, no
+    lookup table; the only exchange here is the shard_size audit
+    window. Oracle replays the argmax per document."""
+    from pyspark.sql import Window
+
+    from urban_mobility_data_pipeline_spark.functions.hashing import (
+        rendezvous_shard,
+    )
+
+    docs = table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id", rendezvous_shard("doc_id", _RDV_SHARDS).alias("shard")
+    ).withColumn(
+        "shard_size", F.count(F.lit(1)).over(Window.partitionBy("shard"))
+    )
+
+
+_CMS_DEPTH, _CMS_WIDTH = 4, 64
+
+
+@register(
+    "corpus_cms_heavy_hitters",
+    oracle=f"""
+    WITH toks AS (SELECT unnest({_WORDS}) AS token FROM documents),
+    cnt AS (SELECT token, count(*) AS cf FROM toks GROUP BY token),
+    bux AS (
+        SELECT token, cf, j,
+               {_duck_hex_to_long("substring(md5(CAST(j AS VARCHAR) || '|' || token), 1, 8)")}
+               % {_CMS_WIDTH} AS bucket
+        FROM cnt CROSS JOIN (SELECT unnest(range({_CMS_DEPTH})) AS j)
+    ),
+    sk AS (SELECT j, bucket, sum(cf) AS total FROM bux GROUP BY 1, 2),
+    est AS (
+        SELECT b.token, max(b.cf) AS exact_count, min(sk.total) AS est_count
+        FROM bux b JOIN sk USING (j, bucket)
+        GROUP BY b.token
+    )
+    SELECT token, CAST(est_count AS BIGINT) AS est_count,
+           CAST(exact_count AS BIGINT) AS exact_count
+    FROM est
+    ORDER BY est_count DESC, token
+    LIMIT 20
+    """,
+)
+def corpus_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heavy-hitter tokens through a count-min sketch (Cormode &
+    Muthukrishnan 2005): depth {d} md5-keyed hash rows x width {w}
+    buckets — 256 counters TOTAL regardless of vocabulary size, the
+    fixed-memory path to frequency monitoring when the exact vocab
+    table itself is too wide to keep hot. Built from the reduced
+    (token, cf) table (map-side combine has already collapsed
+    positions), folded to the sketch with one 256-group aggregate; the
+    estimate joins the broadcast 256-row sketch back and takes min over
+    rows. exact_count rides along so the CMS overestimate bound
+    (est >= exact, pinned in tests) is visible in the output. Oracle
+    replays hashes, sketch, and min-query exactly."""
+    docs = table(spark, sf_dir, "documents")
+    cnt = (
+        docs.select(F.explode(T.words("text")).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("cf"))
+    )
+    jb = [
+        F.struct(
+            F.lit(j).alias("j"),
+            (
+                F.conv(
+                    F.substring(
+                        F.md5(F.concat(F.lit(f"{j}|"), F.col("token"))), 1, 8
+                    ),
+                    16,
+                    10,
+                ).cast("long")
+                % _CMS_WIDTH
+            ).alias("bucket"),
+        )
+        for j in range(_CMS_DEPTH)
+    ]
+    pairs = cnt.select(
+        "token",
+        "cf",
+        F.explode(F.array(*jb)).alias("jb"),
+    ).select("token", "cf", F.col("jb.j").alias("j"), F.col("jb.bucket").alias("bucket"))
+    sketch = pairs.groupBy("j", "bucket").agg(F.sum("cf").alias("total"))
+    est = (
+        pairs.join(F.broadcast(sketch), ["j", "bucket"])
+        .groupBy("token")
+        .agg(
+            F.min("total").alias("est_count"),
+            F.max("cf").alias("exact_count"),
+        )
+    )
+    return (
+        est.select("token", "est_count", "exact_count")
+        .orderBy(F.desc("est_count"), F.asc("token"))
+        .limit(20)
+    )
+
+
+corpus_cms_heavy_hitters.__doc__ = corpus_cms_heavy_hitters.__doc__.format(
+    d=_CMS_DEPTH, w=_CMS_WIDTH
+)
