@@ -96,3 +96,25 @@ def test_all_cells_survive(result):
     assignment_rows, cent_rows = result
     assert {r.cell for r in cent_rows} == set(range(K))
     assert {r.cell for r in assignment_rows} == set(range(K))
+
+
+def test_kmeans_centroids_drive_ivf(spark, sf_dir):
+    """The trained quantizer is a drop-in for the IVF contract: search
+    through spherical_kmeans centroids reaches the recall floor of the
+    label-mean stand-in at the same nprobe, and nprobe=k is exact."""
+    from urban_mobility_data_pipeline_spark.extensions.similarity import (
+        cosine_topk,
+        ivf_topk,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    _, cents = spherical_kmeans(emb, k=K, iters=ITERS)
+    exact = {r.vec_id for r in cosine_topk(emb, 0, k=10).collect()}
+    full = {
+        r.vec_id for r in ivf_topk(emb, cents, 0, k=10, nprobe=K).collect()
+    }
+    assert full == exact
+    pruned = {
+        r.vec_id for r in ivf_topk(emb, cents, 0, k=10, nprobe=3).collect()
+    }
+    assert len(pruned & exact) / 10 >= 0.3
