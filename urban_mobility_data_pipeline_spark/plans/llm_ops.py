@@ -5548,3 +5548,64 @@ def corpus_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
 corpus_cms_heavy_hitters.__doc__ = corpus_cms_heavy_hitters.__doc__.format(
     d=_CMS_DEPTH, w=_CMS_WIDTH
 )
+
+
+# --- k-fold split leakage audit ---------------------------------------------
+
+_N_FOLDS = 5
+
+
+def _fold_sql(doc_col: str) -> str:
+    hl = _duck_hex_to_long(
+        f"substring(md5('fold|' || CAST({doc_col} AS VARCHAR)), 1, 8)"
+    )
+    return f"CAST({hl} % {_N_FOLDS} AS INT)"
+
+
+def _fold_col(doc_col: str):
+    h = F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit("fold|"), F.col(doc_col).cast("string"))),
+            1,
+            8,
+        ),
+        16,
+        10,
+    ).cast("long")
+    return (h % _N_FOLDS).cast("int")
+
+
+def _fold_leakage_oracle() -> str:
+    pairs_sql = ORACLES["doc_near_dup_pairs"]
+    return f"""
+    WITH p AS (SELECT * FROM ({pairs_sql}) q),
+    lab AS (
+        SELECT doc_a, doc_b, jaccard,
+               {_fold_sql("doc_a")} AS fold_a,
+               {_fold_sql("doc_b")} AS fold_b
+        FROM p
+    )
+    SELECT * FROM lab WHERE fold_a <> fold_b
+    """
+
+
+@register("documents_fold_leakage", oracle=_fold_leakage_oracle())
+def documents_fold_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-fold dedup leakage audit: near-duplicate pairs that
+    straddle two folds of a deterministic hash k-fold split — exactly
+    the pairs that silently inflate held-out metrics when a dup of a
+    training doc lands in the validation fold. The fold label is a pure
+    md5 function of doc_id, so it's computed MAP-SIDE on the verified
+    pair set (no extra join, no second corpus scan); the heavy lifting
+    is the already-bucketed MinHash-LSH pair pipeline. Oracle replays
+    pairs and fold hashing end-to-end."""
+    docs = table(spark, sf_dir, "documents")
+    pairs = near_dup_pairs(docs, threshold=0.1)
+    labeled = pairs.select(
+        "doc_a",
+        "doc_b",
+        "jaccard",
+        _fold_col("doc_a").alias("fold_a"),
+        _fold_col("doc_b").alias("fold_b"),
+    )
+    return labeled.where(F.col("fold_a") != F.col("fold_b"))
