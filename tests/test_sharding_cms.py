@@ -97,3 +97,17 @@ def test_cms_recovers_true_heavy_hitters(spark, sf_dir):
     }
     sketched = {r.token for r in corpus_cms_heavy_hitters(spark, sf_dir).collect()}
     assert top_exact <= sketched, top_exact - sketched
+
+
+def test_quantile_sketch_error_bound(spark, sf_dir):
+    """The histogram sketch's midpoint estimate sits within 12.5% of the
+    exact percentile (8 sub-bins per octave, and the pct-th value is at
+    least 4 bin-widths above zero by construction)."""
+    from urban_mobility_data_pipeline_spark.plans.llm_ops import (
+        documents_length_quantiles_sketch,
+    )
+
+    rows = documents_length_quantiles_sketch(spark, sf_dir).collect()
+    assert {r.pct for r in rows} == {50, 90, 99}
+    for r in rows:
+        assert abs(r.est_value - r.exact_value) <= 0.125 * r.exact_value, r

@@ -5609,3 +5609,103 @@ def documents_fold_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
         _fold_col("doc_b").alias("fold_b"),
     )
     return labeled.where(F.col("fold_a") != F.col("fold_b"))
+
+
+# --- binned quantile sketch (no global sort) --------------------------------
+
+
+@register(
+    "documents_length_quantiles_sketch",
+    oracle="""
+    WITH d AS (SELECT greatest(n_chars, 1) AS n FROM documents),
+    b0 AS (SELECT length(bin(n)) AS e,
+                  CAST(floor(n * 8.0 / power(2, length(bin(n)))) AS BIGINT) AS sub
+           FROM d),
+    bins AS (SELECT e, sub, count(*) AS c FROM b0 GROUP BY 1, 2),
+    cums AS (SELECT e, sub, c,
+                    sum(c) OVER (ORDER BY e, sub ROWS UNBOUNDED PRECEDING) AS cum,
+                    sum(c) OVER () AS total,
+                    (sub * 2 + 1) * power(2, e) / 16.0 AS edge
+             FROM bins),
+    ps AS (SELECT CAST(unnest([50, 90, 99]) AS INT) AS pct),
+    est AS (SELECT pct, min(edge) AS est_value
+            FROM ps, cums WHERE 100 * cum >= pct * total GROUP BY pct),
+    ranked AS (SELECT n, row_number() OVER (ORDER BY n) AS rn,
+                      count(*) OVER () AS total
+               FROM d),
+    ex AS (SELECT pct, min(n) AS exact_value
+           FROM ps, ranked
+           WHERE rn = CAST(floor((pct * total + 99) / 100.0) AS BIGINT)
+           GROUP BY pct)
+    SELECT est.pct, est.est_value, ex.exact_value
+    FROM est JOIN ex USING (pct)
+    """,
+)
+def documents_length_quantiles_sketch(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Quantiles WITHOUT a global sort: a power-of-two histogram sketch
+    (8 linear sub-bins per octave => worst-case 12.5% relative error)
+    folded in one fixed-size groupBy — the 100 TB path to p50/p90/p99,
+    where the exact answer needs a full-corpus sort. The estimate is
+    the MIDPOINT of the bin holding the pct-th ranked value (the sketch
+    and the exact rank select the same bin by construction). All bin math is
+    integer/power-of-two arithmetic (length(bin(n)), floor(n*8/2^e)) so
+    both engines bin identically, and the rank thresholds compare
+    100*cum >= pct*total in integers — no float quantile boundary can
+    drift cross-engine. The exact percentile rides along as the audit
+    column (the test pins est <= exact <= est*1.15); at scale you'd
+    drop it and keep only the sketch. Sketch state: one row per
+    occupied (octave, sub-bin) — ~8 rows per octave regardless of
+    corpus size."""
+    from pyspark.sql import Window
+
+    docs = table(spark, sf_dir, "documents").select(
+        F.greatest(F.col("n_chars"), F.lit(1)).alias("n")
+    )
+    b0 = docs.select(
+        "n", F.length(F.bin("n")).alias("e")
+    ).select(
+        "n",
+        "e",
+        F.floor(F.col("n") * 8.0 / F.pow(F.lit(2.0), F.col("e"))).alias("sub"),
+    )
+    bins = b0.groupBy("e", "sub").agg(F.count(F.lit(1)).alias("c"))
+    w_cum = (
+        Window.orderBy("e", "sub")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cums = bins.select(
+        "e",
+        "sub",
+        F.sum("c").over(w_cum).alias("cum"),
+        F.sum("c").over(Window.partitionBy()).alias("total"),
+        ((F.col("sub") * 2 + 1) * F.pow(F.lit(2.0), F.col("e")) / 16.0).alias(
+            "edge"
+        ),
+    )
+    ps = spark.createDataFrame([(50,), (90,), (99,)], "pct int")
+    est = (
+        ps.crossJoin(F.broadcast(cums))
+        .where(100 * F.col("cum") >= F.col("pct") * F.col("total"))
+        .groupBy("pct")
+        .agg(F.min("edge").alias("est_value"))
+    )
+    w_rank = Window.orderBy("n")
+    ranked = docs.select(
+        "n",
+        F.row_number().over(w_rank).alias("rn"),
+        F.count(F.lit(1)).over(Window.partitionBy()).alias("total"),
+    )
+    exact = (
+        ps.crossJoin(ranked)
+        .where(
+            F.col("rn")
+            == F.floor((F.col("pct") * F.col("total") + 99) / F.lit(100.0)).cast(
+                "long"
+            )
+        )
+        .groupBy("pct")
+        .agg(F.min("n").alias("exact_value"))
+    )
+    return est.join(exact, "pct")
