@@ -134,7 +134,11 @@ FLAGSHIP = "pricing_summary"
 # documents_packing_efficiency, documents_gopher_gate,
 # documents_contamination_report, streaming_running_profiles (the
 # applyInPandasWithState row), events_watermark_lateness_audit,
-# corpus_zipf_fit; rows-only by nature:
+# corpus_zipf_fit, documents_intradoc_dedup_scrub, and the final
+# round-7 wave: embedding_kmeans_cells (Lloyd's trajectory replayed by
+# an unrolled-CTE oracle), documents_rendezvous_shards,
+# corpus_cms_heavy_hitters, documents_fold_leakage,
+# documents_length_quantiles_sketch; rows-only by nature:
 # corpus_bpe_merges / documents_bpe_token_counts — iterative trainer,
 # gold-pinned by tests/test_bpe.py).
 # daily_distinct_users_sketch remains rows-only BY DESIGN (HLL sketch,
