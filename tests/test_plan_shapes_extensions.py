@@ -79,3 +79,29 @@ def test_mixing_queries_scan_corpus_once(spark, sf_dir, name):
 def test_packing_efficiency_no_python(spark, sf_dir):
     plan = _plan(spark, sf_dir, "documents_packing_efficiency")
     assert "BatchEvalPython" not in plan
+
+
+def test_kmeans_assignment_joins_broadcast_only(spark, sf_dir):
+    """Every k-means assignment round broadcasts the k-row centroid
+    frame — the corpus must never be shuffled for a join (the only
+    exchanges are the per-cell mean aggregations)."""
+    plan = _plan(spark, sf_dir, "embedding_kmeans_cells")
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "BatchEvalPython" not in plan
+
+
+def test_cms_sketch_is_broadcast_min_query(spark, sf_dir):
+    """The 256-row sketch broadcasts into the estimate join and the
+    result is a top-20 TakeOrderedAndProject, never a global sort."""
+    plan = _plan(spark, sf_dir, "corpus_cms_heavy_hitters")
+    assert "BroadcastHashJoin" in plan
+    assert "TakeOrderedAndProject(limit=20" in plan
+
+
+def test_fold_leakage_adds_no_corpus_scan(spark, sf_dir):
+    """Fold labels are pure md5 projections on the pair set: the plan
+    must scan documents exactly as often as the bare pair pipeline."""
+    leak = _plan(spark, sf_dir, "documents_fold_leakage")
+    pairs = _plan(spark, sf_dir, "doc_near_dup_pairs")
+    assert leak.count("documents.parquet") == pairs.count("documents.parquet")
