@@ -467,7 +467,8 @@ def main() -> int:
     if run_all or not (
         args
         & {"--skew", "--soak", "--corpus", "--compaction", "--bloom",
-           "--dedupindex"}
+           "--dedupindex", "--kmeans", "--scaling", "--bq", "--semdedup",
+           "--replicate", "--bm25index", "--dv"}
     ):
         sections["anchor"] = run_anchor(spark)
     if run_all or "--skew" in args:
@@ -494,6 +495,8 @@ def main() -> int:
         sections["replicate"] = run_replicate(spark)
     if run_all or "--scaling" in args:
         sections["corpus_scaling"] = run_scaling(spark)
+    if run_all or "--kmeans" in args:
+        sections["kmeans_scale"] = run_kmeans_scale(spark)
 
     for payload in sections.values():
         print(json.dumps(payload))
@@ -1494,6 +1497,53 @@ def run_scaling(spark: SparkSession) -> dict:
         )
     finally:
         shutil.rmtree(root, ignore_errors=True)
+    return out
+
+
+
+# ---------------------------------------------------------------------------
+# kmeans section: Lloyd's at synthetic-corpus scale
+# ---------------------------------------------------------------------------
+def run_kmeans_scale(spark: SparkSession) -> dict:
+    """Scale proof for spherical_kmeans: 100k and 400k synthetic 64-d
+    vectors (8 planted clusters + per-id jitter, generated JVM-side and
+    localCheckpointed so generation cost stays out of the timing).
+    Asserts the wall grows near-linearly (4x data < 8x time) — each
+    iteration is one broadcast join + one (cell, pos) aggregate, so
+    nothing in the plan is super-linear in the corpus."""
+    from urban_mobility_data_pipeline_spark.extensions.similarity import (
+        spherical_kmeans,
+    )
+
+    out: dict = {"metric": "kmeans_scale", "k": 8, "iters": 3, "dim": 64}
+    sizes = (100_000, 400_000)
+    walls: list[float] = []
+    for n in sizes:
+        vec = F.array(
+            *[
+                (
+                    F.sin((F.col("id") % 8) * 31.0 + F.lit(float(j)))
+                    + F.sin(F.col("id") * 7.0 + F.lit(float(j))) * 0.1
+                ).cast("double")
+                for j in range(64)
+            ]
+        )
+        emb = (
+            spark.range(n)
+            .select(F.col("id").alias("vec_id"), vec.alias("embedding"))
+            .localCheckpoint()
+        )
+        t0 = time.time()
+        assignments, cents = spherical_kmeans(emb, k=8, iters=3)
+        n_assigned = assignments.count()
+        walls.append(round(time.time() - t0, 2))
+        assert n_assigned == n, n_assigned
+        emb.unpersist()
+    out["n"] = list(sizes)
+    out["secs"] = walls
+    out["ratio_4x"] = round(walls[1] / max(walls[0], 1e-9), 2)
+    out["near_linear"] = out["ratio_4x"] < 8
+    assert out["near_linear"], out
     return out
 
 
