@@ -1,0 +1,100 @@
+"""Version-keyed result cache (extensions/result_cache.py): hit on
+unchanged sources, exact invalidation on ANY commit, erasure safety."""
+
+from __future__ import annotations
+
+import tempfile
+
+import pytest
+from pyspark.sql import functions as F
+
+from urban_mobility_data_pipeline_spark.extensions.result_cache import (
+    ResultCache,
+)
+from urban_mobility_data_pipeline_spark.operators.merge import MergeTable
+
+
+@pytest.fixture()
+def setup(spark):
+    root = tempfile.mkdtemp(prefix="umdp_rc_")
+    tbl = MergeTable(spark, tempfile.mkdtemp(prefix="umdp_rc_tbl_"))
+    tbl.create(
+        spark.createDataFrame(
+            [(i, f"user{i % 3}", i * 10) for i in range(30)],
+            "id long, owner string, amount long",
+        )
+    )
+    cache = ResultCache(spark, root)
+    calls = {"n": 0}
+
+    def compute():
+        calls["n"] += 1
+        return tbl.read().groupBy("owner").agg(F.sum("amount").alias("total"))
+
+    return cache, tbl, compute, calls
+
+
+def test_hit_serves_without_recompute(setup):
+    cache, tbl, compute, calls = setup
+    first = {(r.owner, r.total) for r in cache.get_or_compute("by_owner", [tbl], compute).collect()}
+    again = {(r.owner, r.total) for r in cache.get_or_compute("by_owner", [tbl], compute).collect()}
+    assert first == again
+    assert calls["n"] == 1
+    assert (cache.hits, cache.misses) == (1, 1)
+    direct = {(r.owner, r.total) for r in compute().collect()}
+    assert first == direct
+
+
+def test_any_commit_invalidates(spark, setup):
+    cache, tbl, compute, calls = setup
+    cache.get_or_compute("by_owner", [tbl], compute)
+    tbl.append(
+        spark.createDataFrame([(100, "user0", 999)], "id long, owner string, amount long")
+    )
+    fresh = cache.get_or_compute("by_owner", [tbl], compute)
+    assert calls["n"] == 2
+    assert {(r.owner, r.total) for r in fresh.collect()} == {
+        (r.owner, r.total) for r in compute().collect()
+    }
+
+
+def test_erased_rows_never_served_stale(setup):
+    """A cached result cannot outlive the erasure commit that removed
+    its subject: the delete bumps the version, so the next lookup
+    recomputes instead of serving the pre-erasure materialization."""
+    cache, tbl, compute, calls = setup
+    before = cache.get_or_compute("by_owner", [tbl], compute)
+    assert any(r.owner == "user1" for r in before.collect())
+    tbl.delete(F.col("owner") == "user1")
+    after = cache.get_or_compute("by_owner", [tbl], compute)
+    assert all(r.owner != "user1" for r in after.collect())
+    assert calls["n"] == 2
+
+
+def test_multi_source_keying(spark, setup):
+    cache, tbl, compute, calls = setup
+    other = MergeTable(spark, tempfile.mkdtemp(prefix="umdp_rc_tbl2_"))
+    other.create(spark.createDataFrame([(1, 2)], "a long, b long"))
+
+    def joined():
+        calls["n"] += 1
+        return tbl.read().crossJoin(other.read().select("b"))
+
+    cache.get_or_compute("joined", [tbl, other], joined)
+    cache.get_or_compute("joined", [tbl, other], joined)
+    assert calls["n"] == 1
+    other.append(spark.createDataFrame([(3, 4)], "a long, b long"))
+    cache.get_or_compute("joined", [tbl, other], joined)
+    assert calls["n"] == 2
+
+
+def test_distinct_keys_are_independent(setup):
+    cache, tbl, compute, calls = setup
+    cache.get_or_compute("k1", [tbl], compute)
+    cache.get_or_compute("k2", [tbl], compute)
+    assert calls["n"] == 2
+    cache.invalidate("k1")
+    cache.get_or_compute("k2", [tbl], compute)
+    assert calls["n"] == 2
+    cache.get_or_compute("k1", [tbl], compute)
+    assert calls["n"] == 3
