@@ -5709,3 +5709,93 @@ def documents_length_quantiles_sketch(
         .agg(F.min("n").alias("exact_value"))
     )
     return est.join(exact, "pct")
+
+
+# --- edit-distance near-dup verification -------------------------------------
+
+_EDIT_CAP = 256
+_EDIT_SIM_FLOOR = 0.4
+
+
+@register(
+    "doc_edit_similarity_pairs",
+    oracle=f"""
+    WITH sh AS (SELECT doc_id, {_SHINGLES} AS shingles FROM documents),
+    sigs AS (SELECT doc_id, {_MH_COLS_SQL} FROM sh),
+    keys AS (
+{_BAND_SELECTS}
+    ),
+    cands AS (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM keys a JOIN keys b
+          ON a.band_id = b.band_id AND a.band_key = b.band_key
+         AND a.doc_id < b.doc_id
+    ),
+    t AS (SELECT doc_id,
+                 substring(lower(trim(text)), 1, {_EDIT_CAP}) AS t
+          FROM documents),
+    scored AS (
+        SELECT c.doc_a, c.doc_b,
+               round(1.0 - levenshtein(ta.t, tb.t)
+                     / CAST(greatest(length(ta.t), length(tb.t), 1) AS DOUBLE),
+                     6) AS edit_sim
+        FROM cands c
+        JOIN t ta ON ta.doc_id = c.doc_a
+        JOIN t tb ON tb.doc_id = c.doc_b
+    )
+    SELECT * FROM scored WHERE edit_sim >= {_EDIT_SIM_FLOOR}
+    """,
+)
+def doc_edit_similarity_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edit-distance verification of the LSH near-dup candidates: the
+    dedup literature's second verifier family (character-level, catches
+    word-boundary rewrites that n-gram Jaccard dilutes). Levenshtein is
+    a built-in DP in BOTH engines (identical unit-cost metric, so the
+    integer distances hash-match), capped to the first {cap} normalized
+    chars — the DP is O(cap^2) per pair, and the pair set is
+    LSH-bounded (O(sum bucket^2), never all-pairs), so the cost model
+    at 100 TB is pairs x a constant, not pairs x document-length^2.
+    greatest(..., 1) guards ANSI division on empty texts."""
+    docs = table(spark, sf_dir, "documents")
+    keys = lsh_band_keys(minhash_signatures(docs))
+    cands = (
+        keys.alias("a")
+        .join(
+            keys.alias("b"),
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+        )
+        .distinct()
+    )
+    texts = docs.select(
+        "doc_id",
+        F.substring(F.lower(F.trim("text")), 1, _EDIT_CAP).alias("t"),
+    )
+    scored = (
+        F.broadcast(cands)
+        .join(texts.alias("ta"), F.col("doc_a") == F.col("ta.doc_id"))
+        .join(texts.alias("tb"), F.col("doc_b") == F.col("tb.doc_id"))
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round(
+                1.0
+                - F.levenshtein(F.col("ta.t"), F.col("tb.t"))
+                / F.greatest(
+                    F.length("ta.t"), F.length("tb.t"), F.lit(1)
+                ).cast("double"),
+                6,
+            ).alias("edit_sim"),
+        )
+    )
+    return scored.where(F.col("edit_sim") >= _EDIT_SIM_FLOOR)
+
+
+doc_edit_similarity_pairs.__doc__ = doc_edit_similarity_pairs.__doc__.format(
+    cap=_EDIT_CAP
+)
