@@ -3190,3 +3190,87 @@ def brand_return_rate_ranked(spark: SparkSession, sf_dir: str) -> DataFrame:
 brand_return_rate_ranked.__doc__ = brand_return_rate_ranked.__doc__.format(
     z=WILSON_Z
 )
+
+
+# ---------------------------------------------------------------------------
+# k-anonymity / l-diversity privacy audit
+# ---------------------------------------------------------------------------
+_KANON_K = 5
+_LDIV_L = 3
+
+
+@register(
+    "customers_k_anonymity",
+    oracle=f"""
+    WITH q AS (
+        SELECT c.c_custkey, n.n_regionkey AS region, c.c_mktsegment,
+               CAST(floor(c.c_acctbal / 4000) AS INT) AS bal_band
+        FROM customer c JOIN nation n ON n.n_nationkey = c.c_nationkey
+    ),
+    j AS (
+        SELECT q.*, o.o_orderpriority
+        FROM q LEFT JOIN orders o ON o.o_custkey = q.c_custkey
+    )
+    SELECT region, c_mktsegment, bal_band,
+           count(DISTINCT c_custkey) AS k_size,
+           count(DISTINCT o_orderpriority) AS l_div,
+           CASE WHEN count(DISTINCT c_custkey) < {_KANON_K} THEN 'k_risk'
+                WHEN count(DISTINCT o_orderpriority) < {_LDIV_L} THEN 'l_risk'
+                ELSE 'ok' END AS risk_tier
+    FROM j
+    GROUP BY 1, 2, 3
+    """,
+)
+def customers_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Privacy-release audit (Sweeney's k-anonymity + l-diversity):
+    group customers by quasi-identifiers (region, segment, account
+    balance band — nation folds to region through a broadcast dim join,
+    the classic generalization step of a k-anonymity release) and flag groups small enough to re-identify
+    (k_size < {k}) or homogeneous enough to infer the sensitive
+    attribute — the order-priority mix — without identifying anyone
+    (l_div < {l}). This is the audit that gates publishing "anonymized"
+    extracts; it composes with the GDPR operators: erasure shrinks
+    groups, so re-running the audit after an erasure wave shows which
+    cells fell below k. One left join + one grouped dual
+    count-distinct; the quasi-cube is tiny (|nations| x |segments| x
+    |bands|) so the output never outgrows the driver."""
+    nation = table(spark, sf_dir, "nation").select(
+        "n_nationkey", F.col("n_regionkey").alias("region")
+    )
+    cust = (
+        table(spark, sf_dir, "customer")
+        .join(
+            F.broadcast(nation),
+            F.col("c_nationkey") == F.col("n_nationkey"),
+        )
+        .select(
+            "c_custkey",
+            "region",
+            "c_mktsegment",
+            F.floor(F.col("c_acctbal") / 4000).cast("int").alias("bal_band"),
+        )
+    )
+    orders = table(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderpriority"
+    )
+    j = cust.join(orders, cust.c_custkey == orders.o_custkey, "left")
+    g = j.groupBy("region", "c_mktsegment", "bal_band").agg(
+        F.countDistinct("c_custkey").alias("k_size"),
+        F.countDistinct("o_orderpriority").alias("l_div"),
+    )
+    return g.select(
+        "region",
+        "c_mktsegment",
+        "bal_band",
+        "k_size",
+        "l_div",
+        F.when(F.col("k_size") < _KANON_K, F.lit("k_risk"))
+        .when(F.col("l_div") < _LDIV_L, F.lit("l_risk"))
+        .otherwise(F.lit("ok"))
+        .alias("risk_tier"),
+    )
+
+
+customers_k_anonymity.__doc__ = customers_k_anonymity.__doc__.format(
+    k=_KANON_K, l=_LDIV_L
+)
