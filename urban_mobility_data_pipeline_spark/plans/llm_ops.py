@@ -5799,3 +5799,89 @@ def doc_edit_similarity_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 doc_edit_similarity_pairs.__doc__ = doc_edit_similarity_pairs.__doc__.format(
     cap=_EDIT_CAP
 )
+
+
+# --- per-source distribution drift (PSI) -------------------------------------
+
+
+@register(
+    "corpus_source_drift_psi",
+    oracle="""
+    WITH d AS (SELECT source, length(bin(greatest(n_chars, 1))) AS e
+               FROM documents),
+    sb AS (SELECT source, e, count(*) AS c FROM d GROUP BY 1, 2),
+    btot AS (SELECT e, sum(c) AS cb FROM sb GROUP BY 1),
+    stot AS (SELECT source, sum(c) AS ns FROM sb GROUP BY 1),
+    gtot AS (SELECT sum(c) AS n, count(DISTINCT e) AS nbins FROM sb),
+    grid AS (
+        SELECT s.source, b.e, coalesce(sb.c, 0) AS c, b.cb, s.ns, g.n, g.nbins
+        FROM stot s
+        CROSS JOIN btot b
+        CROSS JOIN gtot g
+        LEFT JOIN sb ON sb.source = s.source AND sb.e = b.e
+    ),
+    terms AS (
+        SELECT source, ns,
+               CAST(round(
+                   ((c + 1) / CAST(ns + nbins AS DOUBLE)
+                    - (cb - c + 1) / CAST(n - ns + nbins AS DOUBLE))
+                   * ln(((c + 1) / CAST(ns + nbins AS DOUBLE))
+                        / ((cb - c + 1) / CAST(n - ns + nbins AS DOUBLE)))
+                   * 100000000) AS BIGINT) AS t8
+        FROM grid
+    )
+    SELECT source, CAST(min(ns) AS BIGINT) AS n_docs,
+           round(sum(t8) / 100000000.0, 4) AS psi,
+           CASE WHEN sum(t8) >= 25000000 THEN 'shifted'
+                WHEN sum(t8) >= 10000000 THEN 'watch'
+                ELSE 'stable' END AS drift_tier
+    FROM terms
+    GROUP BY source
+    """,
+)
+def corpus_source_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution-drift monitor: per-source Population Stability Index
+    of the doc-length histogram against the REST of the corpus
+    (industry thresholds 0.1 watch / 0.25 shifted), Laplace-smoothed so
+    empty bins stay finite. The shape is the monitoring loop a 100 TB
+    ingest runs per feed per day: the histogram is the octave binning
+    (integer-exact cross-engine), and each PSI term is rounded to 8dp
+    and summed AS AN INTEGER — the sum is order-independent, so no
+    float accumulation order (Spark partial aggs vs DuckDB) can flip a
+    rounded digit. One corpus scan; everything after the (source, bin)
+    count is arithmetic on a |sources| x |octaves| grid."""
+    docs = table(spark, sf_dir, "documents").select(
+        "source",
+        F.length(F.bin(F.greatest(F.col("n_chars"), F.lit(1)))).alias("e"),
+    )
+    sb = docs.groupBy("source", "e").agg(F.count(F.lit(1)).alias("c"))
+    btot = sb.groupBy("e").agg(F.sum("c").alias("cb"))
+    stot = sb.groupBy("source").agg(F.sum("c").alias("ns"))
+    gtot = sb.agg(
+        F.sum("c").alias("n"), F.countDistinct("e").alias("nbins")
+    )
+    grid = (
+        stot.select("source", "ns")
+        .crossJoin(F.broadcast(btot))
+        .crossJoin(F.broadcast(gtot))
+        .join(sb, ["source", "e"], "left")
+        .withColumn("c", F.coalesce(F.col("c"), F.lit(0)))
+    )
+    p = (F.col("c") + 1) / (F.col("ns") + F.col("nbins")).cast("double")
+    q = (F.col("cb") - F.col("c") + 1) / (
+        F.col("n") - F.col("ns") + F.col("nbins")
+    ).cast("double")
+    t8 = F.round((p - q) * F.log(p / q) * 100000000).cast("long")
+    terms = grid.select("source", "ns", t8.alias("t8"))
+    agg = terms.groupBy("source").agg(
+        F.min("ns").alias("n_docs"), F.sum("t8").alias("s8")
+    )
+    return agg.select(
+        "source",
+        "n_docs",
+        F.round(F.col("s8") / 100000000.0, 4).alias("psi"),
+        F.when(F.col("s8") >= 25000000, F.lit("shifted"))
+        .when(F.col("s8") >= 10000000, F.lit("watch"))
+        .otherwise(F.lit("stable"))
+        .alias("drift_tier"),
+    )
