@@ -1,0 +1,67 @@
+"""Statistical analytics ops: RFM segmentation, chi-square independence,
+PSI drift — gold-value and property checks beyond the DuckDB oracles."""
+
+from __future__ import annotations
+
+import numpy as np
+
+from urban_mobility_data_pipeline_spark.plans.analytics import (
+    customer_rfm_segments,
+    orders_priority_weekday_chi2,
+)
+from urban_mobility_data_pipeline_spark.plans.llm_ops import (
+    corpus_source_drift_psi,
+)
+
+
+def test_chi2_matches_numpy(spark, sf_dir):
+    got = orders_priority_weekday_chi2(spark, sf_dir).collect()[0]
+    rows = (
+        spark.read.parquet(f"{sf_dir}/orders.parquet")
+        .select("o_orderpriority", "o_orderdate")
+        .collect()
+    )
+    from collections import Counter
+
+    obs = Counter(
+        (r.o_orderpriority, (r.o_orderdate.date().toordinal() - 719163) % 7)
+        for r in rows
+    )
+    prios = sorted({p for p, _ in obs})
+    wds = sorted({w for _, w in obs})
+    m = np.array([[obs.get((p, w), 0) for w in wds] for p in prios], float)
+    e = m.sum(1, keepdims=True) @ m.sum(0, keepdims=True) / m.sum()
+    chi2 = ((m - e) ** 2 / e).sum()
+    assert abs(chi2 - got.chi2) < 1e-3, (chi2, got.chi2)
+    assert got.dof == (len(prios) - 1) * (len(wds) - 1)
+    assert got.n == int(m.sum())
+
+
+def test_rfm_scores_are_balanced_quintiles(spark, sf_dir):
+    rows = customer_rfm_segments(spark, sf_dir).collect()
+    n = len(rows)
+    for col in ("r_score", "f_score", "m_score"):
+        from collections import Counter
+
+        c = Counter(getattr(r, col) for r in rows)
+        assert set(c) == {1, 2, 3, 4, 5}
+        assert max(c.values()) - min(c.values()) <= 1, (col, c)
+    assert all(1 <= r.r_score <= 5 for r in rows)
+    # champion implies all three scores high; hibernating implies stale
+    for r in rows:
+        if r.segment == "champion":
+            assert r.r_score >= 4 and r.f_score >= 4 and r.m_score >= 4
+        if r.segment == "hibernating":
+            assert r.r_score <= 2
+    assert n == len({r.c_custkey for r in rows})
+
+
+def test_psi_is_nonnegative_and_self_consistent(spark, sf_dir):
+    rows = corpus_source_drift_psi(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r.psi >= 0, r
+        tier = (
+            "shifted" if r.psi >= 0.25 else "watch" if r.psi >= 0.1 else "stable"
+        )
+        assert r.drift_tier == tier, r

@@ -3274,3 +3274,205 @@ def customers_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
 customers_k_anonymity.__doc__ = customers_k_anonymity.__doc__.format(
     k=_KANON_K, l=_LDIV_L
 )
+
+
+# ---------------------------------------------------------------------------
+# RFM customer segmentation
+# ---------------------------------------------------------------------------
+@register(
+    "customer_rfm_segments",
+    oracle="""
+    WITH o AS (
+        SELECT o_custkey,
+               CAST(o_orderdate AS DATE) AS d,
+               o_totalprice
+        FROM orders
+    ),
+    anchor AS (SELECT max(d) AS maxd FROM o),
+    base AS (
+        SELECT o_custkey AS c_custkey,
+               date_diff('day', max(d), (SELECT maxd FROM anchor)) AS r_days,
+               count(*) AS freq,
+               round(sum(o_totalprice), 2) AS monetary
+        FROM o GROUP BY 1
+    ),
+    scored AS (
+        SELECT *,
+               ntile(5) OVER (ORDER BY r_days DESC, c_custkey) AS r_score,
+               ntile(5) OVER (ORDER BY freq ASC, c_custkey) AS f_score,
+               ntile(5) OVER (ORDER BY monetary ASC, c_custkey) AS m_score
+        FROM base
+    )
+    SELECT c_custkey, CAST(r_days AS BIGINT) AS r_days,
+           CAST(freq AS BIGINT) AS freq, monetary,
+           r_score, f_score, m_score,
+           CASE WHEN r_score >= 4 AND f_score >= 4 AND m_score >= 4
+                     THEN 'champion'
+                WHEN f_score >= 4 THEN 'loyal'
+                WHEN m_score >= 4 THEN 'big_spender'
+                WHEN r_score <= 2 AND f_score >= 3 THEN 'at_risk'
+                WHEN r_score <= 2 THEN 'hibernating'
+                ELSE 'regular' END AS segment
+    FROM scored
+    """,
+)
+def customer_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classic RFM segmentation: per-customer recency (days since last
+    order, anchored to the corpus max date so the result is
+    reproducible), frequency, monetary; quintile scores via NTILE with
+    full deterministic tiebreaks (score column then c_custkey — NTILE
+    is order-sensitive, so ties MUST be broken identically in every
+    engine) and the standard segment ladder. The per-customer rollup is
+    one shuffle on o_custkey; the NTILEs run on the already-reduced
+    customer frame (|customers| rows, not |orders|)."""
+    o = table(spark, sf_dir, "orders").select(
+        "o_custkey",
+        F.col("o_orderdate").cast("date").alias("d"),
+        "o_totalprice",
+    )
+    anchor = o.agg(F.max("d").alias("maxd"))
+    base = (
+        o.groupBy(F.col("o_custkey").alias("c_custkey"))
+        .agg(
+            F.max("d").alias("lastd"),
+            F.count(F.lit(1)).alias("freq"),
+            F.round(F.sum("o_totalprice"), 2).alias("monetary"),
+        )
+        .crossJoin(F.broadcast(anchor))
+        .select(
+            "c_custkey",
+            F.datediff("maxd", "lastd").cast("long").alias("r_days"),
+            "freq",
+            "monetary",
+        )
+    )
+    scored = base.select(
+        "*",
+        F.ntile(5)
+        .over(Window.orderBy(F.desc("r_days"), F.asc("c_custkey")))
+        .alias("r_score"),
+        F.ntile(5)
+        .over(Window.orderBy(F.asc("freq"), F.asc("c_custkey")))
+        .alias("f_score"),
+        F.ntile(5)
+        .over(Window.orderBy(F.asc("monetary"), F.asc("c_custkey")))
+        .alias("m_score"),
+    )
+    return scored.select(
+        "c_custkey",
+        "r_days",
+        "freq",
+        "monetary",
+        "r_score",
+        "f_score",
+        "m_score",
+        F.when(
+            (F.col("r_score") >= 4)
+            & (F.col("f_score") >= 4)
+            & (F.col("m_score") >= 4),
+            F.lit("champion"),
+        )
+        .when(F.col("f_score") >= 4, F.lit("loyal"))
+        .when(F.col("m_score") >= 4, F.lit("big_spender"))
+        .when(
+            (F.col("r_score") <= 2) & (F.col("f_score") >= 3),
+            F.lit("at_risk"),
+        )
+        .when(F.col("r_score") <= 2, F.lit("hibernating"))
+        .otherwise(F.lit("regular"))
+        .alias("segment"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# chi-square independence test (priority x weekday)
+# ---------------------------------------------------------------------------
+#: chi2 critical value, alpha=0.05, dof=(5-1)(7-1)=24
+_CHI2_CRIT_24 = 36.415
+
+
+@register(
+    "orders_priority_weekday_chi2",
+    oracle=f"""
+    WITH o AS (
+        SELECT o_orderpriority AS prio,
+               date_diff('day', DATE '1970-01-01',
+                         CAST(o_orderdate AS DATE)) % 7 AS wd
+        FROM orders
+    ),
+    obs AS (SELECT prio, wd, count(*) AS c FROM o GROUP BY 1, 2),
+    rows_ AS (SELECT prio, sum(c) AS rc FROM obs GROUP BY 1),
+    cols_ AS (SELECT wd, sum(c) AS cc FROM obs GROUP BY 1),
+    tot AS (SELECT sum(c) AS n FROM obs),
+    grid AS (
+        SELECT r.prio, col.wd, coalesce(obs.c, 0) AS c, r.rc, col.cc, t.n
+        FROM rows_ r CROSS JOIN cols_ col CROSS JOIN tot t
+        LEFT JOIN obs ON obs.prio = r.prio AND obs.wd = col.wd
+    ),
+    terms AS (
+        SELECT CAST(round(
+                   (c - rc * cc / CAST(n AS DOUBLE))
+                   * (c - rc * cc / CAST(n AS DOUBLE))
+                   / (rc * cc / CAST(n AS DOUBLE))
+                   * 100000000) AS BIGINT) AS t8,
+               n
+        FROM grid
+    )
+    SELECT round(sum(t8) / 100000000.0, 4) AS chi2,
+           CAST((SELECT count(*) FROM rows_) - 1 AS INT)
+           * CAST((SELECT count(*) FROM cols_) - 1 AS INT) AS dof,
+           CAST(min(n) AS BIGINT) AS n,
+           CASE WHEN sum(t8) / 100000000.0 > {_CHI2_CRIT_24}
+                THEN 'dependent' ELSE 'independent' END AS verdict
+    FROM terms
+    """,
+)
+def orders_priority_weekday_chi2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pearson chi-square test of independence between order priority
+    and weekday — the statistical-test family: is the priority mix a
+    function of the day of week? Weekday is epoch-days mod 7 (pure
+    integer — immune to engine DOW-numbering differences), expected
+    counts are rank-one row x col / n, and each (obs-exp)^2/exp term is
+    rounded to 8dp and summed AS AN INTEGER so no accumulation order
+    can flip a digit. The contingency table is |priorities| x 7 — the
+    whole test after the one groupBy is constant-size arithmetic."""
+    o = table(spark, sf_dir, "orders").select(
+        F.col("o_orderpriority").alias("prio"),
+        (
+            F.datediff(F.col("o_orderdate").cast("date"), F.lit("1970-01-01").cast("date"))
+            % 7
+        ).alias("wd"),
+    )
+    obs = o.groupBy("prio", "wd").agg(F.count(F.lit(1)).alias("c"))
+    rows_ = obs.groupBy("prio").agg(F.sum("c").alias("rc"))
+    cols_ = obs.groupBy("wd").agg(F.sum("c").alias("cc"))
+    tot = obs.agg(F.sum("c").alias("n"))
+    grid = (
+        rows_.crossJoin(F.broadcast(cols_))
+        .crossJoin(F.broadcast(tot))
+        .join(obs, ["prio", "wd"], "left")
+        .withColumn("c", F.coalesce(F.col("c"), F.lit(0)))
+    )
+    e = F.col("rc") * F.col("cc") / F.col("n").cast("double")
+    t8 = F.round((F.col("c") - e) * (F.col("c") - e) / e * 100000000).cast(
+        "long"
+    )
+    return (
+        grid.select("prio", "wd", t8.alias("t8"), "n")
+        .agg(
+            F.sum("t8").alias("s8"),
+            F.min("n").alias("n"),
+            F.countDistinct("prio").alias("nr"),
+            F.countDistinct("wd").alias("nc"),
+        )
+        .select(
+            F.round(F.col("s8") / 100000000.0, 4).alias("chi2"),
+            ((F.col("nr") - 1) * (F.col("nc") - 1)).cast("int").alias("dof"),
+            F.col("n").cast("long").alias("n"),
+            F.when(
+                F.col("s8") / 100000000.0 > _CHI2_CRIT_24, F.lit("dependent")
+            )
+            .otherwise(F.lit("independent"))
+            .alias("verdict"),
+        )
+    )
