@@ -138,7 +138,9 @@ FLAGSHIP = "pricing_summary"
 # round-7 wave: embedding_kmeans_cells (Lloyd's trajectory replayed by
 # an unrolled-CTE oracle), documents_rendezvous_shards,
 # corpus_cms_heavy_hitters, documents_fold_leakage,
-# documents_length_quantiles_sketch; rows-only by nature:
+# documents_length_quantiles_sketch, doc_edit_similarity_pairs,
+# customers_k_anonymity, corpus_source_drift_psi,
+# customer_rfm_segments, orders_priority_weekday_chi2; rows-only by nature:
 # corpus_bpe_merges / documents_bpe_token_counts — iterative trainer,
 # gold-pinned by tests/test_bpe.py).
 # daily_distinct_users_sketch remains rows-only BY DESIGN (HLL sketch,
