@@ -58,3 +58,29 @@ def test_pathological_budget_never_loops_forever():
     line = fit_stdout_line(res, "BENCH_LOCAL_r99.json")
     d = json.loads(line)
     assert d["queries"] == {} and d["queries_omitted"] == 1
+
+
+def test_catalog_module_names_are_disjoint():
+    """catalog.py merges module QUERIES dicts with .update() — a name
+    collision would silently shadow one implementation with another and
+    the oracle of the loser could be checked against the winner's plan.
+    Keep the namespace provably disjoint."""
+    from urban_mobility_data_pipeline_spark.plans import (
+        analytics,
+        functions_q,
+        llm_ops,
+        parity,
+        streaming_q,
+    )
+
+    seen: dict[str, str] = {}
+    for mod in (parity, llm_ops, analytics, functions_q, streaming_q):
+        for name in mod.QUERIES:
+            assert name not in seen, (
+                f"{name} defined in both {seen[name]} and {mod.__name__}"
+            )
+            seen[name] = mod.__name__
+    # every oracle belongs to a registered query
+    from urban_mobility_data_pipeline_spark.plans import catalog
+
+    assert set(catalog.ORACLES) <= set(catalog.QUERIES)
