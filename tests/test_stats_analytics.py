@@ -65,3 +65,50 @@ def test_psi_is_nonnegative_and_self_consistent(spark, sf_dir):
             "shifted" if r.psi >= 0.25 else "watch" if r.psi >= 0.1 else "stable"
         )
         assert r.drift_tier == tier, r
+
+
+def test_ks_matches_numpy_and_detects_drift(spark, sf_dir, tmp_path):
+    from urban_mobility_data_pipeline_spark.plans.llm_ops import (
+        documents_length_ks_test,
+    )
+
+    # exact-integer agreement with a NumPy ECDF on the real corpus
+    got = {r.source: r for r in documents_length_ks_test(spark, sf_dir).collect()}
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").collect()
+    values = sorted({d.n_chars for d in docs})
+    for src in {d.n_chars: None for d in docs} and {d.source for d in docs}:
+        a = sorted(d.n_chars for d in docs if d.source == src)
+        b = sorted(d.n_chars for d in docs if d.source != src)
+        na, nb = len(a), len(b)
+        import bisect
+
+        num = max(
+            abs(bisect.bisect_right(a, v) * nb - bisect.bisect_right(b, v) * na)
+            for v in values
+        )
+        assert got[src].ks_num == num, src
+        assert got[src].n_source == na
+
+    # a clearly shifted source must trip the alpha=0.05 verdict
+    synth = spark.createDataFrame(
+        [(i, "x" * 10, "en", "shifted", 500 + (i % 7)) for i in range(200)]
+        + [(1000 + i, "x" * 10, "en", f"base{i % 4}", 100 + (i % 9)) for i in range(800)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    synth.write.mode("overwrite").parquet(f"{tmp_path}/documents.parquet")
+    rows = {r.source: r for r in documents_length_ks_test(spark, str(tmp_path)).collect()}
+    assert rows["shifted"].verdict == "drifted", rows["shifted"]
+    assert rows["shifted"].ks == 1.0  # disjoint supports => maximal distance
+    # (the base sources ALSO drift here — their "rest" is 25% shifted
+    # docs — which is the correct reading, so the negative control is a
+    # separate iid corpus)
+    iid = spark.createDataFrame(
+        [
+            (i, "x" * 10, "en", f"s{i % 4}", 100 + (i * 13 % 50))
+            for i in range(1000)
+        ],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    iid.write.mode("overwrite").parquet(f"{tmp_path}/iid/documents.parquet")
+    rows = documents_length_ks_test(spark, f"{tmp_path}/iid").collect()
+    assert all(r.verdict == "same_dist" for r in rows), rows

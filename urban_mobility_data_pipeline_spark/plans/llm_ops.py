@@ -5885,3 +5885,130 @@ def corpus_source_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.lit("stable"))
         .alias("drift_tier"),
     )
+
+
+# --- exact Kolmogorov-Smirnov drift test -------------------------------------
+
+#: KS critical coefficient at alpha = 0.05 (two-sample): c(alpha) = 1.358
+_KS_C05 = 1.358
+
+
+@register(
+    "documents_length_ks_test",
+    oracle=f"""
+    WITH d AS (SELECT source, n_chars AS v FROM documents),
+    cnt AS (SELECT source, v, count(*) AS c FROM d GROUP BY 1, 2),
+    stot AS (SELECT source, sum(c) AS ns FROM cnt GROUP BY 1),
+    gtot AS (SELECT sum(c) AS n FROM cnt),
+    vals AS (SELECT DISTINCT v FROM cnt),
+    vcnt AS (SELECT v, sum(c) AS cv FROM cnt GROUP BY 1),
+    vcum AS (SELECT v, sum(cv) OVER (ORDER BY v
+                                     ROWS UNBOUNDED PRECEDING) AS cum_all
+             FROM vcnt),
+    grid AS (
+        SELECT s.source, va.v, s.ns, coalesce(cnt.c, 0) AS c
+        FROM stot s CROSS JOIN vals va
+        LEFT JOIN cnt ON cnt.source = s.source AND cnt.v = va.v
+    ),
+    cums AS (
+        SELECT g.source, g.v, g.ns,
+               sum(g.c) OVER (PARTITION BY g.source ORDER BY g.v
+                              ROWS UNBOUNDED PRECEDING) AS cum_s,
+               vc.cum_all, t.n
+        FROM grid g
+        JOIN vcum vc ON vc.v = g.v
+        CROSS JOIN gtot t
+    ),
+    dist AS (
+        SELECT source, ns, n - ns AS nr,
+               max(abs(cum_s * (n - ns) - (cum_all - cum_s) * ns)) AS ks_num
+        FROM cums
+        GROUP BY source, ns, n
+    )
+    SELECT source, CAST(ns AS BIGINT) AS n_source,
+           CAST(ks_num AS BIGINT) AS ks_num,
+           round(ks_num / CAST(ns * nr AS DOUBLE), 6) AS ks,
+           CASE WHEN ks_num > {_KS_C05} * sqrt((ns + nr)
+                     / CAST(ns * nr AS DOUBLE)) * ns * nr
+                THEN 'drifted' ELSE 'same_dist' END AS verdict
+    FROM dist
+    """,
+)
+def documents_length_ks_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample Kolmogorov-Smirnov drift test, EXACT cross-engine:
+    D = max |ECDF_source - ECDF_rest| is carried as the INTEGER
+    numerator |cum_s * n_rest - cum_rest * n_source| (cross-multiplied
+    ECDF difference) until the final display division — so unlike every
+    float-rounded statistic, the max and the alpha=0.05 verdict are
+    bit-exact in any engine, no rounding contract needed. Complements
+    the PSI monitor: PSI is binned and smoothed, KS is distribution-free
+    and exact. The grid is |sources| x |distinct lengths| (small); cum
+    windows are partitioned per source, so nothing here scales with the
+    corpus beyond the one (source, length) count."""
+    from pyspark.sql import Window
+
+    d = table(spark, sf_dir, "documents").select(
+        "source", F.col("n_chars").alias("v")
+    )
+    cnt = d.groupBy("source", "v").agg(F.count(F.lit(1)).alias("c"))
+    stot = cnt.groupBy("source").agg(F.sum("c").alias("ns"))
+    gtot = cnt.agg(F.sum("c").alias("n"))
+    vals = cnt.select("v").distinct()
+    vcum = (
+        cnt.groupBy("v")
+        .agg(F.sum("c").alias("cv"))
+        .select(
+            "v",
+            F.sum("cv")
+            .over(
+                Window.orderBy("v").rowsBetween(
+                    Window.unboundedPreceding, Window.currentRow
+                )
+            )
+            .alias("cum_all"),
+        )
+    )
+    grid = (
+        stot.crossJoin(F.broadcast(vals))
+        .join(cnt, ["source", "v"], "left")
+        .withColumn("c", F.coalesce(F.col("c"), F.lit(0)))
+    )
+    w_s = (
+        Window.partitionBy("source")
+        .orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cums = (
+        grid.select(
+            "source", "v", "ns", F.sum("c").over(w_s).alias("cum_s")
+        )
+        .join(F.broadcast(vcum), "v")
+        .crossJoin(F.broadcast(gtot))
+    )
+    dist = cums.groupBy("source", "ns", "n").agg(
+        F.max(
+            F.abs(
+                F.col("cum_s") * (F.col("n") - F.col("ns"))
+                - (F.col("cum_all") - F.col("cum_s")) * F.col("ns")
+            )
+        ).alias("ks_num")
+    )
+    nr = F.col("n") - F.col("ns")
+    return dist.select(
+        "source",
+        F.col("ns").cast("long").alias("n_source"),
+        F.col("ks_num").cast("long").alias("ks_num"),
+        F.round(F.col("ks_num") / (F.col("ns") * nr).cast("double"), 6).alias(
+            "ks"
+        ),
+        F.when(
+            F.col("ks_num")
+            > _KS_C05
+            * F.sqrt((F.col("ns") + nr) / (F.col("ns") * nr).cast("double"))
+            * F.col("ns")
+            * nr,
+            F.lit("drifted"),
+        )
+        .otherwise(F.lit("same_dist"))
+        .alias("verdict"),
+    )
