@@ -112,3 +112,30 @@ def test_ks_matches_numpy_and_detects_drift(spark, sf_dir, tmp_path):
     iid.write.mode("overwrite").parquet(f"{tmp_path}/iid/documents.parquet")
     rows = documents_length_ks_test(spark, f"{tmp_path}/iid").collect()
     assert all(r.verdict == "same_dist" for r in rows), rows
+
+
+def test_gini_matches_numpy(spark, sf_dir):
+    from urban_mobility_data_pipeline_spark.plans.analytics import (
+        segment_spend_gini,
+    )
+
+    got = {r.segment: r for r in segment_spend_gini(spark, sf_dir).collect()}
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet").collect()
+    cust = {
+        r.c_custkey: r.c_mktsegment
+        for r in spark.read.parquet(f"{sf_dir}/customer.parquet").collect()
+    }
+    from collections import defaultdict
+
+    spend = defaultdict(lambda: defaultdict(int))
+    for o in orders:
+        spend[cust[o.o_custkey]][o.o_custkey] += round(o.o_totalprice * 100)
+    for seg, per in spend.items():
+        xs = np.sort(np.array(list(per.values()), dtype=np.int64))
+        n = len(xs)
+        g = (2 * np.sum((np.arange(1, n + 1)) * xs) - (n + 1) * xs.sum()) / (
+            n * xs.sum()
+        )
+        assert abs(g - got[seg].gini) < 1e-6, seg
+        assert got[seg].n_customers == n
+        assert 0 <= got[seg].gini < 1

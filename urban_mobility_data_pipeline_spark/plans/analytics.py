@@ -3476,3 +3476,79 @@ def orders_priority_weekday_chi2(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("verdict"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Gini concentration of customer spend
+# ---------------------------------------------------------------------------
+@register(
+    "segment_spend_gini",
+    oracle="""
+    WITH o AS (
+        SELECT o_custkey,
+               CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+        FROM orders
+    ),
+    per_cust AS (
+        SELECT c.c_mktsegment AS segment, o.o_custkey,
+               sum(o.cents) AS x
+        FROM o JOIN customer c ON c.c_custkey = o.o_custkey
+        GROUP BY 1, 2
+    ),
+    ranked AS (
+        SELECT segment, x,
+               row_number() OVER (PARTITION BY segment
+                                  ORDER BY x, o_custkey) AS r,
+               count(*) OVER (PARTITION BY segment) AS n,
+               sum(x) OVER (PARTITION BY segment) AS sx
+        FROM per_cust
+    )
+    SELECT segment, CAST(min(n) AS BIGINT) AS n_customers,
+           round((2.0 * sum(r * x) - (min(n) + 1.0) * min(sx))
+                 / (min(n) * CAST(min(sx) AS DOUBLE)), 6) AS gini
+    FROM ranked
+    GROUP BY segment
+    """,
+)
+def segment_spend_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gini coefficient of customer spend per market segment — the
+    revenue-concentration health metric (0 = equal spend, ->1 = one
+    whale). Prices become INTEGER CENTS before any aggregation
+    (round(x*100) kills the double representation error, then every sum
+    is exact integer arithmetic in both engines); the closed form
+    G = (2*sum(r*x) - (n+1)*sum(x)) / (n*sum(x)) runs on per-segment
+    rank windows, and equal-x tie order provably cancels in sum(r*x).
+    Only the final display division is floating point."""
+    o = table(spark, sf_dir, "orders").select(
+        "o_custkey",
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+    )
+    cust = table(spark, sf_dir, "customer").select(
+        "c_custkey", F.col("c_mktsegment").alias("segment")
+    )
+    per_cust = (
+        o.join(F.broadcast(cust), o.o_custkey == cust.c_custkey)
+        .groupBy("segment", "o_custkey")
+        .agg(F.sum("cents").alias("x"))
+    )
+    w = Window.partitionBy("segment")
+    ranked = per_cust.select(
+        "segment",
+        "x",
+        F.row_number()
+        .over(Window.partitionBy("segment").orderBy("x", "o_custkey"))
+        .alias("r"),
+        F.count(F.lit(1)).over(w).alias("n"),
+        F.sum("x").over(w).alias("sx"),
+    )
+    return ranked.groupBy("segment").agg(
+        F.min("n").cast("long").alias("n_customers"),
+        F.round(
+            (
+                2.0 * F.sum(F.col("r") * F.col("x"))
+                - (F.min("n") + 1.0) * F.min("sx")
+            )
+            / (F.min("n") * F.min("sx").cast("double")),
+            6,
+        ).alias("gini"),
+    )
