@@ -140,7 +140,8 @@ FLAGSHIP = "pricing_summary"
 # corpus_cms_heavy_hitters, documents_fold_leakage,
 # documents_length_quantiles_sketch, doc_edit_similarity_pairs,
 # customers_k_anonymity, corpus_source_drift_psi,
-# customer_rfm_segments, orders_priority_weekday_chi2; rows-only by nature:
+# customer_rfm_segments, orders_priority_weekday_chi2,
+# documents_length_ks_test, segment_spend_gini; rows-only by nature:
 # corpus_bpe_merges / documents_bpe_token_counts — iterative trainer,
 # gold-pinned by tests/test_bpe.py).
 # daily_distinct_users_sketch remains rows-only BY DESIGN (HLL sketch,
