@@ -6012,3 +6012,63 @@ def documents_length_ks_test(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.lit("same_dist"))
         .alias("verdict"),
     )
+
+
+# --- annealed mixing schedule -------------------------------------------------
+
+_ANNEAL_STEPS = 4  # checkpoints 0..4: uniform -> temperature target
+
+
+@register(
+    "corpus_mixing_schedule",
+    oracle=f"""
+    WITH n AS (
+        SELECT source, CAST(sum(len({_WORDS})) AS BIGINT) AS n_tokens
+        FROM documents GROUP BY source
+    ),
+    w AS (SELECT source, round(pow(n_tokens, {TEMP_MIX_ALPHA}), 6) AS w
+          FROM n),
+    tot AS (SELECT sum(w) AS tw, count(*) AS cnt FROM w),
+    p AS (SELECT source, round(w / tot.tw, 6) AS p,
+                 round(1.0 / tot.cnt, 6) AS u
+          FROM w CROSS JOIN tot)
+    SELECT source, CAST(k AS INT) AS checkpoint,
+           round((1 - k / {_ANNEAL_STEPS}.0) * u
+                 + (k / {_ANNEAL_STEPS}.0) * p, 6) AS weight
+    FROM p CROSS JOIN (SELECT unnest(range({_ANNEAL_STEPS} + 1)) AS k)
+    """,
+)
+def corpus_mixing_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Annealed data-mixing schedule: per-source sampling weights that
+    interpolate linearly from UNIFORM (checkpoint 0 — maximal coverage
+    early) to the TEMPERATURE-MIXED target (final checkpoint — the
+    quality/deduped mix late), the curriculum schedule production
+    pretraining runs use to phase high-quality data in. Builds on the
+    6dp-rounded temperature shares (corpus_temperature_mixing), so the
+    endpoints are already engine-exact; each checkpoint row is pure
+    arithmetic on the <=|sources| frame fanned out x(steps+1)."""
+    docs = table(spark, sf_dir, "documents")
+    n = docs.groupBy("source").agg(
+        F.sum(F.size(T.words("text"))).cast("long").alias("n_tokens")
+    )
+    w = n.select(
+        "source",
+        F.round(F.pow("n_tokens", F.lit(TEMP_MIX_ALPHA)), 6).alias("w"),
+    )
+    tot = w.agg(F.sum("w").alias("tw"), F.count(F.lit(1)).alias("cnt"))
+    p = w.crossJoin(F.broadcast(tot)).select(
+        "source",
+        F.round(F.col("w") / F.col("tw"), 6).alias("p"),
+        F.round(F.lit(1.0) / F.col("cnt"), 6).alias("u"),
+    )
+    ks = F.explode(
+        F.array(*[F.lit(i) for i in range(_ANNEAL_STEPS + 1)])
+    ).alias("checkpoint")
+    frac = F.col("checkpoint") / float(_ANNEAL_STEPS)
+    return p.select("source", "p", "u", ks).select(
+        "source",
+        F.col("checkpoint").cast("int").alias("checkpoint"),
+        F.round((1 - frac) * F.col("u") + frac * F.col("p"), 6).alias(
+            "weight"
+        ),
+    )
