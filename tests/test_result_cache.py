@@ -98,3 +98,38 @@ def test_distinct_keys_are_independent(setup):
     assert calls["n"] == 2
     cache.get_or_compute("k1", [tbl], compute)
     assert calls["n"] == 3
+
+
+def test_corpus_report_cli_serves_from_cache(spark, tmp_path):
+    """The corpus_report job: first run computes, second run (unchanged
+    corpus) serves the materialized parquet, an ingest invalidates."""
+    import json as _json
+
+    from urban_mobility_data_pipeline_spark.run import main
+
+    batch = [
+        _json.dumps({"doc_id": i, "text": "the quick brown fox " * 5, "lang": "en"})
+        for i in range(5)
+    ]
+    (tmp_path / "feed").mkdir()
+    (tmp_path / "feed" / "f.jsonl").write_text("\n".join(batch) + "\n")
+    lake = str(tmp_path / "lake")
+    assert main(["corpus_ingest", "--lake", lake, "--source", str(tmp_path / "feed")], spark=spark) == 0
+    assert main(["corpus_report", "--lake", lake], spark=spark) == 0
+    # second run must hit: the meta survives on disk, and the report is
+    # reproduced without recomputing (observable through the cache dir)
+    import os
+
+    cache_dir = os.path.join(lake, "corpus", "_result_cache", "per_source_report")
+    meta0 = open(os.path.join(cache_dir, "_cache_meta.json")).read()
+    assert main(["corpus_report", "--lake", lake], spark=spark) == 0
+    assert open(os.path.join(cache_dir, "_cache_meta.json")).read() == meta0
+    # new ingest bumps the corpus version -> next report recomputes
+    (tmp_path / "feed2").mkdir()
+    (tmp_path / "feed2" / "f.jsonl").write_text(
+        _json.dumps({"doc_id": 99, "text": "a genuinely new document body here ok", "lang": "de"}) + "\n"
+    )
+    assert main(["corpus_ingest", "--lake", lake, "--source", str(tmp_path / "feed2")], spark=spark) == 0
+    assert main(["corpus_report", "--lake", lake], spark=spark) == 0
+    meta1 = _json.loads(open(os.path.join(cache_dir, "_cache_meta.json")).read())
+    assert meta1 != _json.loads(meta0)

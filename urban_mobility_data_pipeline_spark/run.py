@@ -593,6 +593,7 @@ def build_registry() -> dict:
     registry["vocab_refresh"] = _vocab_refresh_job
     registry["dsir_model_refresh"] = _dsir_model_refresh_job
     registry["dataset_card"] = _dataset_card_job
+    registry["corpus_report"] = _corpus_report_job
     registry["corpus_replicate"] = _corpus_replicate_job
     registry["corpus_index_build"] = _corpus_index_job
     registry["dedup_index_refresh"] = _dedup_index_job
@@ -603,6 +604,51 @@ def build_registry() -> dict:
     registry["retention_cleanup"] = _retention_job
     registry["create_control_tables"] = _control_tables_job
     return registry
+
+
+def _corpus_report_job(lake: J.Lakehouse, args) -> str:
+    """Per-language corpus health report served through the
+    version-keyed result cache (extensions/result_cache.py):
+
+        python -m ..._spark.run corpus_report --corpus /path/corpus
+
+    First run computes and materializes the per-language rollup; re-runs
+    on an UNCHANGED corpus serve the parquet back without touching the
+    documents table (the cache key is the corpus txn version, so any
+    ingest/erase/compaction invalidates exactly)."""
+    from pyspark.sql import functions as F
+
+    from urban_mobility_data_pipeline_spark.extensions.result_cache import (
+        ResultCache,
+    )
+    from urban_mobility_data_pipeline_spark.functions import text as T
+    from urban_mobility_data_pipeline_spark.operators.merge import MergeTable
+
+    root = args.corpus or os.path.join(args.lake, "corpus")
+    corpus = MergeTable(lake.spark, os.path.join(root, "documents"))
+    if not corpus.exists():
+        raise SystemExit("corpus_report: no corpus at " + root)
+    cache = ResultCache(lake.spark, os.path.join(root, "_result_cache"))
+
+    def compute():
+        docs = corpus.read()
+        return docs.groupBy("lang").agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.size(T.words("text"))).alias("n_tokens"),
+            F.round(
+                1.0 - F.countDistinct(F.md5("text")) / F.count(F.lit(1)), 6
+            ).alias("exact_dup_rate"),
+            F.round(F.avg(F.length("text")), 2).alias("avg_chars"),
+        )
+
+    result = cache.get_or_compute("per_source_report", [corpus], compute)
+    lines = [
+        f"{r['lang']}: docs={r['n_docs']} tokens={r['n_tokens']} "
+        f"dup_rate={r['exact_dup_rate']} avg_chars={r['avg_chars']}"
+        for r in sorted(result.collect(), key=lambda r: r["lang"])
+    ]
+    served = "cache_hit" if cache.hits else "computed"
+    return f"corpus report v{corpus.detail()['version']} ({served})\n" + "\n".join(lines)
 
 
 def main(argv: list[str] | None = None, spark=None) -> int:
