@@ -934,22 +934,36 @@ def _assign_cells(
 ) -> DataFrame:
     """Nearest-centroid assignment by max cosine, ties to the lower cell.
 
-    Identical mechanics to :func:`ivf_assign` but keeps the similarity
-    column for callers that want the objective value.
+    Same contract as :func:`ivf_assign`'s window argmax, but computed as
+    ``max(struct(sim, -cell))`` under a groupBy — max is
+    partial-aggregable, so each partition combines its k candidate rows
+    per vector MAP-SIDE and the shuffle carries at most one row per
+    vector instead of the window's k*n sorted rows. The negated cell
+    makes the struct ordering break similarity ties toward the LOWER
+    cell, exactly like the window's ``ORDER BY sim DESC, cell ASC``.
+    ``first(vec)`` is deterministic here: every candidate row of a
+    vector carries the identical vector value.
     """
-    from pyspark.sql import Window
-
     scored = embeddings.join(F.broadcast(centroids)).select(
         F.col(id_col),
         F.col(vec_col),
         F.col("cell"),
         cosine(vec_col, "centroid").alias("__sim"),
     )
-    w = Window.partitionBy(id_col).orderBy(F.desc("__sim"), F.asc("cell"))
-    return (
-        scored.withColumn("__rn", F.row_number().over(w))
-        .where(F.col("__rn") == 1)
-        .drop("__rn")
+    best = scored.groupBy(id_col).agg(
+        F.max(
+            F.struct(
+                F.col("__sim").alias("s"),
+                (-F.col("cell")).alias("negcell"),
+            )
+        ).alias("__best"),
+        F.first(vec_col).alias(vec_col),
+    )
+    return best.select(
+        F.col(id_col),
+        F.col(vec_col),
+        (-F.col("__best.negcell")).cast("int").alias("cell"),
+        F.col("__best.s").alias("__sim"),
     )
 
 
