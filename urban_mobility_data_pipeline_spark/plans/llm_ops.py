@@ -5848,43 +5848,18 @@ def corpus_source_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
     (integer-exact cross-engine), and each PSI term is rounded to 8dp
     and summed AS AN INTEGER — the sum is order-independent, so no
     float accumulation order (Spark partial aggs vs DuckDB) can flip a
-    rounded digit. One corpus scan; everything after the (source, bin)
-    count is arithmetic on a |sources| x |octaves| grid."""
-    docs = table(spark, sf_dir, "documents").select(
-        "source",
-        F.length(F.bin(F.greatest(F.col("n_chars"), F.lit(1)))).alias("e"),
+    rounded digit. Counts and report tail are SHARED with the
+    incrementally maintained histogram (extensions/drift_model.py:
+    hist_contributions + psi_from_counts), so the O(changed) monitoring
+    path and this batch query are the same definition over different
+    count sources."""
+    from urban_mobility_data_pipeline_spark.extensions.drift_model import (
+        hist_contributions,
+        psi_from_counts,
     )
-    sb = docs.groupBy("source", "e").agg(F.count(F.lit(1)).alias("c"))
-    btot = sb.groupBy("e").agg(F.sum("c").alias("cb"))
-    stot = sb.groupBy("source").agg(F.sum("c").alias("ns"))
-    gtot = sb.agg(
-        F.sum("c").alias("n"), F.countDistinct("e").alias("nbins")
-    )
-    grid = (
-        stot.select("source", "ns")
-        .crossJoin(F.broadcast(btot))
-        .crossJoin(F.broadcast(gtot))
-        .join(sb, ["source", "e"], "left")
-        .withColumn("c", F.coalesce(F.col("c"), F.lit(0)))
-    )
-    p = (F.col("c") + 1) / (F.col("ns") + F.col("nbins")).cast("double")
-    q = (F.col("cb") - F.col("c") + 1) / (
-        F.col("n") - F.col("ns") + F.col("nbins")
-    ).cast("double")
-    t8 = F.round((p - q) * F.log(p / q) * 100000000).cast("long")
-    terms = grid.select("source", "ns", t8.alias("t8"))
-    agg = terms.groupBy("source").agg(
-        F.min("ns").alias("n_docs"), F.sum("t8").alias("s8")
-    )
-    return agg.select(
-        "source",
-        "n_docs",
-        F.round(F.col("s8") / 100000000.0, 4).alias("psi"),
-        F.when(F.col("s8") >= 25000000, F.lit("shifted"))
-        .when(F.col("s8") >= 10000000, F.lit("watch"))
-        .otherwise(F.lit("stable"))
-        .alias("drift_tier"),
-    )
+
+    docs = table(spark, sf_dir, "documents")
+    return psi_from_counts(hist_contributions(docs, "source", "n_chars"))
 
 
 # --- exact Kolmogorov-Smirnov drift test -------------------------------------
