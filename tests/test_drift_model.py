@@ -114,3 +114,43 @@ def test_batch_query_uses_shared_tail(spark, sf_dir):
         for r in corpus_source_drift_psi(spark, sf_dir).collect()
     )
     assert a == b
+
+
+def test_drift_refresh_cli_cycle(spark, tmp_path):
+    """The drift_refresh job end-to-end through run.main: ingest ->
+    bootstrap -> noop (0 changed) -> second ingest folds only the new
+    docs."""
+    import json as _json
+
+    from urban_mobility_data_pipeline_spark.run import main
+
+    (tmp_path / "f1").mkdir()
+    (tmp_path / "f1" / "a.jsonl").write_text(
+        "\n".join(
+            _json.dumps({
+                "doc_id": i,
+                "text": f"document number {i} talks about cities transit {'words ' * i}and rivers bridges stations platform schedules",
+                "lang": "en",
+            })
+            for i in range(6)
+        )
+        + "\n"
+    )
+    lake = str(tmp_path / "lake")
+    assert main(["corpus_ingest", "--lake", lake, "--source", str(tmp_path / "f1")], spark=spark) == 0
+    assert main(["drift_refresh", "--lake", lake], spark=spark) == 0
+    hist = MergeTable(spark, f"{lake}/corpus/drift_hist")
+    assert hist.exists() and hist.read().count() > 0
+    v0 = hist.detail()["version"]
+    # noop tick: histogram table untouched
+    assert main(["drift_refresh", "--lake", lake], spark=spark) == 0
+    assert hist.detail()["version"] == v0
+    # a new language arrives -> one more fold, new cells appear
+    (tmp_path / "f2").mkdir()
+    (tmp_path / "f2" / "b.jsonl").write_text(
+        _json.dumps({"doc_id": 50, "text": "this is a much longer report about the transit network of a large city and it keeps going with details on bridges rivers stations platforms schedules fares zones maps depots lines signals crossings tunnels and the many riders who use them every single day of the year", "lang": "de"}) + "\n"
+    )
+    assert main(["corpus_ingest", "--lake", lake, "--source", str(tmp_path / "f2")], spark=spark) == 0
+    assert main(["drift_refresh", "--lake", lake], spark=spark) == 0
+    langs = {r.grp for r in hist.read().where(F.col("c") > 0).collect()}
+    assert langs == {"en", "de"}

@@ -108,7 +108,11 @@ def test_corpus_report_cli_serves_from_cache(spark, tmp_path):
     from urban_mobility_data_pipeline_spark.run import main
 
     batch = [
-        _json.dumps({"doc_id": i, "text": "the quick brown fox " * 5, "lang": "en"})
+        _json.dumps({
+            "doc_id": i,
+            "text": f"the quick brown fox {i} jumps over the lazy dog near gate {i * 7} with keys maps notes",
+            "lang": "en",
+        })
         for i in range(5)
     ]
     (tmp_path / "feed").mkdir()

@@ -594,6 +594,7 @@ def build_registry() -> dict:
     registry["dsir_model_refresh"] = _dsir_model_refresh_job
     registry["dataset_card"] = _dataset_card_job
     registry["corpus_report"] = _corpus_report_job
+    registry["drift_refresh"] = _drift_refresh_job
     registry["corpus_replicate"] = _corpus_replicate_job
     registry["corpus_index_build"] = _corpus_index_job
     registry["dedup_index_refresh"] = _dedup_index_job
@@ -649,6 +650,48 @@ def _corpus_report_job(lake: J.Lakehouse, args) -> str:
     ]
     served = "cache_hit" if cache.hits else "computed"
     return f"corpus report v{corpus.detail()['version']} ({served})\n" + "\n".join(lines)
+
+
+def _drift_refresh_job(lake: J.Lakehouse, args) -> str:
+    """Maintain the corpus drift histogram O(changed) and print the
+    per-language PSI report:
+
+        python -m ..._spark.run drift_refresh --corpus /path/corpus
+
+    First run bootstraps the (lang, octave) histogram MergeTable; later
+    runs fold only the docs committed since the cursor (change feed +
+    time travel), then report PSI off the histogram — the corpus is
+    never rescanned for monitoring."""
+    from pyspark.sql import functions as F
+
+    from urban_mobility_data_pipeline_spark.extensions.drift_model import (
+        current_histogram,
+        psi_from_counts,
+        refresh_drift_hist,
+    )
+    from urban_mobility_data_pipeline_spark.operators.merge import MergeTable
+    from urban_mobility_data_pipeline_spark.operators.watermark import (
+        VersionCursor,
+    )
+
+    root = args.corpus or os.path.join(args.lake, "corpus")
+    corpus = MergeTable(lake.spark, os.path.join(root, "documents"))
+    if not corpus.exists():
+        raise SystemExit("drift_refresh: no corpus at " + root)
+    hist = MergeTable(lake.spark, os.path.join(root, "drift_hist"))
+    cursor = VersionCursor(lake.spark, os.path.join(root, "_drift_cursor"))
+    n = refresh_drift_hist(
+        corpus, hist, cursor, group_col="lang", size_col=F.length("text")
+    )
+    rows = sorted(
+        psi_from_counts(current_histogram(hist)).collect(),
+        key=lambda r: r["source"],
+    )
+    report = "\n".join(
+        f"{r['source']}: n={r['n_docs']} psi={r['psi']} {r['drift_tier']}"
+        for r in rows
+    )
+    return f"drift histogram folded {n} changed docs\n" + report
 
 
 def main(argv: list[str] | None = None, spark=None) -> int:
