@@ -111,3 +111,62 @@ def test_quantile_sketch_error_bound(spark, sf_dir):
     assert {r.pct for r in rows} == {50, 90, 99}
     for r in rows:
         assert abs(r.est_value - r.exact_value) <= 0.125 * r.exact_value, r
+
+
+def test_reshard_touches_only_mover_partitions(spark, sf_dir, tmp_path):
+    """The storage-layer payoff: growing the ring 8 -> 9 on a
+    shard-partitioned MergeTable moves ~1/9 of rows, and every shard
+    partition with no movers keeps its data files BYTE-IDENTICAL."""
+    import os
+
+    from urban_mobility_data_pipeline_spark.extensions.sharding import (
+        SHARD_COL,
+        create_sharded,
+        reshard,
+    )
+    from urban_mobility_data_pipeline_spark.operators.merge import MergeTable
+
+    # a small deterministic slice: with ~7 movers over 8 shards, some
+    # shards provably receive none — the byte-identical claim needs that
+    docs = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .orderBy("doc_id")
+        .limit(64)
+        .localCheckpoint()
+    )
+    tbl = MergeTable(spark, str(tmp_path / "sharded"))
+    create_sharded(tbl, docs, "doc_id", N)
+
+    def files_by_shard():
+        out = {}
+        for f in tbl._data_files():
+            part = [p for p in f.split(os.sep) if p.startswith(f"{SHARD_COL}=")]
+            out.setdefault(part[0], set()).add(f)
+        return out
+
+    before_files = files_by_shard()
+    before = _assignments(docs, N)
+    stats = reshard(tbl, "doc_id", N + 1)
+    after_rows = {r.doc_id: r.shard for r in tbl.read().select("doc_id", SHARD_COL).collect()}
+
+    # every row accounted for, movers all on the new shard
+    assert stats["total"] == len(before)
+    movers = {d for d, s in after_rows.items() if s != before[d]}
+    assert len(movers) == stats["moved"]
+    assert all(after_rows[d] == N for d in movers)
+    assert 0.4 / (N + 1) < stats["moved"] / stats["total"] < 2.5 / (N + 1)
+
+    # shards that lost no rows kept their exact files
+    after_files = files_by_shard()
+    untouched = {
+        f"{SHARD_COL}={s}"
+        for s in range(N)
+        if not any(before[d] == s for d in movers)
+    }
+    assert untouched, "expected at least one untouched shard"
+    for part in untouched:
+        assert after_files.get(part) == before_files.get(part), part
+
+    # a second reshard to the same n is a no-op
+    stats2 = reshard(tbl, "doc_id", N + 1)
+    assert stats2["moved"] == 0
