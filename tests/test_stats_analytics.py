@@ -139,3 +139,32 @@ def test_gini_matches_numpy(spark, sf_dir):
         assert abs(g - got[seg].gini) < 1e-6, seg
         assert got[seg].n_customers == n
         assert 0 <= got[seg].gini < 1
+
+
+def test_mannwhitney_matches_bruteforce(spark, sf_dir):
+    from urban_mobility_data_pipeline_spark.plans.llm_ops import (
+        documents_length_mannwhitney,
+    )
+
+    got = {
+        r.source: r for r in documents_length_mannwhitney(spark, sf_dir).collect()
+    }
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").collect()
+    for src in {d.source for d in docs}:
+        a = [d.n_chars for d in docs if d.source == src]
+        b = sorted(d.n_chars for d in docs if d.source != src)
+        import bisect
+
+        u2 = sum(
+            2 * bisect.bisect_left(b, x)
+            + (bisect.bisect_right(b, x) - bisect.bisect_left(b, x))
+            for x in a
+        )
+        assert got[src].u2 == u2, src
+        assert got[src].n_source == len(a)
+        # z self-consistency against the emitted integers
+        import math
+
+        na, nb = len(a), len(b)
+        z = (u2 - na * nb) / (2.0 * math.sqrt(na * nb * (na + nb + 1) / 12.0))
+        assert abs(z - got[src].z) < 5e-4

@@ -6047,3 +6047,113 @@ def corpus_mixing_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
             "weight"
         ),
     )
+
+
+# --- exact Mann-Whitney U (rank-sum) drift test -------------------------------
+
+
+@register(
+    "documents_length_mannwhitney",
+    oracle="""
+    WITH d AS (SELECT source, n_chars AS v FROM documents),
+    cnt AS (SELECT source, v, count(*) AS c FROM d GROUP BY 1, 2),
+    stot AS (SELECT source, sum(c) AS ns FROM cnt GROUP BY 1),
+    gtot AS (SELECT sum(c) AS n FROM cnt),
+    vcnt AS (SELECT v, sum(c) AS cv FROM cnt GROUP BY 1),
+    vcum AS (SELECT v, cv, sum(cv) OVER (ORDER BY v
+                                         ROWS UNBOUNDED PRECEDING) AS cum_all
+             FROM vcnt),
+    scum AS (SELECT source, v, c,
+                    sum(c) OVER (PARTITION BY source ORDER BY v
+                                 ROWS UNBOUNDED PRECEDING) AS cum_s
+             FROM cnt),
+    terms AS (
+        SELECT sc.source,
+               sc.c * (2 * ((vc.cum_all - vc.cv) - (sc.cum_s - sc.c))
+                       + (vc.cv - sc.c)) AS t
+        FROM scum sc JOIN vcum vc ON vc.v = sc.v
+    ),
+    u AS (SELECT source, sum(t) AS u2 FROM terms GROUP BY source)
+    SELECT u.source, CAST(s.ns AS BIGINT) AS n_source,
+           CAST(u.u2 AS BIGINT) AS u2,
+           round((u.u2 - s.ns * (g.n - s.ns))
+                 / (2.0 * sqrt(s.ns * (g.n - s.ns) * (g.n + 1) / 12.0)),
+                 4) AS z,
+           CASE WHEN abs((u.u2 - s.ns * (g.n - s.ns))
+                 / (2.0 * sqrt(s.ns * (g.n - s.ns) * (g.n + 1) / 12.0)))
+                 > 1.96
+                THEN 'shifted' ELSE 'same_location' END AS verdict
+    FROM u JOIN stot s USING (source) CROSS JOIN gtot g
+    """,
+)
+def documents_length_mannwhitney(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann-Whitney U location test per source vs rest-of-corpus —
+    the nonparametric mean-shift companion to the KS shape test. The
+    doubled statistic U2 = 2*wins + ties is carried as an EXACT INTEGER
+    (per-value counts x rest-below/rest-equal counts off the same
+    cumulative grid the KS test uses), so like the KS numerator it is
+    bit-identical in any engine; only the z normalization is floating
+    point, computed from the same integers on both sides. Verdict at
+    |z| > 1.96 (alpha=0.05, two-sided, untied variance). Cost: one
+    (source, value) count plus windows on the count table — nothing
+    scales with the corpus beyond the initial groupBy."""
+    from pyspark.sql import Window
+
+    d = table(spark, sf_dir, "documents").select(
+        "source", F.col("n_chars").alias("v")
+    )
+    cnt = d.groupBy("source", "v").agg(F.count(F.lit(1)).alias("c"))
+    stot = cnt.groupBy("source").agg(F.sum("c").alias("ns"))
+    gtot = cnt.agg(F.sum("c").alias("n"))
+    vcum = (
+        cnt.groupBy("v")
+        .agg(F.sum("c").alias("cv"))
+        .select(
+            "v",
+            "cv",
+            F.sum("cv")
+            .over(
+                Window.orderBy("v").rowsBetween(
+                    Window.unboundedPreceding, Window.currentRow
+                )
+            )
+            .alias("cum_all"),
+        )
+    )
+    w_s = (
+        Window.partitionBy("source")
+        .orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    scum = cnt.select(
+        "source", "v", "c", F.sum("c").over(w_s).alias("cum_s")
+    )
+    terms = scum.join(F.broadcast(vcum), "v").select(
+        "source",
+        (
+            F.col("c")
+            * (
+                2
+                * (
+                    (F.col("cum_all") - F.col("cv"))
+                    - (F.col("cum_s") - F.col("c"))
+                )
+                + (F.col("cv") - F.col("c"))
+            )
+        ).alias("t"),
+    )
+    u = terms.groupBy("source").agg(F.sum("t").alias("u2"))
+    joined = u.join(F.broadcast(stot), "source").crossJoin(F.broadcast(gtot))
+    nr = F.col("n") - F.col("ns")
+    z = (F.col("u2") - F.col("ns") * nr) / (
+        2.0 * F.sqrt(F.col("ns") * nr * (F.col("n") + 1) / 12.0)
+    )
+    return joined.select(
+        "source",
+        F.col("ns").cast("long").alias("n_source"),
+        F.col("u2").cast("long").alias("u2"),
+        F.round(z, 4).alias("z"),
+        F.when(F.abs(z) > 1.96, F.lit("shifted"))
+        .otherwise(F.lit("same_location"))
+        .alias("verdict"),
+    )
