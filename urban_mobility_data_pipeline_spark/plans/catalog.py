@@ -142,7 +142,7 @@ FLAGSHIP = "pricing_summary"
 # customers_k_anonymity, corpus_source_drift_psi,
 # customer_rfm_segments, orders_priority_weekday_chi2,
 # documents_length_ks_test, segment_spend_gini,
-# corpus_mixing_schedule; rows-only by nature:
+# corpus_mixing_schedule, documents_length_mannwhitney; rows-only by nature:
 # corpus_bpe_merges / documents_bpe_token_counts — iterative trainer,
 # gold-pinned by tests/test_bpe.py).
 # daily_distinct_users_sketch remains rows-only BY DESIGN (HLL sketch,
