@@ -1056,22 +1056,33 @@ def run_bm25_index_soak(spark: SparkSession) -> dict:
                 corpus.append(docs)
             else:
                 corpus.create(docs)
+            files_before = set(postings._load()[0]["files"]) if c else set()
             t0 = time.perf_counter()
             n = refresh_bm25_index(corpus, postings, stats, cursor)
             refresh_secs.append(round(time.perf_counter() - t0, 2))
             corpus_rows.append(corpus.read().count())
             assert n >= batch * 0.9, (c, n)
+            # an all-new-ids batch must never rewrite an existing
+            # postings file: the doc_id blooms reject every changed id,
+            # so the refresh is delete-noop + append-only (the same
+            # invariant that keeps the dedup-index soak flat)
+            if c:
+                files_after = set(postings._load()[0]["files"])
+                rewritten = files_before - files_after
+                assert not rewritten, (c, sorted(rewritten)[:5])
         out.update(
             {
                 "batch_docs": batch,
                 "cycles": cycles,
                 "corpus_rows": corpus_rows,
                 "refresh_secs": refresh_secs,
+                "untouched_buckets_never_rewritten": True,
             }
         )
-        # flat maintenance (c0 is the bootstrap build — compare from c1)
+        # flat maintenance, ±20% of the mid-run median (c0 is the
+        # bootstrap build — compare from c1)
         med_mid = sorted(refresh_secs[1:-1])[len(refresh_secs[1:-1]) // 2]
-        assert refresh_secs[-1] <= med_mid * 1.35 + 0.5, out
+        assert refresh_secs[-1] <= med_mid * 1.2 + 0.3, out
         # maintained index == from-scratch rebuild, rows and stats
         cols = ["token", "doc_id", "dl", "tf"]  # exceptAll is positional
         live = postings.read().select(*cols)

@@ -127,3 +127,46 @@ def test_refresh_tracks_update_append_and_erasure(spark, index, tmp_path):
     got = _topk_rows(bm25_topk_indexed(postings, stats, TERMS))
     want = _topk_rows(bm25_topk_indexed(fresh_postings, fresh_stats, TERMS))
     assert got == want
+
+
+def test_refresh_never_rewrites_untouched_postings_files(
+    spark, index, tmp_path
+):
+    """An all-new-ids ingest batch must leave every existing postings
+    file in place: the MoR delete writes no DV (nothing matches) and
+    the new docs' postings arrive as append-only files. This is the
+    invariant that keeps refresh cost O(batch) — the CoW point-delete
+    used before round 8 rewrote every token bucket per refresh because
+    bloom false positives compound across a multi-thousand key set."""
+    docs, postings, stats = index
+    corpus = MergeTable(spark, str(tmp_path / "corpus"))
+    corpus.create(docs)
+    cursor = VersionCursor(spark, str(tmp_path / "cursor"))
+    refresh_bm25_index(corpus, postings, stats, cursor)
+    files_before = set(postings._load()[0]["files"])
+
+    base = docs.agg(F.max("doc_id")).first()[0] + 1
+    fresh = spark.range(base, base + 500).select(
+        F.col("id").alias("doc_id"),
+        F.concat(F.lit("fresh batch text number "), F.col("id")).alias(
+            "text"
+        ),
+        *[
+            F.lit(None).cast(dict(docs.dtypes)[c]).alias(c)
+            for c in docs.columns
+            if c not in ("doc_id", "text")
+        ],
+    )
+    corpus.append(fresh)
+    n = refresh_bm25_index(corpus, postings, stats, cursor)
+    assert n == 500
+
+    manifest = postings._load()[0]
+    files_after = set(manifest["files"])
+    assert files_before <= files_after, sorted(files_before - files_after)[:5]
+    assert not manifest.get("dvs"), manifest["dvs"]
+    # and the maintained stats still equal a recount
+    got = stats.read().first()
+    want = bm25_stats(corpus.read()).first()
+    assert got["n_docs"] == want["n_docs"]
+    assert abs(got["total_dl"] - want["total_dl"]) < 1e-6

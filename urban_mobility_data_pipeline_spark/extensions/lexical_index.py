@@ -155,13 +155,38 @@ def refresh_bm25_index(
     job: str = BM25_INDEX_JOB,
     id_col: str = "doc_id",
     text_col: str = "text",
+    dv_purge_rows: int = 100_000,
 ) -> int:
     """Fold corpus commits since the cursor into the index, O(changed)
     — the same delete+append+bloom-top-up contract as
     ``dedup_index.refresh_dedup_index``, plus a DELTA update of the
-    one-row stats (after minus before contributions over the changed
-    ids, so re-emitted unchanged docs cancel to zero and the corpus is
-    never recounted)."""
+    one-row stats.
+
+    The refresh reads ONLY the txn log's delta files — never a corpus
+    snapshot (the round-7 drift: three snapshot scans per refresh made
+    the cost track the corpus, +23% over a 10× growth soak, while the
+    batch stayed constant):
+
+    - **after-image = the adds feed.** ``read_changes(cur)`` returns
+      the rows of files added since the cursor, and every file in HEAD
+      is live — so for a keyed corpus (one live row per id, the
+      contract of every MergeTable-maintained doc table) the adds feed
+      IS the current state of every changed id. No ``read().join``.
+    - **stats delta = stats(adds) − stats(removes).** The (n_docs,
+      total_dl) rollup is LINEAR in rows, so the after-minus-before
+      telescopes into the two feeds directly; rows a rewrite re-emits
+      unchanged appear identically in both feeds and cancel to zero,
+      and the corpus is never recounted. No time-travel snapshot scan.
+    - **stale-posting delete is merge-on-read.** Postings are bucketed
+      on ``token`` but deleted by ``doc_id``, so a changed doc's rows
+      graze every bucket and bloom false positives compound across the
+      key set — the CoW point-delete was rewriting the WHOLE postings
+      table per refresh (the dominant r7 drift term). ``mode="mor"``
+      records positions in a deletion vector instead (an all-new-ids
+      ingest batch matches nothing and writes nothing); once pending
+      DV rows exceed ``dv_purge_rows`` the refresh runs
+      ``purge_deletes`` so probe reads never degrade unboundedly.
+    """
     head_hist = corpus.history()
     head = head_hist[0]["version"] if head_hist else 0
     cur = cursor.read_version(job)
@@ -176,34 +201,36 @@ def refresh_bm25_index(
     from urban_mobility_data_pipeline_spark.cache import scratch_persist
 
     try:
+        adds = scratch_persist(corpus.read_changes(cur))
+        removes = scratch_persist(corpus.read_removed(cur))
         changed_ids = scratch_persist(
-            corpus.read_changes(cur)
-            .select(id_col)
-            .unionByName(corpus.read_removed(cur).select(id_col))
+            adds.select(id_col)
+            .unionByName(removes.select(id_col))
             .distinct()
         )
         n_changed = changed_ids.count()
         if n_changed == 0:
             cursor.upsert(job, head, "OK")
             return 0
-        after = corpus.read().join(changed_ids, id_col)
-        before = corpus.read(version=cur).join(changed_ids, id_col)
-        postings.delete_keys_in(id_col, changed_ids)
-        if after.limit(1).count():
-            postings.append(bm25_postings(after, id_col, text_col))
+        postings.delete_keys_in(id_col, changed_ids, mode="mor")
+        if adds.limit(1).count():
+            postings.append(bm25_postings(adds, id_col, text_col))
             postings.build_blooms(["token", id_col])
-        a = bm25_stats(after, id_col, text_col)
-        bfr = bm25_stats(before, id_col, text_col)
+        if postings.dv_rows() >= dv_purge_rows:
+            postings.purge_deletes()
+            postings.build_blooms(["token", id_col])
+        a = bm25_stats(adds, id_col, text_col)
+        r = bm25_stats(removes, id_col, text_col)
         delta = a.join(
-            bfr.select(
-                F.col("n_docs").alias("n_b"),
-                F.col("total_dl").alias("dl_b"),
+            r.select(
+                F.col("n_docs").alias("n_r"),
+                F.col("total_dl").alias("dl_r"),
             )
         ).select(
-            (F.col("n_docs") - F.col("n_b")).alias("d_docs"),
+            (F.col("n_docs") - F.col("n_r")).alias("d_docs"),
             (
                 F.coalesce("total_dl", F.lit(0.0))
-                - F.coalesce("dl_b", F.lit(0.0))
+                - F.coalesce("dl_r", F.lit(0.0))
             ).alias("d_dl"),
         )
         cur_stats = stats.read().join(delta).select(

@@ -1735,6 +1735,7 @@ class MergeTable:
         col: str | Sequence[str],
         keys_df: DataFrame,
         collect_limit: int = 10_000,
+        mode: str = "cow",
     ) -> dict:
         """Keyed DELETE whose key set is a **DataFrame** — the
         mass-erasure path (a source takedown can carry millions of
@@ -1751,6 +1752,18 @@ class MergeTable:
         table scan), full-rewrite otherwise. The plan carries a join,
         never a literal IN-list.
 
+        ``mode="mor"`` takes the merge-on-read route instead: matched
+        positions go to a deletion vector and NO data file is ever
+        rewritten (small sets via :meth:`delete_keys_mor`, large sets
+        via a position semi-join against the key frame). This is the
+        right mode for maintenance deletes against tables whose files
+        the key set merely GRAZES — e.g. an index refresh deleting a
+        few thousand keys from token-bucketed postings, where bloom
+        false positives compound (P[file positive] ≈ 1-(1-fpp)^|keys|,
+        so at 4k keys and 1% fpp EVERY file is a candidate) and the
+        CoW path would rewrite the whole table each cycle. Readers pay
+        the DV anti-join until :meth:`purge_deletes`.
+
         ``keys_df`` must have exactly one column whose type matches
         the probe column's (the bucket hash and the join key both
         depend on it). With several probe columns the delete is
@@ -1759,6 +1772,8 @@ class MergeTable:
         like ``isin``.
         """
         cols = [col] if isinstance(col, str) else list(col)
+        if mode not in ("cow", "mor"):
+            raise ValueError(f"unknown delete mode {mode!r}")
         if len(keys_df.columns) != 1:
             raise ValueError("keys_df must have exactly one column")
         keys = (
@@ -1776,6 +1791,11 @@ class MergeTable:
                     "rewritten_files": 0,
                     "kept_files": len(manifest["files"]),
                 }
+            if mode == "mor":
+                return {
+                    "path": "bloom-mor",
+                    **self.delete_keys_mor(cols, vals),
+                }
             if self.has_blooms(cols):
                 return {"path": "bloom", **self.delete_by_keys(cols, vals)}
             self.delete(self._keys_pred(cols, vals))
@@ -1783,6 +1803,36 @@ class MergeTable:
                 "path": "pruned-isin",
                 "rewritten_files": -1,
                 "kept_files": -1,
+            }
+
+        if mode == "mor":
+            # mass erasure, merge-on-read: positions of matching rows
+            # via a semi-join per probe column (ANY-semantics), a DV
+            # sidecar commit, zero rewrites, no driver IN-list
+            manifest, parent = self._load()
+            raw = self._with_pos(
+                self._read_snapshot(
+                    {**manifest, "dvs": []}, include_internal=True
+                )
+            )
+            parts = [
+                raw.join(keys, raw[c] == keys["__probe_key"], "left_semi")
+                for c in cols
+            ]
+            hit_rows = parts[0]
+            for p in parts[1:]:
+                hit_rows = hit_rows.unionByName(p)
+            hits = hit_rows.select(
+                F.col("__dv_file").alias("file"),
+                F.col("__dv_pos").alias("pos"),
+            ).distinct()
+            prior = self._dvs_for(manifest, manifest["files"])
+            if prior:
+                old = self._read_dv_rows(prior)
+                hits = hits.join(F.broadcast(old), ["file", "pos"], "left_anti")
+            return {
+                "path": "anti-join-mor",
+                **self._commit_dv(manifest, parent, hits),
             }
 
         manifest, parent = self._load()

@@ -1032,3 +1032,436 @@ def order_fulfilment_kpis(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("o_totalprice").alias("fare_amount"),
         "n_lines",
     )
+
+
+# ---------------------------------------------------------------------------
+# 27-30. Consolidated driver-slot showcases (round 8, VERDICT r7 item 6).
+#
+# Each row below exercises SEVERAL already-attested SURVEY §2 primitives in
+# one hash-checked query, so a single driver slot keeps the per-component
+# ≥1-slot invariant while freeing slots for rotation. Component map:
+#
+#   scd_calendar_showcase          M11 SCD2 set-wise history (lead valid_to /
+#                                  is_current), J7+W2 SCD3 current+prev,
+#                                  §2.9 date spine (sequence+explode, EEEE),
+#                                  U1 UNKNOWN dim row + orphan→UNKNOWN remap,
+#                                  J5 broadcast calendar enrich join
+#   conformance_masking_showcase   P4 casts, P5 null-like scrub, P6 domain
+#                                  clamp→NULL, P7 case/space normalization,
+#                                  P8 regex predicate, P9 DQ boolean flags,
+#                                  P10 conditional redaction (M8 shape),
+#                                  U2 unionByName fold to a common schema
+#   watermark_retention_gdpr_showcase  P1/A4 global watermark bounds, P11/S11
+#                                  retention age predicate, J6 GDPR subject
+#                                  broadcast left-semi join, A2 exact
+#                                  countDistinct, broadcast scalar crossJoin
+#   star_latest_dim_showcase       W1 latest-per-key window dedup, J1 FK
+#                                  validation orphan→0, J2 md5 surrogate key,
+#                                  A3 dim build (groupBy max), S10/U1 UNKNOWN
+#                                  dim row, broadcast dim joins
+# ---------------------------------------------------------------------------
+@register(
+    "scd_calendar_showcase",
+    oracle="""
+    WITH hist AS (
+        SELECT o_custkey, o_orderkey, o_orderdate, o_totalprice,
+               lead(o_orderdate) OVER (
+                   PARTITION BY o_custkey
+                   ORDER BY o_orderdate, o_orderkey)            AS valid_to,
+               row_number() OVER (
+                   PARTITION BY o_custkey
+                   ORDER BY o_orderdate DESC, o_orderkey DESC)  AS rn
+        FROM orders
+    ),
+    per_cust AS (
+        SELECT o_custkey,
+               max(CASE WHEN rn = 1 THEN o_orderkey END)   AS current_orderkey,
+               max(CASE WHEN rn = 1 THEN o_totalprice END) AS current_totalprice,
+               max(CASE WHEN rn = 1
+                        THEN strftime(o_orderdate, '%Y-%m-%d') END)
+                                                           AS current_valid_from,
+               max(CASE WHEN rn = 2 THEN o_orderkey END)   AS prev_orderkey,
+               max(CASE WHEN rn = 2 THEN o_totalprice END) AS prev_totalprice,
+               count(*)                                    AS n_versions,
+               CAST(sum(CASE WHEN valid_to IS NOT NULL THEN 1 ELSE 0 END)
+                    AS BIGINT)                             AS n_closed_versions
+        FROM hist GROUP BY 1
+    ),
+    b AS (SELECT max(CAST(o_orderdate AS DATE)) AS e FROM orders),
+    dim AS (
+        SELECT strftime(d, '%Y-%m-%d')                AS date_str,
+               CAST(strftime(d, '%Y%m%d') AS INTEGER) AS date_key,
+               dayname(d)                             AS day_name,
+               dayofweek(d) IN (0, 6)                 AS is_weekend
+        FROM (SELECT CAST(unnest(generate_series(DATE '1996-01-01', e,
+                                                 INTERVAL 1 DAY)) AS DATE) AS d
+              FROM b)
+        UNION ALL
+        SELECT '1900-01-01', 0, 'UNKNOWN', false
+    )
+    SELECT p.o_custkey, p.current_orderkey, p.current_totalprice,
+           p.current_valid_from, p.prev_orderkey, p.prev_totalprice,
+           p.n_versions, p.n_closed_versions,
+           m.date_key, m.day_name, m.is_weekend
+    FROM per_cust p
+    JOIN dim m ON m.date_str = CASE WHEN p.current_valid_from < '1996-01-01'
+                                    THEN '1900-01-01'
+                                    ELSE p.current_valid_from END
+    """,
+)
+def scd_calendar_showcase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Consolidated SCD showcase: SCD2 set-wise history (M11, reference
+    silver/trips:347-432) + SCD3 current/prev rank pair (J7/W2,
+    scd3/dim_passenger.py:63-95) from ONE windowed pass over orders, then
+    a calendar-dim enrich join (J5, agg_trips_daily.py:146-155) against a
+    sequence+explode spine carrying the U1 UNKNOWN row — currents older
+    than the spine start remap to the UNKNOWN member (dim_date.py:150-159
+    orphan semantics). One shuffle on o_custkey serves both windows and
+    the groupBy; the dim is broadcast."""
+    orders = table(spark, sf_dir, "orders")
+    w_asc = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    w_desc = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_orderdate").desc(), F.col("o_orderkey").desc()
+    )
+    hist = orders.select(
+        "o_custkey",
+        "o_orderkey",
+        "o_orderdate",
+        "o_totalprice",
+        F.lead("o_orderdate").over(w_asc).alias("valid_to"),
+        F.row_number().over(w_desc).alias("rn"),
+    )
+    rn1 = F.col("rn") == 1
+    rn2 = F.col("rn") == 2
+    per_cust = hist.groupBy("o_custkey").agg(
+        F.max(F.when(rn1, F.col("o_orderkey"))).alias("current_orderkey"),
+        F.max(F.when(rn1, F.col("o_totalprice"))).alias("current_totalprice"),
+        F.max(F.when(rn1, date_str("o_orderdate"))).alias("current_valid_from"),
+        F.max(F.when(rn2, F.col("o_orderkey"))).alias("prev_orderkey"),
+        F.max(F.when(rn2, F.col("o_totalprice"))).alias("prev_totalprice"),
+        F.count(F.lit(1)).alias("n_versions"),
+        F.sum(F.when(F.col("valid_to").isNotNull(), 1).otherwise(0))
+        .cast("long")
+        .alias("n_closed_versions"),
+    )
+    bounds = orders.agg(F.max(F.to_date("o_orderdate")).alias("e"))
+    spine = bounds.select(
+        F.explode(
+            F.sequence(
+                F.lit("1996-01-01").cast("date"), "e", F.expr("interval 1 day")
+            )
+        ).alias("d")
+    )
+    dim = spine.select(
+        date_str("d").alias("date_str"),
+        date_str("d", "yyyyMMdd").cast("int").alias("date_key"),
+        F.date_format("d", "EEEE").alias("day_name"),
+        F.dayofweek("d").isin(1, 7).alias("is_weekend"),
+    )
+    dim = with_unknown_row(
+        dim,
+        {
+            "date_str": F.lit("1900-01-01"),
+            "date_key": F.lit(0),
+            "day_name": F.lit("UNKNOWN"),
+            "is_weekend": F.lit(False),
+        },
+    )
+    join_key = F.when(
+        F.col("current_valid_from") < "1996-01-01", F.lit("1900-01-01")
+    ).otherwise(F.col("current_valid_from"))
+    return (
+        per_cust.join(F.broadcast(dim), join_key == dim["date_str"], "inner")
+        .select(
+            "o_custkey",
+            "current_orderkey",
+            "current_totalprice",
+            "current_valid_from",
+            "prev_orderkey",
+            "prev_totalprice",
+            "n_versions",
+            "n_closed_versions",
+            "date_key",
+            "day_name",
+            "is_weekend",
+        )
+    )
+
+
+@register(
+    "conformance_masking_showcase",
+    oracle=r"""
+    SELECT 'order'                         AS entity,
+           o_orderkey                      AS entity_key,
+           CASE WHEN lower(trim(o_orderpriority)) IN
+                     ('null','n/a','none','-','','4-not specified')
+                THEN NULL ELSE lower(trim(o_orderpriority)) END AS attr_norm,
+           upper(trim(o_orderstatus))      AS status_norm,
+           CASE WHEN o_totalprice < 0 THEN NULL ELSE o_totalprice END AS amount,
+           coalesce(o_totalprice < 0, true)                    AS flag_a,
+           CASE WHEN lower(trim(o_orderpriority)) IN
+                     ('null','n/a','none','-','','4-not specified')
+                THEN true ELSE false END   AS flag_b,
+           CAST(CAST(strftime(o_orderdate, '%Y%m%d') AS INTEGER) AS VARCHAR)
+                                           AS code
+    FROM orders
+    UNION ALL
+    SELECT 'event', event_id, event_type,
+           CAST(NULL AS VARCHAR),
+           value,
+           coalesce(value < 0 OR value > 10000, true),
+           coalesce(NOT regexp_matches(props, '^\{.*\}$'), true),
+           CAST(NULL AS VARCHAR)
+    FROM events
+    UNION ALL
+    SELECT 'customer', c_custkey,
+           CASE WHEN c_acctbal < 0 THEN 'ANONYMIZED' ELSE c_name END,
+           CASE WHEN c_acctbal < 0 THEN NULL ELSE c_mktsegment END,
+           c_acctbal,
+           coalesce(c_acctbal < 0, true),
+           false,
+           'ANON-' || CAST(c_custkey AS VARCHAR)
+    FROM customer
+    """,
+)
+def conformance_masking_showcase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Consolidated cleaning/DQ showcase: the full P4-P10 block from the
+    reference's per-table withColumn chains (silver/trips:132-281,
+    passengers:170-232) applied to three tables and unionByName-folded
+    (U2) to one audit schema — P4 casts, P5 null-like scrub, P6 domain
+    clamp→NULL, P7 lower/upper+trim, P8 regex predicate, P9 boolean DQ
+    flags (rows never dropped), P10 conditional redaction with the
+    deterministic ANON-<id> code. All three branches are map-side-only
+    projections; the union adds no shuffle."""
+    orders = table(spark, sf_dir, "orders")
+    ev = table(spark, sf_dir, "events")
+    cust = table(spark, sf_dir, "customer")
+
+    pr = F.lower(F.trim(F.col("o_orderpriority")))
+    pr_null = pr.isin("null", "n/a", "none", "-", "", "4-not specified")
+    o_branch = orders.select(
+        F.lit("order").alias("entity"),
+        F.col("o_orderkey").alias("entity_key"),
+        F.when(pr_null, F.lit(None)).otherwise(pr).alias("attr_norm"),
+        F.upper(F.trim(F.col("o_orderstatus"))).alias("status_norm"),
+        F.when(F.col("o_totalprice") < 0, F.lit(None))
+        .otherwise(F.col("o_totalprice"))
+        .alias("amount"),
+        F.coalesce(F.col("o_totalprice") < 0, F.lit(True)).alias("flag_a"),
+        F.when(pr_null, F.lit(True)).otherwise(F.lit(False)).alias("flag_b"),
+        date_str("o_orderdate", "yyyyMMdd").cast("int").cast("string").alias(
+            "code"
+        ),
+    )
+    flagged = dq_flags(
+        ev,
+        {
+            "flag_a": F.coalesce(
+                (F.col("value") < 0) | (F.col("value") > 10000), F.lit(True)
+            ),
+            "flag_b": F.coalesce(
+                ~F.col("props").rlike(r"^\{.*\}$"), F.lit(True)
+            ),
+        },
+    )
+    e_branch = flagged.select(
+        F.lit("event").alias("entity"),
+        F.col("event_id").alias("entity_key"),
+        F.col("event_type").alias("attr_norm"),
+        F.lit(None).cast("string").alias("status_norm"),
+        F.col("value").alias("amount"),
+        "flag_a",
+        "flag_b",
+        F.lit(None).cast("string").alias("code"),
+    )
+    deleted = F.col("c_acctbal") < 0
+    masked = redact_when(
+        cust,
+        deleted,
+        set_values={"c_name": F.lit("ANONYMIZED")},
+        null_cols=["c_mktsegment"],
+    )
+    c_branch = masked.select(
+        F.lit("customer").alias("entity"),
+        F.col("c_custkey").alias("entity_key"),
+        F.col("c_name").alias("attr_norm"),
+        F.col("c_mktsegment").alias("status_norm"),
+        F.col("c_acctbal").alias("amount"),
+        F.coalesce(deleted, F.lit(True)).alias("flag_a"),
+        F.lit(False).alias("flag_b"),
+        F.concat(F.lit("ANON-"), F.col("c_custkey").cast("string")).alias(
+            "code"
+        ),
+    )
+    return o_branch.unionByName(e_branch).unionByName(c_branch)
+
+
+@register(
+    "watermark_retention_gdpr_showcase",
+    oracle="""
+    WITH kept AS (
+        SELECT * FROM events
+        WHERE epoch_us(ts) >= epoch_us(TIMESTAMP '2024-01-20')
+    ),
+    base AS (
+        SELECT event_type,
+               count(*)                AS n_kept,
+               count(DISTINCT user_id) AS n_users_kept
+        FROM kept GROUP BY 1
+    ),
+    aff AS (
+        SELECT event_type, count(*) AS n_affected_kept
+        FROM kept
+        WHERE user_id IN (SELECT DISTINCT user_id FROM events
+                          WHERE event_type = 'error')
+        GROUP BY 1
+    ),
+    b AS (
+        SELECT strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS wm_min_ts,
+               strftime(max(ts), '%Y-%m-%d %H:%M:%S') AS wm_max_ts,
+               count(*)                               AS wm_rows
+        FROM events
+    )
+    SELECT base.event_type, base.n_kept, base.n_users_kept,
+           coalesce(aff.n_affected_kept, 0) AS n_affected_kept,
+           b.wm_min_ts, b.wm_max_ts, b.wm_rows
+    FROM base LEFT JOIN aff USING (event_type) CROSS JOIN b
+    """,
+)
+def watermark_retention_gdpr_showcase(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Consolidated incremental-read showcase: the P11/S11 retention age
+    predicate (retention/bronze_retention_cleanup.py:59-67), the J6 GDPR
+    subject broadcast left-semi join (gdpr_propagate_erasure.py:607-655),
+    A2 exact countDistinct, and the A4 global watermark bounds
+    (silver/trips:197-201) attached via a broadcast 1-row crossJoin —
+    exactly how the engine's watermark read feeds its incremental plans
+    (fact_trips.py:43-56). The retention filter reaches the parquet scan;
+    the subject set and the bounds row are both broadcast."""
+    ev = table(spark, sf_dir, "events")
+    cutoff_us = 1_705_708_800_000_000  # 2024-01-20 UTC
+    kept = ev.filter(F.col("ts_us") >= F.lit(cutoff_us))
+    base = kept.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        F.countDistinct("user_id").alias("n_users_kept"),
+    )
+    affected = (
+        ev.filter(F.col("event_type") == "error").select("user_id").distinct()
+    )
+    aff = (
+        kept.join(F.broadcast(affected), "user_id", "left_semi")
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n_affected_kept"))
+    )
+    bounds = ev.agg(
+        date_str(event_time(F.min("ts_us")), "yyyy-MM-dd HH:mm:ss").alias(
+            "wm_min_ts"
+        ),
+        date_str(event_time(F.max("ts_us")), "yyyy-MM-dd HH:mm:ss").alias(
+            "wm_max_ts"
+        ),
+        F.count(F.lit(1)).alias("wm_rows"),
+    )
+    joined = base.join(aff, "event_type", "left").withColumn(
+        "n_affected_kept", F.coalesce(F.col("n_affected_kept"), F.lit(0))
+    )
+    return joined.crossJoin(F.broadcast(bounds)).select(
+        "event_type",
+        "n_kept",
+        "n_users_kept",
+        "n_affected_kept",
+        "wm_min_ts",
+        "wm_max_ts",
+        "wm_rows",
+    )
+
+
+_PK_SHOWCASE = duck_md5_int_key("lower(trim(o_orderpriority))")
+@register(
+    "star_latest_dim_showcase",
+    oracle=f"""
+    WITH latest AS (
+        SELECT * FROM orders
+        QUALIFY row_number() OVER (
+            PARTITION BY o_custkey
+            ORDER BY o_orderdate DESC, o_orderkey DESC) = 1
+    ),
+    cdim AS (SELECT DISTINCT c_custkey FROM customer
+             WHERE c_mktsegment <> 'BUILDING'),
+    pdim AS (
+        SELECT lower(trim(o_orderpriority)) AS priority,
+               {_PK_SHOWCASE}               AS priority_key,
+               strftime(max(o_orderdate), '%Y-%m-%d') AS last_seen
+        FROM orders GROUP BY 1
+        UNION ALL
+        SELECT 'unknown', 0, NULL
+    )
+    SELECT l.o_custkey,
+           l.o_orderkey                       AS latest_orderkey,
+           strftime(l.o_orderdate, '%Y-%m-%d') AS order_date,
+           CASE WHEN c.c_custkey IS NULL THEN 0 ELSE l.o_custkey END
+                                              AS cust_key,
+           c.c_custkey IS NULL                AS is_orphan,
+           lower(trim(l.o_orderpriority))     AS priority,
+           p.priority_key,
+           p.last_seen
+    FROM latest l
+    LEFT JOIN cdim c ON l.o_custkey = c.c_custkey
+    LEFT JOIN pdim p ON lower(trim(l.o_orderpriority)) = p.priority
+    """,
+)
+def star_latest_dim_showcase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Consolidated star-schema showcase: W1 latest-per-key window dedup
+    (silver/trips:209-219), J1 FK validation with orphan→0 against a
+    filtered customer dim (fact_trips.py:154-201), and a J2/A3 priority
+    dim built in-flight (groupBy max last-seen, md5 surrogate key —
+    portable twin of xxhash64+pmod, fact_payments.py:135) carrying the
+    S10/U1 UNKNOWN row. Both dims are broadcast, so the fact path is one
+    window shuffle on o_custkey and zero join shuffles."""
+    orders = table(spark, sf_dir, "orders")
+    cust = table(spark, sf_dir, "customer")
+    latest = latest_per_key(
+        orders, keys=["o_custkey"], order_desc=["o_orderdate", "o_orderkey"]
+    )
+    cdim = cust.filter(F.col("c_mktsegment") != "BUILDING")
+    validated = validate_fk(
+        latest,
+        cdim,
+        fact_key="o_custkey",
+        dim_key="c_custkey",
+        out_col="cust_key",
+        orphan_flag_col="is_orphan",
+    )
+    pr = F.lower(F.trim(F.col("o_orderpriority")))
+    pdim = (
+        orders.groupBy(pr.alias("priority"))
+        .agg(date_str(F.max("o_orderdate")).alias("last_seen"))
+        .select(
+            "priority",
+            md5_int_key(["priority"]).alias("priority_key"),
+            "last_seen",
+        )
+    )
+    pdim = with_unknown_row(
+        pdim,
+        {
+            "priority": F.lit("unknown"),
+            "priority_key": F.lit(0),
+            "last_seen": F.lit(None).cast("string"),
+        },
+    )
+    return (
+        validated.withColumn("priority", pr)
+        .join(F.broadcast(pdim), "priority", "left")
+        .select(
+            "o_custkey",
+            F.col("o_orderkey").alias("latest_orderkey"),
+            date_str("o_orderdate").alias("order_date"),
+            "cust_key",
+            "is_orphan",
+            "priority",
+            "priority_key",
+            "last_seen",
+        )
+    )
