@@ -468,7 +468,7 @@ def main() -> int:
         args
         & {"--skew", "--soak", "--corpus", "--compaction", "--bloom",
            "--dedupindex", "--kmeans", "--scaling", "--bq", "--semdedup",
-           "--replicate", "--bm25index", "--dv"}
+           "--replicate", "--bm25index", "--dv", "--bpe"}
     ):
         sections["anchor"] = run_anchor(spark)
     if run_all or "--skew" in args:
@@ -487,6 +487,7 @@ def main() -> int:
         sections["bm25_index"] = run_bm25_index_soak(spark)
     if run_all or "--dv" in args:
         sections["dv_pointops"] = run_dv_pointops(spark)
+        sections["dv_erasure_soak"] = run_dv_erasure_soak(spark)
     if run_all or "--semdedup" in args:
         sections["semdedup_probe"] = run_semdedup_probe(spark)
     if run_all or "--bq" in args:
@@ -497,6 +498,8 @@ def main() -> int:
         sections["corpus_scaling"] = run_scaling(spark)
     if run_all or "--kmeans" in args:
         sections["kmeans_scale"] = run_kmeans_scale(spark)
+    if run_all or "--bpe" in args:
+        sections["bpe_merges"] = run_bpe_merges(spark)
 
     for payload in sections.values():
         print(json.dumps(payload))
@@ -932,6 +935,103 @@ def run_dv_pointops(spark: SparkSession) -> dict:
         )
         # read overhead of the broadcast anti-join stays bounded
         assert read_dv_s < read_clean_s * 2 + 0.5, out
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+    return out
+
+
+def run_dv_erasure_soak(spark: SparkSession) -> dict:
+    """Two-phase GDPR erasure under SUSTAINED load (VERDICT r7 item 7):
+    ten ``mode="mor"`` erasure cycles with full reads between, a
+    batched ``finalize_erasure`` purge every ``purge_every`` cycles.
+    Gates:
+
+    - erased ids vanish from reads IMMEDIATELY after each MoR cycle;
+    - pending DV rows are BOUNDED by victims × cycles-since-purge and
+      drop to 0 at every purge — never unbounded growth;
+    - the read penalty between purges stays < 2× the clean read;
+    - every purge rewrites ONLY the files carrying DV'd rows (kept +
+      rewritten == live files; rewritten == covered)."""
+    from urban_mobility_data_pipeline_spark.extensions.gdpr_corpus import (
+        erase_document_ids,
+        finalize_erasure,
+    )
+    from urban_mobility_data_pipeline_spark.operators.merge import MergeTable
+
+    out: dict = {"metric": "dv_erasure_soak"}
+    root = tempfile.mkdtemp(prefix="umdp_dvsoak_bench_")
+    n_rows, n_files, victims_per, cycles, purge_every = (
+        1_000_000, 32, 200, 10, 5
+    )
+    try:
+        corpus = MergeTable(spark, os.path.join(root, "corpus"))
+        corpus.create(
+            spark.range(n_rows).select(
+                F.col("id").alias("doc_id"),
+                F.sha2(F.col("id").cast("string"), 256).alias("text"),
+            ).repartition(n_files)
+        )
+        corpus.build_blooms("doc_id", fpp=0.001)
+        tables = {"corpus": corpus}
+
+        t0 = time.perf_counter()
+        baseline = corpus.read().count()
+        read_clean_s = time.perf_counter() - t0
+        assert baseline == n_rows
+
+        dv_rows_curve, read_secs, purges = [], [], []
+        erased_total = 0
+        for c in range(1, cycles + 1):
+            victims = list(range((c - 1) * victims_per * 7,
+                                 (c - 1) * victims_per * 7 + victims_per))
+            erase_document_ids(
+                spark, victims, tables,
+                id_cols={"corpus": ["doc_id"]}, mode="mor",
+            )
+            erased_total += victims_per
+            # immediate logical erasure + bounded pending DVs
+            got = corpus.read().filter(
+                F.col("doc_id").isin(victims[:5])
+            ).count()
+            assert got == 0, (c, got)
+            pending = corpus.dv_rows()
+            dv_rows_curve.append(pending)
+            since_purge = c % purge_every or purge_every
+            assert pending <= victims_per * since_purge, (c, pending)
+            t0 = time.perf_counter()
+            n = corpus.read().count()
+            read_secs.append(round(time.perf_counter() - t0, 2))
+            assert n == n_rows - erased_total, (c, n)
+            if c % purge_every == 0:
+                manifest = corpus._load()[0]
+                covered = {
+                    f for e in (manifest.get("dvs") or [])
+                    for f in e["files"]
+                    if f in set(manifest["files"])
+                }
+                live_before = len(manifest["files"])
+                st = finalize_erasure(tables)["corpus"]
+                purges.append(st)
+                assert st["rewritten_files"] == len(covered), (st, covered)
+                assert st["rewritten_files"] + st["kept_files"] == (
+                    live_before
+                ), (st, live_before)
+                assert corpus.dv_rows() == 0, corpus.dv_rows()
+        out.update(
+            {
+                "rows": n_rows,
+                "files": n_files,
+                "victims_per_cycle": victims_per,
+                "cycles": cycles,
+                "purge_every": purge_every,
+                "read_clean_s": round(read_clean_s, 2),
+                "read_secs": read_secs,
+                "dv_rows_curve": dv_rows_curve,
+                "purges": purges,
+                "final_rows": n_rows - erased_total,
+            }
+        )
+        assert max(read_secs) < read_clean_s * 2 + 0.5, out
     finally:
         shutil.rmtree(root, ignore_errors=True)
     return out
@@ -1556,6 +1656,60 @@ def run_kmeans_scale(spark: SparkSession) -> dict:
     out["near_linear"] = out["ratio_4x"] < 8
     assert out["near_linear"], out
     return out
+
+
+def run_bpe_merges(spark: SparkSession) -> dict:
+    """BPE training at realistic merge counts (VERDICT r7 item 8): the
+    per-merge driver round-trip is the documented cost model of
+    ``learn_bpe``; this section measures whether merges/sec stays FLAT
+    across a 2,000-rule run (the per-round localCheckpoint must keep
+    planning O(1) — without it, round r re-analyzes r nested folds and
+    the curve is quadratic). The sf0.1 word-salad corpus has only 31
+    distinct words, so the vocabulary here is synthesized: 20k
+    deterministic hex words, 4-13 chars — enough pair diversity to
+    sustain 2k distinct rules. Gate: the last 200-merge block runs at
+    ≥ 0.6× the median block's merges/sec."""
+    from urban_mobility_data_pipeline_spark.extensions.bpe import learn_bpe
+
+    out: dict = {"metric": "bpe_merges"}
+    vocab_n, n_merges, block = 20_000, 2_000, 200
+    words = spark.range(vocab_n).select(
+        F.expr(
+            "substring(sha2(CAST(id AS STRING), 256), 1, "
+            "CAST(4 + id % 10 AS INT))"
+        ).alias("text")
+    )
+    times: list = []
+    state = {"last": time.perf_counter()}
+
+    def on_round(_rank: int) -> None:
+        now = time.perf_counter()
+        times.append(now - state["last"])
+        state["last"] = now
+
+    t0 = time.perf_counter()
+    merges = learn_bpe(words, n_merges=n_merges, on_round=on_round)
+    wall = time.perf_counter() - t0
+    blocks = [
+        sum(times[i : i + block]) for i in range(0, len(times), block)
+    ]
+    rate = [round(min(block, len(times) - i) / b, 1)
+            for i, b in zip(range(0, len(times), block), blocks)]
+    out.update(
+        {
+            "vocab_words": vocab_n,
+            "merges_learned": len(merges),
+            "wall_s": round(wall, 1),
+            "block_size": block,
+            "merges_per_sec_by_block": rate,
+            "overall_merges_per_sec": round(len(merges) / wall, 1),
+        }
+    )
+    assert len(merges) == n_merges, len(merges)
+    med = sorted(rate)[len(rate) // 2]
+    assert rate[-1] >= med * 0.6, out
+    return out
+
 
 
 if __name__ == "__main__":

@@ -279,3 +279,52 @@ def test_mor_erasure_is_logical_then_physical(spark, sf_dir, tmp_path):
             t = pq.read_table(f, columns=cols)
             for c in cols:
                 assert victim not in t.column(c).to_pylist(), (name, f)
+
+
+def test_sustained_mor_erasure_stays_bounded(spark, tmp_path):
+    """The two-phase erasure path under SUSTAINED load (the
+    bench_domain --dv soak's committed pin): repeated mode="mor"
+    erasure cycles keep pending DV rows bounded by victims ×
+    cycles-since-purge, every erased id is logically gone immediately,
+    and each batched finalize_erasure purge rewrites only DV-covered
+    files and resets the pending count to zero — the cadence that
+    keeps the MoR read penalty from compounding."""
+    from urban_mobility_data_pipeline_spark.extensions.gdpr_corpus import (
+        finalize_erasure,
+    )
+
+    corpus = MergeTable(spark, str(tmp_path / "soak_corpus"))
+    corpus.create(
+        spark.range(20_000).select(
+            F.col("id").alias("doc_id"),
+            F.sha2(F.col("id").cast("string"), 256).alias("text"),
+        ).repartition(8)
+    )
+    corpus.build_blooms("doc_id", fpp=0.001)
+    tables = {"corpus": corpus}
+    per, cycles, purge_every = 50, 6, 3
+    erased = 0
+    for c in range(1, cycles + 1):
+        victims = list(range((c - 1) * per * 11, (c - 1) * per * 11 + per))
+        erase_document_ids(
+            spark, victims, tables, id_cols={"corpus": ["doc_id"]},
+            mode="mor",
+        )
+        erased += per
+        assert (
+            corpus.read().filter(F.col("doc_id").isin(victims)).count() == 0
+        )
+        since = c % purge_every or purge_every
+        assert corpus.dv_rows() == per * since
+        assert corpus.read().count() == 20_000 - erased
+        if c % purge_every == 0:
+            manifest = corpus._load()[0]
+            live = set(manifest["files"])
+            covered = {
+                f for e in (manifest.get("dvs") or [])
+                for f in e["files"] if f in live
+            }
+            st = finalize_erasure(tables)["corpus"]
+            assert st["rewritten_files"] == len(covered), (st, covered)
+            assert corpus.dv_rows() == 0
+    assert corpus.read().count() == 20_000 - erased

@@ -184,3 +184,35 @@ def test_limit_pushdown_guard_applied_at_registration(spark, tmp_path):
         spark, "guardforce", url, DERBY_DRIVER, push_limit=True
     )
     assert spark.conf.get("spark.sql.catalog.guardforce.pushDownLimit") == "true"
+
+
+def test_probe_dialect_catches_the_derby_limit_lie(spark, derby_url):
+    """The first-contact probe (sources/jdbc.probe_dialect) run against
+    the one live dialect in this environment must find exactly what
+    the pinned per-feature tests found: WHERE pushdown real, aggregate
+    pushdown consistent, limit pushdown a LIE — and, because Derby's
+    prefix is already registered unsafe, recommend nothing new. This
+    is the executable checklist a Postgres/MySQL user runs on first
+    contact instead of trusting upstream dialect tests."""
+    got = jdbc.probe_dialect(
+        spark, derby_url, DERBY_DRIVER, "PEOPLE", "ID"
+    )
+    assert got["where_pushdown"] is True
+    assert got["limit_pushdown_honest"] is False
+    assert got["aggregate_pushdown_consistent"] is True
+    assert got["recommended_unsafe_prefix"] is None
+
+
+def test_probe_dialect_recommends_prefix_for_unregistered_liar(
+    spark, derby_url, monkeypatch
+):
+    """If the lying dialect were NOT yet in
+    LIMIT_PUSHDOWN_UNSAFE_PREFIXES, the probe must hand back the URL
+    prefix to register — the one-line fix the registry is built for."""
+    monkeypatch.setattr(jdbc, "LIMIT_PUSHDOWN_UNSAFE_PREFIXES", ())
+    got = jdbc.probe_dialect(
+        spark, derby_url, DERBY_DRIVER, "PEOPLE", "ID",
+        catalog_prefix="umdp_probe2",
+    )
+    assert got["limit_pushdown_honest"] is False
+    assert got["recommended_unsafe_prefix"] == "jdbc:derby"

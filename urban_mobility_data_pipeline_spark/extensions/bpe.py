@@ -103,6 +103,8 @@ def learn_bpe(
     docs: DataFrame,
     n_merges: int = 16,
     text_col: str = "text",
+    checkpoint_dir: str | None = None,
+    on_round=None,
 ) -> list[dict]:
     """Learn the top ``n_merges`` BPE merge rules over the corpus.
 
@@ -110,6 +112,14 @@ def learn_bpe(
     order. Argmax ties resolve to the lexicographically smallest
     ``(l, r)`` so the rule list is deterministic across engines and
     runs. Stops early if no adjacent pairs remain.
+
+    ``checkpoint_dir`` switches the per-round lineage cut from
+    ``localCheckpoint`` (executor-local, lost on executor death — fine
+    for a re-runnable trainer) to RELIABLE ``.checkpoint()`` files
+    under that directory, the right durability trade for a multi-day
+    50k-merge production run. ``on_round(rank)`` is called after each
+    learned rule — the bench_domain --bpe section uses it to measure
+    the per-round cost curve.
     """
     # coalesce(1) is deliberate: after the corpus fold the working set
     # is the distinct-word table (Zipf-bounded — ~1e6 rows for a web
@@ -118,20 +128,22 @@ def learn_bpe(
     # round one task. Raise the partition count for a billion-word
     # vocabulary — the algorithm is unchanged.
     #
-    # localCheckpoint (not persist) per round: a persisted frame still
+    # A checkpoint (not persist) per round: a persisted frame still
     # carries its full logical plan, so by round r Catalyst re-analyzes
     # r nested fold expressions — quadratic planning over the run
     # (measured: ~1.4 s/round by round 12 on a 31-word vocab, pure
     # driver time). The checkpoint truncates the plan to the
-    # materialized rows, keeping every round O(1) to plan. Local (not
-    # reliable) checkpointing is the right durability trade for a
-    # re-runnable trainer; swap in spark.sparkContext.setCheckpointDir
-    # + .checkpoint() for a multi-day 50k-merge run.
-    syms = (
-        initial_symbols(word_frequencies(docs, text_col))
-        .coalesce(1)
-        .localCheckpoint()
-    )
+    # materialized rows, keeping every round O(1) to plan — measured
+    # flat at 2k merges by bench_domain --bpe.
+    if checkpoint_dir is not None:
+        docs.sparkSession.sparkContext.setCheckpointDir(checkpoint_dir)
+
+    def cut(frame: DataFrame) -> DataFrame:
+        if checkpoint_dir is not None:
+            return frame.checkpoint()
+        return frame.localCheckpoint()
+
+    syms = cut(initial_symbols(word_frequencies(docs, text_col)).coalesce(1))
     merges: list[dict] = []
     for rank in range(n_merges):
         best = (
@@ -152,9 +164,11 @@ def learn_bpe(
                 "freq": cnt,
             }
         )
-        syms = syms.select(
-            "freq", merge_pair_expr("syms", l, r).alias("syms")
-        ).localCheckpoint()
+        syms = cut(
+            syms.select("freq", merge_pair_expr("syms", l, r).alias("syms"))
+        )
+        if on_round is not None:
+            on_round(rank)
     return merges
 
 

@@ -18,6 +18,7 @@ from __future__ import annotations
 import datetime as dt
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 
 def read_table(
@@ -132,3 +133,90 @@ def register_jdbc_catalog(
     spark.conf.set(f"{base}.driver", driver)
     spark.conf.set(f"{base}.pushDownAggregate", str(push_aggregates).lower())
     spark.conf.set(f"{base}.pushDownLimit", str(push_limit).lower())
+
+
+def probe_dialect(
+    spark: SparkSession,
+    url: str,
+    driver: str,
+    table: str,
+    order_col: str,
+    properties: dict[str, str] | None = None,
+    catalog_prefix: str = "umdp_probe",
+) -> dict:
+    """FIRST-CONTACT dialect verification — the executable form of the
+    checklist a user must run before trusting a NEW database behind
+    this engine's JDBC surface (only embedded Derby is verifiable live
+    in this build environment; Postgres/MySQL/H2 inherit their
+    upstream dialect tests until this probe has run against them).
+
+    Run it once against any small table (read access only; nothing is
+    written) and act on the result:
+
+    1. ``where_pushdown`` — a filtered scan must show ``PushedFilters``
+       in the physical plan. False means every predicate streams the
+       full table out of the database: check the driver jar version.
+    2. ``limit_pushdown_honest`` — an ORDER BY + LIMIT k through a
+       DSv2 catalog with ``pushDownLimit=true`` must return exactly
+       the same rows as the pushdown-off plan. False is the Derby
+       lie (the dialect claims limit support, Spark drops its own
+       TakeOrdered, the database ignores the clause): add the URL
+       prefix to :data:`LIMIT_PUSHDOWN_UNSAFE_PREFIXES` — one line
+       plus a pin test, see test_jdbc_limit_pushdown_hazard_on_derby.
+    3. ``aggregate_pushdown_consistent`` — COUNT/MIN/MAX through a
+       ``pushDownAggregate=true`` catalog must equal the pushdown-off
+       answers (binds-or-falls-back, never wrong).
+
+    Returns the three booleans plus ``recommended_unsafe_prefix``
+    (non-None exactly when the dialect failed the limit honesty probe
+    and its prefix is not yet registered)."""
+    props = dict(properties or {})
+    props.setdefault("driver", driver)
+
+    flt = read_table(spark, url, table, properties=props).filter(
+        F.col(order_col).isNotNull()
+    )
+    plan = flt._jdf.queryExecution().executedPlan().toString()
+    where_ok = "PushedFilters" in plan and "IsNotNull" in plan
+
+    def _catalog_rows(name: str, push_limit: bool, push_aggs: bool):
+        register_jdbc_catalog(
+            spark, name, url, driver,
+            push_aggregates=push_aggs, push_limit=push_limit,
+        )
+        return spark.table(f"{name}.{table}")
+
+    on = _catalog_rows(f"{catalog_prefix}_on", True, True)
+    off = _catalog_rows(f"{catalog_prefix}_off", False, False)
+    k = max(1, off.count() // 2)
+    top_on = [
+        tuple(r) for r in on.orderBy(F.desc(order_col)).limit(k).collect()
+    ]
+    top_off = [
+        tuple(r) for r in off.orderBy(F.desc(order_col)).limit(k).collect()
+    ]
+    limit_ok = sorted(map(str, top_on)) == sorted(map(str, top_off))
+
+    agg_on = on.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min(order_col).alias("lo"),
+        F.max(order_col).alias("hi"),
+    ).first()
+    agg_off = off.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min(order_col).alias("lo"),
+        F.max(order_col).alias("hi"),
+    ).first()
+    agg_ok = tuple(agg_on) == tuple(agg_off)
+
+    recommend = None
+    if not limit_ok:
+        scheme = ":".join(url.split(":", 3)[:2])
+        if not url.startswith(LIMIT_PUSHDOWN_UNSAFE_PREFIXES):
+            recommend = scheme
+    return {
+        "where_pushdown": where_ok,
+        "limit_pushdown_honest": limit_ok,
+        "aggregate_pushdown_consistent": agg_ok,
+        "recommended_unsafe_prefix": recommend,
+    }
