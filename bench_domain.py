@@ -1083,24 +1083,31 @@ def run_dedup_index_soak(spark: SparkSession) -> dict:
                 corpus.append(docs)
             else:
                 corpus.create(docs)
+            files_before = set(index._load()[0]["files"]) if c else set()
             t0 = time.perf_counter()
             n = refresh_dedup_index(corpus, index, cursor)
             refresh_secs.append(round(time.perf_counter() - t0, 2))
             corpus_rows.append(corpus.read().count())
             assert n >= batch * 0.9, (c, n)
+            # all-new-ids batches must never rewrite an existing band
+            # file (MoR delete writes nothing, append adds new files)
+            if c:
+                rewritten = files_before - set(index._load()[0]["files"])
+                assert not rewritten, (c, sorted(rewritten)[:5])
         out.update(
             {
                 "batch_docs": batch,
                 "cycles": cycles,
                 "corpus_rows": corpus_rows,
                 "refresh_secs": refresh_secs,
+                "untouched_files_never_rewritten": True,
             }
         )
-        # flat maintenance: the last (biggest-corpus) refresh stays
-        # within noise of the mid-run median — O(batch), not
+        # flat maintenance, ±20% of the mid-run median: the last
+        # (biggest-corpus) refresh stays within noise — O(batch), not
         # O(corpus). (First cycle is the bootstrap; compare from c1.)
         med_mid = sorted(refresh_secs[1:-1])[len(refresh_secs[1:-1]) // 2]
-        assert refresh_secs[-1] <= med_mid * 1.35 + 0.5, out
+        assert refresh_secs[-1] <= med_mid * 1.2 + 0.3, out
         # and the maintained index is exactly a from-scratch rebuild
         rebuilt = band_rows(corpus.read())
         live = index.read()

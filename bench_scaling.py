@@ -1,0 +1,302 @@
+"""Scale-curvature proof (VERDICT r7 item 3): measure the 25 most
+expensive catalog queries at sf0.1 AND sf1 and report each query's
+empirical scaling exponent.
+
+Every scale claim so far was measured at one size; two points a decade
+apart expose the curvature: ``exponent = log10(wall_sf1 / wall_sf0.1)``
+is ~0 for overhead-dominated queries, ~1 for linear scans/aggregations,
+and anything well above 1 means a plan whose cost grows faster than its
+input — the thing that kills a 100 TB run.
+
+sf1 data: the driver testdata is read-only and capped at sf0.1, so sf1
+(~6M lineitem) is DERIVED from sf0.1, 10 FK-consistent replicas with
+per-table key offsets:
+
+- TPC-H tables + events: keys shift by ``replica × keyspace``
+  (customer 15k, orders 150k, part 20k, supplier 1k, users 1.5k,
+  events 100k). Dates/attributes repeat per replica — exactly TPC-H's
+  own behavior, where a bigger SF packs more orders into the same date
+  range.
+- documents: replica 0 keeps the original text; replicas 1-9 carry a
+  DETERMINISTIC word permutation (xxhash64-keyed sort of the word
+  array, seeded by replica and doc_id). Length, vocabulary and unigram
+  statistics are preserved, but shingle sets diverge — without this,
+  every doc would have 9 near-identical twins and the LSH/dedup pair
+  queries would measure a 45×-pair data artifact instead of plan
+  curvature. The corpus's own exact-dup rate carries over within each
+  replica (identical originals permute identically).
+- embeddings: replica 0 keeps the originals; the other 9 are fresh
+  draws from per-label gaussians FIT to the originals (mean/std per
+  label per dimension, numpy seed 42), preserving the cluster
+  structure ANN/kmeans queries key on while avoiding 10 exact copies
+  of every vector (which would blow up semantic-dedup pairs the same
+  way).
+
+Usage: python bench_scaling.py [--regen]  (data cached in _scratch/sf1)
+Emits one JSON line: {"metric": "bench_scaling", "queries": {...}}.
+"""
+
+from __future__ import annotations
+
+import json
+import math
+import os
+import shutil
+import sys
+import time
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+SRC = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+DST = os.path.join(os.path.dirname(os.path.abspath(__file__)), "_scratch", "sf1")
+REPS = 10
+
+#: the 25 most expensive catalog queries by BENCH_LOCAL_r07 wall time
+#: (frozen so the measurement is comparable across rounds)
+TOP_QUERIES = [
+    "streaming_purchase_attribution",
+    "trade_network_pagerank",
+    "documents_fuzzy_dedup_keep_best",
+    "documents_fuzzy_dedup_corpus",
+    "embedding_dedup_corpus",
+    "doc_dup_clusters",
+    "embedding_semantic_dedup",
+    "streaming_dsir_gate",
+    "documents_bpe_token_counts",
+    "embedding_kmeans_cells",
+    "cross_modal_dedup_agreement",
+    "doc_bm25_topk_indexed",
+    "embedding_ivfpq_topk",
+    "corpus_bpe_merges",
+    "corpus_dsir_sample",
+    "documents_contamination_report",
+    "documents_dedup_ngram_scrub",
+    "corpus_dedup_rate_by_source",
+    "doc_edit_similarity_pairs",
+    "doc_retrieval_eval_mrr",
+    "doc_simhash_near_dup_pairs",
+    "documents_fold_leakage",
+    "embedding_semantic_dedup_ingest",
+    "doc_near_dup_pairs",
+    "embedding_pq_topk",
+]
+
+#: per-query exponent bound: 1.3 covers linear + n·log(n) + measured
+#: noise at these wall times; pair/graph pipelines whose candidate sets
+#: legitimately grow with corpus density get an explicit higher bound.
+DEFAULT_BOUND = 1.3
+EXPONENT_BOUNDS = {
+    # LSH pair pipelines: pairs per bucket grow with bucket occupancy,
+    # O(Σ bucket²) by design — bounded, but superlinear in row count
+    # when density rises within a fixed band space.
+    "documents_fuzzy_dedup_keep_best": 1.6,
+    "documents_fuzzy_dedup_corpus": 1.6,
+    "doc_dup_clusters": 1.6,
+    "doc_near_dup_pairs": 1.6,
+    "doc_simhash_near_dup_pairs": 1.6,
+    "embedding_dedup_corpus": 1.6,
+    "embedding_semantic_dedup": 1.6,
+    "cross_modal_dedup_agreement": 1.6,
+    "doc_edit_similarity_pairs": 1.6,
+    # iterative: rounds × per-round cost; per-round is linear but round
+    # count can shift with data
+    "trade_network_pagerank": 1.6,
+}
+
+
+def _replicate(df: DataFrame, offsets: dict[str, int]) -> DataFrame:
+    out = None
+    for i in range(REPS):
+        p = df
+        for c, space in offsets.items():
+            p = p.withColumn(c, (F.col(c) + F.lit(i * space)).cast("long"))
+        out = p if out is None else out.unionByName(p)
+    return out
+
+
+def _permuted_documents(docs: DataFrame) -> DataFrame:
+    out = None
+    for i in range(REPS):
+        p = docs.withColumn(
+            "doc_id", (F.col("doc_id") + F.lit(i * 5000)).cast("long")
+        )
+        if i > 0:
+            ws = F.split(F.col("text"), " ")
+            # seeded by (word, position, replica) but NOT doc_id:
+            # identical texts permute identically within a replica, so
+            # the corpus's exact-dup rate carries over 10× instead of
+            # collapsing to replica 0's pairs
+            keyed = F.transform(
+                ws,
+                lambda w, pos: F.struct(
+                    F.xxhash64(w, pos, F.lit(i)).alias("h"),
+                    w.alias("w"),
+                ),
+            )
+            newtext = F.array_join(
+                F.transform(F.array_sort(keyed), lambda s: s["w"]), " "
+            )
+            p = p.withColumn("text", newtext).withColumn(
+                "n_chars", F.length("text").cast("long")
+            )
+        out = p if out is None else out.unionByName(p)
+    return out
+
+
+def _refit_embeddings(spark: SparkSession, src_path: str) -> DataFrame:
+    import numpy as np
+
+    pdf = spark.read.parquet(src_path).toPandas()
+    rng = np.random.RandomState(42)
+    rows = list(
+        zip(
+            pdf["vec_id"].astype(int),
+            [[float(x) for x in v] for v in pdf["embedding"]],
+            pdf["label"].astype(int),
+        )
+    )
+    base_n = len(pdf)
+    by_label: dict[int, list] = {}
+    for _vid, vec, lab in rows:
+        by_label.setdefault(lab, []).append(vec)
+    stats = {
+        lab: (
+            np.mean(np.array(vs), axis=0),
+            np.std(np.array(vs), axis=0) + 1e-6,
+        )
+        for lab, vs in by_label.items()
+    }
+    out = list(rows)
+    next_id = base_n
+    for _rep in range(1, REPS):
+        for lab, vs in sorted(by_label.items()):
+            mu, sd = stats[lab]
+            draws = rng.normal(mu, sd, size=(len(vs), len(mu)))
+            for d in draws:
+                out.append(
+                    (next_id, [float(x) for x in d.astype(np.float32)], lab)
+                )
+                next_id += 1
+    return spark.createDataFrame(
+        out, "vec_id long, embedding array<float>, label int"
+    )
+
+
+def ensure_sf1(spark: SparkSession, regen: bool = False) -> str:
+    marker = os.path.join(DST, "_COMPLETE")
+    if os.path.isfile(marker) and not regen:
+        return DST
+    shutil.rmtree(DST, ignore_errors=True)
+    os.makedirs(DST, exist_ok=True)
+    rd = lambda n: spark.read.parquet(f"{SRC}/{n}.parquet")  # noqa: E731
+    wr = lambda df, n, parts: df.repartition(parts).write.mode(  # noqa: E731
+        "overwrite"
+    ).parquet(f"{DST}/{n}.parquet")
+
+    for n in ("region", "nation"):
+        wr(rd(n), n, 1)
+    wr(_replicate(rd("customer"), {"c_custkey": 15_000}), "customer", 4)
+    wr(_replicate(rd("supplier"), {"s_suppkey": 1_000}), "supplier", 1)
+    wr(_replicate(rd("part"), {"p_partkey": 20_000}), "part", 4)
+    wr(
+        _replicate(
+            rd("orders"), {"o_orderkey": 150_000, "o_custkey": 15_000}
+        ),
+        "orders",
+        8,
+    )
+    wr(
+        _replicate(
+            rd("lineitem"),
+            {"l_orderkey": 150_000, "l_partkey": 20_000, "l_suppkey": 1_000},
+        ),
+        "lineitem",
+        16,
+    )
+    wr(
+        _replicate(rd("events"), {"event_id": 100_000, "user_id": 1_500}),
+        "events",
+        8,
+    )
+    wr(_permuted_documents(rd("documents")), "documents", 8)
+    wr(_refit_embeddings(spark, f"{SRC}/embeddings.parquet"), "embeddings", 8)
+    with open(marker, "w") as f:
+        f.write("ok")
+    return DST
+
+
+def main() -> int:
+    regen = "--regen" in sys.argv[1:]
+    only = [a for a in sys.argv[1:] if not a.startswith("--")]
+    from urban_mobility_data_pipeline_spark.session import get_spark
+
+    spark = get_spark(
+        app_name="umdp-bench-scaling",
+        master=f"local[{os.environ.get('SPARK_GRAFT_CPUS', '32')}]",
+        extra_conf={
+            "spark.sql.shuffle.partitions": "32",
+            "spark.ui.enabled": "false",
+            "spark.driver.memory": os.environ.get(
+                "SPARK_GRAFT_DRIVER_MEM", "16g"
+            ),
+        },
+    )
+    spark.sparkContext.setLogLevel("WARN")
+    sf1 = ensure_sf1(spark, regen=regen)
+
+    from urban_mobility_data_pipeline_spark.plans.catalog import QUERIES
+
+    names = only or TOP_QUERIES
+    results: dict[str, dict] = {}
+    flagged: list[str] = []
+    for name in names:
+        fn = QUERIES[name]
+        # JIT/scan warmup at the small scale, then best-of-2 per point
+        fn(spark, SRC).write.format("noop").mode("overwrite").save()
+
+        def run(sf_dir: str) -> float:
+            best = math.inf
+            for _ in range(2):
+                t0 = time.perf_counter()
+                fn(spark, sf_dir).write.format("noop").mode(
+                    "overwrite"
+                ).save()
+                best = min(best, time.perf_counter() - t0)
+            return best
+
+        t_small = run(SRC)
+        t_big = run(sf1)
+        exponent = math.log10(max(t_big, 1e-3) / max(t_small, 1e-3))
+        bound = EXPONENT_BOUNDS.get(name, DEFAULT_BOUND)
+        ok = exponent <= bound
+        if not ok:
+            flagged.append(name)
+        results[name] = {
+            "t_sf01": round(t_small, 2),
+            "t_sf1": round(t_big, 2),
+            "ratio": round(t_big / max(t_small, 1e-3), 2),
+            "exponent": round(exponent, 3),
+            "bound": bound,
+            "ok": ok,
+        }
+        print(
+            f"  {name}: {t_small:.2f}s -> {t_big:.2f}s "
+            f"(exp {exponent:.2f}, bound {bound})",
+            file=sys.stderr,
+        )
+    out = {
+        "metric": "bench_scaling",
+        "sf_small": 0.1,
+        "sf_big": 1.0,
+        "reps": REPS,
+        "queries": results,
+        "flagged_superlinear": flagged,
+    }
+    print(json.dumps(out))
+    spark.stop()
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

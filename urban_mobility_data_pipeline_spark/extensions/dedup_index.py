@@ -59,26 +59,31 @@ def refresh_dedup_index(
     returns changed-doc count (0 = already current).
 
     Bootstrap signatures the full corpus once; every later refresh
-    reads ONLY changed docs (change feed for adds/updates, removed-side
-    feed for the delete half) and pays O(changed), never O(index):
+    reads ONLY the txn log's delta files and pays O(changed), never
+    O(index) or O(corpus):
 
-    1. ``delete_keys_in(id_col, changed_ids)`` drops any stale band
-       rows through the bloom sidecar — files that cannot contain a
-       changed doc are neither read nor rewritten, and a refresh whose
-       batch is all brand-new ids touches ZERO existing files (every
-       bloom rejects every key). Mass erasures above the collect limit
-       anti-join, never building a driver IN-list.
-    2. ``append(band_rows(live_changed))`` adds the changed docs'
-       fresh B rows as NEW files — an append-only commit, no
-       rewrite of grown cells (the round-6 creep: a MERGE upsert
-       re-emitted every touched bucket, so refresh cost tracked the
-       corpus instead of the batch).
+    1. ``delete_keys_in(id_col, changed_ids, mode="mor")`` drops any
+       stale band rows through the bloom sidecar INTO A DELETION
+       VECTOR: bloom-negative files are never read, and bloom
+       false-positive files (which compound across a multi-thousand
+       key set — P[file positive] ≈ 1-(1-fpp)^|keys|) are scanned for
+       positions but never rewritten. A refresh whose batch is all
+       brand-new ids writes NOTHING. Pending DV rows are purged once
+       they exceed ``dv_purge_rows`` so probe reads stay bounded.
+    2. ``append(band_rows(adds))`` re-signatures the changed docs'
+       AFTER-images straight from the change feed — ``read_changes``
+       returns the rows of files added since the cursor, and every
+       HEAD file is live, so for a keyed corpus the adds feed IS the
+       current state of every changed id; the corpus snapshot is never
+       scanned (the pre-r8 ``read().join(changed_ids)`` cost one
+       corpus-sized scan per refresh).
     3. ``build_blooms(id_col)`` tops up the sidecar for exactly the
        files appended in (2), keeping step (1) pruned next refresh.
     """
     head_hist = corpus.history()
     head = head_hist[0]["version"] if head_hist else 0
     cur = cursor.read_version(job)
+    dv_purge_rows = 100_000
     if not index.exists() or cur == 0:
         full = band_rows(corpus.read(), id_col, text_col)
         if index.exists():
@@ -95,9 +100,9 @@ def refresh_dedup_index(
     from urban_mobility_data_pipeline_spark.cache import scratch_persist
 
     try:
+        adds = scratch_persist(corpus.read_changes(cur))
         changed_ids = scratch_persist(
-            corpus.read_changes(cur)
-            .select(id_col)
+            adds.select(id_col)
             .unionByName(corpus.read_removed(cur).select(id_col))
             .distinct()
         )
@@ -105,10 +110,12 @@ def refresh_dedup_index(
         if n_changed == 0:
             cursor.upsert(job, head, "OK")
             return 0
-        index.delete_keys_in(id_col, changed_ids)
-        live_changed = corpus.read().join(changed_ids, id_col)
-        if live_changed.limit(1).count():
-            index.append(band_rows(live_changed, id_col, text_col))
+        index.delete_keys_in(id_col, changed_ids, mode="mor")
+        if adds.limit(1).count():
+            index.append(band_rows(adds, id_col, text_col))
+            index.build_blooms(id_col)
+        if index.dv_rows() >= dv_purge_rows:
+            index.purge_deletes()
             index.build_blooms(id_col)
         cursor.upsert(job, head, "OK")
         return n_changed
