@@ -195,6 +195,120 @@ def doc_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# rare-shingle containment pairs (asymmetric near-dup)
+# ---------------------------------------------------------------------------
+#: a shingle is "rare" (informative) when at most this many documents
+#: carry it; buckets in the pair self-join are bounded by this constant,
+#: so pair work is O(|rare shingles| x RARE_DF_MAX), never all-pairs
+CONTAIN_RARE_DF_MAX = 3
+#: emit a pair when either side's rare-shingle containment reaches this
+CONTAIN_MIN = 0.5
+
+
+@register(
+    "doc_containment_pairs",
+    oracle=f"""
+    WITH sh AS (SELECT doc_id, unnest({_SHINGLES}) AS s FROM documents),
+    eligible AS (
+        SELECT s FROM sh GROUP BY s
+        HAVING count(*) <= {CONTAIN_RARE_DF_MAX}
+    ),
+    rare AS (SELECT sh.doc_id, sh.s FROM sh JOIN eligible USING (s)),
+    sizes AS (SELECT doc_id, count(*) AS n_rare FROM rare GROUP BY 1),
+    shared AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               count(*) AS shared_rare
+        FROM rare a JOIN rare b
+          ON a.s = b.s AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    )
+    SELECT s.doc_a, s.doc_b, s.shared_rare,
+           sa.n_rare AS rare_a, sb.n_rare AS rare_b,
+           round(s.shared_rare / CAST(sa.n_rare AS DOUBLE), 6)
+               AS containment_a,
+           round(s.shared_rare / CAST(sb.n_rare AS DOUBLE), 6)
+               AS containment_b
+    FROM shared s
+    JOIN sizes sa ON s.doc_a = sa.doc_id
+    JOIN sizes sb ON s.doc_b = sb.doc_id
+    WHERE greatest(s.shared_rare / CAST(sa.n_rare AS DOUBLE),
+                   s.shared_rare / CAST(sb.n_rare AS DOUBLE))
+          >= {CONTAIN_MIN}
+    """,
+)
+def doc_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CONTAINMENT dedup (Broder 1997 resemblance-vs-containment): a
+    short document pasted inside a long one has low Jaccard (the union
+    is dominated by the long doc) but containment ~1 on the short side
+    — the duplication mode quote/boilerplate inclusion creates and the
+    MinHash-resemblance pipeline is blind to by design.
+
+    Plan shape, bounded at every step: shingles explode once (the same
+    3-gram tokenizer as the LSH pipeline), a df rollup keeps only
+    shingles carried by <= CONTAIN_RARE_DF_MAX docs (an inverted index
+    of INFORMATIVE features — common shingles carry no containment
+    evidence and would explode the join), the self-join on shingle
+    therefore emits at most C(RARE_DF_MAX, 2) pairs per shingle, and
+    per-pair containment is shared/|side's rare set|. Only (doc_id,
+    shingle) pairs shuffle; text stays map-side. At 100 TB the
+    rare-shingle index is the same artifact the contamination checks
+    maintain."""
+    docs = table(spark, sf_dir, "documents")
+    from urban_mobility_data_pipeline_spark.extensions.dedup import (
+        shingles_df,
+    )
+
+    sh = shingles_df(docs).select(
+        "doc_id", F.explode("shingles").alias("s")
+    )
+    from urban_mobility_data_pipeline_spark.cache import scratch_persist
+
+    eligible = (
+        sh.groupBy("s")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter(F.col("df") <= CONTAIN_RARE_DF_MAX)
+        .select("s")
+    )
+    rare = scratch_persist(sh.join(eligible, "s"))
+    sizes = rare.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_rare"))
+    shared = (
+        rare.alias("a")
+        .join(
+            rare.alias("b"),
+            (F.col("a.s") == F.col("b.s"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("shared_rare"))
+    )
+    sa = sizes.select(
+        F.col("doc_id").alias("doc_a"), F.col("n_rare").alias("rare_a")
+    )
+    sb = sizes.select(
+        F.col("doc_id").alias("doc_b"), F.col("n_rare").alias("rare_b")
+    )
+    ca = F.col("shared_rare") / F.col("rare_a").cast("double")
+    cb = F.col("shared_rare") / F.col("rare_b").cast("double")
+    return (
+        shared.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .filter(F.greatest(ca, cb) >= CONTAIN_MIN)
+        .select(
+            "doc_a",
+            "doc_b",
+            "shared_rare",
+            "rare_a",
+            "rare_b",
+            F.round(ca, 6).alias("containment_a"),
+            F.round(cb, 6).alias("containment_b"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
 # simhash fingerprints
 # ---------------------------------------------------------------------------
 _SIM_TERMS = " + ".join(
