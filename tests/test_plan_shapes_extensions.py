@@ -105,3 +105,39 @@ def test_fold_leakage_adds_no_corpus_scan(spark, sf_dir):
     leak = _plan(spark, sf_dir, "documents_fold_leakage")
     pairs = _plan(spark, sf_dir, "doc_near_dup_pairs")
     assert leak.count("documents.parquet") == pairs.count("documents.parquet")
+
+
+def test_conformance_showcase_is_map_only(spark, sf_dir):
+    """The P4-P10 three-table fold must stay a pure projection union:
+    no join, no exchange — the cleaning block never shuffles."""
+    plan = _plan(spark, sf_dir, "conformance_masking_showcase")
+    assert "Exchange" not in plan
+    assert "Join" not in plan
+    assert "BatchEvalPython" not in plan
+
+
+def test_scd_showcase_single_shuffle_broadcast_dim(spark, sf_dir):
+    """One o_custkey exchange serves both SCD windows and the rollup;
+    the calendar dim (with its UNKNOWN row) broadcasts."""
+    plan = _plan(spark, sf_dir, "scd_calendar_showcase")
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_star_showcase_dims_broadcast(spark, sf_dir):
+    """Both the customer key-set and the priority dim broadcast — the
+    fact path shuffles once for the latest-per-key window and never
+    for a join."""
+    plan = _plan(spark, sf_dir, "star_latest_dim_showcase")
+    assert plan.count("BroadcastHashJoin") >= 2
+    assert "SortMergeJoin" not in plan
+
+
+def test_containment_pairs_no_cartesian(spark, sf_dir):
+    """The rare-shingle self-join is keyed on the shingle (buckets
+    bounded by CONTAIN_RARE_DF_MAX) — never a cartesian/nested-loop
+    pair enumeration."""
+    plan = _plan(spark, sf_dir, "doc_containment_pairs")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
