@@ -309,6 +309,82 @@ def doc_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# per-document n-gram novelty (ingest-order freshness curve)
+# ---------------------------------------------------------------------------
+@register(
+    "corpus_ngram_novelty",
+    oracle=f"""
+    WITH sh AS (SELECT doc_id, unnest({_SHINGLES}) AS s FROM documents),
+    first_owner AS (SELECT s, min(doc_id) AS first_doc FROM sh GROUP BY s),
+    per_doc AS (
+        SELECT sh.doc_id,
+               count(*)                                        AS n_shingles,
+               CAST(sum(CASE WHEN f.first_doc = sh.doc_id
+                             THEN 1 ELSE 0 END) AS BIGINT)     AS n_novel
+        FROM sh JOIN first_owner f ON sh.s = f.s
+        GROUP BY sh.doc_id
+    )
+    SELECT CAST(doc_id // 50 AS BIGINT)                    AS ingest_bucket,
+           count(*)                                        AS n_docs,
+           CAST(sum(n_shingles) AS BIGINT)                 AS n_shingles,
+           CAST(sum(n_novel) AS BIGINT)                    AS n_novel,
+           round(sum(n_novel) / CAST(sum(n_shingles) AS DOUBLE), 6)
+                                                           AS novelty_rate
+    FROM per_doc
+    GROUP BY 1
+    """,
+)
+def corpus_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dataset FRESHNESS curve: treating doc_id as ingest order, the
+    fraction of each ingest bucket's 3-gram shingles never seen in any
+    earlier document. A healthy growing corpus holds a stable novelty
+    rate; a collapsing curve means the crawl is re-reading itself and
+    marginal data buys no new content — the curve data teams check
+    before paying for another epoch of crawling.
+
+    Plan: one shingle explode, a min(doc_id) rollup (first owner per
+    shingle — map-side combinable), one equi-join back keyed on the
+    shingle, and a bucket rollup. Only (doc_id, shingle) pairs
+    shuffle; the text column never leaves the first projection, and
+    there is no window over the full corpus (the naive formulation
+    sorts every shingle occurrence by time)."""
+    docs = table(spark, sf_dir, "documents")
+    from urban_mobility_data_pipeline_spark.extensions.dedup import (
+        shingles_df,
+    )
+
+    sh = shingles_df(docs).select(
+        "doc_id", F.explode("shingles").alias("s")
+    )
+    first_owner = sh.groupBy("s").agg(F.min("doc_id").alias("first_doc"))
+    per_doc = (
+        sh.join(first_owner, "s")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_shingles"),
+            F.sum(
+                F.when(F.col("first_doc") == F.col("doc_id"), 1).otherwise(0)
+            )
+            .cast("long")
+            .alias("n_novel"),
+        )
+    )
+    return (
+        per_doc.groupBy(
+            (F.col("doc_id") / 50).cast("long").alias("ingest_bucket")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_shingles").cast("long").alias("n_shingles"),
+            F.sum("n_novel").cast("long").alias("n_novel"),
+            F.round(
+                F.sum("n_novel") / F.sum("n_shingles").cast("double"), 6
+            ).alias("novelty_rate"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
 # simhash fingerprints
 # ---------------------------------------------------------------------------
 _SIM_TERMS = " + ".join(
