@@ -102,10 +102,11 @@ FLAGSHIP = "pricing_summary"
 #                                   rows in CORRECTNESS
 #   daily_distinct_users_sketch     rows-only BY DESIGN (HLL sketch, no
 #                                   cross-engine value hash)
-#   doc_containment_pairs           NEW late-r8 (rare-shingle Broder
-#                                   containment); oracle-backed, first
-#                                   in line for the r9 rotation
-# All seven stay hash-/gold-checked by the committed suite every round.
+#   doc_containment_pairs /         NEW late-r8 (rare-shingle Broder
+#   corpus_ngram_novelty            containment; ingest-order novelty
+#                                   curve); oracle-backed, first in
+#                                   line for the r9 rotation
+# All eight stay hash-/gold-checked by the committed suite every round.
 #
 # Round-7 rotation (VERDICT r6 item 1 — attestation closure): ALL 36 of
 # the never-driver-checked oracle-backed queries the judge named rotate

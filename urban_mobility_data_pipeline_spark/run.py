@@ -323,6 +323,27 @@ def _dataset_card_job(lake: J.Lakehouse, args) -> str:
         .agg(F.count(F.lit(1)).alias("n"), F.sum("n_words").alias("t"))
         .collect()
     }
+    # corpus-level n-gram novelty (the ingest-order freshness signal of
+    # plans/llm_ops.corpus_ngram_novelty): share of 3-gram shingles
+    # first seen in the final 10% of the ingest order — a collapsing
+    # tail means new data is re-reading old content
+    from urban_mobility_data_pipeline_spark.extensions.dedup import (
+        shingles_df,
+    )
+
+    sh = shingles_df(corpus.read()).select(
+        "doc_id", F.explode("shingles").alias("s")
+    )
+    fo = sh.groupBy("s").agg(F.min("doc_id").alias("first_doc"))
+    cut = corpus.read().select(
+        F.expr("approx_percentile(doc_id, 0.9)").alias("c")
+    ).collect()[0]["c"]
+    nov = fo.agg(
+        F.count(F.lit(1)).alias("n_shingles"),
+        F.sum((F.col("first_doc") > F.lit(cut)).cast("long")).alias(
+            "n_tail_first"
+        ),
+    ).collect()[0]
     card = {
         "corpus_version": version,
         "n_docs": g["n_docs"],
@@ -336,6 +357,12 @@ def _dataset_card_job(lake: J.Lakehouse, args) -> str:
         "min_words": g["min_words"],
         "max_words": g["max_words"],
         "languages": langs,
+        "distinct_shingles": nov["n_shingles"],
+        "tail_novelty_share": round(
+            (nov["n_tail_first"] or 0) / nov["n_shingles"], 6
+        )
+        if nov["n_shingles"]
+        else 0.0,
     }
     path = os.path.join(root, "dataset_card.json")
     tmp = path + ".tmp"
