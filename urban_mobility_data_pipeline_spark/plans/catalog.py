@@ -247,7 +247,6 @@ DRIVER_QUERY_NAMES: tuple[str, ...] = (
     "corpus_pmi_collocations",
     "corpus_source_drift_psi",
     "corpus_temperature_mixing",
-    "corpus_unimax_mixing",
     "corpus_vocab_coverage_curve",
     "corpus_zipf_fit",
     "doc_bm25_topk_indexed",
@@ -267,10 +266,17 @@ DRIVER_QUERY_NAMES: tuple[str, ...] = (
     "customer_rfm_segments",
     "customers_k_anonymity",
     "documents_length_ks_test",
-    "documents_length_mannwhitney",
     "documents_length_quantiles_sketch",
     "orders_priority_weekday_chi2",
     "segment_spend_gini",
+    # r8 dedup/curation additions (first driver rows, r9 rotation —
+    # displace documents_length_mannwhitney (length-drift family kept
+    # by documents_length_ks_test, green r8) and corpus_unimax_mixing
+    # (mixing family kept by corpus_temperature_mixing +
+    # corpus_mixing_schedule, both green r8); both displaced rows keep
+    # their catalog entry, pytest-oracle row and bench timing
+    "doc_containment_pairs",
+    "corpus_ngram_novelty",
     # r7 embedding/ANN wave (first driver rows)
     "embedding_bq_hamming_topk",
     "embedding_dim_truncation_recall",
@@ -292,3 +298,126 @@ DRIVER_QUERIES: dict = {n: QUERIES[n] for n in DRIVER_QUERY_NAMES}
 DRIVER_ORACLES: dict[str, str] = {
     n: ORACLES[n] for n in DRIVER_QUERY_NAMES if n in ORACLES
 }
+
+
+# ---------------------------------------------------------------------------
+# Attestation ledger (r9, VERDICT r8 item 2): a machine-checked record of
+# which catalog queries have ever held a driver slot, so new additions
+# cannot silently skip driver attestation. tests/test_catalog_attestation.py
+# asserts set(QUERIES) is exactly the disjoint union of the three sets
+# below — adding a query without either seating it, queueing it, or
+# documenting it as by-construction fails CI.
+# ---------------------------------------------------------------------------
+
+# Queries that are never seated BY CONSTRUCTION (each with its standing
+# verification documented in the r8 rotation comment above):
+#   - embedding_pq_codes / embedding_pq_topk: strict stages of
+#     embedding_ivfpq_topk, whose green full-pipeline oracle covers them
+#   - corpus_mixing_weights: rate math applied verbatim inside
+#     corpus_epoch_sample (green r7)
+#   - corpus_bpe_merges / documents_bpe_token_counts: rows-only iterative
+#     trainer, rule-for-rule Sennrich gold pin in tests/test_bpe.py;
+#     seating them would create err=no_oracle rows in CORRECTNESS
+#   - daily_distinct_users_sketch: rows-only HLL sketch, no cross-engine
+#     value hash
+NEVER_SEATED_BY_CONSTRUCTION: frozenset[str] = frozenset({
+    "embedding_pq_codes",
+    "embedding_pq_topk",
+    "corpus_mixing_weights",
+    "corpus_bpe_merges",
+    "documents_bpe_token_counts",
+    "daily_distinct_users_sketch",
+})
+
+# Oracle-backed queries awaiting their first driver slot (seat these
+# first in the NEXT round's rotation; a query may not stay queued for
+# more than one round).
+DRIVER_SEAT_QUEUE: tuple[str, ...] = ()
+
+# Every query name that has held a driver slot in some round (r1-r9;
+# rotation history in git, tags r3-r8 + this file's comments).
+EVER_DRIVER_SEATED: frozenset[str] = frozenset({
+    "approx_distinct_users", "brand_quantity_band_revenue",
+    "brand_return_rate_ranked", "calendar_dim",
+    "conformance_masking_showcase", "corpus_bigram_stats",
+    "corpus_boilerplate_shingles", "corpus_ccnet_ppl_buckets",
+    "corpus_cms_heavy_hitters", "corpus_dedup_rate_by_source",
+    "corpus_dsir_sample", "corpus_epoch_sample", "corpus_language_stats",
+    "corpus_mixing_schedule", "corpus_ngram_novelty",
+    "corpus_pmi_collocations", "corpus_source_drift_psi",
+    "corpus_source_quality", "corpus_temperature_mixing",
+    "corpus_tokenizer_fertility", "corpus_training_manifest",
+    "corpus_unimax_mixing", "corpus_vocab_coverage_curve",
+    "corpus_vocabulary", "corpus_zipf_fit", "cross_modal_dedup_agreement",
+    "customer_only_nations", "customer_order_analytics",
+    "customer_order_count_distribution", "customer_order_scd2_history",
+    "customer_rfm_segments", "customer_scd3_current_prev",
+    "customer_scd_hash", "customer_yearly_retention", "customers_k_anonymity",
+    "customers_masked", "customers_without_orders",
+    "daily_event_rollup_from_hourly", "daily_sales_calendar",
+    "daily_sales_recompute", "daily_user_activity", "dedup_exact_docs",
+    "discount_revenue_effect", "doc_bigram_cross_entropy", "doc_bm25_topk",
+    "doc_bm25_topk_indexed", "doc_containment_pairs", "doc_dup_clusters",
+    "doc_duplicated_ngrams", "doc_edit_similarity_pairs", "doc_fingerprints",
+    "doc_hybrid_retrieval_rrf", "doc_lang_id", "doc_lang_nb_classifier",
+    "doc_lang_nb_confusion", "doc_length_deciles", "doc_lsh_band_keys",
+    "doc_minhash_signatures", "doc_near_dup_pairs", "doc_quality_scores",
+    "doc_repetition_stats", "doc_retrieval_eval_mrr", "doc_simhash",
+    "doc_simhash_near_dup_pairs", "doc_text_functions_showcase",
+    "doc_token_counts", "doc_top_tfidf_terms", "doc_unigram_surprisal",
+    "documents_chunked", "documents_contamination_report",
+    "documents_dedup_ngram_scrub", "documents_fold_leakage",
+    "documents_fuzzy_dedup_corpus", "documents_fuzzy_dedup_keep_best",
+    "documents_gopher_gate", "documents_intradoc_dedup_scrub",
+    "documents_length_ks_test", "documents_length_mannwhitney",
+    "documents_length_quantiles_sketch", "documents_ngram_contamination",
+    "documents_packed_sequences", "documents_packing_efficiency",
+    "documents_pii_audit", "documents_quality_filtered_corpus",
+    "documents_rendezvous_shards", "documents_stratified_sample",
+    "documents_token_packing", "documents_token_weighted_sample",
+    "documents_train_eval_contamination", "documents_train_test_split",
+    "dominant_part_suppliers", "embedding_ann_buckets",
+    "embedding_bq_hamming_topk", "embedding_cluster_cohesion",
+    "embedding_cosine_topk", "embedding_dedup_corpus",
+    "embedding_dim_truncation_recall", "embedding_int8_quantized",
+    "embedding_ivf_topk", "embedding_ivf_topk_indexed",
+    "embedding_ivfpq_topk", "embedding_kmeans_cells",
+    "embedding_near_dup_pairs", "embedding_semantic_dedup",
+    "embedding_semantic_dedup_ingest", "error_user_activity",
+    "event_daily_anomalies", "event_props_json", "event_regex_map_showcase",
+    "event_scalar_union_showcase", "event_type_transitions",
+    "events_asof_prior_purchase", "events_conversion_funnel",
+    "events_dq_flags", "events_error_bursts",
+    "events_interval_join_purchases", "events_range_join_error_counts",
+    "events_retention_filter", "events_rolling_hour_counts",
+    "events_watermark_lateness_audit", "gdpr_subject_fingerprints",
+    "hourly_event_windows", "idle_rich_customers_by_nation",
+    "incremental_order_slice", "large_volume_orders",
+    "late_ship_priority_counts", "latest_order_per_customer",
+    "lineitem_price_statistics", "linestatus_priority_late_counts",
+    "local_supplier_volume", "min_cost_part_supplier",
+    "nation_customer_supplier_overlap", "nation_market_share",
+    "nation_mktsegment_profile", "nation_pair_trade_volume",
+    "nation_product_profit", "order_fulfilment_kpis", "order_priority_dim",
+    "order_priority_status_cube", "order_rollup_totals",
+    "order_scalar_functions_showcase", "order_value_histogram",
+    "order_value_percentiles", "orders_conformed", "orders_data_profile",
+    "orders_fk_validated", "orders_priority_weekday_chi2",
+    "part_basket_affinity", "part_revenue_concentration",
+    "part_revenue_pareto", "parts_by_brand_type", "pricing_summary",
+    "priority_status_pivot", "priority_status_unpivot", "promo_revenue_share",
+    "returned_item_revenue", "revenue_by_region", "scd_calendar_showcase",
+    "segment_customer_rankings", "segment_order_interarrival",
+    "segment_spend_gini", "shipping_priority", "sliding_event_windows",
+    "small_quantity_part_revenue", "sole_late_supplier_orders",
+    "sql_interface_order_priorities", "star_latest_dim_showcase",
+    "streaming_corpus_quality_gate", "streaming_distinct_user_event_days",
+    "streaming_dsir_gate", "streaming_hourly_event_counts",
+    "streaming_purchase_attribution", "streaming_running_profiles",
+    "streaming_user_session_windows", "supplier_count_by_part_attrs",
+    "supplier_nation_summary", "surrogate_keys_xxhash",
+    "top_customers_by_spend", "top_revenue_supplier",
+    "trade_network_pagerank", "union_distinct_customers",
+    "user_retention_cohorts", "user_session_windows", "watermark_bounds",
+    "watermark_retention_gdpr_showcase",
+})
