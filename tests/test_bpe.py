@@ -111,3 +111,25 @@ def test_apply_bpe_token_counts_match_gold(spark, sf_dir):
         n_toks = sum(len(_gold_encode(w, gold_rules)) for w in words)
         n_chars = sum(len(w) for w in words)
         assert got[row["doc_id"]] == (n_toks, n_chars), row["doc_id"]
+
+
+def test_learn_bpe_reliable_checkpoints_do_not_accumulate(spark, tmp_path):
+    """checkpoint_dir mode must not leave one directory per merge round
+    (Spark never cleans reliable checkpoints by default; a 50k-merge
+    run would otherwise hoard 50k copies of the working set). After the
+    run the checkpoint_dir must be empty, the rules identical to
+    localCheckpoint mode, and the SparkContext checkpoint dir restored."""
+    docs = spark.createDataFrame(
+        [(1, "aaaa aaaa aa"), (2, "abab ab")], "doc_id long, text string"
+    )
+    ckpt = tmp_path / "bpe_ckpt"
+    orig = spark.sparkContext.getCheckpointDir()
+    got = learn_bpe(docs, n_merges=4, checkpoint_dir=str(ckpt))
+    base = learn_bpe(docs, n_merges=4)
+    assert [
+        (m["left"], m["right"], m["freq"]) for m in got
+    ] == [(m["left"], m["right"], m["freq"]) for m in base]
+    leftovers = sorted(p.name for p in ckpt.glob("round_*"))
+    assert leftovers == [], leftovers
+    if orig is not None:
+        assert spark.sparkContext.getCheckpointDir() == orig

@@ -135,41 +135,75 @@ def learn_bpe(
     # driver time). The checkpoint truncates the plan to the
     # materialized rows, keeping every round O(1) to plan — measured
     # flat at 2k merges by bench_domain --bpe.
-    if checkpoint_dir is not None:
-        docs.sparkSession.sparkContext.setCheckpointDir(checkpoint_dir)
+    # Reliable checkpoints are NOT cleaned by Spark by default
+    # (spark.cleaner.referenceTracking.cleanCheckpoints=false), so a
+    # 50k-merge run would otherwise accumulate 50k directories of the
+    # full working set. Each round checkpoints into its own numbered
+    # subdirectory and deletes the previous round's once the new one is
+    # materialized (DataFrame.checkpoint is eager), keeping at most two
+    # alive at any instant; the SparkContext checkpoint dir is restored
+    # on exit so the global setting is not a lasting side effect.
+    sc = docs.sparkSession.sparkContext
+    orig_ckpt_dir = sc.getCheckpointDir() if checkpoint_dir is not None else None
+    prev_subdir: list[str | None] = [None]
+    round_no = [0]
+
+    def _hadoop_rm(path: str) -> None:
+        jvm = sc._jvm
+        hpath = jvm.org.apache.hadoop.fs.Path(path)
+        fs = hpath.getFileSystem(sc._jsc.hadoopConfiguration())
+        fs.delete(hpath, True)
 
     def cut(frame: DataFrame) -> DataFrame:
-        if checkpoint_dir is not None:
-            return frame.checkpoint()
-        return frame.localCheckpoint()
+        if checkpoint_dir is None:
+            return frame.localCheckpoint()
+        sub = f"{checkpoint_dir}/round_{round_no[0]:06d}"
+        round_no[0] += 1
+        sc.setCheckpointDir(sub)
+        out = frame.checkpoint()
+        if prev_subdir[0] is not None:
+            _hadoop_rm(prev_subdir[0])
+        prev_subdir[0] = sub
+        return out
 
-    syms = cut(initial_symbols(word_frequencies(docs, text_col)).coalesce(1))
-    merges: list[dict] = []
-    for rank in range(n_merges):
-        best = (
-            adjacent_pair_counts(syms)
-            .orderBy(F.col("cnt").desc(), "l", "r")
-            .limit(1)
-            .collect()
-        )
-        if not best:
-            break
-        l, r, cnt = best[0]["l"], best[0]["r"], int(best[0]["cnt"])
-        merges.append(
-            {
-                "rank": rank,
-                "left": l,
-                "right": r,
-                "merged": l + r,
-                "freq": cnt,
-            }
-        )
+    try:
         syms = cut(
-            syms.select("freq", merge_pair_expr("syms", l, r).alias("syms"))
+            initial_symbols(word_frequencies(docs, text_col)).coalesce(1)
         )
-        if on_round is not None:
-            on_round(rank)
-    return merges
+        merges: list[dict] = []
+        for rank in range(n_merges):
+            best = (
+                adjacent_pair_counts(syms)
+                .orderBy(F.col("cnt").desc(), "l", "r")
+                .limit(1)
+                .collect()
+            )
+            if not best:
+                break
+            l, r, cnt = best[0]["l"], best[0]["r"], int(best[0]["cnt"])
+            merges.append(
+                {
+                    "rank": rank,
+                    "left": l,
+                    "right": r,
+                    "merged": l + r,
+                    "freq": cnt,
+                }
+            )
+            syms = cut(
+                syms.select(
+                    "freq", merge_pair_expr("syms", l, r).alias("syms")
+                )
+            )
+            if on_round is not None:
+                on_round(rank)
+        return merges
+    finally:
+        if checkpoint_dir is not None:
+            if prev_subdir[0] is not None:
+                _hadoop_rm(prev_subdir[0])
+            if orig_ckpt_dir is not None:
+                sc.setCheckpointDir(orig_ckpt_dir)
 
 
 def apply_bpe(

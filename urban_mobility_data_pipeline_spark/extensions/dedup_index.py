@@ -54,6 +54,7 @@ def refresh_dedup_index(
     job: str = DEDUP_INDEX_JOB,
     id_col: str = "doc_id",
     text_col: str = "text",
+    dv_purge_rows: int = 100_000,
 ) -> int:
     """Fold corpus commits since the cursor into the band index;
     returns changed-doc count (0 = already current).
@@ -83,7 +84,6 @@ def refresh_dedup_index(
     head_hist = corpus.history()
     head = head_hist[0]["version"] if head_hist else 0
     cur = cursor.read_version(job)
-    dv_purge_rows = 100_000
     if not index.exists() or cur == 0:
         full = band_rows(corpus.read(), id_col, text_col)
         if index.exists():

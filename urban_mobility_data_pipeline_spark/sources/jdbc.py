@@ -189,11 +189,26 @@ def probe_dialect(
     on = _catalog_rows(f"{catalog_prefix}_on", True, True)
     off = _catalog_rows(f"{catalog_prefix}_off", False, False)
     k = max(1, off.count() // 2)
+    # Compare only the ORDER BY column's value multiset: with duplicate
+    # order_col values at the k boundary, pushdown-on and pushdown-off
+    # may legitimately return different TIED rows, and a full-row
+    # comparison would brand an honest dialect a liar. The order_col
+    # top-k multiset is identical for every tie-break, yet still
+    # catches the real lie (a dialect that drops the clause returns k
+    # arbitrary rows whose order_col values differ from the true top-k).
     top_on = [
-        tuple(r) for r in on.orderBy(F.desc(order_col)).limit(k).collect()
+        r[0]
+        for r in on.select(order_col)
+        .orderBy(F.desc(order_col))
+        .limit(k)
+        .collect()
     ]
     top_off = [
-        tuple(r) for r in off.orderBy(F.desc(order_col)).limit(k).collect()
+        r[0]
+        for r in off.select(order_col)
+        .orderBy(F.desc(order_col))
+        .limit(k)
+        .collect()
     ]
     limit_ok = sorted(map(str, top_on)) == sorted(map(str, top_off))
 
