@@ -135,22 +135,147 @@ def minhash_signatures(
     )
 
 
-def lsh_band_keys(sigs: DataFrame, id_col: str = "doc_id") -> DataFrame:
+def lsh_band_keys(
+    sigs: DataFrame, id_col: str = "doc_id", with_refine: bool = False
+) -> DataFrame:
     """Explode signatures into (band_id, band_key) rows: band_key =
     md5(concat of the band's R minhashes). Docs sharing any band_key are
-    candidate near-dups."""
+    candidate near-dups. ``with_refine`` adds a ``refine_key`` column —
+    the NEXT band's key — used by the bucket-cap overflow path to
+    secondary-band oversized buckets (a pair surviving refinement in
+    band b agreed on bands b AND b+1; a pair split apart can still
+    collide in any other band it shares)."""
+
+    def _bk(b: int):
+        return F.md5(
+            F.concat(
+                *[F.col(f"mh_{b * LSH_ROWS + r}") for r in range(LSH_ROWS)]
+            )
+        )
+
     bands = [
         F.struct(
             F.lit(b).alias("band_id"),
-            F.md5(
-                F.concat(*[F.col(f"mh_{b * LSH_ROWS + r}") for r in range(LSH_ROWS)])
-            ).alias("band_key"),
+            _bk(b).alias("band_key"),
+            *(
+                [_bk((b + 1) % LSH_BANDS).alias("refine_key")]
+                if with_refine
+                else []
+            ),
         )
         for b in range(LSH_BANDS)
     ]
+    out_cols = [id_col, "band.band_id", "band.band_key"]
+    if with_refine:
+        out_cols.append("band.refine_key")
     return sigs.select(
         F.col(id_col), F.explode(F.array(*bands)).alias("band")
-    ).select(id_col, "band.band_id", "band.band_key")
+    ).select(*out_cols)
+
+
+def capped_bucket_keys(
+    keys: DataFrame,
+    id_col: str,
+    bucket_cap: int,
+    n_bands: int,
+    combine,
+) -> DataFrame:
+    """Self-bounding bucket membership for pair-candidate joins.
+
+    A banded pair join costs O(Σ bucket²); one pathological bucket (a
+    boilerplate shingle, a zero simhash band on short docs) makes the
+    whole job quadratic with no warning. This bounds every bucket to
+    ``bucket_cap`` members in two steps:
+
+    1. **secondary banding**: members of an oversized bucket are
+       re-keyed by ``combine(band_key, refine_key)`` — the original key
+       widened with the next band's key — under ``band_id + n_bands``
+       (so refined buckets can never collide with unrefined ones).
+       High-similarity pairs mostly agree on the extra band and stay
+       together; the split is what bounds the bucket.
+    2. **hard cap**: a refined sub-bucket still larger than the cap is
+       truncated to its ``bucket_cap`` lowest ids (deterministic). The
+       dropped membership is *measured*, not silent —
+       :func:`bucket_overflow_stats` emits it per band.
+
+    Both steps are one shuffle on the bucket key (a window, not a
+    join); output schema is ``(id, band_id, band_key)``, drop-in for
+    the pair self-join.
+    """
+    from pyspark.sql import Window
+
+    w_size = Window.partitionBy("band_id", "band_key")
+    sized = keys.withColumn("__bsz", F.count(F.lit(1)).over(w_size))
+    small = sized.filter(F.col("__bsz") <= bucket_cap).select(
+        id_col, "band_id", "band_key"
+    )
+    refined = sized.filter(F.col("__bsz") > bucket_cap).select(
+        id_col,
+        (F.col("band_id") + n_bands).alias("band_id"),
+        combine(F.col("band_key"), F.col("refine_key")).alias("band_key"),
+    )
+    w_rank = Window.partitionBy("band_id", "band_key").orderBy(id_col)
+    capped = (
+        refined.withColumn("__rn", F.row_number().over(w_rank))
+        .filter(F.col("__rn") <= bucket_cap)
+        .select(id_col, "band_id", "band_key")
+    )
+    return small.unionByName(capped)
+
+
+def bucket_overflow_stats(
+    keys: DataFrame,
+    id_col: str,
+    bucket_cap: int,
+    combine,
+) -> DataFrame:
+    """The emitted overflow metric for :func:`capped_bucket_keys`: one
+    row per band with the bucket-size profile and, after secondary
+    banding, how many members the hard cap would drop. A 100-TB dedup
+    job reads this BEFORE trusting its pair output — nonzero
+    ``truncated_members`` means the corpus saturates this banding and
+    the caller should raise the cap, add bands, or pre-split the
+    offending content class."""
+    from pyspark.sql import Window
+
+    w_size = Window.partitionBy("band_id", "band_key")
+    sized = keys.withColumn("__bsz", F.count(F.lit(1)).over(w_size))
+    per_bucket = keys.groupBy("band_id", "band_key").agg(
+        F.count(F.lit(1)).alias("__sz")
+    )
+    base = per_bucket.groupBy("band_id").agg(
+        F.count(F.lit(1)).alias("n_buckets"),
+        F.sum(
+            F.when(F.col("__sz") > bucket_cap, 1).otherwise(0)
+        ).alias("oversized_buckets"),
+        F.max("__sz").alias("max_bucket"),
+    )
+    truncated = (
+        sized.filter(F.col("__bsz") > bucket_cap)
+        .groupBy(
+            "band_id",
+            combine(F.col("band_key"), F.col("refine_key")).alias("__rk"),
+        )
+        .agg(F.count(F.lit(1)).alias("__rsz"))
+        .groupBy("band_id")
+        .agg(
+            F.sum(
+                F.greatest(F.col("__rsz") - bucket_cap, F.lit(0))
+            ).alias("truncated_members")
+        )
+    )
+    return (
+        base.join(truncated, "band_id", "left")
+        .select(
+            "band_id",
+            "n_buckets",
+            "oversized_buckets",
+            "max_bucket",
+            F.coalesce("truncated_members", F.lit(0)).alias(
+                "truncated_members"
+            ),
+        )
+    )
 
 
 def lsh_candidate_pairs(
@@ -158,20 +283,34 @@ def lsh_candidate_pairs(
     id_col: str = "doc_id",
     text_col: str = "text",
     shingles: DataFrame | None = None,
+    bucket_cap: int | None = None,
 ) -> DataFrame:
     """Distinct candidate pairs (a < b) sharing at least one LSH band.
     The self-join is on (band_id, band_key) — a co-partitioned shuffle
     join whose width is the bucket sizes, not the corpus. The band-key
     table (docs × B short rows) is persisted so the minhash aggregation
-    runs once, not once per self-join side."""
+    runs once, not once per self-join side. ``bucket_cap`` routes
+    oversized buckets through :func:`capped_bucket_keys` (secondary
+    banding + hard cap), bounding the join at O(B·buckets·cap²) on ANY
+    corpus; pair :func:`bucket_overflow_stats` alongside to see what
+    the cap cost."""
     from urban_mobility_data_pipeline_spark.cache import scratch_persist
 
     keys = scratch_persist(
         lsh_band_keys(
             minhash_signatures(docs, id_col, text_col, shingles=shingles),
             id_col,
+            with_refine=bucket_cap is not None,
         )
     )
+    if bucket_cap is not None:
+        keys = capped_bucket_keys(
+            keys,
+            id_col,
+            bucket_cap,
+            LSH_BANDS,
+            combine=lambda k, r: F.md5(F.concat(k, r)),
+        )
     a = keys.alias("a")
     b = keys.alias("b")
     return (
@@ -202,6 +341,7 @@ def near_dup_pairs(
     id_col: str = "doc_id",
     text_col: str = "text",
     threshold: float = 0.3,
+    bucket_cap: int | None = None,
 ) -> DataFrame:
     """LSH candidates verified with exact n-gram Jaccard ≥ threshold.
 
@@ -215,7 +355,9 @@ def near_dup_pairs(
     from urban_mobility_data_pipeline_spark.cache import scratch_persist
 
     sh = scratch_persist(shingles_df(docs, id_col, text_col))
-    cands = lsh_candidate_pairs(docs, id_col, text_col, shingles=sh)
+    cands = lsh_candidate_pairs(
+        docs, id_col, text_col, shingles=sh, bucket_cap=bucket_cap
+    )
     paired = (
         F.broadcast(cands)
         .join(
@@ -359,24 +501,39 @@ SIMHASH_BAND_BITS = SIMHASH_BITS // SIMHASH_BANDS
 
 
 def simhash_band_keys(
-    sigs: DataFrame, id_col: str = "doc_id", sim_col: str = "simhash32"
+    sigs: DataFrame,
+    id_col: str = "doc_id",
+    sim_col: str = "simhash32",
+    with_refine: bool = False,
 ) -> DataFrame:
     """Explode each fingerprint into (band_id, band_val) bucket keys —
-    map-only, same shape as the MinHash :func:`lsh_band_keys`."""
+    map-only, same shape as the MinHash :func:`lsh_band_keys`.
+    ``with_refine`` adds the NEXT band's value as ``refine_key`` for
+    the bucket-cap overflow path."""
     mask = (1 << SIMHASH_BAND_BITS) - 1
+    cols = [
+        F.col(id_col),
+        "band_id",
+        F.expr(f"shiftright({sim_col}, band_id * {SIMHASH_BAND_BITS})")
+        .bitwiseAND(F.lit(mask))
+        .alias("band_val"),
+    ]
+    if with_refine:
+        cols.append(
+            F.expr(
+                f"shiftright({sim_col}, "
+                f"((band_id + 1) % {SIMHASH_BANDS}) * {SIMHASH_BAND_BITS})"
+            )
+            .bitwiseAND(F.lit(mask))
+            .alias("refine_key")
+        )
     return sigs.select(
         F.col(id_col),
         F.explode(
             F.sequence(F.lit(0), F.lit(SIMHASH_BANDS - 1))
         ).alias("band_id"),
         F.col(sim_col),
-    ).select(
-        F.col(id_col),
-        "band_id",
-        F.expr(f"shiftright({sim_col}, band_id * {SIMHASH_BAND_BITS})")
-        .bitwiseAND(F.lit(mask))
-        .alias("band_val"),
-    )
+    ).select(*cols)
 
 
 def simhash_near_dup_pairs(
@@ -384,6 +541,7 @@ def simhash_near_dup_pairs(
     id_col: str = "doc_id",
     text_col: str = "text",
     max_hamming: int = 3,
+    bucket_cap: int | None = None,
 ) -> DataFrame:
     """SimHash near-duplicate pairs: band-bucketed candidate self-join,
     verified by exact hamming distance ``bit_count(a XOR b)``.
@@ -395,6 +553,14 @@ def simhash_near_dup_pairs(
     banding is exact (see :data:`SIMHASH_BANDS`), so the verify step
     only FILTERS, it cannot miss. One integer per doc shuffles; the
     corpus text is read once by the signature aggregate.
+
+    ``bucket_cap`` bounds each band bucket via secondary banding + a
+    hard cap (:func:`capped_bucket_keys`) — short or templated corpora
+    pile thousands of docs into one band value (measured: a 1,338-doc
+    bucket at sf0.1) and the self-join goes quadratic. Capping trades
+    the exactness guarantee for a hard cost bound; the dropped
+    membership is measured by :func:`bucket_overflow_stats`, never
+    silent.
     """
     if max_hamming >= SIMHASH_BANDS:
         raise ValueError(
@@ -407,7 +573,20 @@ def simhash_near_dup_pairs(
     # token explode+aggregate runs once, not three times (same pattern
     # as near_dup_pairs' shingle stage; 3.7s -> ~1.7s at sf0.1)
     sigs = scratch_persist(simhash_signatures(docs, id_col, text_col))
-    keys = simhash_band_keys(sigs, id_col)
+    keys = simhash_band_keys(
+        sigs, id_col, with_refine=bucket_cap is not None
+    )
+    if bucket_cap is not None:
+        # long-keyed combine: band_val and the 8-bit refine value pack
+        # into one integer (band_id + n_bands disambiguates the space)
+        mask_plus_1 = 1 << SIMHASH_BAND_BITS
+        keys = capped_bucket_keys(
+            keys.withColumnRenamed("band_val", "band_key"),
+            id_col,
+            bucket_cap,
+            SIMHASH_BANDS,
+            combine=lambda k, r: k * mask_plus_1 + r,
+        ).withColumnRenamed("band_key", "band_val")
     cands = (
         keys.alias("a")
         .join(

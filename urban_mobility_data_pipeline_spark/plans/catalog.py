@@ -332,7 +332,12 @@ NEVER_SEATED_BY_CONSTRUCTION: frozenset[str] = frozenset({
 # Oracle-backed queries awaiting their first driver slot (seat these
 # first in the NEXT round's rotation; a query may not stay queued for
 # more than one round).
-DRIVER_SEAT_QUEUE: tuple[str, ...] = ()
+DRIVER_SEAT_QUEUE: tuple[str, ...] = (
+    "embedding_semantic_dedup_adaptive",  # r9: default adaptive-k path
+    "doc_simhash_capped_pairs",  # r9: self-bounding candidate join
+    "doc_simhash_bucket_overflow",  # r9: emitted overflow metric
+    "doc_near_dup_pairs_capped",  # r9: capped minhash variant
+)
 
 # Every query name that has held a driver slot in some round (r1-r9;
 # rotation history in git, tags r3-r8 + this file's comments).

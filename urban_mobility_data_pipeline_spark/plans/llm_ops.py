@@ -194,6 +194,83 @@ def doc_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return near_dup_pairs(docs, threshold=0.1)
 
 
+_BAND_SELECTS_REFINE = "\n    UNION ALL\n".join(
+    f"    SELECT doc_id, {b} AS band_id, "
+    f"md5(mh_{b * LSH_ROWS} || mh_{b * LSH_ROWS + 1}) AS band_key, "
+    f"md5(mh_{((b + 1) % LSH_BANDS) * LSH_ROWS} || "
+    f"mh_{((b + 1) % LSH_BANDS) * LSH_ROWS + 1}) AS refine_key FROM sigs"
+    for b in range(LSH_BANDS)
+)
+
+#: cap used by the capped MinHash variant (see SIMHASH_BUCKET_CAP for
+#: the rationale; minhash buckets max out at 4 on this corpus, so 2
+#: forces the refinement path at every test SF)
+_MINHASH_CAP = 2
+
+
+@register(
+    "doc_near_dup_pairs_capped",
+    oracle=f"""
+    WITH sh AS (SELECT doc_id, {_SHINGLES} AS shingles FROM documents),
+    sigs AS (SELECT doc_id, {_MH_COLS_SQL} FROM sh),
+    keys AS (
+{_BAND_SELECTS_REFINE}
+    ),
+    sized AS (
+        SELECT *, count(*) OVER (PARTITION BY band_id, band_key) AS bsz
+        FROM keys
+    ),
+    small AS (
+        SELECT doc_id, band_id, band_key FROM sized
+        WHERE bsz <= {_MINHASH_CAP}
+    ),
+    refined AS (
+        SELECT doc_id, band_id + {LSH_BANDS} AS band_id,
+               md5(band_key || refine_key) AS band_key
+        FROM sized WHERE bsz > {_MINHASH_CAP}
+    ),
+    capped AS (
+        SELECT doc_id, band_id, band_key
+        FROM (SELECT *, row_number() OVER (
+                  PARTITION BY band_id, band_key ORDER BY doc_id) AS rn
+              FROM refined)
+        WHERE rn <= {_MINHASH_CAP}
+    ),
+    k2 AS (SELECT * FROM small UNION ALL SELECT * FROM capped),
+    cands AS (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM k2 a JOIN k2 b
+          ON a.band_id = b.band_id AND a.band_key = b.band_key
+         AND a.doc_id < b.doc_id
+    ),
+    verified AS (
+        SELECT c.doc_a, c.doc_b,
+               round(
+                 len(list_filter(sa.shingles, x -> list_contains(sb.shingles, x)))
+                 / CAST(len(sa.shingles) + len(sb.shingles)
+                        - len(list_filter(sa.shingles,
+                                          x -> list_contains(sb.shingles, x)))
+                        AS DOUBLE), 6) AS jaccard
+        FROM cands c
+        JOIN sh sa ON sa.doc_id = c.doc_a
+        JOIN sh sb ON sb.doc_id = c.doc_b
+    )
+    SELECT * FROM verified WHERE jaccard >= 0.1
+    """,
+)
+def doc_near_dup_pairs_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH fuzzy dedup through the SELF-BOUNDING candidate
+    join: oversized band buckets are secondary-banded (key widened with
+    the next band's key) and hard-capped before the pair self-join, so
+    bucket saturation — the boilerplate-shingle failure mode — has a
+    hard cost ceiling of O(B·buckets·cap²) instead of O(max_bucket²).
+    Cap 2 here forces the refinement path at test scale; production
+    would run 3-4 orders higher. The oracle replays sizing, refinement,
+    truncation, the candidate join, and the Jaccard verify."""
+    docs = table(spark, sf_dir, "documents")
+    return near_dup_pairs(docs, threshold=0.1, bucket_cap=_MINHASH_CAP)
+
+
 # ---------------------------------------------------------------------------
 # rare-shingle containment pairs (asymmetric near-dup)
 # ---------------------------------------------------------------------------
@@ -900,6 +977,93 @@ def embedding_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return semantic_dedup(emb, cents, threshold=0.35)
 
 
+def _adaptive_semdedup_oracle(iters: int, pair_cost_ratio: float) -> str:
+    """Unrolled replay of the DEFAULT semantic_dedup path: k chosen
+    from the corpus size IN SQL (the same ceil(sqrt(c*N)) clamp the
+    engine applies), spherical k-means trajectory iteration by
+    iteration, then the within-cell pair probe and keep rule."""
+    cos = (
+        "list_dot_product(e.v, c.centroid) / "
+        "(sqrt(list_dot_product(e.v, e.v)) * "
+        "sqrt(list_dot_product(c.centroid, c.centroid)))"
+    )
+    ctes = [
+        "ex AS (SELECT vec_id, "
+        "list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v "
+        "FROM embeddings)",
+        f"kp AS (SELECT GREATEST(8, LEAST(65536, "
+        f"CAST(ceil(sqrt({pair_cost_ratio} * count(*))) AS BIGINT), "
+        f"count(*))) AS k FROM ex)",
+        "cent0 AS (SELECT CAST(row_number() OVER (ORDER BY vec_id) AS INT)"
+        " - 1 AS cell, v AS centroid FROM ex "
+        "QUALIFY row_number() OVER (ORDER BY vec_id) <= (SELECT k FROM kp))",
+    ]
+    for i in range(1, iters + 1):
+        ctes.append(
+            f"a{i} AS (SELECT e.vec_id, e.v, c.cell, "
+            f"row_number() OVER (PARTITION BY e.vec_id "
+            f"ORDER BY {cos} DESC, c.cell) AS rn "
+            f"FROM ex e CROSS JOIN cent{i - 1} c)"
+        )
+        ctes.append(
+            f"cent{i} AS (SELECT cell, list(m ORDER BY pos) AS centroid "
+            f"FROM (SELECT cell, pos, round(avg(comp), 6) AS m "
+            f"FROM (SELECT cell, unnest(v) AS comp, "
+            f"unnest(range(1, len(v) + 1)) AS pos FROM a{i} WHERE rn = 1) "
+            f"GROUP BY 1, 2) GROUP BY 1)"
+        )
+    ctes.append(
+        f"fin AS (SELECT e.vec_id, e.v, c.cell, "
+        f"round({cos}, 6) AS centroid_sim, "
+        f"row_number() OVER (PARTITION BY e.vec_id "
+        f"ORDER BY {cos} DESC, c.cell) AS rn "
+        f"FROM ex e CROSS JOIN cent{iters} c)"
+    )
+    ctes.append("asg AS (SELECT vec_id, v, cell, centroid_sim FROM fin WHERE rn = 1)")
+    ctes.append(
+        "removed AS (SELECT DISTINCT b.vec_id "
+        "FROM asg x JOIN asg b ON x.cell = b.cell "
+        "AND (x.centroid_sim < b.centroid_sim "
+        "OR (x.centroid_sim = b.centroid_sim AND x.vec_id < b.vec_id)) "
+        "WHERE round(list_dot_product(x.v, b.v) "
+        "/ (sqrt(list_dot_product(x.v, x.v)) "
+        "* sqrt(list_dot_product(b.v, b.v))), 6) >= 0.35)"
+    )
+    return (
+        "WITH "
+        + ",\n    ".join(ctes)
+        + "\n    SELECT a.vec_id, a.cell, a.centroid_sim, "
+        "r.vec_id IS NULL AS kept "
+        "FROM asg a LEFT JOIN removed r ON a.vec_id = r.vec_id"
+    )
+
+
+@register(
+    "embedding_semantic_dedup_adaptive",
+    oracle=_adaptive_semdedup_oracle(3, 4.0),
+)
+def embedding_semantic_dedup_adaptive(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """SemDeDup on the DEFAULT quantizer path (VERDICT r8 item 1a):
+    no centroids passed, so ``semantic_dedup`` sizes its own quantizer
+    at ``k = clamp(ceil(sqrt(4·N)))`` and trains it with the pure-
+    Catalyst spherical k-means. This is the scale guarantee the fixed-k
+    variant lacks — cell density stays ~sqrt(N)/c as the corpus grows,
+    so the O(Σ cell²) probe cannot turn super-linear (measured sf1
+    exponent 1.08 with k frozen at the 10 data labels). The oracle
+    recomputes k from the corpus size in SQL, replays all three
+    training iterations as unrolled CTEs, then the within-cell pair
+    probe and the keep-farthest-from-centroid rule — verdicts are
+    hash-checked end-to-end."""
+    from urban_mobility_data_pipeline_spark.extensions.similarity import (
+        semantic_dedup,
+    )
+
+    emb = table(spark, sf_dir, "embeddings")
+    return semantic_dedup(emb, threshold=0.35)
+
+
 #: the ingest probe replayed in DuckDB: quantizer trained on the CORPUS
 #: slice only (vec_id % 10 != 0), corpus vectors assigned to their
 #: nearest cell (the index), each BATCH vector (vec_id % 10 = 0) probes
@@ -1116,6 +1280,158 @@ def doc_simhash_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = table(spark, sf_dir, "documents")
     return simhash_near_dup_pairs(docs, max_hamming=3)
+
+
+# ---------------------------------------------------------------------------
+# self-bounding pair generation: bucket caps + overflow metric (r9)
+# ---------------------------------------------------------------------------
+#: hard per-bucket membership bound for the capped dedup variants; at
+#: test scale 32 forces the secondary-banding AND truncation paths on
+#: the simhash buckets (max observed bucket: 140 at sf0.001, 1,338 at
+#: sf0.1) while leaving typical buckets untouched
+SIMHASH_BUCKET_CAP = 32
+#: minhash buckets are small on this corpus (max 4), so the capped
+#: minhash variant uses a cap of 2 to force the refinement path
+MINHASH_BUCKET_CAP = 2
+
+_SIMHASH_KEYS_REFINE = f"""
+    toks AS (
+        SELECT doc_id,
+               list_transform({_WORDS},
+                   t -> {_duck_hex_to_long("substring(md5(t), 1, 8)")}) AS vals
+        FROM documents
+    ),
+    s AS (SELECT doc_id, CAST({_SIM_TERMS} AS BIGINT) AS simhash32 FROM toks),
+    keys AS (
+        SELECT doc_id, b.band_id,
+               (simhash32 >> (b.band_id * 8)) & 255 AS band_val,
+               (simhash32 >> (((b.band_id + 1) % 4) * 8)) & 255 AS refine_key
+        FROM s, (SELECT unnest(range(4)) AS band_id) b
+    ),
+    sized AS (
+        SELECT *, count(*) OVER (PARTITION BY band_id, band_val) AS bsz
+        FROM keys
+    )"""
+
+
+@register(
+    "doc_simhash_capped_pairs",
+    oracle=f"""
+    WITH {_SIMHASH_KEYS_REFINE},
+    small AS (
+        SELECT doc_id, band_id, band_val FROM sized
+        WHERE bsz <= {SIMHASH_BUCKET_CAP}
+    ),
+    refined AS (
+        SELECT doc_id, band_id + 4 AS band_id,
+               band_val * 256 + refine_key AS band_val
+        FROM sized WHERE bsz > {SIMHASH_BUCKET_CAP}
+    ),
+    capped AS (
+        SELECT doc_id, band_id, band_val
+        FROM (SELECT *, row_number() OVER (
+                  PARTITION BY band_id, band_val ORDER BY doc_id) AS rn
+              FROM refined)
+        WHERE rn <= {SIMHASH_BUCKET_CAP}
+    ),
+    k2 AS (SELECT * FROM small UNION ALL SELECT * FROM capped),
+    cands AS (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM k2 a
+        JOIN k2 b ON a.band_id = b.band_id
+                 AND a.band_val = b.band_val
+                 AND a.doc_id < b.doc_id
+    )
+    SELECT c.doc_a, c.doc_b,
+           CAST(bit_count(xor(sa.simhash32, sb.simhash32)) AS INTEGER)
+               AS hamming
+    FROM cands c
+    JOIN s sa ON sa.doc_id = c.doc_a
+    JOIN s sb ON sb.doc_id = c.doc_b
+    WHERE bit_count(xor(sa.simhash32, sb.simhash32)) <= 3
+    """,
+)
+def doc_simhash_capped_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs with the SELF-BOUNDING candidate join
+    (VERDICT r8 item 1b): buckets larger than the cap are secondary-
+    banded (key widened with the next band's value under an offset
+    band_id) and hard-capped to their lowest ids, so one pathological
+    bucket — the measured 1,338-doc band value at sf0.1 — can never
+    turn the self-join quadratic. The exactness guarantee becomes a
+    hard cost bound; what the cap dropped is measured by the companion
+    ``doc_simhash_bucket_overflow`` metric, never silent. The oracle
+    replays sizing, refinement, truncation, candidate join, and the
+    Hamming verify."""
+    from urban_mobility_data_pipeline_spark.extensions.dedup import (
+        simhash_near_dup_pairs,
+    )
+
+    docs = table(spark, sf_dir, "documents")
+    return simhash_near_dup_pairs(
+        docs, max_hamming=3, bucket_cap=SIMHASH_BUCKET_CAP
+    )
+
+
+@register(
+    "doc_simhash_bucket_overflow",
+    oracle=f"""
+    WITH {_SIMHASH_KEYS_REFINE},
+    per_bucket AS (
+        SELECT band_id, band_val, count(*) AS sz
+        FROM keys GROUP BY 1, 2
+    ),
+    base AS (
+        SELECT band_id,
+               CAST(count(*) AS BIGINT) AS n_buckets,
+               CAST(sum(CASE WHEN sz > {SIMHASH_BUCKET_CAP} THEN 1
+                             ELSE 0 END) AS BIGINT) AS oversized_buckets,
+               CAST(max(sz) AS BIGINT) AS max_bucket
+        FROM per_bucket GROUP BY 1
+    ),
+    tr AS (
+        SELECT band_id, band_val * 256 + refine_key AS rk,
+               count(*) AS rsz
+        FROM sized WHERE bsz > {SIMHASH_BUCKET_CAP}
+        GROUP BY 1, 2
+    ),
+    trunc AS (
+        SELECT band_id,
+               CAST(sum(greatest(rsz - {SIMHASH_BUCKET_CAP}, 0)) AS BIGINT)
+                   AS truncated_members
+        FROM tr GROUP BY 1
+    )
+    SELECT base.band_id, n_buckets, oversized_buckets, max_bucket,
+           COALESCE(truncated_members, CAST(0 AS BIGINT))
+               AS truncated_members
+    FROM base LEFT JOIN trunc USING (band_id)
+    """,
+)
+def doc_simhash_bucket_overflow(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The EMITTED overflow metric for the capped pair join: per band,
+    the bucket count, how many buckets exceeded the cap, the largest
+    bucket, and — after secondary banding — how many members the hard
+    cap dropped. A 100-TB dedup job reads this before trusting its
+    pair output: nonzero ``truncated_members`` means this banding is
+    saturated on this corpus and the cap/band count needs raising.
+    Hash-checked against a full SQL replay of sizing + refinement."""
+    from urban_mobility_data_pipeline_spark.extensions.dedup import (
+        bucket_overflow_stats,
+        simhash_band_keys,
+        simhash_signatures,
+    )
+
+    docs = table(spark, sf_dir, "documents")
+    keys = simhash_band_keys(
+        simhash_signatures(docs), with_refine=True
+    ).withColumnRenamed("band_val", "band_key")
+    return bucket_overflow_stats(
+        keys,
+        "doc_id",
+        SIMHASH_BUCKET_CAP,
+        combine=lambda k, r: k * 256 + r,
+    ).withColumn("band_id", F.col("band_id").cast("long"))
 
 
 # ---------------------------------------------------------------------------
