@@ -113,6 +113,81 @@ def test_apply_bpe_token_counts_match_gold(spark, sf_dir):
         assert got[row["doc_id"]] == (n_toks, n_chars), row["doc_id"]
 
 
+def test_learn_bpe_batched_matches_gold_on_testdata(spark, sf_dir):
+    """batch_size>1 must produce the IDENTICAL rule list (rank, pair,
+    count) as the sequential trainer — the batch trim is provably
+    sequential-equivalent, not an approximation."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    wf = {
+        r["word"]: r["freq"] for r in word_frequencies(docs).collect()
+    }
+    want, _ = _gold_bpe(wf, 24)
+    for bs in (4, 16):
+        got = learn_bpe(docs, n_merges=24, batch_size=bs)
+        assert [
+            (m["rank"], m["left"], m["right"], m["merged"], m["freq"])
+            for m in got
+        ] == want, f"batch_size={bs}"
+
+
+def test_learn_bpe_batched_tie_and_conflict_heavy(spark):
+    """Adversarial corpora where naive batching diverges: heavy count
+    ties, chained merges (ab then ab+c), and a merged string colliding
+    with a later-learnable symbol. The strict c_bound trim must keep
+    every batch sequential-exact."""
+    corpora = [
+        # ties everywhere: every bigram of 'abcd' appears equally often
+        [(1, "abcd abcd abcd"), (2, "dcba dcba")],
+        # chained: (a,b)->ab dominates, then (ab,c) immediately next —
+        # conflicts within a batch, must split across rounds
+        [(1, "abc abc abc abc ab ab"), (2, "cab cab")],
+        # overlap runs + EOW-adjacent merges
+        [(1, "aaaa aaa aa a"), (2, "baab baab ab")],
+        # merged-string collision shape: 'xy' arises both as a merge
+        # result and as adjacent symbols elsewhere
+        [(1, "xy xy xy x y"), (2, "zxy zxy wxy")],
+    ]
+    for rows in corpora:
+        docs = spark.createDataFrame(rows, "doc_id long, text string")
+        wf = {
+            r["word"]: r["freq"]
+            for r in word_frequencies(docs).collect()
+        }
+        want, _ = _gold_bpe(wf, 10)
+        got = learn_bpe(docs, n_merges=10, batch_size=8)
+        assert [
+            (m["rank"], m["left"], m["right"], m["merged"], m["freq"])
+            for m in got
+        ] == want, rows
+
+
+def test_learn_bpe_batched_randomized_equivalence(spark):
+    """Seeded random corpora over a 3-letter alphabet (maximal pair
+    interaction) — batched and gold sequential must agree exactly."""
+    import random
+
+    for seed in range(6):
+        rng = random.Random(seed)
+        words = [
+            "".join(rng.choice("abc") for _ in range(rng.randint(1, 7)))
+            for _ in range(40)
+        ]
+        docs = spark.createDataFrame(
+            [(i, " ".join(words[i::4])) for i in range(4)],
+            "doc_id long, text string",
+        )
+        wf = {
+            r["word"]: r["freq"]
+            for r in word_frequencies(docs).collect()
+        }
+        want, _ = _gold_bpe(wf, 15)
+        got = learn_bpe(docs, n_merges=15, batch_size=6)
+        assert [
+            (m["rank"], m["left"], m["right"], m["merged"], m["freq"])
+            for m in got
+        ] == want, seed
+
+
 def test_learn_bpe_reliable_checkpoints_do_not_accumulate(spark, tmp_path):
     """checkpoint_dir mode must not leave one directory per merge round
     (Spark never cleans reliable checkpoints by default; a 50k-merge

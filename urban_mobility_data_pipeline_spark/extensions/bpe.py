@@ -27,9 +27,35 @@ double-consume; overlapping runs like ``aaaa`` under ``(a,a)`` resolve
 to ``aa aa`` in both this fold and the sequential scan.
 
 Production tokenizers learn 30k-50k merges; at one Spark job per merge
-that is the documented cost ceiling of this exact formulation — the
-standard scale-out is batching compatible (non-overlapping) merges per
-round, which changes the selection policy, not the machinery here.
+that is the cost ceiling of the sequential formulation. ``learn_bpe``
+therefore batches PROVABLY-SEQUENTIAL-EQUIVALENT merges per round
+(``batch_size > 1``): collect the top-k ranked pairs once, greedily
+select a prefix of pairwise symbol-disjoint pairs, and keep only those
+whose count strictly exceeds the first conflicting pair's count. Why
+that is exact (not approximate):
+
+* merging ``(a, b) → ab`` only changes counts of pairs that SHARE a
+  symbol with it — ``(x, a)`` loses the occurrences where its ``a``
+  merged away, and the new pairs ``(x, ab)`` / ``(ab, y)`` are bounded
+  by ``count(x, a)`` / ``(b, y)`` respectively, all of which conflict
+  with ``(a, b)``. Pairs disjoint from ``{a, b, ab}`` keep their exact
+  counts, so a batch member's recorded count IS its count at its
+  sequential moment;
+* therefore every contender that could outrank a batch member during
+  the sequential replay of the batch is bounded by the highest count
+  among conflicting pairs — the FIRST conflict in rank order — and the
+  strict ``count > c_bound`` trim guarantees no contender ever wins a
+  batch member's slot (ties included, since the bound is strict);
+* the one string-keyed hazard — the merged token ``l+r`` colliding
+  with an already-existing symbol (only possible against ``EOW`` or a
+  previously learned merge result, since initial symbols are single
+  characters) — is checked driver-side against the learned-merge set
+  and demotes the candidate to a conflict stop.
+
+The batch then applies as ONE composed rewrite pass (disjointness makes
+order irrelevant), so the per-round driver round-trip amortizes over
+``≈batch_size`` rules. The selection degrades gracefully: the top-1
+pair is always kept (a batch of one is literally the sequential step).
 """
 
 from __future__ import annotations
@@ -99,12 +125,61 @@ def adjacent_pair_counts(syms_df: DataFrame) -> DataFrame:
     ).agg(F.sum("freq").alias("cnt"))
 
 
+def _select_batch(
+    top_rows: list,
+    batch_size: int,
+    prior_merged: set[str],
+    exhausted: bool,
+) -> list[tuple[str, str, int]]:
+    """Greedy sequential-equivalent batch from a ranked pair prefix.
+
+    ``top_rows`` is the ranked ``(l, r, cnt)`` list (cnt desc, l, r);
+    ``exhausted`` says whether it is the COMPLETE pair table (so no
+    unseen pair can conflict). Returns the batch in sequential order.
+    See the module docstring for the equivalence proof; the rules:
+
+    * select while pairwise disjoint on ``{l, r, l+r}`` (merged strings
+      included — a later pair touching an earlier merge result is a
+      conflict, as is a merged string colliding with an existing
+      multi-char symbol, i.e. ``EOW`` or a previously learned merge);
+    * the first conflict's count — or, if none seen, the last collected
+      row's count (an unseen pair can rank no higher) — is ``c_bound``;
+    * keep the top pair unconditionally (batch-of-one IS sequential)
+      plus every later selection with ``cnt > c_bound`` strictly.
+    """
+    selected: list[tuple[str, str, int]] = []
+    used: set[str] = set()
+    c_bound: int | None = None
+    for row in top_rows:
+        l, r, cnt = row["l"], row["r"], int(row["cnt"])
+        merged = l + r
+        collision = merged in prior_merged or merged == EOW
+        if l in used or r in used or merged in used or (selected and collision):
+            c_bound = cnt
+            break
+        if len(selected) < batch_size:
+            selected.append((l, r, cnt))
+            used.update((l, r, merged))
+            if collision:
+                # the top pair's merge conflates with an existing
+                # symbol: sequential-exact on its own, but counts of
+                # pairs touching that symbol may INCREASE, so nothing
+                # else may share the round.
+                return selected[:1]
+    if c_bound is None and not exhausted and top_rows:
+        c_bound = int(top_rows[-1]["cnt"])
+    if c_bound is None:
+        return selected
+    return selected[:1] + [p for p in selected[1:] if p[2] > c_bound]
+
+
 def learn_bpe(
     docs: DataFrame,
     n_merges: int = 16,
     text_col: str = "text",
     checkpoint_dir: str | None = None,
     on_round=None,
+    batch_size: int = 1,
 ) -> list[dict]:
     """Learn the top ``n_merges`` BPE merge rules over the corpus.
 
@@ -112,6 +187,13 @@ def learn_bpe(
     order. Argmax ties resolve to the lexicographically smallest
     ``(l, r)`` so the rule list is deterministic across engines and
     runs. Stops early if no adjacent pairs remain.
+
+    ``batch_size > 1`` learns up to that many rules per Spark round by
+    batching provably non-interacting pairs (see module docstring) —
+    the rule list is IDENTICAL to ``batch_size=1``, the wall-clock is
+    divided by the average realized batch size. Use it for production
+    vocabularies (30k+ merges); the default stays sequential so the
+    per-rule cost curve remains measurable.
 
     ``checkpoint_dir`` switches the per-round lineage cut from
     ``localCheckpoint`` (executor-local, lost on executor death — fine
@@ -171,32 +253,43 @@ def learn_bpe(
             initial_symbols(word_frequencies(docs, text_col)).coalesce(1)
         )
         merges: list[dict] = []
-        for rank in range(n_merges):
-            best = (
+        prior_merged: set[str] = set()
+        # the per-round collect is max(4*batch, 32) ROWS — still a
+        # bounded driver round-trip (the model, never the data).
+        top_k = max(4 * batch_size, 32) if batch_size > 1 else 1
+        while len(merges) < n_merges:
+            top = (
                 adjacent_pair_counts(syms)
                 .orderBy(F.col("cnt").desc(), "l", "r")
-                .limit(1)
+                .limit(top_k)
                 .collect()
             )
-            if not best:
+            if not top:
                 break
-            l, r, cnt = best[0]["l"], best[0]["r"], int(best[0]["cnt"])
-            merges.append(
-                {
-                    "rank": rank,
-                    "left": l,
-                    "right": r,
-                    "merged": l + r,
-                    "freq": cnt,
-                }
+            room = n_merges - len(merges)
+            batch = _select_batch(
+                top,
+                min(batch_size, room) if batch_size > 1 else 1,
+                prior_merged,
+                exhausted=len(top) < top_k,
             )
-            syms = cut(
-                syms.select(
-                    "freq", merge_pair_expr("syms", l, r).alias("syms")
+            expr: Column = F.col("syms")
+            for l, r, cnt in batch:
+                merges.append(
+                    {
+                        "rank": len(merges),
+                        "left": l,
+                        "right": r,
+                        "merged": l + r,
+                        "freq": cnt,
+                    }
                 )
-            )
+                prior_merged.add(l + r)
+                expr = merge_pair_expr(expr, l, r)
+            syms = cut(syms.select("freq", expr.alias("syms")))
             if on_round is not None:
-                on_round(rank)
+                for m in merges[-len(batch):]:
+                    on_round(m["rank"])
         return merges
     finally:
         if checkpoint_dir is not None:

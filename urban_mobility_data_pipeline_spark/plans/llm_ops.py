@@ -4913,6 +4913,15 @@ corpus_unimax_mixing.__doc__ = corpus_unimax_mixing.__doc__.format(
 RETR_EVAL_STRIDE = 100
 RETR_EVAL_QTOKENS = 5
 RETR_EVAL_HIT_K = 10
+#: df-ceiling (impact ordering, Anh & Moffat): query terms matching
+#: more than this fraction of the corpus are skipped for SCORING —
+#: their IDF is near zero and their postings are the whole corpus, so
+#: they dominate the scoring-join volume while barely moving ranks.
+#: Per query the rarest term always survives (threshold is
+#: greatest(ceil*n_docs, min_df)), so the source doc — which contains
+#: all its own query terms — is always a candidate and MRR stays
+#: well-defined on any corpus, stopword-only queries included.
+RETR_EVAL_DF_CEIL_FRAC = 0.10
 
 
 @register(
@@ -4935,14 +4944,22 @@ RETR_EVAL_HIT_K = 10
         GROUP BY 1, 2
     ),
     df AS (SELECT token, CAST(count(*) AS DOUBLE) AS df FROM tf GROUP BY 1),
+    qkeep AS (
+        SELECT query_id, token, df FROM (
+            SELECT qt.query_id, qt.token, df.df,
+                   min(df.df) OVER (PARTITION BY qt.query_id) AS min_df
+            FROM qt JOIN df USING (token)
+        ) CROSS JOIN stats s
+        WHERE df <= greatest({RETR_EVAL_DF_CEIL_FRAC} * s.n_docs, min_df)
+    ),
     scored AS (
-        SELECT qt.query_id, tf.doc_id,
+        SELECT qkeep.query_id, tf.doc_id,
                round(sum(ln((s.n_docs - df.df + 0.5) / (df.df + 0.5) + 1.0)
                          * tf.tf * ({BM25_K1} + 1.0)
                          / (tf.tf + {BM25_K1}
                             * (1.0 - {BM25_B}
                                + {BM25_B} * dl.dl / s.avgdl))), 6) AS score
-        FROM qt
+        FROM (SELECT query_id, token FROM qkeep) qkeep
         JOIN tf USING (token)
         JOIN df USING (token)
         JOIN dl ON dl.doc_id = tf.doc_id
@@ -4979,9 +4996,14 @@ def doc_retrieval_eval_mrr(spark: SparkSession, sf_dir: str) -> DataFrame:
     for the union of all query terms (everything else dies map-side),
     document frequencies and corpus stats broadcast, and all queries
     score in a single (query_id, token)-keyed join — no per-query
-    loop, no driver iteration. The per-query ranking window shuffles
-    on query_id, bounded by queries x matching docs. Ordering uses the
-    ROUNDED score with doc_id tiebreak, so ranks are engine-exact."""
+    loop, no driver iteration. Scoring terms are df-CEILED (impact
+    ordering): a term matching more than {cf} of the corpus is skipped
+    unless it is the query's rarest, bounding the scoring join at
+    |queries| x avg-rare-term-posting-length instead of |queries| x
+    |corpus| on stopword-dense or low-entropy corpora. The per-query
+    ranking window shuffles on query_id, bounded by the surviving
+    candidates. Ordering uses the ROUNDED score with doc_id tiebreak,
+    so ranks are engine-exact."""
     docs = table(spark, sf_dir, "documents")
     t = docs.select("doc_id", T.words("text").alias("toks"))
     q = t.where(F.col("doc_id") % RETR_EVAL_STRIDE == 0).select(
@@ -5004,6 +5026,21 @@ def doc_retrieval_eval_mrr(spark: SparkSession, sf_dir: str) -> DataFrame:
     df_ = tf.groupBy("token").agg(
         F.count(F.lit(1)).cast("double").alias("df")
     )
+    qkeep = (
+        qt.join(df_, "token")
+        .withColumn(
+            "min_df", F.min("df").over(Window.partitionBy("query_id"))
+        )
+        .join(stats.select("n_docs"))
+        .where(
+            F.col("df")
+            <= F.greatest(
+                F.lit(RETR_EVAL_DF_CEIL_FRAC) * F.col("n_docs"),
+                F.col("min_df"),
+            )
+        )
+        .select("query_id", "token")
+    )
     k1, b = F.lit(BM25_K1), F.lit(BM25_B)
     contrib = (
         F.log(
@@ -5019,7 +5056,7 @@ def doc_retrieval_eval_mrr(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     scored = (
-        F.broadcast(qt)
+        F.broadcast(qkeep)
         .join(tf, "token")
         .join(F.broadcast(df_), "token")
         .join(dl, "doc_id")
@@ -5049,7 +5086,10 @@ def doc_retrieval_eval_mrr(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 doc_retrieval_eval_mrr.__doc__ = doc_retrieval_eval_mrr.__doc__.format(
-    s=RETR_EVAL_STRIDE, qt=RETR_EVAL_QTOKENS, k=RETR_EVAL_HIT_K
+    s=RETR_EVAL_STRIDE,
+    qt=RETR_EVAL_QTOKENS,
+    k=RETR_EVAL_HIT_K,
+    cf=RETR_EVAL_DF_CEIL_FRAC,
 )
 
 
