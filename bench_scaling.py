@@ -243,6 +243,155 @@ def ensure_sf1(spark: SparkSession, regen: bool = False) -> str:
     return DST
 
 
+# ---------------------------------------------------------------------------
+# Zipfian corpus (VERDICT r8 item 4): the driver's 17-word vocabulary
+# saturates every lexical bucket ~100× faster than web text, so the
+# pair-pipeline exponents above are upper bounds measured under
+# unrealistic density. This section re-measures them on a corpus with
+# REALISTIC lexical statistics: 20k-word vocabulary, ranks drawn
+# log-uniformly (rank = floor(exp(U·lnV)) gives P(rank=r) ∝ 1/r —
+# Zipf s=1, the empirical law for natural text), deterministic via
+# xxhash64 so both scales regenerate bit-identically. 2% exact
+# duplicates and 2% one-word-perturbed near-duplicates are injected so
+# the dedup pipelines have true positives to find, as in a real crawl.
+# ---------------------------------------------------------------------------
+ZIPF_V = 20_000
+ZIPF_DOCS_SMALL = 5_000  # matches sf0.1's documents row count
+ZIPF_DST = os.path.join(
+    os.path.dirname(os.path.abspath(__file__)), "_scratch"
+)
+
+#: the text-pair pipelines whose exponents the synthetic vocab inflates
+ZIPF_QUERIES = [
+    "doc_near_dup_pairs",
+    "doc_near_dup_pairs_capped",
+    "doc_simhash_near_dup_pairs",
+    "documents_fuzzy_dedup_keep_best",
+    "doc_edit_similarity_pairs",
+    "doc_retrieval_eval_mrr",
+    "doc_containment_pairs",
+]
+
+
+def _zipf_documents(spark: SparkSession, n_docs: int) -> DataFrame:
+    """Deterministic Zipf-text documents table, pure Catalyst (no UDF,
+    no driver loop) — generating 100× more would be the same one-stage
+    map job."""
+    base = spark.range(n_docs).select(F.col("id").alias("doc_id"))
+    # dup injection: every 50th doc copies its predecessor verbatim,
+    # the next one copies with a one-word perturbation
+    seed = (
+        F.when(F.col("doc_id") % 50 == 1, F.col("doc_id") - 1)
+        .when(F.col("doc_id") % 50 == 2, F.col("doc_id") - 2)
+        .otherwise(F.col("doc_id"))
+    )
+    df = base.withColumn("__seed", seed)
+    length = (F.pmod(F.xxhash64(F.col("__seed"), F.lit("len")), F.lit(50)) + 30).cast("int")
+    u = lambda i: (  # noqa: E731
+        F.pmod(F.xxhash64(F.col("__seed"), i), F.lit(1_000_003))
+        / F.lit(1_000_003.0)
+    )
+    rank = lambda i: F.greatest(  # noqa: E731
+        F.lit(1),
+        F.floor(F.exp(u(i) * F.lit(math.log(float(ZIPF_V))))).cast("int"),
+    )
+    words = F.transform(
+        F.sequence(F.lit(1), length),
+        lambda i: F.concat(F.lit("w"), rank(i).cast("string")),
+    )
+    words = F.when(
+        F.col("doc_id") % 50 == 2,
+        F.concat(words, F.array(F.lit("wperturb"))),
+    ).otherwise(words)
+    h = F.xxhash64(F.col("__seed"), F.lit("meta"))
+    return df.select(
+        "doc_id",
+        F.array_join(words, " ").alias("text"),
+        F.element_at(
+            F.array(*[F.lit(x) for x in ("en", "de", "fr", "es", "it")]),
+            (F.pmod(h, F.lit(5)) + 1).cast("int"),
+        ).alias("lang"),
+        F.concat(F.lit("src_"), F.pmod(h, F.lit(20)).cast("string")).alias(
+            "source"
+        ),
+    ).withColumn("n_chars", F.length("text").cast("long"))
+
+
+def ensure_zipf(spark: SparkSession, regen: bool = False) -> tuple[str, str]:
+    dirs = []
+    for tag, n_docs in (("zipf_small", ZIPF_DOCS_SMALL),
+                        ("zipf_big", ZIPF_DOCS_SMALL * REPS)):
+        dst = os.path.join(ZIPF_DST, tag)
+        marker = os.path.join(dst, "_COMPLETE")
+        dirs.append(dst)
+        if os.path.isfile(marker) and not regen:
+            continue
+        shutil.rmtree(dst, ignore_errors=True)
+        os.makedirs(dst, exist_ok=True)
+        # documents is directory-shaped here on purpose — the loaders
+        # are layout-agnostic (tests/test_layout_agnostic.py) and this
+        # is what a distributed writer produces
+        _zipf_documents(spark, n_docs).repartition(8).write.parquet(
+            os.path.join(dst, "documents.parquet")
+        )
+        for t in ("region", "nation", "customer", "supplier", "part",
+                  "orders", "lineitem", "events", "embeddings"):
+            shutil.copy(f"{SRC}/{t}.parquet", f"{dst}/{t}.parquet")
+        with open(marker, "w") as f:
+            f.write("ok")
+    return dirs[0], dirs[1]
+
+
+def run_zipf(spark: SparkSession, regen: bool) -> dict:
+    from urban_mobility_data_pipeline_spark.plans.catalog import QUERIES
+
+    small, big = ensure_zipf(spark, regen=regen)
+    results: dict[str, dict] = {}
+    flagged: list[str] = []
+    for name in ZIPF_QUERIES:
+        fn = QUERIES[name]
+        fn(spark, small).write.format("noop").mode("overwrite").save()
+
+        def run(sf_dir: str) -> float:
+            best = math.inf
+            for _ in range(2):
+                t0 = time.perf_counter()
+                fn(spark, sf_dir).write.format("noop").mode(
+                    "overwrite"
+                ).save()
+                best = min(best, time.perf_counter() - t0)
+            return best
+
+        t_small = run(small)
+        t_big = run(big)
+        exponent = math.log10(max(t_big, 1e-3) / max(t_small, 1e-3))
+        bound = EXPONENT_BOUNDS.get(name, DEFAULT_BOUND)
+        ok = exponent <= bound
+        if not ok:
+            flagged.append(name)
+        results[name] = {
+            "t_small": round(t_small, 2),
+            "t_big": round(t_big, 2),
+            "ratio": round(t_big / max(t_small, 1e-3), 2),
+            "exponent": round(exponent, 3),
+            "bound": bound,
+            "ok": ok,
+        }
+        print(
+            f"  zipf {name}: {t_small:.2f}s -> {t_big:.2f}s "
+            f"(exp {exponent:.2f}, bound {bound})",
+            file=sys.stderr,
+        )
+    return {
+        "metric": "bench_scaling_zipf",
+        "vocab": ZIPF_V,
+        "docs_small": ZIPF_DOCS_SMALL,
+        "docs_big": ZIPF_DOCS_SMALL * REPS,
+        "queries": results,
+        "flagged_superlinear": flagged,
+    }
+
+
 def main() -> int:
     regen = "--regen" in sys.argv[1:]
     only = [a for a in sys.argv[1:] if not a.startswith("--")]
@@ -260,6 +409,10 @@ def main() -> int:
         },
     )
     spark.sparkContext.setLogLevel("WARN")
+    if "--zipf" in sys.argv[1:]:
+        print(json.dumps(run_zipf(spark, regen)))
+        spark.stop()
+        return 0
     sf1 = ensure_sf1(spark, regen=regen)
 
     from urban_mobility_data_pipeline_spark.plans.catalog import QUERIES

@@ -188,6 +188,61 @@ def test_learn_bpe_batched_randomized_equivalence(spark):
         ] == want, seed
 
 
+def test_learn_bpe_fast_mode_conflict_free_identical(spark):
+    """strict=False is exact whenever the batch is conflict-free.
+    Hand-verified corpus: (a,b) cnt 6 and (c,d) cnt 5 are disjoint and
+    both strictly dominate every derived pair ((ab,u)/(ab,v) cnt 3) and
+    every other initial pair, so fast mode's first round batches both
+    — and sequential learns exactly those two, same counts."""
+    rows = [(1, "abu abu abu abv abv abv cdw cdw cdw cdx cdx")]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    wf = {r["word"]: r["freq"] for r in word_frequencies(docs).collect()}
+    want, _ = _gold_bpe(wf, 2)
+    assert [(w[1], w[2], w[4]) for w in want] == [
+        ("a", "b", 6), ("c", "d", 5)
+    ]
+    for kw in ({"batch_size": 8, "strict": False}, {"batch_size": 8}):
+        got = learn_bpe(docs, n_merges=2, **kw)
+        assert [
+            (m["rank"], m["left"], m["right"], m["merged"], m["freq"])
+            for m in got
+        ] == want, kw
+
+
+def test_learn_bpe_fast_mode_batch_of_one_is_sequential(spark):
+    """strict=False with batch_size=1 takes the argmax every round —
+    literally the sequential algorithm — even on the tie/conflict-heavy
+    adversarial corpus."""
+    docs = spark.createDataFrame(
+        [(1, "abc abc abc abc ab ab"), (2, "cab cab"), (3, "aaaa aa")],
+        "doc_id long, text string",
+    )
+    wf = {r["word"]: r["freq"] for r in word_frequencies(docs).collect()}
+    want, _ = _gold_bpe(wf, 8)
+    got = learn_bpe(docs, n_merges=8, batch_size=1, strict=False)
+    assert [
+        (m["rank"], m["left"], m["right"], m["merged"], m["freq"])
+        for m in got
+    ] == want
+
+
+def test_learn_bpe_fast_mode_deterministic_and_valid(spark, sf_dir):
+    """Fast mode on the real corpus: deterministic across runs, rules
+    pairwise-consistent (no duplicate pair, every merged = left+right),
+    and the learned rule SET stays usable by apply_bpe."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    a = learn_bpe(docs, n_merges=16, batch_size=8, strict=False)
+    b = learn_bpe(docs, n_merges=16, batch_size=8, strict=False)
+    assert [(m["left"], m["right"]) for m in a] == [
+        (m["left"], m["right"]) for m in b
+    ]
+    pairs = [(m["left"], m["right"]) for m in a]
+    assert len(set(pairs)) == len(pairs)
+    assert all(m["merged"] == m["left"] + m["right"] for m in a)
+    counts = apply_bpe(docs, a).collect()
+    assert all(r["n_bpe_tokens"] <= r["n_chars"] + 50 for r in counts)
+
+
 def test_learn_bpe_reliable_checkpoints_do_not_accumulate(spark, tmp_path):
     """checkpoint_dir mode must not leave one directory per merge round
     (Spark never cleans reliable checkpoints by default; a 50k-merge

@@ -249,3 +249,38 @@ def test_auto_compact_purges_past_dv_threshold(spark, tmp_path, monkeypatch):
     monkeypatch.setattr(MergeTable, "AUTO_PURGE_DV_ROWS", 1_000_000)
     assert t.auto_compact(max_files=1000) is False
     assert t.dv_rows() == 10
+
+
+def test_dv_purge_policy_threshold_based(table):
+    """dv_purge_due / maybe_purge_deletes (VERDICT r8 item 7): the
+    purge is scheduled by measured read-penalty proxies (pending DV
+    rows, sidecar count), not a fixed clock — under the bound nothing
+    rewrites, crossing either knob triggers exactly one purge."""
+    # 10 pending rows, 1 sidecar: not due under generous knobs
+    table.delete_mor(F.col("id") < 10)
+    gauge = table.dv_purge_due(max_dv_rows=50, max_dv_sidecars=4)
+    assert gauge == {
+        "due": False, "dv_rows": 10, "dv_sidecars": 1,
+        "max_dv_rows": 50, "max_dv_sidecars": 4,
+    }
+    st = table.maybe_purge_deletes(max_dv_rows=50, max_dv_sidecars=4)
+    assert st["purged"] is False and st["rewritten_files"] == 0
+    assert table.dv_rows() == 10  # untouched
+
+    # rows knob crossed -> purge fires, DVs drain, reads still exact
+    table.delete_mor((F.col("id") >= 10) & (F.col("id") < 60))
+    st = table.maybe_purge_deletes(max_dv_rows=50, max_dv_sidecars=4)
+    assert st["purged"] is True and st["rewritten_files"] > 0
+    assert table.dv_rows() == 0
+    assert table.read().count() == 340
+    assert table.read().filter(F.col("id") < 60).count() == 0
+
+    # sidecar knob alone also triggers (rows stay tiny)
+    for lo in (60, 62, 64):
+        table.delete_mor(
+            (F.col("id") >= lo) & (F.col("id") < lo + 2)
+        )
+    st = table.maybe_purge_deletes(max_dv_rows=10_000, max_dv_sidecars=3)
+    assert st["purged"] is True and st["dv_sidecars"] == 3
+    assert table.dv_rows() == 0
+    assert table.read().count() == 334

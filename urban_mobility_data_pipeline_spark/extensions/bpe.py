@@ -109,6 +109,53 @@ def merge_pair_expr(syms: Column | str, left: str, right: str) -> Column:
     )
 
 
+def merge_pairs_expr(
+    syms: Column | str, rules: list[tuple[str, str]]
+) -> Column:
+    """Rewrite one symbol array under a SET of pairwise symbol-disjoint
+    merge rules in a SINGLE left-to-right pass.
+
+    Disjointness makes one pass exactly equal to applying the rules
+    one after another: at any position at most one rule can match
+    (two rules matching ``(last, x)`` would share a symbol), a merge
+    by rule A never creates or destroys a match for rule B (A's merged
+    token is not one of B's symbols), and within-rule overlap runs
+    (``aaaa`` under ``(a,a)``) resolve exactly as in
+    :func:`merge_pair_expr` because the accumulator's last symbol
+    becomes the merged token. One pass instead of ``m`` composed folds
+    keeps the per-round rewrite cost CONSTANT in the batch size — the
+    array is rebuilt once, and the rule lookup is an O(1) literal-map
+    probe (``map<left, map<right, merged>>``), all JVM-side."""
+    c = F.col(syms) if isinstance(syms, str) else syms
+    if len(rules) == 1:
+        return merge_pair_expr(c, rules[0][0], rules[0][1])
+    by_left: dict[str, list[str]] = {}
+    for left, right in rules:
+        by_left.setdefault(left, []).append(right)
+    outer_kv: list[Column] = []
+    for left, rights in by_left.items():
+        inner_kv: list[Column] = []
+        for right in rights:
+            inner_kv += [F.lit(right), F.lit(left + right)]
+        outer_kv += [F.lit(left), F.create_map(*inner_kv)]
+    rule_map = F.create_map(*outer_kv)
+
+    def step(acc: Column, x: Column) -> Column:
+        merged_val = F.element_at(
+            F.element_at(rule_map, F.element_at(acc, -1)), x
+        )
+        return F.when(
+            (F.size(acc) > 0) & merged_val.isNotNull(),
+            F.concat(
+                F.slice(acc, 1, F.size(acc) - 1), F.array(merged_val)
+            ),
+        ).otherwise(F.concat(acc, F.array(x)))
+
+    return F.aggregate(
+        c, F.expr("CAST(array() AS array<string>)"), step
+    )
+
+
 def adjacent_pair_counts(syms_df: DataFrame) -> DataFrame:
     """Frequency-weighted adjacent symbol pairs: ``(l, r, cnt)``."""
     pairs = syms_df.filter(F.size("syms") >= 2).select(
@@ -130,6 +177,7 @@ def _select_batch(
     batch_size: int,
     prior_merged: set[str],
     exhausted: bool,
+    strict: bool = True,
 ) -> list[tuple[str, str, int]]:
     """Greedy sequential-equivalent batch from a ranked pair prefix.
 
@@ -146,6 +194,20 @@ def _select_batch(
       row's count (an unseen pair can rank no higher) — is ``c_bound``;
     * keep the top pair unconditionally (batch-of-one IS sequential)
       plus every later selection with ``cnt > c_bound`` strictly.
+
+    ``strict=False`` is the FAST mode: conflicting pairs are SKIPPED
+    (selection continues down the ranking) and no count trim applies.
+    On a low-entropy symbol inventory — 16 hex chars, or the first few
+    hundred merges of real text — the exact mode degenerates to
+    batch-of-1 because the top pairs constantly share symbols; fast
+    mode still selects a maximal disjoint set per round. The cost is
+    rule ORDER: a skipped pair's count may drop below a selected
+    lower-ranked pair's by the time it is learned, so the sequence can
+    deviate from sequential where batches interact (identical when
+    they are conflict-free — pinned by test). Batch members are still
+    pairwise disjoint, so the one-pass composed rewrite stays exact
+    for the rules it applies, and the final VOCABULARY converges to
+    the same merge set in practice.
     """
     selected: list[tuple[str, str, int]] = []
     used: set[str] = set()
@@ -155,8 +217,10 @@ def _select_batch(
         merged = l + r
         collision = merged in prior_merged or merged == EOW
         if l in used or r in used or merged in used or (selected and collision):
-            c_bound = cnt
-            break
+            if strict:
+                c_bound = cnt
+                break
+            continue
         if len(selected) < batch_size:
             selected.append((l, r, cnt))
             used.update((l, r, merged))
@@ -166,6 +230,10 @@ def _select_batch(
                 # pairs touching that symbol may INCREASE, so nothing
                 # else may share the round.
                 return selected[:1]
+        elif not strict:
+            break
+    if not strict:
+        return selected
     if c_bound is None and not exhausted and top_rows:
         c_bound = int(top_rows[-1]["cnt"])
     if c_bound is None:
@@ -180,6 +248,7 @@ def learn_bpe(
     checkpoint_dir: str | None = None,
     on_round=None,
     batch_size: int = 1,
+    strict: bool = True,
 ) -> list[dict]:
     """Learn the top ``n_merges`` BPE merge rules over the corpus.
 
@@ -191,9 +260,14 @@ def learn_bpe(
     ``batch_size > 1`` learns up to that many rules per Spark round by
     batching provably non-interacting pairs (see module docstring) —
     the rule list is IDENTICAL to ``batch_size=1``, the wall-clock is
-    divided by the average realized batch size. Use it for production
-    vocabularies (30k+ merges); the default stays sequential so the
-    per-rule cost curve remains measurable.
+    divided by the average realized batch size. ``strict=False``
+    additionally SKIPS over conflicting pairs when filling the batch
+    (fast mode): deterministic, same final vocabulary in practice and
+    identical whenever batches are conflict-free, but rule ORDER may
+    deviate from sequential on symbol-dense corpora — the trade every
+    production-scale trainer makes. Use ``batch_size=32, strict=False``
+    for production vocabularies (30k+ merges); the default stays
+    sequential-exact so the per-rule cost curve remains measurable.
 
     ``checkpoint_dir`` switches the per-round lineage cut from
     ``localCheckpoint`` (executor-local, lost on executor death — fine
@@ -254,9 +328,14 @@ def learn_bpe(
         )
         merges: list[dict] = []
         prior_merged: set[str] = set()
-        # the per-round collect is max(4*batch, 32) ROWS — still a
-        # bounded driver round-trip (the model, never the data).
-        top_k = max(4 * batch_size, 32) if batch_size > 1 else 1
+        # the per-round collect is max(4*batch, 32) ROWS (8*batch in
+        # fast mode, which skips past conflicts and needs the deeper
+        # ranking) — still a bounded driver round-trip (the model,
+        # never the data).
+        if batch_size > 1:
+            top_k = max((4 if strict else 8) * batch_size, 32)
+        else:
+            top_k = 1
         while len(merges) < n_merges:
             top = (
                 adjacent_pair_counts(syms)
@@ -272,8 +351,8 @@ def learn_bpe(
                 min(batch_size, room) if batch_size > 1 else 1,
                 prior_merged,
                 exhausted=len(top) < top_k,
+                strict=strict,
             )
-            expr: Column = F.col("syms")
             for l, r, cnt in batch:
                 merges.append(
                     {
@@ -285,7 +364,7 @@ def learn_bpe(
                     }
                 )
                 prior_merged.add(l + r)
-                expr = merge_pair_expr(expr, l, r)
+            expr = merge_pairs_expr("syms", [(l, r) for l, r, _ in batch])
             syms = cut(syms.select("freq", expr.alias("syms")))
             if on_round is not None:
                 for m in merges[-len(batch):]:

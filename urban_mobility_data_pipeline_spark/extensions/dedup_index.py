@@ -114,8 +114,7 @@ def refresh_dedup_index(
         if adds.limit(1).count():
             index.append(band_rows(adds, id_col, text_col))
             index.build_blooms(id_col)
-        if index.dv_rows() >= dv_purge_rows:
-            index.purge_deletes()
+        if index.maybe_purge_deletes(max_dv_rows=dv_purge_rows)["purged"]:
             index.build_blooms(id_col)
         cursor.upsert(job, head, "OK")
         return n_changed

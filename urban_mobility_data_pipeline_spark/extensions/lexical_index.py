@@ -216,8 +216,7 @@ def refresh_bm25_index(
         if adds.limit(1).count():
             postings.append(bm25_postings(adds, id_col, text_col))
             postings.build_blooms(["token", id_col])
-        if postings.dv_rows() >= dv_purge_rows:
-            postings.purge_deletes()
+        if postings.maybe_purge_deletes(max_dv_rows=dv_purge_rows)["purged"]:
             postings.build_blooms(["token", id_col])
         a = bm25_stats(adds, id_col, text_col)
         r = bm25_stats(removes, id_col, text_col)

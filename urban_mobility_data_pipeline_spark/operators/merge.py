@@ -2118,6 +2118,52 @@ class MergeTable:
         )
         return {"rewritten_files": len(covered), "kept_files": len(kept)}
 
+    def dv_purge_due(
+        self,
+        max_dv_rows: int = 100_000,
+        max_dv_sidecars: int = 16,
+    ) -> dict:
+        """Metadata-only purge-policy check (VERDICT r8 item 7): a
+        fixed purge-every-N cadence rewrites on a clock regardless of
+        how much read penalty actually accumulated; this gauges the two
+        quantities the read path actually pays for and says whether a
+        purge is DUE:
+
+        - ``dv_rows`` — total pending deleted positions (the size of
+          the broadcast anti-join every snapshot read performs);
+        - ``dv_sidecars`` — live DV entries (each one is a separate
+          parquet the read opens before the anti-join).
+
+        Thresholds are the policy knobs; crossing EITHER makes the
+        purge due. Costs one manifest read, no data IO — callers can
+        gauge after every write."""
+        manifest, _ = self._load()
+        live = self._dvs_for(manifest, manifest["files"])
+        rows = sum(e["rows"] for e in live)
+        return {
+            "due": rows >= max_dv_rows or len(live) >= max_dv_sidecars,
+            "dv_rows": rows,
+            "dv_sidecars": len(live),
+            "max_dv_rows": max_dv_rows,
+            "max_dv_sidecars": max_dv_sidecars,
+        }
+
+    def maybe_purge_deletes(
+        self,
+        max_dv_rows: int = 100_000,
+        max_dv_sidecars: int = 16,
+    ) -> dict:
+        """Purge pending deletion vectors IF the :meth:`dv_purge_due`
+        policy says so — the auto-purge hook maintenance paths call
+        after their MoR deletes, replacing fixed-cadence purging.
+        Keeps two-phase semantics: the MoR delete already made rows
+        unreadable; this only schedules the rewrite when the measured
+        read-penalty proxies exceed their bounds."""
+        gauge = self.dv_purge_due(max_dv_rows, max_dv_sidecars)
+        if not gauge["due"]:
+            return {**gauge, "purged": False, "rewritten_files": 0}
+        return {**gauge, "purged": True, **self.purge_deletes()}
+
     # -- CHECK constraints (Delta ALTER TABLE ADD CONSTRAINT analogue) -----
     # SQL semantics: a row passes when the expression is TRUE or NULL;
     # only FALSE is a violation. Constraints live in a sidecar beside

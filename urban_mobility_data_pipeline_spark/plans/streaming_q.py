@@ -22,10 +22,38 @@ from urban_mobility_data_pipeline_spark.plans._helpers import (
     events_ts_us,
 )
 from urban_mobility_data_pipeline_spark.session import configure_session
+from urban_mobility_data_pipeline_spark.sources.files import resolve_table_path
 from urban_mobility_data_pipeline_spark.streaming.windows import tumbling_agg
 
 QUERIES: dict = {}
 ORACLES: dict[str, str] = {}
+
+
+def _stream_table(spark: SparkSession, sf_dir: str, name: str):
+    """Schema-pinned streaming file source over one testdata table,
+    LAYOUT-AGNOSTIC: a single ``{name}.parquet`` file streams via its
+    parent dir + pathGlobFilter (a streaming file source wants a
+    directory), while a directory-shaped table (part files — what any
+    distributed writer produces) streams from the directory itself.
+    The old glob-only form silently matched ZERO files on directory
+    tables (BENCH_SCALING's caught harness bug). Returns
+    ``(stream, schema)``; ``events.ts`` has shipped as both
+    TIMESTAMP(NANOS) and TIMESTAMP(MICROS) across testdata
+    generations, so schema inference adapts like ``_helpers.table``."""
+    path, is_dir = resolve_table_path(spark, sf_dir, name)
+    try:
+        schema = spark.read.parquet(path).schema
+    except Exception:
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        schema = spark.read.parquet(path).schema
+    reader = spark.readStream.schema(schema)
+    if is_dir:
+        stream = reader.parquet(path)
+    else:
+        stream = reader.option(
+            "pathGlobFilter", f"{name}.parquet"
+        ).parquet(sf_dir)
+    return stream, schema
 
 
 def register(name: str, oracle: str | None = None):
@@ -56,21 +84,8 @@ def streaming_hourly_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame
     batch aggregation — which is exactly what the DuckDB oracle
     asserts."""
     configure_session(spark)
-    # schema must be pinned for a streaming file source; the source wants
-    # a directory, so glob-filter the sf dir down to the events file.
-    # ts has shipped as both TIMESTAMP(NANOS) and TIMESTAMP(MICROS)
-    # across testdata generations — adapt like _helpers.table().
-    try:
-        schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
-    except Exception:
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    stream, schema = _stream_table(spark, sf_dir, "events")
     ts_type = schema["ts"].dataType.simpleString()
-    stream = (
-        spark.readStream.schema(schema)
-        .option("pathGlobFilter", "events.parquet")
-        .parquet(sf_dir)
-    )
     ev = stream.withColumn("event_ts", F.timestamp_micros(events_ts_us(ts_type)))
     agg = tumbling_agg(
         ev,
@@ -141,17 +156,8 @@ def streaming_user_session_windows(spark: SparkSession, sf_dir: str) -> DataFram
     from urban_mobility_data_pipeline_spark.streaming.windows import session_agg
 
     configure_session(spark)
-    try:
-        schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
-    except Exception:
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    stream, schema = _stream_table(spark, sf_dir, "events")
     ts_type = schema["ts"].dataType.simpleString()
-    stream = (
-        spark.readStream.schema(schema)
-        .option("pathGlobFilter", "events.parquet")
-        .parquet(sf_dir)
-    )
     ev = stream.withColumn("ts_us", events_ts_us(ts_type)).withColumn(
         "event_ts", F.timestamp_micros(F.col("ts_us"))
     )
@@ -221,12 +227,7 @@ def streaming_corpus_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame
     from urban_mobility_data_pipeline_spark.functions.pii import redact_pii
 
     configure_session(spark)
-    schema = spark.read.parquet(f"{sf_dir}/documents.parquet").schema
-    stream = (
-        spark.readStream.schema(schema)
-        .option("pathGlobFilter", "documents.parquet")
-        .parquet(sf_dir)
-    )
+    stream, _doc_schema = _stream_table(spark, sf_dir, "documents")
     staged = stream.select(
         "doc_id", "lang", "text", T.words("text").alias("__words")
     )
@@ -287,17 +288,8 @@ def streaming_distinct_user_event_days(
     micro-batch, so the output equals batch DISTINCT — which is what
     the oracle asserts."""
     configure_session(spark)
-    try:
-        schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
-    except Exception:
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    stream, schema = _stream_table(spark, sf_dir, "events")
     ts_type = schema["ts"].dataType.simpleString()
-    stream = (
-        spark.readStream.schema(schema)
-        .option("pathGlobFilter", "events.parquet")
-        .parquet(sf_dir)
-    )
     from urban_mobility_data_pipeline_spark.streaming.dedup import (
         dedup_within_watermark,
     )
@@ -365,19 +357,11 @@ def streaming_purchase_attribution(
     )
 
     configure_session(spark)
-    try:
-        schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
-    except Exception:
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    _probe, schema = _stream_table(spark, sf_dir, "events")
     ts_type = schema["ts"].dataType.simpleString()
 
     def side(event_type: str, id_alias: str, ts_alias: str) -> DataFrame:
-        stream = (
-            spark.readStream.schema(schema)
-            .option("pathGlobFilter", "events.parquet")
-            .parquet(sf_dir)
-        )
+        stream, _ = _stream_table(spark, sf_dir, "events")
         return (
             stream.withColumn(
                 "event_ts", F.timestamp_micros(events_ts_us(ts_type))
@@ -510,12 +494,7 @@ def streaming_dsir_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
         kv.append(F.lit(float(r["lr"])))
     lr_map = F.create_map(*kv)
 
-    schema = spark.read.parquet(f"{sf_dir}/documents.parquet").schema
-    stream = (
-        spark.readStream.schema(schema)
-        .option("pathGlobFilter", "documents.parquet")
-        .parquet(sf_dir)
-    )
+    stream, _doc_schema = _stream_table(spark, sf_dir, "documents")
     staged = stream.select(
         "doc_id",
         "source",
@@ -579,17 +558,8 @@ def streaming_running_profiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     dedupe-to-final step ranks the sink's updates by n_events (strictly
     increasing per user), so multi-batch drains reduce identically."""
     configure_session(spark)
-    try:
-        schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
-    except Exception:
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    stream, schema = _stream_table(spark, sf_dir, "events")
     ts_type = schema["ts"].dataType.simpleString()
-    stream = (
-        spark.readStream.schema(schema)
-        .option("pathGlobFilter", "events.parquet")
-        .parquet(sf_dir)
-    )
     from urban_mobility_data_pipeline_spark.streaming.stateful import (
         running_user_profiles,
     )

@@ -30,13 +30,39 @@ TESTDATA_TABLES = (
 )
 
 
+def resolve_table_path(
+    spark: SparkSession, sf_dir: str, name: str
+) -> tuple[str, bool]:
+    """Resolve a table to ``(path, is_dir)`` accepting BOTH layouts a
+    cluster actually produces: a single file ``{name}.parquet``, that
+    same path as a DIRECTORY of part files (every distributed writer's
+    output), or a bare ``{name}/`` directory (warehouse layout).
+
+    The existence probe goes through the Hadoop FileSystem API so it is
+    path-scheme-agnostic (file://, hdfs://, s3a:// — the same resolver
+    a 1000-executor job would run once, driver-side). Falls back to the
+    file-shaped default so a missing table surfaces as the normal scan
+    error, not a resolver error."""
+    jvm = spark.sparkContext._jvm
+    conf = spark.sparkContext._jsc.hadoopConfiguration()
+    for cand in (os.path.join(sf_dir, f"{name}.parquet"),
+                 os.path.join(sf_dir, name)):
+        hpath = jvm.org.apache.hadoop.fs.Path(cand)
+        fs = hpath.getFileSystem(conf)
+        if fs.exists(hpath):
+            return cand, fs.getFileStatus(hpath).isDirectory()
+    return os.path.join(sf_dir, f"{name}.parquet"), False
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Columnar scan of one test table (reference S3: Delta/Parquet scan).
 
     A bare ``spark.read.parquet`` keeps predicate pushdown & column pruning
     available to Catalyst — filters applied by callers reach the scan.
-    """
-    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    Layout-agnostic via :func:`resolve_table_path` (file- or
+    directory-shaped tables read identically)."""
+    path, _ = resolve_table_path(spark, sf_dir, name)
+    return spark.read.parquet(path)
 
 
 def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
