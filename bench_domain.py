@@ -1588,7 +1588,16 @@ def run_scaling(spark: SparkSession) -> dict:
     out: dict = {"metric": "corpus_scaling"}
     root = tempfile.mkdtemp(prefix="umdp_scale_bench_")
     base_dir = "/root/testdata/sf0.1"
-    names = ["dedup_exact_docs", "doc_near_dup_pairs", "doc_bm25_topk"]
+    # doc_near_dup_pairs_capped rides along (VERDICT r8 item 1): the
+    # per-bucket cap + secondary banding must hold the pair join's
+    # growth at-or-under the uncapped query's on this exact-replica
+    # corpus (the bucket-densifying worst case)
+    names = [
+        "dedup_exact_docs",
+        "doc_near_dup_pairs",
+        "doc_near_dup_pairs_capped",
+        "doc_bm25_topk",
+    ]
     try:
         base = spark.read.parquet(f"{base_dir}/documents.parquet")
         n_base = base.count()
@@ -1618,6 +1627,12 @@ def run_scaling(spark: SparkSession) -> dict:
         # 4x data must cost far less than the quadratic 16x
         for n, r in ratios.items():
             assert r < 8.0, (n, walls[n])
+        # the capped pair join must not grow FASTER than the uncapped
+        # one on the bucket-densifying worst case
+        assert (
+            ratios["doc_near_dup_pairs_capped"]
+            <= ratios["doc_near_dup_pairs"] + 0.3
+        ), ratios
         out.update(
             {
                 "base_docs": n_base,

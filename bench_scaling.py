@@ -80,6 +80,11 @@ TOP_QUERIES = [
     "embedding_semantic_dedup_ingest",
     "doc_near_dup_pairs",
     "embedding_pq_topk",
+    # r9 additions: the self-bounding variants of the two measured
+    # super-linear families (VERDICT r8 item 1 done-criteria) — their
+    # exponents are compared against the fixed-k / uncapped originals
+    "embedding_semantic_dedup_adaptive",
+    "doc_near_dup_pairs_capped",
 ]
 
 #: per-query exponent bound: 1.3 covers linear + n·log(n) + measured
@@ -108,6 +113,12 @@ EXPONENT_BOUNDS = {
     # match set a small corpus fraction) — the pair-pipeline bound
     # applies, not the linear one
     "doc_retrieval_eval_mrr": 1.6,
+    # adaptive-k SemDeDup: k=ceil(sqrt(c·N)) makes assignment N·k and
+    # probe N²/k both ~N^1.5 in THEORY, but at these corpus sizes the
+    # broadcast-join assignment is constant-dominated; the claim under
+    # test is that it beats the fixed-k query's densifying exponent
+    "embedding_semantic_dedup_adaptive": 1.3,
+    "doc_near_dup_pairs_capped": 1.3,
 }
 
 
@@ -266,6 +277,7 @@ ZIPF_QUERIES = [
     "doc_near_dup_pairs",
     "doc_near_dup_pairs_capped",
     "doc_simhash_near_dup_pairs",
+    "doc_simhash_capped_pairs",
     "documents_fuzzy_dedup_keep_best",
     "doc_edit_similarity_pairs",
     "doc_retrieval_eval_mrr",
