@@ -229,12 +229,30 @@ def ivf_assign(
     """Assign every vector to its nearest centroid cell (max cosine).
     Centroids are broadcast (they're tiny); assignment is a map over the
     corpus. The cell column is the IVF partition key — persist the
-    corpus partitioned/bucketed by it and a query scans one cell."""
-    scored = embeddings.join(F.broadcast(centroids)).select(
+    corpus partitioned/bucketed by it and a query scans one cell.
+
+    Cost shape (this is the N·k hot loop of every quantizer): each
+    side's norm is computed ONCE per row — dot(v,c)/(|v|·|c|) with the
+    norms factored out is the SAME doubles in the SAME fold order as a
+    per-pair cosine(), so assignments are bit-identical to the oracles,
+    but the N·k candidate rows cost one zip_with dot instead of three
+    array folds. The candidate rows are also SKINNY — (id, cell, sim),
+    never the vector — so the argmax aggregate's input stream does not
+    copy a 64-double array per candidate (measured: the full-vector
+    variant spent its time in GC at N·k ≈ 9e7). Vectors rejoin by id
+    afterwards."""
+    nv = embeddings.select(
+        F.col(id_col), F.col(vec_col), norm(vec_col).alias("__vn")
+    )
+    nc = centroids.select(
+        "cell", F.col("centroid"), norm("centroid").alias("__cn")
+    )
+    scored = nv.join(F.broadcast(nc)).select(
         F.col(id_col),
-        F.col(vec_col),
         F.col("cell"),
-        cosine(vec_col, "centroid").alias("__sim"),
+        (dot(vec_col, "centroid") / (F.col("__vn") * F.col("__cn"))).alias(
+            "__sim"
+        ),
     )
     # argmax by (similarity, then smallest cell id) as a map-side-
     # combined aggregate: the shuffle carries one partial row per
@@ -243,10 +261,10 @@ def ivf_assign(
     # the ordering struct reproduces the ASC tiebreak of the
     # equivalent (sim DESC, cell ASC) rank.
     order = F.struct(F.col("__sim").alias("s"), (-F.col("cell")).alias("c"))
-    return scored.groupBy(id_col).agg(
-        F.any_value(F.col(vec_col)).alias(vec_col),
-        F.max_by(F.col("cell"), order).alias("cell"),
+    best = scored.groupBy(id_col).agg(
+        F.max_by(F.col("cell"), order).alias("cell")
     )
+    return embeddings.select(id_col, vec_col).join(best, id_col)
 
 
 def ivf_topk(
@@ -486,6 +504,10 @@ def refresh_ivf_index(
         raise
 
 
+#: quantizer training-sample budget per centroid (faiss uses 39-256)
+TRAIN_PER_CENTROID = 40
+
+
 def adaptive_quantizer_k(
     n_vectors: int,
     pair_cost_ratio: float = 4.0,
@@ -551,10 +573,27 @@ def semantic_dedup(
     if centroids is None:
         n = embeddings.count()
         k = adaptive_quantizer_k(n, pair_cost_ratio=pair_cost_ratio)
+        # train the quantizer on a deterministic STRIDE SAMPLE of
+        # ~TRAIN_PER_CENTROID vectors per centroid (faiss trains IVF
+        # lists on 39-256 points per centroid for the same reason):
+        # full-corpus Lloyd's costs iters·N·k dots, which at
+        # k = sqrt(c·N) is N^1.5 and DOMINATED the sf1 wall; the
+        # sample bounds training at iters·40·k² = O(N) while the
+        # one full-corpus assignment below stays the only N·k pass.
+        # vec_id % stride is engine-portable, so the oracle replays
+        # the exact trajectory. Ceiling division: the sample must be
+        # AT MOST ~40·k (floor left stride at 1 whenever n < 80·k,
+        # silently keeping full-corpus training).
+        stride = max(1, -(-n // (TRAIN_PER_CENTROID * k)))
+        train = (
+            embeddings
+            if stride == 1
+            else embeddings.filter(F.col(id_col) % stride == 0)
+        )
         # spherical_kmeans centroids are already 6dp-rounded per
         # iteration, so the oracle can replay them bit-for-bit
         _assign, centroids = spherical_kmeans(
-            embeddings, k=k, iters=quantizer_iters,
+            train, k=k, iters=quantizer_iters,
             id_col=id_col, vec_col=vec_col,
         )
     assigned = ivf_assign(embeddings, centroids, id_col, vec_col)
@@ -984,14 +1023,24 @@ def _assign_cells(
     vector instead of the window's k*n sorted rows. The negated cell
     makes the struct ordering break similarity ties toward the LOWER
     cell, exactly like the window's ``ORDER BY sim DESC, cell ASC``.
-    ``first(vec)`` is deterministic here: every candidate row of a
-    vector carries the identical vector value.
+    Like :func:`ivf_assign`, the N·k candidate rows are SKINNY (id,
+    cell, sim) with both sides' norms factored out — bit-identical
+    similarities (same doubles, same fold order as cosine()) at one
+    array fold per candidate instead of three, and no per-candidate
+    vector copies; vectors rejoin by id.
     """
-    scored = embeddings.join(F.broadcast(centroids)).select(
+    nv = embeddings.select(
+        F.col(id_col), F.col(vec_col), norm(vec_col).alias("__vn")
+    )
+    nc = centroids.select(
+        "cell", F.col("centroid"), norm("centroid").alias("__cn")
+    )
+    scored = nv.join(F.broadcast(nc)).select(
         F.col(id_col),
-        F.col(vec_col),
         F.col("cell"),
-        cosine(vec_col, "centroid").alias("__sim"),
+        (dot(vec_col, "centroid") / (F.col("__vn") * F.col("__cn"))).alias(
+            "__sim"
+        ),
     )
     best = scored.groupBy(id_col).agg(
         F.max(
@@ -999,10 +1048,9 @@ def _assign_cells(
                 F.col("__sim").alias("s"),
                 (-F.col("cell")).alias("negcell"),
             )
-        ).alias("__best"),
-        F.first(vec_col).alias(vec_col),
+        ).alias("__best")
     )
-    return best.select(
+    return embeddings.select(id_col, vec_col).join(best, id_col).select(
         F.col(id_col),
         F.col(vec_col),
         (-F.col("__best.negcell")).cast("int").alias("cell"),
