@@ -113,11 +113,11 @@ EXPONENT_BOUNDS = {
     # match set a small corpus fraction) — the pair-pipeline bound
     # applies, not the linear one
     "doc_retrieval_eval_mrr": 1.6,
-    # adaptive-k SemDeDup: k=ceil(sqrt(c·N)) makes assignment N·k and
-    # probe N²/k both ~N^1.5 in THEORY, but at these corpus sizes the
-    # broadcast-join assignment is constant-dominated; the claim under
-    # test is that it beats the fixed-k query's densifying exponent
-    "embedding_semantic_dedup_adaptive": 1.3,
+    # adaptive-k SemDeDup: sampled training is O(N), the one full
+    # assignment is N·k ~ N^1.5 in flops but constant-dominated at
+    # these sizes — measured 0.92 post-optimization (r9); 1.1 is the
+    # regression tripwire, not the theoretical asymptote
+    "embedding_semantic_dedup_adaptive": 1.1,
     "doc_near_dup_pairs_capped": 1.3,
 }
 
