@@ -567,8 +567,12 @@ def semantic_dedup(
     with :func:`spherical_kmeans` at ``k =``
     :func:`adaptive_quantizer_k```(N)`` — so cell density, and with it
     the O(Σ cell²) probe, stays bounded as the corpus grows instead of
-    densifying ~N²/k under a fixed k. Passing explicit centroids keeps
-    working for callers that manage their own quantizer.
+    densifying ~N²/k under a fixed k. Training runs on a deterministic
+    stride sample of ~``TRAIN_PER_CENTROID`` vectors per centroid
+    (full-corpus Lloyd's at k=√(cN) is N^1.5 — it dominated the sf1
+    wall before sampling); the single full-corpus assignment is the
+    only N·k pass. Passing explicit centroids keeps working for
+    callers that manage their own quantizer.
     """
     if centroids is None:
         n = embeddings.count()

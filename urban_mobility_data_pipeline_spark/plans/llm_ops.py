@@ -271,6 +271,76 @@ def doc_near_dup_pairs_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
     return near_dup_pairs(docs, threshold=0.1, bucket_cap=_MINHASH_CAP)
 
 
+@register(
+    "doc_lsh_bucket_overflow",
+    oracle=f"""
+    WITH sh AS (SELECT doc_id, {_SHINGLES} AS shingles FROM documents),
+    sigs AS (SELECT doc_id, {_MH_COLS_SQL} FROM sh),
+    keys AS (
+{_BAND_SELECTS_REFINE}
+    ),
+    per_bucket AS (
+        SELECT band_id, band_key, count(*) AS sz
+        FROM keys GROUP BY 1, 2
+    ),
+    base AS (
+        SELECT band_id,
+               CAST(count(*) AS BIGINT) AS n_buckets,
+               CAST(sum(CASE WHEN sz > {_MINHASH_CAP} THEN 1
+                             ELSE 0 END) AS BIGINT) AS oversized_buckets,
+               CAST(max(sz) AS BIGINT) AS max_bucket
+        FROM per_bucket GROUP BY 1
+    ),
+    sized AS (
+        SELECT *, count(*) OVER (PARTITION BY band_id, band_key) AS bsz
+        FROM keys
+    ),
+    tr AS (
+        SELECT band_id, md5(band_key || refine_key) AS rk,
+               count(*) AS rsz
+        FROM sized WHERE bsz > {_MINHASH_CAP}
+        GROUP BY 1, 2
+    ),
+    trunc AS (
+        SELECT band_id,
+               CAST(sum(greatest(rsz - {_MINHASH_CAP}, 0)) AS BIGINT)
+                   AS truncated_members
+        FROM tr GROUP BY 1
+    )
+    SELECT base.band_id, n_buckets, oversized_buckets, max_bucket,
+           COALESCE(truncated_members, CAST(0 AS BIGINT))
+               AS truncated_members
+    FROM base LEFT JOIN trunc USING (band_id)
+    """,
+)
+def doc_lsh_bucket_overflow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The EMITTED overflow metric for the capped MinHash-LSH pair join
+    (sibling of ``doc_simhash_bucket_overflow`` — same
+    ``bucket_overflow_stats`` kernel over the minhash band keys): per
+    band, the bucket count, oversized buckets, the largest bucket, and
+    how many members the hard cap would drop after secondary banding.
+    Together the two metrics make BOTH capped pair families
+    self-reporting — a 100-TB dedup job gates on
+    ``truncated_members = 0`` (or raises the cap) before trusting its
+    pair output."""
+    from urban_mobility_data_pipeline_spark.extensions.dedup import (
+        bucket_overflow_stats,
+        lsh_band_keys,
+        minhash_signatures,
+    )
+
+    docs = table(spark, sf_dir, "documents")
+    keys = lsh_band_keys(
+        minhash_signatures(docs), "doc_id", with_refine=True
+    )
+    return bucket_overflow_stats(
+        keys,
+        "doc_id",
+        _MINHASH_CAP,
+        combine=lambda k, r: F.md5(F.concat(k, r)),
+    ).withColumn("band_id", F.col("band_id").cast("long"))
+
+
 # ---------------------------------------------------------------------------
 # rare-shingle containment pairs (asymmetric near-dup)
 # ---------------------------------------------------------------------------
