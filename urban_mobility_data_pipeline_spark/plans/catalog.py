@@ -338,6 +338,7 @@ DRIVER_SEAT_QUEUE: tuple[str, ...] = (
     "doc_simhash_bucket_overflow",  # r9: emitted overflow metric
     "doc_near_dup_pairs_capped",  # r9: capped minhash variant
     "doc_lsh_bucket_overflow",  # r9: minhash overflow metric sibling
+    "doc_edit_similarity_pairs_capped",  # r9: capped-candidate verify
 )
 
 # Every query name that has held a driver slot in some round (r1-r9;

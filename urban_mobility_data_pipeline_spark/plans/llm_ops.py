@@ -6436,6 +6436,97 @@ doc_edit_similarity_pairs.__doc__ = doc_edit_similarity_pairs.__doc__.format(
 )
 
 
+@register(
+    "doc_edit_similarity_pairs_capped",
+    oracle=f"""
+    WITH sh AS (SELECT doc_id, {_SHINGLES} AS shingles FROM documents),
+    sigs AS (SELECT doc_id, {_MH_COLS_SQL} FROM sh),
+    keys AS (
+{_BAND_SELECTS_REFINE}
+    ),
+    sized AS (
+        SELECT *, count(*) OVER (PARTITION BY band_id, band_key) AS bsz
+        FROM keys
+    ),
+    small AS (
+        SELECT doc_id, band_id, band_key FROM sized
+        WHERE bsz <= {_MINHASH_CAP}
+    ),
+    refined AS (
+        SELECT doc_id, band_id + {LSH_BANDS} AS band_id,
+               md5(band_key || refine_key) AS band_key
+        FROM sized WHERE bsz > {_MINHASH_CAP}
+    ),
+    capped AS (
+        SELECT doc_id, band_id, band_key
+        FROM (SELECT *, row_number() OVER (
+                  PARTITION BY band_id, band_key ORDER BY doc_id) AS rn
+              FROM refined)
+        WHERE rn <= {_MINHASH_CAP}
+    ),
+    k2 AS (SELECT * FROM small UNION ALL SELECT * FROM capped),
+    cands AS (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM k2 a JOIN k2 b
+          ON a.band_id = b.band_id AND a.band_key = b.band_key
+         AND a.doc_id < b.doc_id
+    ),
+    t AS (SELECT doc_id,
+                 substring(lower(trim(text)), 1, {_EDIT_CAP}) AS t
+          FROM documents),
+    scored AS (
+        SELECT c.doc_a, c.doc_b,
+               round(1.0 - levenshtein(ta.t, tb.t)
+                     / CAST(greatest(length(ta.t), length(tb.t), 1) AS DOUBLE),
+                     6) AS edit_sim
+        FROM cands c
+        JOIN t ta ON ta.doc_id = c.doc_a
+        JOIN t tb ON tb.doc_id = c.doc_b
+    )
+    SELECT * FROM scored WHERE edit_sim >= {_EDIT_SIM_FLOOR}
+    """,
+)
+def doc_edit_similarity_pairs_capped(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Edit-distance verification over the SELF-BOUNDING candidate set:
+    same Levenshtein DP as ``doc_edit_similarity_pairs``, but the LSH
+    candidates route through the per-bucket cap + secondary banding
+    (``capped_bucket_keys``), so a saturated band — the sf1-measured
+    failure mode on low-entropy corpora (exp 1.42 uncapped) — has a
+    hard pair ceiling, with ``doc_lsh_bucket_overflow`` as the emitted
+    tripwire. The verify cost model becomes O(B·buckets·cap²) pairs ×
+    the constant DP, on ANY corpus."""
+    from urban_mobility_data_pipeline_spark.extensions.dedup import (
+        lsh_candidate_pairs,
+    )
+
+    docs = table(spark, sf_dir, "documents")
+    cands = lsh_candidate_pairs(docs, bucket_cap=_MINHASH_CAP)
+    texts = docs.select(
+        "doc_id",
+        F.substring(F.lower(F.trim("text")), 1, _EDIT_CAP).alias("t"),
+    )
+    scored = (
+        F.broadcast(cands)
+        .join(texts.alias("ta"), F.col("doc_a") == F.col("ta.doc_id"))
+        .join(texts.alias("tb"), F.col("doc_b") == F.col("tb.doc_id"))
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round(
+                1.0
+                - F.levenshtein(F.col("ta.t"), F.col("tb.t"))
+                / F.greatest(
+                    F.length("ta.t"), F.length("tb.t"), F.lit(1)
+                ).cast("double"),
+                6,
+            ).alias("edit_sim"),
+        )
+    )
+    return scored.where(F.col("edit_sim") >= _EDIT_SIM_FLOOR)
+
+
 # --- per-source distribution drift (PSI) -------------------------------------
 
 
