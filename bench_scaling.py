@@ -280,6 +280,7 @@ ZIPF_QUERIES = [
     "doc_simhash_capped_pairs",
     "documents_fuzzy_dedup_keep_best",
     "doc_edit_similarity_pairs",
+    "doc_edit_similarity_pairs_capped",
     "doc_retrieval_eval_mrr",
     "doc_containment_pairs",
 ]
