@@ -243,17 +243,14 @@ DRIVER_QUERY_NAMES: tuple[str, ...] = (
     "corpus_ccnet_ppl_buckets",
     "corpus_cms_heavy_hitters",
     "corpus_dsir_sample",
-    "corpus_mixing_schedule",
     "corpus_pmi_collocations",
     "corpus_source_drift_psi",
     "corpus_temperature_mixing",
     "corpus_vocab_coverage_curve",
     "corpus_zipf_fit",
     "doc_bm25_topk_indexed",
-    "doc_edit_similarity_pairs",
     "doc_hybrid_retrieval_rrf",
     "doc_lang_nb_classifier",
-    "doc_lang_nb_confusion",
     "doc_retrieval_eval_mrr",
     "documents_contamination_report",
     "documents_dedup_ngram_scrub",
@@ -269,19 +266,31 @@ DRIVER_QUERY_NAMES: tuple[str, ...] = (
     "documents_length_quantiles_sketch",
     "orders_priority_weekday_chi2",
     "segment_spend_gini",
-    # r8 dedup/curation additions (first driver rows, r9 rotation —
-    # displace documents_length_mannwhitney (length-drift family kept
-    # by documents_length_ks_test, green r8) and corpus_unimax_mixing
-    # (mixing family kept by corpus_temperature_mixing +
-    # corpus_mixing_schedule, both green r8); both displaced rows keep
-    # their catalog entry, pytest-oracle row and bench timing
-    "doc_containment_pairs",
-    "corpus_ngram_novelty",
+    # r9 self-bounding wave (first driver rows, r10 rotation — VERDICT
+    # r9 item 3). Displaced, each keeping its catalog entry,
+    # pytest-oracle row and bench timing:
+    #   doc_edit_similarity_pairs    -> capped twin takes the slot (the
+    #                                   scale path; uncapped green r9)
+    #   embedding_semantic_dedup     -> adaptive-k default takes the
+    #                                   slot (fixed-k stays in catalog
+    #                                   as the documented exact-recall
+    #                                   option; green r8)
+    #   doc_containment_pairs        green r9
+    #   corpus_ngram_novelty         green r9
+    #   corpus_mixing_schedule       mixing family kept seated by
+    #                                corpus_temperature_mixing (green r9)
+    #   doc_lang_nb_confusion        lang-NB family kept seated by
+    #                                doc_lang_nb_classifier (green r9)
+    "doc_near_dup_pairs_capped",
+    "doc_lsh_bucket_overflow",
+    "doc_simhash_capped_pairs",
+    "doc_simhash_bucket_overflow",
+    "doc_edit_similarity_pairs_capped",
     # r7 embedding/ANN wave (first driver rows)
     "embedding_bq_hamming_topk",
     "embedding_dim_truncation_recall",
     "embedding_kmeans_cells",
-    "embedding_semantic_dedup",
+    "embedding_semantic_dedup_adaptive",
     "embedding_semantic_dedup_ingest",
     # events audit (first driver row)
     "events_watermark_lateness_audit",
@@ -333,12 +342,8 @@ NEVER_SEATED_BY_CONSTRUCTION: frozenset[str] = frozenset({
 # first in the NEXT round's rotation; a query may not stay queued for
 # more than one round).
 DRIVER_SEAT_QUEUE: tuple[str, ...] = (
-    "embedding_semantic_dedup_adaptive",  # r9: default adaptive-k path
-    "doc_simhash_capped_pairs",  # r9: self-bounding candidate join
-    "doc_simhash_bucket_overflow",  # r9: emitted overflow metric
-    "doc_near_dup_pairs_capped",  # r9: capped minhash variant
-    "doc_lsh_bucket_overflow",  # r9: minhash overflow metric sibling
-    "doc_edit_similarity_pairs_capped",  # r9: capped-candidate verify
+    # (r10: the entire r9 self-bounding wave is now seated; new r10
+    # additions are appended here as they land)
 )
 
 # Every query name that has held a driver slot in some round (r1-r9;
@@ -365,9 +370,12 @@ EVER_DRIVER_SEATED: frozenset[str] = frozenset({
     "daily_sales_recompute", "daily_user_activity", "dedup_exact_docs",
     "discount_revenue_effect", "doc_bigram_cross_entropy", "doc_bm25_topk",
     "doc_bm25_topk_indexed", "doc_containment_pairs", "doc_dup_clusters",
-    "doc_duplicated_ngrams", "doc_edit_similarity_pairs", "doc_fingerprints",
+    "doc_duplicated_ngrams", "doc_edit_similarity_pairs",
+    "doc_edit_similarity_pairs_capped", "doc_fingerprints",
     "doc_hybrid_retrieval_rrf", "doc_lang_id", "doc_lang_nb_classifier",
     "doc_lang_nb_confusion", "doc_length_deciles", "doc_lsh_band_keys",
+    "doc_lsh_bucket_overflow", "doc_near_dup_pairs_capped",
+    "doc_simhash_bucket_overflow", "doc_simhash_capped_pairs",
     "doc_minhash_signatures", "doc_near_dup_pairs", "doc_quality_scores",
     "doc_repetition_stats", "doc_retrieval_eval_mrr", "doc_simhash",
     "doc_simhash_near_dup_pairs", "doc_text_functions_showcase",
@@ -390,6 +398,7 @@ EVER_DRIVER_SEATED: frozenset[str] = frozenset({
     "embedding_ivf_topk", "embedding_ivf_topk_indexed",
     "embedding_ivfpq_topk", "embedding_kmeans_cells",
     "embedding_near_dup_pairs", "embedding_semantic_dedup",
+    "embedding_semantic_dedup_adaptive",
     "embedding_semantic_dedup_ingest", "error_user_activity",
     "event_daily_anomalies", "event_props_json", "event_regex_map_showcase",
     "event_scalar_union_showcase", "event_type_transitions",
