@@ -30,6 +30,7 @@ import sys
 import time
 
 from urban_mobility_data_pipeline_spark.cache import release_scratch
+from urban_mobility_data_pipeline_spark.plans import llm_ops as _llm_ops
 from urban_mobility_data_pipeline_spark.plans.catalog import FLAGSHIP, QUERIES
 from urban_mobility_data_pipeline_spark.session import get_spark
 
@@ -92,9 +93,44 @@ def main() -> None:
     )
     calibration = round(time.perf_counter() - t0, 4)
 
+    # fixed small-file IO probe (write 64 tiny parquet files, read them
+    # back): the CPU probe above cannot correct IO weather, and the
+    # rows that build index structures in-query (many small metadata
+    # round-trips) are the ones that move with it — r9's apparent
+    # doc_bm25_topk_indexed "regression" was exactly this (isolated
+    # A/B of r8 vs r9 code showed r9 equal-or-faster; only the shared
+    # bench context differed). Recording both probes lets a reader
+    # attribute a mover to CPU vs IO weather before calling it a plan
+    # change.
+    import shutil
+    import tempfile
+
+    _io_dir = tempfile.mkdtemp(prefix="umdp_bench_io_")
+    t0 = time.perf_counter()
+    (
+        spark.range(1_000_000)
+        .repartition(64)
+        .write.mode("overwrite")
+        .parquet(_io_dir + "/probe")
+    )
+    (
+        spark.read.parquet(_io_dir + "/probe")
+        .agg(_F.count(_F.lit(1)))
+        .write.format("noop")
+        .mode("overwrite")
+        .save()
+    )
+    calibration_io = round(time.perf_counter() - t0, 4)
+    shutil.rmtree(_io_dir, ignore_errors=True)
+
     timings: dict[str, float] = {}
+    # build/probe sub-phase split for queries that declare one via
+    # llm_ops.PHASE_SECS (VERDICT r9 item 1); kept aligned with the
+    # pass that produced the recorded min
+    phases: dict[str, dict[str, float]] = {}
     for _ in range(repeats):
         for name in sorted(QUERIES):
+            _llm_ops.PHASE_SECS.pop(name, None)
             try:
                 t = run_once(name)
             except Exception as exc:  # a broken query must not hide the rest
@@ -104,6 +140,12 @@ def main() -> None:
             prev = timings.get(name)
             if prev is None or (prev > 0 and t < prev):
                 timings[name] = round(t, 4)
+                ph = _llm_ops.PHASE_SECS.get(name)
+                if ph and "build_sec" in ph:
+                    phases[name] = {
+                        "build_sec": ph["build_sec"],
+                        "probe_sec": round(t - ph["build_sec"], 4),
+                    }
 
     total = round(sum(t for t in timings.values() if t >= 0), 4)
 
@@ -195,6 +237,7 @@ def main() -> None:
         "queries": timings,
         "sf": sf,
         "calibration_sec": calibration,
+        "calibration_io_sec": calibration_io,
         "regressions": regressions,
     }
 
@@ -219,6 +262,8 @@ def main() -> None:
                 round=this_round,
                 cpus=int(cpus),
                 queries_normalized=queries_normalized,
+                phases=phases,
+                metric_semantics=METRIC_SEMANTICS,
                 notes=NOTES,
             ),
             f,
@@ -230,6 +275,16 @@ def main() -> None:
     print(fit_stdout_line(result, local_name))
     spark.stop()
 
+
+#: Scoring-semantics versions for rows whose metric definition changed
+#: across rounds (advisor r9: a semantics change must be visible in the
+#: artifact so cross-round comparisons flag it instead of silently
+#: comparing different metrics). doc_retrieval_eval_mrr: r9 dropped
+#: query terms matching >10% of the corpus from scoring (df ceiling) —
+#: r8-and-earlier MRR/hit values are not comparable.
+METRIC_SEMANTICS = {
+    "doc_retrieval_eval_mrr": "df_ceiled_0.10 (since r9; r8 values not comparable)",
+}
 
 #: Perf notes carried in the committed local artifact (VERDICT r5 #3:
 #: commit the explanation next to the numbers it explains).
@@ -252,6 +307,16 @@ NOTES = (
     " includes its one-time index BUILD (corpus assignment + clustered"
     " write) in-query by design — the probe itself reads only nprobe"
     " cells' files."
+    " --- r8->r9 doc_bm25_topk_indexed 2.91->4.90s was diagnosed in"
+    " r10: isolated same-host A/B (fresh session, 3 warm trials each)"
+    " timed r9 code EQUAL-OR-FASTER than r8 (3.3-3.7s vs 4.1-4.5s);"
+    " the r9 code diff to the row's path is one refresh-only routing"
+    " change it never executes. The mover is the in-query index BUILD"
+    " (bucketed 8-file write + manifest + bloom sidecars - dozens of"
+    " small-file round trips), which tracks host IO weather that the"
+    " CPU-only calibration probe cannot correct; calibration_io_sec"
+    " and the phases map (build_sec/probe_sec) now separate it so the"
+    " scale-critical probe latency is tracked on its own."
 )
 
 #: The driver records only the LAST 2000 chars of stdout; stay inside
