@@ -85,6 +85,11 @@ TOP_QUERIES = [
     # exponents are compared against the fixed-k / uncapped originals
     "embedding_semantic_dedup_adaptive",
     "doc_near_dup_pairs_capped",
+    # r10 additions (VERDICT r9 item 2): the capped COMPOSED end
+    # products — the jobs a real corpus dedup actually runs — measured
+    # against their uncapped originals
+    "documents_fuzzy_dedup_corpus_capped",
+    "documents_fuzzy_dedup_keep_best_capped",
 ]
 
 #: per-query exponent bound: 1.3 covers linear + n·log(n) + measured
@@ -119,6 +124,10 @@ EXPONENT_BOUNDS = {
     # regression tripwire, not the theoretical asymptote
     "embedding_semantic_dedup_adaptive": 1.1,
     "doc_near_dup_pairs_capped": 1.3,
+    # capped composed end products: candidate join is cap-bounded, the
+    # residual growth is connected-components rounds over fewer pairs
+    "documents_fuzzy_dedup_corpus_capped": 1.3,
+    "documents_fuzzy_dedup_keep_best_capped": 1.3,
 }
 
 
@@ -279,6 +288,8 @@ ZIPF_QUERIES = [
     "doc_simhash_near_dup_pairs",
     "doc_simhash_capped_pairs",
     "documents_fuzzy_dedup_keep_best",
+    "documents_fuzzy_dedup_corpus_capped",
+    "documents_fuzzy_dedup_keep_best_capped",
     "doc_edit_similarity_pairs",
     "doc_edit_similarity_pairs_capped",
     "doc_retrieval_eval_mrr",

@@ -363,3 +363,126 @@ def test_mass_erasure_ivf_index_anti_join(spark, tmp_path, sf_dir):
     assert stats["path"] == "anti-join", stats
     left = {r[0] for r in index.read().select("vec_id").collect()}
     assert left == want
+
+
+# ---------------------------------------------------------------------------
+# maintained bucket sizes + saturation-aware probe (VERDICT r9 item 2)
+# ---------------------------------------------------------------------------
+@pytest.fixture()
+def sized_store(spark, split_docs):
+    _, old, _ = split_docs
+    root = tempfile.mkdtemp(prefix="umdp_dedupidx_sz_")
+    corpus = MergeTable(spark, root + "/corpus")
+    corpus.create(old)
+    index = MergeTable(spark, root + "/index")
+    sizes = MergeTable(spark, root + "/sizes")
+    cursor = VersionCursor(spark, root + "/cursor")
+    return corpus, index, sizes, cursor
+
+
+def _size_map(sizes):
+    return {
+        (r["band_id"], r["band_key"]): r["n"]
+        for r in sizes.read().filter(F.col("n") != 0).collect()
+    }
+
+
+def test_maintained_sizes_equal_full_recount(spark, sized_store, split_docs):
+    from urban_mobility_data_pipeline_spark.extensions.dedup_index import (
+        bucket_size_rows,
+    )
+
+    corpus, index, sizes, cursor = sized_store
+    refresh_dedup_index(corpus, index, cursor, sizes=sizes)
+
+    def recount():
+        return {
+            (r["band_id"], r["band_key"]): r["n"]
+            for r in bucket_size_rows(corpus.read()).collect()
+        }
+
+    assert _size_map(sizes) == recount()
+
+    # mutate: update one doc, erase another, append a brand-new one
+    victim, other = [
+        r[0] for r in corpus.read().select("doc_id").limit(2).collect()
+    ]
+    upd = corpus.read().filter(F.col("doc_id") == victim).withColumn(
+        "text", F.lit("a wholly different document body now entirely")
+    )
+    corpus.merge(upd, keys=["doc_id"], update_set={"text": F.col("s.text")})
+    corpus.delete(F.col("doc_id") == other)
+    newest = corpus.read().limit(1).withColumn(
+        "doc_id", F.lit(10_000_000).cast("long")
+    ).withColumn("text", F.lit("fresh never seen body of words"))
+    corpus.append(newest)
+
+    refresh_dedup_index(corpus, index, cursor, sizes=sizes)
+    # the delta-maintained counts equal a from-scratch recount
+    assert _size_map(sizes) == recount()
+
+
+def test_saturated_buckets_skipped_and_reported(spark, tmp_path):
+    from urban_mobility_data_pipeline_spark.extensions.dedup_index import (
+        incremental_near_dups_with_report,
+    )
+
+    # corpus: 6 exact copies of a boilerplate doc (saturates every band
+    # bucket it occupies) + 2 distinct docs
+    boiler = "terms of service apply to all pages of this site"
+    rows = [(i, boiler) for i in range(6)] + [
+        (10, "the quick brown fox jumps over the lazy dog today"),
+        (11, "completely unrelated text about gardening and soil"),
+    ]
+    corpus_df = spark.createDataFrame(rows, "doc_id long, text string")
+    corpus = MergeTable(spark, str(tmp_path / "corpus"))
+    corpus.create(corpus_df)
+    index = MergeTable(spark, str(tmp_path / "index"))
+    sizes = MergeTable(spark, str(tmp_path / "sizes"))
+    cursor = VersionCursor(spark, str(tmp_path / "cursor"))
+    refresh_dedup_index(corpus, index, cursor, sizes=sizes)
+
+    batch = spark.createDataFrame(
+        [
+            (100, boiler),  # dups the boilerplate — saturated buckets
+            (101, "the quick brown fox jumps over the lazy dog today"),
+        ],
+        "doc_id long, text string",
+    )
+    pairs, skipped = incremental_near_dups_with_report(
+        batch, corpus, index, sizes, bucket_cap=4, threshold=THRESHOLD
+    )
+    got = {(r["new_id"], r["corpus_id"]) for r in pairs.collect()}
+    # the clean doc's exact match still found through unsaturated buckets
+    assert (101, 10) in got
+    # the boilerplate batch doc's buckets were saturated: skipped rows
+    # name it with the measured bucket size
+    sk = skipped.collect()
+    assert any(r["new_id"] == 100 and r["bucket_size"] == 6 for r in sk)
+    # and none of its pairs leaked through the capped probe
+    assert not any(a == 100 for a, _ in got)
+
+
+def test_capped_probe_matches_plain_when_nothing_saturates(
+    spark, sized_store, split_docs
+):
+    from urban_mobility_data_pipeline_spark.extensions.dedup_index import (
+        incremental_near_dups_with_report,
+    )
+
+    corpus, index, sizes, cursor = sized_store
+    _, _, new = split_docs
+    refresh_dedup_index(corpus, index, cursor, sizes=sizes)
+    plain = {
+        (r["new_id"], r["corpus_id"])
+        for r in incremental_near_dups(
+            new, corpus, index, threshold=THRESHOLD
+        ).collect()
+    }
+    pairs, skipped = incremental_near_dups_with_report(
+        new, corpus, index, sizes, bucket_cap=10**9, threshold=THRESHOLD
+    )
+    assert {
+        (r["new_id"], r["corpus_id"]) for r in pairs.collect()
+    } == plain
+    assert skipped.count() == 0

@@ -20,6 +20,8 @@ engine with md5 — the DuckDB oracles replay them exactly.
 
 from __future__ import annotations
 
+from collections.abc import Sequence
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -179,6 +181,7 @@ def capped_bucket_keys(
     bucket_cap: int,
     n_bands: int,
     combine,
+    extra_cols: Sequence[str] = (),
 ) -> DataFrame:
     """Self-bounding bucket membership for pair-candidate joins.
 
@@ -199,26 +202,35 @@ def capped_bucket_keys(
        :func:`bucket_overflow_stats` emits it per band.
 
     Both steps are one shuffle on the bucket key (a window, not a
-    join); output schema is ``(id, band_id, band_key)``, drop-in for
-    the pair self-join.
+    join); output schema is ``(id, band_id, band_key)`` plus any
+    ``extra_cols`` carried through untouched (the cross-corpus caller
+    tags rows with their side so the capped membership can be split
+    back into an A×B join; sizing and truncation then operate on the
+    UNION of both sides — a bucket oversized only in A must refine
+    BOTH sides' members identically or their pairs are lost). The
+    truncation order is ``(id, *extra_cols)`` so it stays
+    deterministic even when the same id appears on both sides.
     """
     from pyspark.sql import Window
 
+    extras = list(extra_cols)
+    out = [id_col, "band_id", "band_key", *extras]
     w_size = Window.partitionBy("band_id", "band_key")
     sized = keys.withColumn("__bsz", F.count(F.lit(1)).over(w_size))
-    small = sized.filter(F.col("__bsz") <= bucket_cap).select(
-        id_col, "band_id", "band_key"
-    )
+    small = sized.filter(F.col("__bsz") <= bucket_cap).select(*out)
     refined = sized.filter(F.col("__bsz") > bucket_cap).select(
         id_col,
         (F.col("band_id") + n_bands).alias("band_id"),
         combine(F.col("band_key"), F.col("refine_key")).alias("band_key"),
+        *extras,
     )
-    w_rank = Window.partitionBy("band_id", "band_key").orderBy(id_col)
+    w_rank = Window.partitionBy("band_id", "band_key").orderBy(
+        id_col, *extras
+    )
     capped = (
         refined.withColumn("__rn", F.row_number().over(w_rank))
         .filter(F.col("__rn") <= bucket_cap)
-        .select(id_col, "band_id", "band_key")
+        .select(*out)
     )
     return small.unionByName(capped)
 
@@ -427,12 +439,41 @@ def simhash_signatures(
     return sums.select(F.col(id_col), fingerprint.alias(out_col))
 
 
+def cross_corpus_band_keys(
+    corpus_a: DataFrame,
+    corpus_b: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingles_a: DataFrame | None = None,
+    shingles_b: DataFrame | None = None,
+    with_refine: bool = False,
+) -> DataFrame:
+    """Band keys for BOTH corpora in one frame, tagged ``__side``
+    ('a'/'b') — the shared input of the capped cross-corpus candidate
+    join and its overflow report. Sizing/refinement must see the UNION
+    of both sides' memberships (a bucket oversized only on one side
+    still explodes the A×B join, and one-sided refinement would split
+    pairs apart), so the tagged union IS the unit the cap operates on."""
+    keys_a = lsh_band_keys(
+        minhash_signatures(corpus_a, id_col, text_col, shingles=shingles_a),
+        id_col,
+        with_refine=with_refine,
+    ).withColumn("__side", F.lit("a"))
+    keys_b = lsh_band_keys(
+        minhash_signatures(corpus_b, id_col, text_col, shingles=shingles_b),
+        id_col,
+        with_refine=with_refine,
+    ).withColumn("__side", F.lit("b"))
+    return keys_a.unionByName(keys_b)
+
+
 def cross_corpus_near_dups(
     corpus_a: DataFrame,
     corpus_b: DataFrame,
     id_col: str = "doc_id",
     text_col: str = "text",
     threshold: float = 0.3,
+    bucket_cap: int | None = None,
 ) -> DataFrame:
     """Near-duplicates ACROSS two corpora — the train/eval contamination
     check every serious training-data pipeline runs before reporting
@@ -446,17 +487,43 @@ def cross_corpus_near_dups(
     side; the (tiny) candidate list broadcasts into both verify joins,
     so neither corpus is reshuffled. Output:
     ``(doc_a, doc_b, jaccard)`` with ``doc_a`` ∈ A, ``doc_b`` ∈ B.
+
+    ``bucket_cap`` routes the TAGGED UNION of both sides' band keys
+    through :func:`capped_bucket_keys` (secondary banding + hard cap
+    over the union, so both sides of an oversized bucket refine
+    identically), bounding the A×B join at O(B·buckets·cap²) on any
+    corpus pair; pair :func:`bucket_overflow_stats` on
+    :func:`cross_corpus_band_keys` output to see what the cap cost.
     """
     from urban_mobility_data_pipeline_spark.cache import scratch_persist
 
     sh_a = scratch_persist(shingles_df(corpus_a, id_col, text_col))
     sh_b = scratch_persist(shingles_df(corpus_b, id_col, text_col))
-    keys_a = lsh_band_keys(
-        minhash_signatures(corpus_a, id_col, text_col, shingles=sh_a), id_col
-    )
-    keys_b = lsh_band_keys(
-        minhash_signatures(corpus_b, id_col, text_col, shingles=sh_b), id_col
-    )
+    if bucket_cap is not None:
+        keys = scratch_persist(
+            capped_bucket_keys(
+                cross_corpus_band_keys(
+                    corpus_a, corpus_b, id_col, text_col,
+                    shingles_a=sh_a, shingles_b=sh_b, with_refine=True,
+                ),
+                id_col,
+                bucket_cap,
+                LSH_BANDS,
+                combine=lambda k, r: F.md5(F.concat(k, r)),
+                extra_cols=["__side"],
+            )
+        )
+        keys_a = keys.filter(F.col("__side") == "a").drop("__side")
+        keys_b = keys.filter(F.col("__side") == "b").drop("__side")
+    else:
+        keys_a = lsh_band_keys(
+            minhash_signatures(corpus_a, id_col, text_col, shingles=sh_a),
+            id_col,
+        )
+        keys_b = lsh_band_keys(
+            minhash_signatures(corpus_b, id_col, text_col, shingles=sh_b),
+            id_col,
+        )
     cands = (
         keys_a.alias("a")
         .join(

@@ -342,8 +342,11 @@ NEVER_SEATED_BY_CONSTRUCTION: frozenset[str] = frozenset({
 # first in the NEXT round's rotation; a query may not stay queued for
 # more than one round).
 DRIVER_SEAT_QUEUE: tuple[str, ...] = (
-    # (r10: the entire r9 self-bounding wave is now seated; new r10
-    # additions are appended here as they land)
+    # (r10: the entire r9 self-bounding wave is now seated; the rows
+    # below are the r10 additions, first in line for the r11 rotation)
+    "documents_fuzzy_dedup_corpus_capped",  # r10: capped END PRODUCT
+    "documents_fuzzy_dedup_keep_best_capped",  # r10: capped keep-best
+    "documents_train_eval_contamination_capped",  # r10: capped gate
 )
 
 # Every query name that has held a driver slot in some round (r1-r9;

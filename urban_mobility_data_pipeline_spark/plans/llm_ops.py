@@ -1328,6 +1328,166 @@ def documents_fuzzy_dedup_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# capped fuzzy-dedup end products (VERDICT r9 item 2: the r9 bucket-cap
+# machinery threaded through the COMPOSED pipelines a real job runs,
+# with the overflow metric in the end-product schema so the job can
+# gate on it)
+# ---------------------------------------------------------------------------
+#: shared capped-candidate oracle fragment: sizing over (band_id,
+#: band_key), secondary banding (band_id + B, md5(key||refine)), hard
+#: cap by lowest doc_id — the SQL replay of capped_bucket_keys at
+#: _MINHASH_CAP. Expects a ``keys`` CTE with refine_key in scope.
+_K2_CAPPED = f"""sized AS (
+        SELECT *, count(*) OVER (PARTITION BY band_id, band_key) AS bsz
+        FROM keys
+    ),
+    small AS (
+        SELECT doc_id, band_id, band_key FROM sized
+        WHERE bsz <= {_MINHASH_CAP}
+    ),
+    refined AS (
+        SELECT doc_id, band_id + {LSH_BANDS} AS band_id,
+               md5(band_key || refine_key) AS band_key
+        FROM sized WHERE bsz > {_MINHASH_CAP}
+    ),
+    capped AS (
+        SELECT doc_id, band_id, band_key
+        FROM (SELECT *, row_number() OVER (
+                  PARTITION BY band_id, band_key ORDER BY doc_id) AS rn
+              FROM refined)
+        WHERE rn <= {_MINHASH_CAP}
+    ),
+    k2 AS (SELECT * FROM small UNION ALL SELECT * FROM capped)"""
+
+#: total members the hard cap dropped, as a 1-row scalar — the gateable
+#: overflow metric CROSS JOINed into the capped end products. Sums
+#: greatest(refined-sub-bucket − cap, 0) over every oversized bucket,
+#: matching sum(bucket_overflow_stats().truncated_members).
+_OVF_SCALAR = f"""ovf AS (
+        SELECT CAST(coalesce(sum(
+                   CASE WHEN rsz > {_MINHASH_CAP}
+                        THEN rsz - {_MINHASH_CAP} ELSE 0 END), 0) AS BIGINT)
+               AS truncated_members
+        FROM (SELECT band_id, md5(band_key || refine_key) AS rk,
+                     count(*) AS rsz
+              FROM sized WHERE bsz > {_MINHASH_CAP}
+              GROUP BY 1, 2)
+    )"""
+
+_VERIFIED_FROM_K2 = """cands AS (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM k2 a JOIN k2 b
+          ON a.band_id = b.band_id AND a.band_key = b.band_key
+         AND a.doc_id < b.doc_id
+    ),
+    verified AS (
+        SELECT c.doc_a, c.doc_b
+        FROM cands c
+        JOIN sh sa ON sa.doc_id = c.doc_a
+        JOIN sh sb ON sb.doc_id = c.doc_b
+        WHERE len(list_filter(sa.shingles, x -> list_contains(sb.shingles, x)))
+              / CAST(len(sa.shingles) + len(sb.shingles)
+                     - len(list_filter(sa.shingles,
+                                       x -> list_contains(sb.shingles, x)))
+                     AS DOUBLE) >= 0.1
+    ),
+    edges AS (
+        SELECT doc_a AS src, doc_b AS dst FROM verified
+        UNION ALL
+        SELECT doc_b, doc_a FROM verified
+    ),
+    reach(node, lab) AS (
+        SELECT doc_id, doc_id FROM documents
+        UNION
+        SELECT e.dst, r.lab FROM reach r JOIN edges e ON e.src = r.node
+    ),
+    comp AS (SELECT node AS doc_id, MIN(lab) AS cluster_id
+             FROM reach GROUP BY node)"""
+
+
+def _capped_pairs_and_overflow(docs):
+    """Shared Spark-side assembly for the capped compositions: capped
+    verified pairs plus the 1-row truncated_members scalar, both from
+    the r9 self-bounding machinery."""
+    from urban_mobility_data_pipeline_spark.extensions.dedup import (
+        bucket_overflow_stats,
+        lsh_band_keys,
+        minhash_signatures,
+    )
+
+    pairs = near_dup_pairs(docs, threshold=0.1, bucket_cap=_MINHASH_CAP)
+    keys = lsh_band_keys(
+        minhash_signatures(docs), "doc_id", with_refine=True
+    )
+    overflow = bucket_overflow_stats(
+        keys,
+        "doc_id",
+        _MINHASH_CAP,
+        combine=lambda k, r: F.md5(F.concat(k, r)),
+    ).agg(
+        F.coalesce(F.sum("truncated_members"), F.lit(0))
+        .cast("long")
+        .alias("truncated_members")
+    )
+    return pairs, overflow
+
+
+@register(
+    "documents_fuzzy_dedup_corpus_capped",
+    oracle=f"""
+    WITH RECURSIVE
+    sh AS (SELECT doc_id, {_SHINGLES} AS shingles FROM documents),
+    sigs AS (SELECT doc_id, {_MH_COLS_SQL} FROM sh),
+    keys AS (
+{_BAND_SELECTS_REFINE}
+    ),
+    {_K2_CAPPED},
+    {_VERIFIED_FROM_K2},
+    sz AS (SELECT cluster_id, CAST(count(*) AS BIGINT) AS cluster_size
+           FROM comp GROUP BY 1),
+    {_OVF_SCALAR}
+    SELECT d.doc_id, d.lang, d.source, d.n_chars, sz.cluster_size,
+           ovf.truncated_members
+    FROM comp c
+    JOIN documents d ON d.doc_id = c.doc_id
+    JOIN sz ON sz.cluster_id = c.cluster_id
+    CROSS JOIN ovf
+    WHERE c.doc_id = c.cluster_id
+    """,
+)
+def documents_fuzzy_dedup_corpus_capped(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The fuzzy-dedup END PRODUCT through the SELF-BOUNDING candidate
+    path (VERDICT r9 item 2): same LSH→verify→connected-components→
+    keep-min-id composition as documents_fuzzy_dedup_corpus, but
+    candidates route through capped_bucket_keys (secondary banding +
+    hard cap), so a boilerplate-dense crawl cannot make the composed
+    job quadratic — and the cost of the cap is IN THE SCHEMA:
+    ``truncated_members`` (a 1-row broadcast scalar) is the total
+    membership the hard cap dropped, the number a 100-TB dedup job
+    gates on before trusting this corpus (nonzero ⇒ raise the cap,
+    add bands, or pre-split the offending content class)."""
+    from pyspark.sql import Window
+
+    from urban_mobility_data_pipeline_spark.extensions.dedup import (
+        connected_components,
+    )
+
+    docs = table(spark, sf_dir, "documents")
+    pairs, overflow = _capped_pairs_and_overflow(docs)
+    labels = connected_components(pairs, docs, algorithm="auto")
+    reps = labels.withColumn(
+        "cluster_size", F.count("*").over(Window.partitionBy("label"))
+    ).filter(F.col("node") == F.col("label"))
+    return (
+        docs.join(reps, docs.doc_id == reps.node)
+        .select("doc_id", "lang", "source", "n_chars", "cluster_size")
+        .crossJoin(F.broadcast(overflow))
+    )
+
+
+# ---------------------------------------------------------------------------
 # simhash near-dup pairs (banded candidates, exact hamming verify)
 # ---------------------------------------------------------------------------
 @register(
@@ -1666,6 +1826,120 @@ def documents_train_eval_contamination(
         F.col("doc_b").alias("eval_doc"),
         "jaccard",
     )
+
+
+_CONTAM_BANDS_REFINE = "\n    UNION ALL\n".join(
+    f"    SELECT doc_id, split, {b} AS band_id, "
+    f"md5(mh_{b * LSH_ROWS} || mh_{b * LSH_ROWS + 1}) AS band_key, "
+    f"md5(mh_{((b + 1) % LSH_BANDS) * LSH_ROWS} || "
+    f"mh_{((b + 1) % LSH_BANDS) * LSH_ROWS + 1}) AS refine_key FROM sigs"
+    for b in range(LSH_BANDS)
+)
+
+
+@register(
+    "documents_train_eval_contamination_capped",
+    oracle=f"""
+    WITH tagged AS (
+        SELECT doc_id, text,
+               CASE WHEN CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4))
+                          AS INT) % 100 < 20
+                    THEN 'test' ELSE 'train' END AS split
+        FROM documents
+    ),
+    sh AS (SELECT doc_id, split, {_SHINGLES} AS shingles FROM tagged),
+    sigs AS (SELECT doc_id, split, {_MH_COLS_SQL} FROM sh),
+    keys AS (
+{_CONTAM_BANDS_REFINE}
+    ),
+    sized AS (
+        SELECT *, count(*) OVER (PARTITION BY band_id, band_key) AS bsz
+        FROM keys
+    ),
+    small AS (
+        SELECT doc_id, split, band_id, band_key FROM sized
+        WHERE bsz <= {_MINHASH_CAP}
+    ),
+    refined AS (
+        SELECT doc_id, split, band_id + {LSH_BANDS} AS band_id,
+               md5(band_key || refine_key) AS band_key
+        FROM sized WHERE bsz > {_MINHASH_CAP}
+    ),
+    capped AS (
+        SELECT doc_id, split, band_id, band_key
+        FROM (SELECT *, row_number() OVER (
+                  PARTITION BY band_id, band_key
+                  ORDER BY doc_id, split) AS rn
+              FROM refined)
+        WHERE rn <= {_MINHASH_CAP}
+    ),
+    k2 AS (SELECT * FROM small UNION ALL SELECT * FROM capped),
+    cands AS (
+        SELECT DISTINCT a.doc_id AS train_doc, b.doc_id AS eval_doc
+        FROM k2 a JOIN k2 b
+          ON a.band_id = b.band_id AND a.band_key = b.band_key
+        WHERE a.split = 'train' AND b.split = 'test'
+    ),
+    verified AS (
+        SELECT c.train_doc, c.eval_doc,
+               round(
+                 len(list_filter(sa.shingles, x -> list_contains(sb.shingles, x)))
+                 / CAST(len(sa.shingles) + len(sb.shingles)
+                        - len(list_filter(sa.shingles,
+                                          x -> list_contains(sb.shingles, x)))
+                        AS DOUBLE), 6) AS jaccard
+        FROM cands c
+        JOIN sh sa ON sa.doc_id = c.train_doc
+        JOIN sh sb ON sb.doc_id = c.eval_doc
+    ),
+    {_OVF_SCALAR}
+    SELECT v.train_doc, v.eval_doc, v.jaccard, ovf.truncated_members
+    FROM verified v CROSS JOIN ovf WHERE v.jaccard >= 0.1
+    """,
+)
+def documents_train_eval_contamination_capped(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The train/eval contamination GATE through the self-bounding
+    candidate path (VERDICT r9 item 2): sizing, secondary banding and
+    the hard cap operate on the UNION of both splits' band keys (a
+    bucket oversized only on one side still explodes the A×B join, and
+    one-sided refinement would split true cross pairs apart —
+    extensions/dedup.py cross_corpus_near_dups), and the gateable
+    ``truncated_members`` scalar rides in the output: an eval suite
+    whose docs fell to the cap was NOT fully checked, and the number
+    says so."""
+    from urban_mobility_data_pipeline_spark.extensions.dedup import (
+        bucket_overflow_stats,
+        cross_corpus_band_keys,
+        cross_corpus_near_dups,
+    )
+    from urban_mobility_data_pipeline_spark.extensions.sampling import (
+        train_test_split,
+    )
+
+    docs = table(spark, sf_dir, "documents")
+    tagged = train_test_split(docs, key="doc_id", test_pct=20)
+    train = tagged.filter(F.col("split") == "train").select("doc_id", "text")
+    eval_ = tagged.filter(F.col("split") == "test").select("doc_id", "text")
+    pairs = cross_corpus_near_dups(
+        train, eval_, threshold=0.1, bucket_cap=_MINHASH_CAP
+    )
+    overflow = bucket_overflow_stats(
+        cross_corpus_band_keys(train, eval_, with_refine=True),
+        "doc_id",
+        _MINHASH_CAP,
+        combine=lambda k, r: F.md5(F.concat(k, r)),
+    ).agg(
+        F.coalesce(F.sum("truncated_members"), F.lit(0))
+        .cast("long")
+        .alias("truncated_members")
+    )
+    return pairs.select(
+        F.col("doc_a").alias("train_doc"),
+        F.col("doc_b").alias("eval_doc"),
+        "jaccard",
+    ).crossJoin(F.broadcast(overflow))
 
 
 # ---------------------------------------------------------------------------
@@ -2834,6 +3108,80 @@ def documents_fuzzy_dedup_keep_best(
     )
     return ranked.filter(F.col("rk") == 1).select(
         "doc_id", "n_words", "cluster_size"
+    )
+
+
+@register(
+    "documents_fuzzy_dedup_keep_best_capped",
+    oracle=f"""
+    WITH RECURSIVE
+    sh AS (SELECT doc_id, {_SHINGLES} AS shingles FROM documents),
+    sigs AS (SELECT doc_id, {_MH_COLS_SQL} FROM sh),
+    keys AS (
+{_BAND_SELECTS_REFINE}
+    ),
+    {_K2_CAPPED},
+    {_VERIFIED_FROM_K2},
+    q AS (SELECT doc_id, CAST(len({_WORDS}) AS INTEGER) AS n_words
+          FROM documents),
+    ranked AS (
+        SELECT c.doc_id, c.cluster_id, q.n_words,
+               row_number() OVER (
+                   PARTITION BY c.cluster_id
+                   ORDER BY q.n_words DESC, c.doc_id ASC
+               ) AS rk,
+               CAST(count(*) OVER (PARTITION BY c.cluster_id) AS BIGINT)
+                   AS cluster_size
+        FROM comp c JOIN q ON q.doc_id = c.doc_id
+    ),
+    {_OVF_SCALAR}
+    SELECT doc_id, n_words, cluster_size, ovf.truncated_members
+    FROM ranked CROSS JOIN ovf WHERE rk = 1
+    """,
+)
+def documents_fuzzy_dedup_keep_best_capped(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """documents_fuzzy_dedup_keep_best through the self-bounding
+    candidate path (VERDICT r9 item 2): capped candidates feed the
+    same clustering, the keep-best (longest-doc) representative rule
+    is unchanged, and the gateable ``truncated_members`` scalar rides
+    in the end-product schema."""
+    from pyspark.sql import Window
+
+    from urban_mobility_data_pipeline_spark.extensions.dedup import (
+        connected_components,
+    )
+
+    docs = table(spark, sf_dir, "documents")
+    pairs, overflow = _capped_pairs_and_overflow(docs)
+    labels = connected_components(pairs, docs, algorithm="auto")
+    quality = docs.select(
+        "doc_id", T.whitespace_token_count("text").cast("int").alias("n_words")
+    )
+    ranked = (
+        labels.select(F.col("node").alias("doc_id"), "label")
+        .join(quality, "doc_id")
+        .select(
+            "doc_id",
+            "label",
+            "n_words",
+            F.row_number()
+            .over(
+                Window.partitionBy("label").orderBy(
+                    F.col("n_words").desc(), F.col("doc_id").asc()
+                )
+            )
+            .alias("rk"),
+            F.count(F.lit(1))
+            .over(Window.partitionBy("label"))
+            .alias("cluster_size"),
+        )
+    )
+    return (
+        ranked.filter(F.col("rk") == 1)
+        .select("doc_id", "n_words", "cluster_size")
+        .crossJoin(F.broadcast(overflow))
     )
 
 
