@@ -506,13 +506,17 @@ def refresh_ivf_index(
 
 #: quantizer training-sample budget per centroid (faiss uses 39-256)
 TRAIN_PER_CENTROID = 40
+#: adaptive quantizer k clamps (oracles interpolate these — advisor r9:
+#: a constant the oracle hardcodes can silently diverge from the engine)
+QUANTIZER_K_MIN = 8
+QUANTIZER_K_MAX = 65536
 
 
 def adaptive_quantizer_k(
     n_vectors: int,
     pair_cost_ratio: float = 4.0,
-    k_min: int = 8,
-    k_max: int = 65536,
+    k_min: int = QUANTIZER_K_MIN,
+    k_max: int = QUANTIZER_K_MAX,
 ) -> int:
     """Corpus-size-scaled cluster count for the SemDeDup coarse
     quantizer.
@@ -577,23 +581,38 @@ def semantic_dedup(
     if centroids is None:
         n = embeddings.count()
         k = adaptive_quantizer_k(n, pair_cost_ratio=pair_cost_ratio)
-        # train the quantizer on a deterministic STRIDE SAMPLE of
+        # train the quantizer on a deterministic HASH-RESIDUE SAMPLE of
         # ~TRAIN_PER_CENTROID vectors per centroid (faiss trains IVF
         # lists on 39-256 points per centroid for the same reason):
         # full-corpus Lloyd's costs iters·N·k dots, which at
         # k = sqrt(c·N) is N^1.5 and DOMINATED the sf1 wall; the
         # sample bounds training at iters·40·k² = O(N) while the
         # one full-corpus assignment below stays the only N·k pass.
-        # vec_id % stride is engine-portable, so the oracle replays
-        # the exact trajectory. Ceiling division: the sample must be
-        # AT MOST ~40·k (floor left stride at 1 whenever n < 80·k,
-        # silently keeping full-corpus training).
+        # The residue is md5-fingerprint-based, NOT ``id % stride``
+        # (advisor r9): a raw-id stride assumes dense contiguous ids —
+        # on a sparse or residue-correlated id space (any upstream
+        # filter) it silently skews or empties the sample. md5 of the
+        # id decorrelates from id-space structure, stays deterministic,
+        # and is engine-portable (same recipe as
+        # sampling.fingerprint_bucket), so the oracle replays the exact
+        # trajectory. Ceiling division: the sample must be AT MOST
+        # ~40·k (floor left stride at 1 whenever n < 80·k, silently
+        # keeping full-corpus training). Belt-and-braces: if the
+        # sampled count still lands below k (pathological id
+        # distribution), fall back to full-corpus training — a
+        # quantizer with fewer training points than centroids is
+        # degenerate.
         stride = max(1, -(-n // (TRAIN_PER_CENTROID * k)))
+        fp = F.conv(
+            F.substring(F.md5(F.col(id_col).cast("string")), 1, 4), 16, 10
+        ).cast("long")
         train = (
             embeddings
             if stride == 1
-            else embeddings.filter(F.col(id_col) % stride == 0)
+            else embeddings.filter(fp % stride == 0)
         )
+        if stride > 1 and train.count() < k:
+            train = embeddings
         # spherical_kmeans centroids are already 6dp-rounded per
         # iteration, so the oracle can replay them bit-for-bit
         _assign, centroids = spherical_kmeans(

@@ -1059,29 +1059,49 @@ def embedding_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _adaptive_semdedup_oracle(iters: int, pair_cost_ratio: float) -> str:
     """Unrolled replay of the DEFAULT semantic_dedup path: k chosen
     from the corpus size IN SQL (the same ceil(sqrt(c*N)) clamp the
-    engine applies), spherical k-means trajectory iteration by
-    iteration, then the within-cell pair probe and keep rule."""
+    engine applies, with TRAIN_PER_CENTROID and both k clamps
+    interpolated from the engine constants — advisor r9: a hardcoded
+    copy silently diverges if the engine constant changes), spherical
+    k-means trajectory iteration by iteration, then the within-cell
+    pair probe and keep rule."""
+    from urban_mobility_data_pipeline_spark.extensions.similarity import (
+        QUANTIZER_K_MAX,
+        QUANTIZER_K_MIN,
+        TRAIN_PER_CENTROID,
+    )
+
     cos = (
         "list_dot_product(e.v, c.centroid) / "
         "(sqrt(list_dot_product(e.v, e.v)) * "
         "sqrt(list_dot_product(c.centroid, c.centroid)))"
     )
+    k_expr = (
+        f"GREATEST({QUANTIZER_K_MIN}, LEAST({QUANTIZER_K_MAX}, "
+        f"CAST(ceil(sqrt({pair_cost_ratio} * count(*))) AS BIGINT), "
+        f"count(*)))"
+    )
     ctes = [
         "ex AS (SELECT vec_id, "
         "list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v "
         "FROM embeddings)",
-        f"kp AS (SELECT GREATEST(8, LEAST(65536, "
-        f"CAST(ceil(sqrt({pair_cost_ratio} * count(*))) AS BIGINT), "
-        f"count(*))) AS k, "
-        f"GREATEST(1, CAST(ceil(count(*) / (40.0 * GREATEST(8, "
-        f"LEAST(65536, "
-        f"CAST(ceil(sqrt({pair_cost_ratio} * count(*))) AS BIGINT), "
-        f"count(*))))) AS BIGINT)) AS stride FROM ex)",
-        # the quantizer trains on the engine's deterministic stride
-        # sample (~40 vectors per centroid); the FINAL assignment
-        # below still covers the whole corpus
-        "tr AS (SELECT * FROM ex "
-        "WHERE vec_id % (SELECT stride FROM kp) = 0)",
+        f"kp AS (SELECT {k_expr} AS k, "
+        f"GREATEST(1, CAST(ceil(count(*) / "
+        f"({float(TRAIN_PER_CENTROID)} * {k_expr})) AS BIGINT)) AS stride "
+        f"FROM ex)",
+        # the quantizer trains on the engine's deterministic
+        # hash-residue sample (~TRAIN_PER_CENTROID vectors per
+        # centroid; md5-fingerprint residue, NOT raw id % stride, so a
+        # sparse or residue-correlated id space cannot skew it); the
+        # FINAL assignment below still covers the whole corpus
+        "tr0 AS (SELECT * FROM ex WHERE "
+        "CAST(('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 4)) "
+        "AS BIGINT) % (SELECT stride FROM kp) = 0)",
+        # engine fallback: a sample smaller than k would make the
+        # quantizer degenerate -> train on the full corpus instead
+        "tr AS (SELECT * FROM tr0 "
+        "WHERE (SELECT count(*) FROM tr0) >= (SELECT k FROM kp) "
+        "UNION ALL SELECT * FROM ex "
+        "WHERE (SELECT count(*) FROM tr0) < (SELECT k FROM kp))",
         "cent0 AS (SELECT CAST(row_number() OVER (ORDER BY vec_id) AS INT)"
         " - 1 AS cell, v AS centroid FROM tr "
         "QUALIFY row_number() OVER (ORDER BY vec_id) <= (SELECT k FROM kp))",
@@ -1136,8 +1156,8 @@ def embedding_semantic_dedup_adaptive(
     """SemDeDup on the DEFAULT quantizer path (VERDICT r8 item 1a):
     no centroids passed, so ``semantic_dedup`` sizes its own quantizer
     at ``k = clamp(ceil(sqrt(4·N)))`` and trains it with the pure-
-    Catalyst spherical k-means over a deterministic stride sample of
-    ~40 vectors per centroid (full-corpus Lloyd's at k=sqrt(cN) is
+    Catalyst spherical k-means over a deterministic md5-fingerprint
+    sample of ~40 vectors per centroid (full-corpus Lloyd's at k=sqrt(cN) is
     N^1.5 and dominated the sf1 wall; the sample bounds training at
     O(N) while the single full-corpus assignment stays the only N·k
     pass). This is the scale guarantee the fixed-k variant lacks —
