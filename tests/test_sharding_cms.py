@@ -102,15 +102,36 @@ def test_cms_recovers_true_heavy_hitters(spark, sf_dir):
 def test_quantile_sketch_error_bound(spark, sf_dir):
     """The histogram sketch's midpoint estimate sits within 12.5% of the
     exact percentile (8 sub-bins per octave, and the pct-th value is at
-    least 4 bin-widths above zero by construction)."""
+    least 4 bin-widths above zero by construction). The exact column is
+    the AUDIT leg — a full-corpus global sort gated out of the catalog
+    row (VERDICT r9 item 8) and exercised only here."""
+    from urban_mobility_data_pipeline_spark.plans.llm_ops import (
+        length_quantiles_sketch,
+    )
+
+    rows = length_quantiles_sketch(
+        spark, sf_dir, with_exact_audit=True
+    ).collect()
+    assert {r.pct for r in rows} == {50, 90, 99}
+    for r in rows:
+        assert abs(r.est_value - r.exact_value) <= 0.125 * r.exact_value, r
+
+
+def test_quantile_sketch_default_plan_has_no_global_sort_audit(
+    spark, sf_dir
+):
+    """Plan guard (VERDICT r9 item 8): the catalog row's DEFAULT plan
+    must be Exchange-bounded — no full-corpus row_number window (the
+    only unpartitioned window left runs over the aggregated bins frame,
+    dozens of rows)."""
     from urban_mobility_data_pipeline_spark.plans.llm_ops import (
         documents_length_quantiles_sketch,
     )
 
-    rows = documents_length_quantiles_sketch(spark, sf_dir).collect()
-    assert {r.pct for r in rows} == {50, 90, 99}
-    for r in rows:
-        assert abs(r.est_value - r.exact_value) <= 0.125 * r.exact_value, r
+    plan = documents_length_quantiles_sketch(
+        spark, sf_dir
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "row_number" not in plan, plan
 
 
 def test_reshard_touches_only_mover_partitions(spark, sf_dir, tmp_path):
