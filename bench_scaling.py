@@ -416,6 +416,176 @@ def run_zipf(spark: SparkSession, regen: bool) -> dict:
     }
 
 
+# ---------------------------------------------------------------------------
+# Zipf-clustered EMBEDDING corpus (VERDICT r9 item 4): the sf1 refit
+# vectors are a gaussian blob whose uniform cell density flatters every
+# probe; real embedding corpora are mixtures with heavily skewed
+# cluster occupancy (boilerplate/templated content). This generates a
+# deterministic mixture — EMB_C cluster directions, cluster membership
+# drawn log-uniform (Zipf-ish pmf: the top cluster holds ~1/ln(C) ≈
+# 20-25%% of the corpus), point = center + id-keyed jitter — at two
+# scales, and re-measures the embedding decade's exponents under
+# skewed cell occupancy, the regime where per-cell caps / nprobe are
+# actually stressed. Pure Catalyst generation (no UDF, no driver loop).
+# ---------------------------------------------------------------------------
+EMB_DIM = 64
+EMB_C = 32  # true mixture components
+EMB_SMALL = 10_000
+EMB_REPS = 4  # big = 4x small -> exponent in log4, same as t4x corpus
+
+EMB_ZIPF_QUERIES = [
+    "embedding_semantic_dedup_adaptive",
+    "embedding_semantic_dedup_ingest",
+    # the mitigation twin (now an oracle-backed catalog row): same
+    # split/index/probe, quantizer trained at k=ceil(sqrt(cN)) — the
+    # artifact carries the diagnosis AND the fix side by side
+    "embedding_semantic_dedup_ingest_adaptive",
+    "embedding_ivf_topk_indexed",
+    "embedding_bq_hamming_topk",
+]
+
+#: log4(t_big/t_small) tripwires under skewed occupancy — measured r10
+#: (see BENCH_SCALING.md) plus margin; NOT theoretical asymptotes
+EMB_EXPONENT_BOUNDS = {
+    # adaptive k grows sqrt(N) but a dense true cluster keeps its cells
+    # denser than uniform; pair probe inside the dense region dominates
+    "embedding_semantic_dedup_adaptive": 1.45,
+    # nprobe=2 probe against per-label cells; the hot cell holds ~25%
+    "embedding_semantic_dedup_ingest": 1.3,
+    # index build is O(N); probe reads 3 cells incl. possibly the hot one
+    "embedding_ivf_topk_indexed": 1.3,
+    # linear Hamming scan + O(candidates) rerank
+    "embedding_bq_hamming_topk": 1.3,
+    # adaptive-quantizer ingest: training O(N) on the residue sample,
+    # one N*k assignment, probe cells bounded by k growth
+    "embedding_semantic_dedup_ingest_adaptive": 1.3,
+}
+
+
+def _mixture_embeddings(spark: SparkSession, n: int) -> DataFrame:
+    u = (
+        F.pmod(F.xxhash64(F.col("vec_id"), F.lit("cl")), F.lit(1_000_003))
+        / F.lit(1_000_003.0)
+    )
+    # log-uniform rank draw over 1..C  ->  Zipf-skewed cluster sizes
+    cluster = (
+        F.floor(F.exp(u * F.lit(math.log(float(EMB_C))))) - 1
+    ).cast("int")
+    base = spark.range(n).select(F.col("id").alias("vec_id")).withColumn(
+        "label", cluster
+    )
+    # center component d: deterministic +-1 pattern per (cluster, d),
+    # scaled so clusters are well separated relative to jitter
+    center = lambda i: (  # noqa: E731
+        F.when(
+            F.pmod(F.xxhash64(F.col("label"), i, F.lit("c")), F.lit(2)) == 0,
+            F.lit(1.0),
+        ).otherwise(F.lit(-1.0))
+    )
+    jitter = lambda i: (  # noqa: E731
+        F.pmod(F.xxhash64(F.col("vec_id"), i, F.lit("j")), F.lit(997))
+        .cast("double")
+        / 997.0
+        - 0.5
+    )
+    return base.select(
+        "vec_id",
+        F.transform(
+            F.sequence(F.lit(1), F.lit(EMB_DIM)),
+            lambda i: (center(i) + jitter(i) * 0.6).cast("float"),
+        ).alias("embedding"),
+        "label",
+    )
+
+
+def ensure_emb_zipf(
+    spark: SparkSession, regen: bool = False
+) -> tuple[str, str]:
+    dirs = []
+    for tag, n in (("emb_zipf_small", EMB_SMALL),
+                   ("emb_zipf_big", EMB_SMALL * EMB_REPS)):
+        dst = os.path.join(ZIPF_DST, tag)
+        marker = os.path.join(dst, "_COMPLETE")
+        dirs.append(dst)
+        if os.path.isfile(marker) and not regen:
+            continue
+        shutil.rmtree(dst, ignore_errors=True)
+        os.makedirs(dst, exist_ok=True)
+        _mixture_embeddings(spark, n).repartition(8).write.parquet(
+            os.path.join(dst, "embeddings.parquet")
+        )
+        open(marker, "w").close()
+    return dirs[0], dirs[1]
+
+
+def run_emb_zipf(spark: SparkSession, regen: bool) -> dict:
+    from urban_mobility_data_pipeline_spark.plans.catalog import QUERIES
+
+    small, big = ensure_emb_zipf(spark, regen=regen)
+    # cluster-occupancy profile of the corpus actually measured —
+    # committed next to the exponents so "skewed" is a number, not a
+    # claim
+    occ = (
+        spark.read.parquet(os.path.join(big, "embeddings.parquet"))
+        .groupBy("label")
+        .count()
+        .orderBy(F.desc("count"))
+        .limit(5)
+        .collect()
+    )
+    n_big = EMB_SMALL * EMB_REPS
+    top_share = round(occ[0]["count"] / n_big, 3)
+    results: dict[str, dict] = {}
+    flagged: list[str] = []
+    for name in EMB_ZIPF_QUERIES:
+        fn = QUERIES[name]
+        fn(spark, small).write.format("noop").mode("overwrite").save()
+
+        def run(sf_dir: str) -> float:
+            best = math.inf
+            for _ in range(2):
+                t0 = time.perf_counter()
+                fn(spark, sf_dir).write.format("noop").mode(
+                    "overwrite"
+                ).save()
+                best = min(best, time.perf_counter() - t0)
+            return best
+
+        t_small = run(small)
+        t_big = run(big)
+        exponent = math.log(max(t_big, 1e-3) / max(t_small, 1e-3)) / math.log(
+            EMB_REPS
+        )
+        bound = EMB_EXPONENT_BOUNDS.get(name, DEFAULT_BOUND)
+        ok = exponent <= bound
+        if not ok:
+            flagged.append(name)
+        results[name] = {
+            "t_small": round(t_small, 2),
+            "t_big": round(t_big, 2),
+            "ratio": round(t_big / max(t_small, 1e-3), 2),
+            "exponent": round(exponent, 3),
+            "bound": bound,
+            "ok": ok,
+        }
+        print(
+            f"  emb-zipf {name}: {t_small:.2f}s -> {t_big:.2f}s "
+            f"(exp {exponent:.2f}, bound {bound})",
+            file=sys.stderr,
+        )
+    return {
+        "metric": "bench_scaling_emb_zipf",
+        "dim": EMB_DIM,
+        "mixture_components": EMB_C,
+        "vectors_small": EMB_SMALL,
+        "vectors_big": n_big,
+        "top_cluster_share_big": top_share,
+        "top5_cluster_counts_big": [r["count"] for r in occ],
+        "queries": results,
+        "flagged_superlinear": flagged,
+    }
+
+
 def main() -> int:
     regen = "--regen" in sys.argv[1:]
     only = [a for a in sys.argv[1:] if not a.startswith("--")]
@@ -435,6 +605,10 @@ def main() -> int:
     spark.sparkContext.setLogLevel("WARN")
     if "--zipf" in sys.argv[1:]:
         print(json.dumps(run_zipf(spark, regen)))
+        spark.stop()
+        return 0
+    if "--emb-zipf" in sys.argv[1:]:
+        print(json.dumps(run_emb_zipf(spark, regen)))
         spark.stop()
         return 0
     sf1 = ensure_sf1(spark, regen=regen)

@@ -263,3 +263,90 @@ def test_learn_bpe_reliable_checkpoints_do_not_accumulate(spark, tmp_path):
     assert leftovers == [], leftovers
     if orig is not None:
         assert spark.sparkContext.getCheckpointDir() == orig
+
+
+# ---------------------------------------------------------------------------
+# driver-side sequential reference (the divergence-bench gold, r10)
+# ---------------------------------------------------------------------------
+def test_sequential_reference_matches_naive_gold_on_testdata(spark, sf_dir):
+    from urban_mobility_data_pipeline_spark.extensions.bpe import (
+        sequential_bpe_reference,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    wf = {r["word"]: r["freq"] for r in word_frequencies(docs).collect()}
+    got = sequential_bpe_reference(wf, 25)
+    want, _ = _gold_bpe(wf, 25)
+    assert [
+        (m["rank"], m["left"], m["right"], m["merged"], m["freq"])
+        for m in got
+    ] == want
+
+
+def test_sequential_reference_matches_naive_gold_randomized():
+    """Incremental heap bookkeeping vs the naive full-rescan reference
+    across adversarial vocabularies (overlapping runs, shared symbols,
+    count ties)."""
+    import random
+
+    from urban_mobility_data_pipeline_spark.extensions.bpe import (
+        sequential_bpe_reference,
+    )
+
+    rng = random.Random(7)
+    alphabet = "abcd"
+    for trial in range(20):
+        wf = {
+            "".join(
+                rng.choice(alphabet)
+                for _ in range(rng.randint(1, 9))
+            ): rng.randint(1, 9)
+            for _ in range(rng.randint(3, 30))
+        }
+        got = sequential_bpe_reference(wf, 40)
+        want, _ = _gold_bpe(wf, 40)
+        assert [
+            (m["rank"], m["left"], m["right"], m["merged"], m["freq"])
+            for m in got
+        ] == want, (trial, wf)
+
+
+def test_bpe_encode_word_reproduces_training_segmentation():
+    """Encoding a training word with the learned ranks reproduces the
+    segmentation the trainer left it with (the defining property of
+    rank-ordered BPE encode)."""
+    from urban_mobility_data_pipeline_spark.extensions.bpe import (
+        bpe_encode_word,
+        sequential_bpe_reference,
+    )
+
+    wf = {"lowest": 5, "lower": 4, "low": 7, "newest": 6, "newer": 3}
+    merges = sequential_bpe_reference(wf, 12)
+    ranks = {(m["left"], m["right"]): m["rank"] for m in merges}
+    for w in wf:
+        enc = bpe_encode_word(w, ranks)
+        gold = _gold_encode(
+            w,
+            [
+                (m["rank"], m["left"], m["right"], m["merged"], m["freq"])
+                for m in merges
+            ],
+        )
+        assert enc == gold, (w, enc, gold)
+
+
+def test_on_batch_reports_realized_batch_sizes(spark, sf_dir):
+    """on_batch fires once per Spark round with the realized batch
+    size; the sizes sum to the learned rule count and batch_size=1
+    realizes exactly 1 per round."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    sizes: list[int] = []
+    merges = learn_bpe(
+        docs, n_merges=10, batch_size=4, strict=False,
+        on_batch=sizes.append,
+    )
+    assert sum(sizes) == len(merges) == 10
+    assert all(s >= 1 for s in sizes)
+    seq_sizes: list[int] = []
+    learn_bpe(docs, n_merges=5, on_batch=seq_sizes.append)
+    assert seq_sizes == [1] * 5

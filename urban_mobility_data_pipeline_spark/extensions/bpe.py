@@ -249,6 +249,7 @@ def learn_bpe(
     on_round=None,
     batch_size: int = 1,
     strict: bool = True,
+    on_batch=None,
 ) -> list[dict]:
     """Learn the top ``n_merges`` BPE merge rules over the corpus.
 
@@ -262,12 +263,22 @@ def learn_bpe(
     the rule list is IDENTICAL to ``batch_size=1``, the wall-clock is
     divided by the average realized batch size. ``strict=False``
     additionally SKIPS over conflicting pairs when filling the batch
-    (fast mode): deterministic, same final vocabulary in practice and
-    identical whenever batches are conflict-free, but rule ORDER may
-    deviate from sequential on symbol-dense corpora — the trade every
+    (fast mode): deterministic, and identical to sequential whenever
+    batches are conflict-free (pinned by tests), but where batches
+    interact the rule ORDER — and therefore the merge SET and the
+    final vocabulary — MAY differ from sequential; measure the actual
+    divergence for a given corpus with bench_domain --bpe-divergence
+    (rule-set agreement + fertility delta at production vocab sizes)
+    before committing to fast mode. The trade is the one every
     production-scale trainer makes. Use ``batch_size=32, strict=False``
     for production vocabularies (30k+ merges); the default stays
     sequential-exact so the per-rule cost curve remains measurable.
+
+    ``on_batch(n_rules)`` is called once per SPARK ROUND with the
+    realized batch size — rules learned per round is the deterministic
+    quantity batching is supposed to raise, so benches gate on its
+    average rather than on machine-dependent wall-clock ratios
+    (advisor r9).
 
     ``checkpoint_dir`` switches the per-round lineage cut from
     ``localCheckpoint`` (executor-local, lost on executor death — fine
@@ -366,6 +377,8 @@ def learn_bpe(
                 prior_merged.add(l + r)
             expr = merge_pairs_expr("syms", [(l, r) for l, r, _ in batch])
             syms = cut(syms.select("freq", expr.alias("syms")))
+            if on_batch is not None:
+                on_batch(len(batch))
             if on_round is not None:
                 for m in merges[-len(batch):]:
                     on_round(m["rank"])
@@ -423,3 +436,128 @@ def apply_bpe(
             F.sum("n_chars").cast("long").alias("n_chars"),
         )
     )
+
+
+def sequential_bpe_reference(
+    word_freqs: dict[str, int], n_merges: int
+) -> list[dict]:
+    """Driver-side sequential BPE over a COLLECTED word-frequency
+    model — the gold standard for divergence measurement at production
+    vocab sizes.
+
+    The distributed trainer exists because the CORPUS is big; the
+    word-frequency table it folds is Zipf-bounded (~1e6 rows for a web
+    corpus) and fits a driver, so the exact sequential trajectory can
+    be replayed in milliseconds-per-merge Python instead of
+    seconds-per-merge Spark rounds. Incremental bookkeeping (pair
+    counts + pair→word inverted index, only re-scanning words that
+    contain the merged pair) makes 10k+ merges tractable where the
+    naive per-merge full-vocab rescan is quadratic. Rule-for-rule
+    identical to the naive Sennrich reference (pinned by
+    tests/test_bpe.py) and therefore to ``learn_bpe(batch_size=1)``.
+    Same tiebreak: highest count, then lexicographically smallest
+    ``(left, right)``.
+    """
+    import heapq
+    from collections import defaultdict
+
+    words: list[list] = [
+        [list(w) + [EOW], int(f)] for w, f in word_freqs.items()
+    ]
+    counts: dict[tuple[str, str], int] = defaultdict(int)
+    index: dict[tuple[str, str], set[int]] = defaultdict(set)
+    for wi, (syms, f) in enumerate(words):
+        for i in range(len(syms) - 1):
+            p = (syms[i], syms[i + 1])
+            counts[p] += f
+            index[p].add(wi)
+    # lazy max-heap keyed (-count, pair): stale entries are skipped at
+    # pop time by checking against the live counts — O(log P) argmax
+    # per merge instead of an O(P) scan (10k merges over a ~1e5-pair
+    # space would otherwise be a 1e9-comparison Python loop)
+    heap = [(-c, p) for p, c in counts.items()]
+    heapq.heapify(heap)
+    merges: list[dict] = []
+    while len(merges) < n_merges:
+        while heap:
+            negc, p = heap[0]
+            if counts.get(p, 0) == -negc:
+                break
+            heapq.heappop(heap)
+        if not heap:
+            break
+        (left, right), cnt = p, -heap[0][0]
+        merges.append(
+            {
+                "rank": len(merges),
+                "left": left,
+                "right": right,
+                "merged": left + right,
+                "freq": cnt,
+            }
+        )
+        merged = left + right
+        touched: set[tuple[str, str]] = set()
+        for wi in sorted(index[(left, right)]):
+            syms, f = words[wi]
+            for i in range(len(syms) - 1):
+                pr = (syms[i], syms[i + 1])
+                counts[pr] -= f
+                if counts[pr] == 0:
+                    del counts[pr]
+                index[pr].discard(wi)
+                touched.add(pr)
+            out: list[str] = []
+            i = 0
+            while i < len(syms):
+                if (
+                    i < len(syms) - 1
+                    and syms[i] == left
+                    and syms[i + 1] == right
+                ):
+                    out.append(merged)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            words[wi][0] = out
+            for i in range(len(out) - 1):
+                pr = (out[i], out[i + 1])
+                counts[pr] += f
+                index[pr].add(wi)
+                touched.add(pr)
+        for pr in touched:
+            c = counts.get(pr, 0)
+            if c > 0:
+                heapq.heappush(heap, (-c, pr))
+    return merges
+
+
+def bpe_encode_word(word: str, ranks: dict[tuple[str, str], int]) -> list[str]:
+    """Encode one word with a learned merge table (pair → rank):
+    repeatedly rewrite every occurrence of the lowest-rank pair
+    present, left to right — the classical subword encode. Used by the
+    divergence bench to compare fertility under two rule lists with
+    ONE consistent encoder."""
+    syms = list(word) + [EOW]
+    while len(syms) > 1:
+        best_rank = None
+        best_pair = None
+        for i in range(len(syms) - 1):
+            rk = ranks.get((syms[i], syms[i + 1]))
+            if rk is not None and (best_rank is None or rk < best_rank):
+                best_rank, best_pair = rk, (syms[i], syms[i + 1])
+        if best_pair is None:
+            break
+        left, right = best_pair
+        out: list[str] = []
+        i = 0
+        while i < len(syms):
+            if i < len(syms) - 1 and syms[i] == left and syms[i + 1] == right:
+                out.append(left + right)
+                i += 2
+            else:
+                out.append(syms[i])
+                i += 1
+        syms = out
+    return syms

@@ -537,6 +537,57 @@ def adaptive_quantizer_k(
     return max(k_min, min(k_max, k, max(1, n_vectors)))
 
 
+def train_adaptive_quantizer(
+    embeddings: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    pair_cost_ratio: float = 4.0,
+    iters: int = 3,
+) -> DataFrame:
+    """Train the corpus-size-scaled coarse quantizer ONCE and return
+    its ``(cell, centroid)`` frame — the production shape: train here,
+    then reuse the centroids across :func:`semantic_dedup`,
+    :func:`build_ivf_index`, and every :func:`incremental_semantic_dups`
+    ingest probe (a fixed-k or per-label quantizer lets the hottest
+    cell grow with the corpus, and any within-cell probe turns
+    quadratic — measured: the per-label ingest probe hit exponent 1.8
+    at 4x on a Zipf-clustered mixture, bench_scaling --emb-zipf).
+
+    k = :func:`adaptive_quantizer_k` (``ceil(sqrt(c·N))`` clamped);
+    training runs on a deterministic HASH-RESIDUE SAMPLE of
+    ~``TRAIN_PER_CENTROID`` vectors per centroid (faiss trains IVF
+    lists on 39-256 points per centroid for the same reason):
+    full-corpus Lloyd's costs iters·N·k dots, which at k = sqrt(c·N)
+    is N^1.5; the sample bounds training at O(N). The residue is
+    md5-fingerprint-based, NOT ``id % stride`` (advisor r9): a raw-id
+    stride assumes dense contiguous ids — on a sparse or
+    residue-correlated id space (any upstream filter) it silently
+    skews or empties the sample. md5 of the id decorrelates from
+    id-space structure, stays deterministic, and is engine-portable
+    (same recipe as sampling.fingerprint_bucket), so oracles replay
+    the exact trajectory. Ceiling division keeps the sample AT MOST
+    ~TRAIN_PER_CENTROID·k; belt-and-braces: if the sampled count still
+    lands below k (pathological id distribution), fall back to
+    full-corpus training — a quantizer with fewer training points than
+    centroids is degenerate. Centroids are 6dp-rounded per iteration
+    (spherical_kmeans), so they replay bit-for-bit cross-engine."""
+    n = embeddings.count()
+    k = adaptive_quantizer_k(n, pair_cost_ratio=pair_cost_ratio)
+    stride = max(1, -(-n // (TRAIN_PER_CENTROID * k)))
+    fp = F.conv(
+        F.substring(F.md5(F.col(id_col).cast("string")), 1, 4), 16, 10
+    ).cast("long")
+    train = (
+        embeddings if stride == 1 else embeddings.filter(fp % stride == 0)
+    )
+    if stride > 1 and train.count() < k:
+        train = embeddings
+    _assign, centroids = spherical_kmeans(
+        train, k=k, iters=iters, id_col=id_col, vec_col=vec_col
+    )
+    return centroids
+
+
 def semantic_dedup(
     embeddings: DataFrame,
     centroids: DataFrame | None = None,
@@ -579,45 +630,12 @@ def semantic_dedup(
     callers that manage their own quantizer.
     """
     if centroids is None:
-        n = embeddings.count()
-        k = adaptive_quantizer_k(n, pair_cost_ratio=pair_cost_ratio)
-        # train the quantizer on a deterministic HASH-RESIDUE SAMPLE of
-        # ~TRAIN_PER_CENTROID vectors per centroid (faiss trains IVF
-        # lists on 39-256 points per centroid for the same reason):
-        # full-corpus Lloyd's costs iters·N·k dots, which at
-        # k = sqrt(c·N) is N^1.5 and DOMINATED the sf1 wall; the
-        # sample bounds training at iters·40·k² = O(N) while the
-        # one full-corpus assignment below stays the only N·k pass.
-        # The residue is md5-fingerprint-based, NOT ``id % stride``
-        # (advisor r9): a raw-id stride assumes dense contiguous ids —
-        # on a sparse or residue-correlated id space (any upstream
-        # filter) it silently skews or empties the sample. md5 of the
-        # id decorrelates from id-space structure, stays deterministic,
-        # and is engine-portable (same recipe as
-        # sampling.fingerprint_bucket), so the oracle replays the exact
-        # trajectory. Ceiling division: the sample must be AT MOST
-        # ~40·k (floor left stride at 1 whenever n < 80·k, silently
-        # keeping full-corpus training). Belt-and-braces: if the
-        # sampled count still lands below k (pathological id
-        # distribution), fall back to full-corpus training — a
-        # quantizer with fewer training points than centroids is
-        # degenerate.
-        stride = max(1, -(-n // (TRAIN_PER_CENTROID * k)))
-        fp = F.conv(
-            F.substring(F.md5(F.col(id_col).cast("string")), 1, 4), 16, 10
-        ).cast("long")
-        train = (
-            embeddings
-            if stride == 1
-            else embeddings.filter(fp % stride == 0)
-        )
-        if stride > 1 and train.count() < k:
-            train = embeddings
-        # spherical_kmeans centroids are already 6dp-rounded per
-        # iteration, so the oracle can replay them bit-for-bit
-        _assign, centroids = spherical_kmeans(
-            train, k=k, iters=quantizer_iters,
-            id_col=id_col, vec_col=vec_col,
+        centroids = train_adaptive_quantizer(
+            embeddings,
+            id_col=id_col,
+            vec_col=vec_col,
+            pair_cost_ratio=pair_cost_ratio,
+            iters=quantizer_iters,
         )
     assigned = ivf_assign(embeddings, centroids, id_col, vec_col)
     # each vector's norm is computed ONCE here and reused across every

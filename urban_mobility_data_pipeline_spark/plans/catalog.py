@@ -347,6 +347,7 @@ DRIVER_SEAT_QUEUE: tuple[str, ...] = (
     "documents_fuzzy_dedup_corpus_capped",  # r10: capped END PRODUCT
     "documents_fuzzy_dedup_keep_best_capped",  # r10: capped keep-best
     "documents_train_eval_contamination_capped",  # r10: capped gate
+    "embedding_semantic_dedup_ingest_adaptive",  # r10: scale-path ingest
 )
 
 # Every query name that has held a driver slot in some round (r1-r9;

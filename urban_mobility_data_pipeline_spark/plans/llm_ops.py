@@ -1277,6 +1277,138 @@ def embedding_semantic_dedup_ingest(spark: SparkSession, sf_dir: str) -> DataFra
     )
 
 
+def _adaptive_ingest_oracle(iters: int, pair_cost_ratio: float) -> str:
+    """The ingest probe through the ADAPTIVE quantizer, unrolled in
+    DuckDB: k and the fingerprint sample computed from the CORPUS
+    slice (same constants interpolated as _adaptive_semdedup_oracle),
+    the spherical k-means trajectory over the sample, corpus
+    assignment (the index), then the nprobe=2 batch probe and the
+    cosine verify."""
+    from urban_mobility_data_pipeline_spark.extensions.similarity import (
+        QUANTIZER_K_MAX,
+        QUANTIZER_K_MIN,
+        TRAIN_PER_CENTROID,
+    )
+
+    cos = (
+        "list_dot_product(e.v, c.centroid) / "
+        "(sqrt(list_dot_product(e.v, e.v)) * "
+        "sqrt(list_dot_product(c.centroid, c.centroid)))"
+    )
+    k_expr = (
+        f"GREATEST({QUANTIZER_K_MIN}, LEAST({QUANTIZER_K_MAX}, "
+        f"CAST(ceil(sqrt({pair_cost_ratio} * count(*))) AS BIGINT), "
+        f"count(*)))"
+    )
+    ctes = [
+        "ex AS (SELECT vec_id, "
+        "list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v "
+        "FROM embeddings)",
+        "corpus AS (SELECT * FROM ex WHERE vec_id % 10 <> 0)",
+        "batch AS (SELECT * FROM ex WHERE vec_id % 10 = 0)",
+        f"kp AS (SELECT {k_expr} AS k, "
+        f"GREATEST(1, CAST(ceil(count(*) / "
+        f"({float(TRAIN_PER_CENTROID)} * {k_expr})) AS BIGINT)) AS stride "
+        f"FROM corpus)",
+        "tr0 AS (SELECT * FROM corpus WHERE "
+        "CAST(('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 4)) "
+        "AS BIGINT) % (SELECT stride FROM kp) = 0)",
+        "tr AS (SELECT * FROM tr0 "
+        "WHERE (SELECT count(*) FROM tr0) >= (SELECT k FROM kp) "
+        "UNION ALL SELECT * FROM ex "
+        "WHERE vec_id % 10 <> 0 "
+        "AND (SELECT count(*) FROM tr0) < (SELECT k FROM kp))",
+        "cent0 AS (SELECT CAST(row_number() OVER (ORDER BY vec_id) AS INT)"
+        " - 1 AS cell, v AS centroid FROM tr "
+        "QUALIFY row_number() OVER (ORDER BY vec_id) <= (SELECT k FROM kp))",
+    ]
+    for i in range(1, iters + 1):
+        ctes.append(
+            f"a{i} AS (SELECT e.vec_id, e.v, c.cell, "
+            f"row_number() OVER (PARTITION BY e.vec_id "
+            f"ORDER BY {cos} DESC, c.cell) AS rn "
+            f"FROM tr e CROSS JOIN cent{i - 1} c)"
+        )
+        ctes.append(
+            f"cent{i} AS (SELECT cell, list(m ORDER BY pos) AS centroid "
+            f"FROM (SELECT cell, pos, round(avg(comp), 6) AS m "
+            f"FROM (SELECT cell, unnest(v) AS comp, "
+            f"unnest(range(1, len(v) + 1)) AS pos FROM a{i} WHERE rn = 1) "
+            f"GROUP BY 1, 2) GROUP BY 1)"
+        )
+    ctes.append(
+        f"idx AS (SELECT vec_id AS corpus_id, v AS iv, cell FROM ("
+        f"SELECT e.vec_id, e.v, c.cell, "
+        f"row_number() OVER (PARTITION BY e.vec_id "
+        f"ORDER BY {cos} DESC, c.cell) AS rn "
+        f"FROM corpus e CROSS JOIN cent{iters} c) WHERE rn = 1)"
+    )
+    ctes.append(
+        f"probes AS (SELECT vec_id AS new_id, v AS nv, cell FROM ("
+        f"SELECT e.vec_id, e.v, c.cell, "
+        f"row_number() OVER (PARTITION BY e.vec_id "
+        f"ORDER BY {cos} DESC, c.cell) AS rn "
+        f"FROM batch e CROSS JOIN cent{iters} c) WHERE rn <= 2)"
+    )
+    return (
+        "WITH "
+        + ",\n    ".join(ctes)
+        + """
+    SELECT p.new_id, i.corpus_id,
+           round(list_dot_product(p.nv, i.iv)
+                 / (sqrt(list_dot_product(p.nv, p.nv))
+                    * sqrt(list_dot_product(i.iv, i.iv))), 6) AS cosine
+    FROM probes p JOIN idx i ON p.cell = i.cell
+    WHERE p.new_id <> i.corpus_id
+      AND round(list_dot_product(p.nv, i.iv)
+                / (sqrt(list_dot_product(p.nv, p.nv))
+                   * sqrt(list_dot_product(i.iv, i.iv))), 6) >= 0.35"""
+    )
+
+
+@register(
+    "embedding_semantic_dedup_ingest_adaptive",
+    oracle=_adaptive_ingest_oracle(3, 4.0),
+)
+def embedding_semantic_dedup_ingest_adaptive(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Dedup-at-ingest through the ADAPTIVE quantizer — the scale
+    path the emb-zipf sweep showed the per-label row needs (VERDICT r9
+    item 4): on a Zipf-clustered mixture the fixed per-label quantizer
+    leaves the hottest cluster (~20% of the corpus) as ONE cell and
+    the within-cell probe turns quadratic (measured exponent 1.85 at
+    4x, BENCH_SCALING_EMB_ZIPF_r10); training the quantizer at
+    k=ceil(sqrt(cN)) splits the dense region and the same probe
+    measures 0.83. Pipeline: train_adaptive_quantizer on the standing
+    corpus (fingerprint sample), build the cell-partitioned IVF index
+    once, probe the incoming batch at nprobe=2. The oracle replays k
+    and stride from the corpus count, the sampled k-means trajectory,
+    corpus assignment, and the probe — hash-checked end to end."""
+    import tempfile
+
+    from urban_mobility_data_pipeline_spark.extensions.similarity import (
+        build_ivf_index,
+        incremental_semantic_dups,
+        train_adaptive_quantizer,
+    )
+    from urban_mobility_data_pipeline_spark.operators.merge import MergeTable
+
+    emb = table(spark, sf_dir, "embeddings")
+    corpus = emb.filter(F.col("vec_id") % 10 != 0).select(
+        "vec_id", "embedding"
+    )
+    batch = emb.filter(F.col("vec_id") % 10 == 0).select(
+        "vec_id", "embedding"
+    )
+    cents = train_adaptive_quantizer(corpus)
+    index = MergeTable(spark, tempfile.mkdtemp(prefix="umdp_semadp_"))
+    build_ivf_index(corpus, cents, index)
+    return incremental_semantic_dups(
+        batch, index, cents, threshold=0.35, nprobe=2
+    )
+
+
 @register(
     "documents_fuzzy_dedup_corpus",
     oracle=f"""
