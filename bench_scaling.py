@@ -459,6 +459,9 @@ EMB_EXPONENT_BOUNDS = {
     # adaptive-quantizer ingest: training O(N) on the residue sample,
     # one N*k assignment, probe cells bounded by k growth
     "embedding_semantic_dedup_ingest_adaptive": 1.3,
+    # per-label probe with the cell cap: hot cells skipped+reported,
+    # residual work is unsaturated cells (linear) + the sizing pass
+    "embedding_semantic_dedup_ingest_cellcapped": 1.3,
 }
 
 
@@ -518,6 +521,45 @@ def ensure_emb_zipf(
     return dirs[0], dirs[1]
 
 
+def _ingest_per_label_capped(spark: SparkSession, sf_dir: str):
+    """The per-label ingest probe with the r10 cell cap: hot cells
+    (occupancy > cap) are dropped from the verify join and REPORTED —
+    the mitigation for when the quantizer is not yours to retrain.
+    Returns the pairs frame (the skipped report is counted but the
+    noop sink measures the pair path, matching the other rows)."""
+    import tempfile
+
+    from urban_mobility_data_pipeline_spark.extensions.similarity import (
+        build_ivf_index,
+        incremental_semantic_dups_with_report,
+        ivf_centroids,
+    )
+    from urban_mobility_data_pipeline_spark.operators.merge import MergeTable
+
+    emb = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    corpus = emb.filter(F.col("vec_id") % 10 != 0)
+    batch = emb.filter(F.col("vec_id") % 10 == 0).select(
+        "vec_id", "embedding"
+    )
+    cents = ivf_centroids(corpus).select(
+        "cell",
+        F.transform("centroid", lambda x: F.round(x, 6)).alias("centroid"),
+    )
+    index = MergeTable(spark, tempfile.mkdtemp(prefix="umdp_semcap_"))
+    build_ivf_index(corpus, cents, index)
+    pairs, _skipped = incremental_semantic_dups_with_report(
+        batch, index, cents, cell_cap=EMB_INGEST_CELL_CAP,
+        threshold=0.35, nprobe=2,
+    )
+    return pairs
+
+
+#: cell-occupancy cap for the capped per-label runner: sized so the
+#: Zipf mixture's hot clusters saturate at BOTH scales (uniform share
+#: would be ~3% of corpus; the top log-uniform cluster holds ~20%)
+EMB_INGEST_CELL_CAP = 600
+
+
 def run_emb_zipf(spark: SparkSession, regen: bool) -> dict:
     from urban_mobility_data_pipeline_spark.plans.catalog import QUERIES
 
@@ -537,8 +579,13 @@ def run_emb_zipf(spark: SparkSession, regen: bool) -> dict:
     top_share = round(occ[0]["count"] / n_big, 3)
     results: dict[str, dict] = {}
     flagged: list[str] = []
-    for name in EMB_ZIPF_QUERIES:
-        fn = QUERIES[name]
+    runners = {n: QUERIES[n] for n in EMB_ZIPF_QUERIES}
+    # second mitigation, for quantizers that are not ours to retrain:
+    # the same per-label probe with the r10 cell-occupancy cap
+    runners["embedding_semantic_dedup_ingest_cellcapped"] = (
+        _ingest_per_label_capped
+    )
+    for name, fn in runners.items():
         fn(spark, small).write.format("noop").mode("overwrite").save()
 
         def run(sf_dir: str) -> float:

@@ -367,3 +367,66 @@ def test_incremental_semantic_dups_matches_bruteforce(spark, sf_dir, tmp_path):
     # an exact twin lands in its original's cell — nprobe=1 finds it
     corpus_hits = {c for _, c in got_1}
     assert {3, 17} <= corpus_hits
+
+
+def test_capped_ingest_probe_skips_and_reports_hot_cells(
+    spark, sf_dir, tmp_path
+):
+    """incremental_semantic_dups_with_report (r10): huge cap == plain
+    probe; a cap below a hot cell's occupancy drops that cell from the
+    verify join AND reports every (new_id, cell, cell_size) skipped —
+    the guard for fixed/user-managed quantizers whose hot cell grows
+    with the corpus."""
+    from pyspark.sql import functions as F
+
+    from urban_mobility_data_pipeline_spark.extensions.similarity import (
+        build_ivf_index,
+        incremental_semantic_dups,
+        incremental_semantic_dups_with_report,
+    )
+    from urban_mobility_data_pipeline_spark.operators.merge import MergeTable
+
+    emb = _emb(spark, sf_dir)
+    cents = ivf_centroids(emb)
+    index = MergeTable(spark, str(tmp_path / "ivf_index_cap"))
+    build_ivf_index(emb, cents, index)
+
+    batch = emb.filter(F.col("vec_id").isin([3, 17])).select(
+        (F.col("vec_id") + 100000).alias("vec_id"), "embedding"
+    )
+    threshold, nprobe = 0.9, 2
+    plain = {
+        (r["new_id"], r["corpus_id"])
+        for r in incremental_semantic_dups(
+            batch, index, cents, threshold=threshold, nprobe=nprobe
+        ).collect()
+    }
+    assert plain
+
+    pairs, skipped = incremental_semantic_dups_with_report(
+        batch, index, cents, cell_cap=10**9,
+        threshold=threshold, nprobe=nprobe,
+    )
+    assert {
+        (r["new_id"], r["corpus_id"]) for r in pairs.collect()
+    } == plain
+    assert skipped.count() == 0
+
+    # cap below every cell's occupancy: all probes skipped, reported
+    # with the measured size, and no pair leaks through
+    pairs0, skipped0 = incremental_semantic_dups_with_report(
+        batch, index, cents, cell_cap=1,
+        threshold=threshold, nprobe=nprobe,
+    )
+    assert pairs0.count() == 0
+    sk = skipped0.collect()
+    assert {r["new_id"] for r in sk} == {100003, 100017}
+    cell_counts = {
+        r["cell"]: r["cnt"]
+        for r in index.read()
+        .groupBy("cell")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .collect()
+    }
+    for r in sk:
+        assert r["cell_size"] == cell_counts[r["cell"]], r

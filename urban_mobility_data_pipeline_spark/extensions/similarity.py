@@ -764,6 +764,97 @@ def incremental_semantic_dups(
     )
 
 
+def incremental_semantic_dups_with_report(
+    new_vecs: DataFrame,
+    index_table,
+    centroids: DataFrame,
+    cell_cap: int,
+    threshold: float = 0.9,
+    nprobe: int = 1,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> tuple[DataFrame, DataFrame]:
+    """Saturation-aware variant of :func:`incremental_semantic_dups` —
+    the embedding twin of
+    ``dedup_index.incremental_near_dups_with_report``.
+
+    The plain probe's hazard: under a FIXED or user-managed quantizer
+    a hot cell grows with the corpus and the within-cell verify turns
+    quadratic in its occupancy (measured exponent 1.85 at 4x on a
+    Zipf-clustered mixture, bench_scaling --emb-zipf). The structural
+    fix is the adaptive quantizer (:func:`train_adaptive_quantizer`);
+    this is the guard for when the quantizer is NOT yours to retrain:
+    the probed index slice is sized per cell (one linear pass over the
+    already-pruned nprobe cells — the SCAN of a hot cell is linear and
+    unavoidable; it is the pair-join OUTPUT this bounds), cells above
+    ``cell_cap`` are dropped from the verify join, and the skip is
+    never silent — the second frame reports every
+    ``(new_id, cell, cell_size)`` skipped so ingest gates on it: a
+    batch vector whose every probed cell saturated got NO dedup check
+    and must be re-routed (retrain the quantizer, exact-hash fallback,
+    quarantine).
+
+    Returns ``(pairs, skipped)``; pairs as the plain probe, restricted
+    to unsaturated cells.
+    """
+    from pyspark.sql import Window
+
+    from urban_mobility_data_pipeline_spark.cache import scratch_persist
+
+    scored = new_vecs.join(F.broadcast(centroids)).select(
+        F.col(id_col).alias("new_id"),
+        F.col(vec_col).alias("__nv"),
+        F.col("cell"),
+        cosine(vec_col, "centroid").alias("__sim"),
+    )
+    w = Window.partitionBy("new_id").orderBy(
+        F.col("__sim").desc(), F.col("cell")
+    )
+    probes = scratch_persist(
+        scored.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= nprobe)
+        .select(
+            "new_id", "__nv", "cell", norm(F.col("__nv")).alias("__nn")
+        )
+    )
+    cells = [
+        r["cell"] for r in probes.select("cell").distinct().collect()
+    ]
+    idx = index_table.read().filter(F.col("cell").isin(cells)).select(
+        F.col(id_col).alias("corpus_id"),
+        F.col(vec_col).alias("__iv"),
+        "cell",
+        norm(F.col(vec_col)).alias("__ni"),
+    )
+    sizes = scratch_persist(
+        idx.groupBy("cell").agg(
+            F.count(F.lit(1)).cast("long").alias("cell_size")
+        )
+    )
+    skipped = probes.join(
+        F.broadcast(sizes.filter(F.col("cell_size") > cell_cap)), "cell"
+    ).select("new_id", "cell", "cell_size")
+    ok_idx = idx.join(
+        F.broadcast(sizes.filter(F.col("cell_size") <= cell_cap)).select(
+            "cell"
+        ),
+        "cell",
+    )
+    pair_cos = dot("__nv", "__iv") / (F.col("__nn") * F.col("__ni"))
+    pairs = (
+        F.broadcast(probes)
+        .join(ok_idx, "cell")
+        .filter(F.col("new_id") != F.col("corpus_id"))
+        .select(
+            "new_id",
+            "corpus_id",
+            F.round(pair_cos, 6).alias("cosine"),
+        )
+        .filter(F.col("cosine") >= F.lit(threshold))
+    )
+    return pairs, skipped
+
+
 # ---------------------------------------------------------------------------
 # Product quantization (PQ): sub-vector codebooks + asymmetric search
 # ---------------------------------------------------------------------------
