@@ -141,11 +141,13 @@ def main() -> None:
             if prev is None or (prev > 0 and t < prev):
                 timings[name] = round(t, 4)
                 ph = _llm_ops.PHASE_SECS.get(name)
-                if ph and "build_sec" in ph:
-                    phases[name] = {
-                        "build_sec": ph["build_sec"],
-                        "probe_sec": round(t - ph["build_sec"], 4),
-                    }
+                if ph:
+                    # any *_sec one-time phases the query recorded
+                    # (train/build); probe = the remainder of the wall
+                    phases[name] = dict(ph)
+                    phases[name]["probe_sec"] = round(
+                        t - sum(ph.values()), 4
+                    )
 
     total = round(sum(t for t in timings.values() if t >= 0), 4)
 

@@ -1,0 +1,148 @@
+"""Distributed linear (logistic-regression) quality classifier —
+pure Catalyst, no Spark ML, no RNG, no driver-side weight loop.
+
+The model-based tier of a pre-training quality stack (CCNet
+Wenzek et al. 2019; fastText quality filters à la Brown et al. 2020
+Appendix A; DataComp-LM 2024): heuristic rules produce cheap weak
+labels, a linear classifier is trained on corpus-wide features to
+DISTILL the gate into a smooth score, and the score then drives
+ranking/sampling decisions the binary gate cannot (soft thresholds,
+quality-weighted mixing, curriculum buckets). Here the weak labels
+come from the Gopher rule bundle (``documents_gopher_gate``) and the
+features are the same published quality signals, so the classifier,
+its gradient trajectory, and its scores are all deterministic and
+replayable in any SQL engine.
+
+Training is FULL-BATCH gradient descent with every iteration expressed
+as one aggregation over the persisted feature frame (map-side partial
+sums → one k-column row collected as the next step's literals):
+
+    w_{i+1,j} = round(w_{i,j} - lr/n * Σ_docs (p_i - y) x_j, 6)
+    p_i       = round(sigmoid(round(Σ_j w_{i,j} x_j, 6)), 6)
+
+Determinism discipline (the cross-engine replay contract shared with
+the k-means/PSI/NB families): features arrive pre-rounded, the logit
+and the sigmoid are rounded to 6dp per doc, and the weight update is
+rounded to 6dp per iteration, so engine-level differences in float
+summation order (~1e-12 relative on these magnitudes) cannot survive
+into the next iteration's inputs.
+
+Scale shape: one scan of the persisted feature frame per iteration
+(iters+1 total with the scoring pass), each a map-side projection
+feeding a partial-agg SUM — no shuffle wider than the k-column
+gradient row; the only driver traffic is the k+1-double weight vector
+per step (bounded model-class, the same audited category as the BPE
+argmax), broadcast back as literals. At 100 TB this is exactly the
+published recipe — iters linear passes, embarrassingly parallel,
+skew-free (no keyed shuffle at all) — and the weight vector is
+parameter-server state, not a distributed dataset.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+#: gradient-descent defaults — swept offline on all three test scale
+#: factors: lr=5/32 iters lands train accuracy 0.93 vs majority 0.74-
+#: 0.76 (lr=0.5/8 never escapes the majority predictor; lr=10 gains
+#: <1% more). Both are interpolated into the DuckDB oracles, never
+#: hardcoded there (advisor r9 on silently-divergeable constants).
+LOGREG_LR = 5.0
+LOGREG_ITERS = 32
+#: feature clips/scales (fixed, data-independent, so the oracle needs
+#: no statistics pass): raw word counts are clipped then scaled into
+#: the ~[0, 2] range the ratio features live in, keeping one global
+#: learning rate sane for all coordinates
+N_WORDS_CLIP = 200
+N_WORDS_SCALE = 100.0
+STOP_HITS_CLIP = 20
+STOP_HITS_SCALE = 10.0
+
+
+def _sigmoid(z: Column) -> Column:
+    return F.lit(1.0) / (F.lit(1.0) + F.exp(-z))
+
+
+def train_logistic(
+    feats: DataFrame,
+    feature_cols: Sequence[str],
+    label_col: str = "label",
+    lr: float = LOGREG_LR,
+    iters: int = LOGREG_ITERS,
+) -> DataFrame:
+    """Train logistic-regression weights over ``feats`` and return a
+    ONE-ROW frame ``(w0, w1, ..., wk)`` — ``w0`` the bias, ``wj`` the
+    weight of ``feature_cols[j-1]``.
+
+    Weights initialize at zero (deterministic — no seed to replay).
+    Each iteration is ONE aggregation job over the persisted feature
+    frame; the k+1 updated weights — a bounded model-class collect,
+    the same audited category as the BPE per-round argmax and the
+    nprobe cell ids — come back to the driver and feed the next step
+    as literals. The k-means family can afford to stay fully lazy at
+    3 unrolled iterations; at 32 GD steps a lazy weight plan nests 32
+    copies of the feature lineage and Catalyst analysis time, not the
+    scans, becomes the cost — the per-step model collect is also the
+    published shape (a weight vector is driver/parameter-server
+    state, not a distributed dataset).
+
+    Every update is rounded INSIDE the engine (``F.round``,
+    half-up — Python's ``round`` is banker's and would diverge from
+    the DuckDB replay), so the collected doubles are exactly the
+    values the oracle's unrolled CTEs produce.
+    """
+    from pyspark import StorageLevel
+
+    n = feats.count()  # also materializes the persist below
+    k = len(feature_cols)
+    names = [f"w{j}" for j in range(k + 1)]
+    xs = [F.lit(1.0)] + [F.col(c) for c in feature_cols]
+    feats = feats.persist(StorageLevel.MEMORY_AND_DISK)
+    try:
+        w = [0.0] * (k + 1)
+        for _ in range(iters):
+            z = F.round(
+                sum(F.lit(wj) * x for wj, x in zip(w, xs)), 6
+            )
+            p = F.round(_sigmoid(z), 6)
+            r = p - F.col(label_col)
+            row = feats.agg(
+                *[
+                    F.round(
+                        F.lit(wj) - (lr / n) * F.sum(r * x), 6
+                    ).alias(nm)
+                    for nm, wj, x in zip(names, w, xs)
+                ]
+            ).collect()[0]
+            w = [float(row[nm]) for nm in names]
+    finally:
+        feats.unpersist()
+    return feats.sparkSession.range(1).select(
+        *[F.lit(wj).alias(nm) for nm, wj in zip(names, w)]
+    )
+
+
+def score_logistic(
+    feats: DataFrame,
+    weights: DataFrame,
+    feature_cols: Sequence[str],
+) -> DataFrame:
+    """Score every row of ``feats`` with a trained weight row: appends
+    ``quality_prob`` (6dp sigmoid) and ``predicted`` (prob ≥ 0.5).
+    One broadcast join — the weights are a single row — then a
+    map-side projection; no shuffle at any corpus size."""
+    names = [f"w{j}" for j in range(len(feature_cols) + 1)]
+    xs = [F.lit(1.0)] + [F.col(c) for c in feature_cols]
+    z = F.round(sum(F.col(nm) * x for nm, x in zip(names, xs)), 6)
+    return (
+        feats.crossJoin(F.broadcast(weights))
+        .withColumn("quality_prob", F.round(_sigmoid(z), 6))
+        .withColumn(
+            "predicted",
+            (F.col("quality_prob") >= F.lit(0.5)).cast("int"),
+        )
+        .drop(*names)
+    )

@@ -543,6 +543,7 @@ def train_adaptive_quantizer(
     vec_col: str = "embedding",
     pair_cost_ratio: float = 4.0,
     iters: int = 3,
+    materialize_dir: str | None = None,
 ) -> DataFrame:
     """Train the corpus-size-scaled coarse quantizer ONCE and return
     its ``(cell, centroid)`` frame — the production shape: train here,
@@ -570,7 +571,19 @@ def train_adaptive_quantizer(
     lands below k (pathological id distribution), fall back to
     full-corpus training — a quantizer with fewer training points than
     centroids is degenerate. Centroids are 6dp-rounded per iteration
-    (spherical_kmeans), so they replay bit-for-bit cross-engine."""
+    (spherical_kmeans), so they replay bit-for-bit cross-engine.
+
+    ``materialize_dir``: when set, the k trained centroids (√(cN)
+    tiny rows, never the corpus) are written there as parquet ONCE and
+    the returned frame reads them back. Without it the return value is
+    a LAZY plan holding the whole iters-deep k-means trajectory, and
+    every downstream consumer (index build, probe scoring, the
+    probed-cells collect) re-executes training from scratch — at scale
+    an unmaterialized quantizer re-trains per query. Parquet
+    round-trips the 6dp-rounded doubles exactly, so results are
+    bit-identical either way; this is also the production shape (the
+    quantizer is an artifact you version next to the index, not a
+    subplan)."""
     n = embeddings.count()
     k = adaptive_quantizer_k(n, pair_cost_ratio=pair_cost_ratio)
     stride = max(1, -(-n // (TRAIN_PER_CENTROID * k)))
@@ -585,6 +598,12 @@ def train_adaptive_quantizer(
     _assign, centroids = spherical_kmeans(
         train, k=k, iters=iters, id_col=id_col, vec_col=vec_col
     )
+    if materialize_dir is not None:
+        # k rows × dim doubles — a metadata-class write, one file
+        centroids.coalesce(1).write.mode("overwrite").parquet(
+            materialize_dir
+        )
+        centroids = embeddings.sparkSession.read.parquet(materialize_dir)
     return centroids
 
 
@@ -596,6 +615,7 @@ def semantic_dedup(
     vec_col: str = "embedding",
     pair_cost_ratio: float = 4.0,
     quantizer_iters: int = 3,
+    quantizer_dir: str | None = None,
 ) -> DataFrame:
     """SemDeDup-style semantic deduplication (Abbas et al. 2023,
     arXiv:2303.09540): cluster the corpus with a coarse quantizer, then
@@ -636,6 +656,10 @@ def semantic_dedup(
             vec_col=vec_col,
             pair_cost_ratio=pair_cost_ratio,
             iters=quantizer_iters,
+            # the trained frame is consumed TWICE below (assignment +
+            # the broadcast centroid-sim join); materializing stops the
+            # k-means trajectory re-executing per consumer
+            materialize_dir=quantizer_dir,
         )
     assigned = ivf_assign(embeddings, centroids, id_col, vec_col)
     # each vector's norm is computed ONCE here and reused across every

@@ -348,6 +348,12 @@ DRIVER_SEAT_QUEUE: tuple[str, ...] = (
     "documents_fuzzy_dedup_keep_best_capped",  # r10: capped keep-best
     "documents_train_eval_contamination_capped",  # r10: capped gate
     "embedding_semantic_dedup_ingest_adaptive",  # r10: scale-path ingest
+    # r10: model-based quality tier (logistic regression distilling the
+    # Gopher gate — trainer in extensions/classifier.py, trajectory
+    # hash-checked end to end by the unrolled-GD oracles)
+    "documents_quality_classifier_model",
+    "documents_quality_classifier_scores",
+    "documents_quality_classifier_eval",
 )
 
 # Every query name that has held a driver slot in some round (r1-r9;

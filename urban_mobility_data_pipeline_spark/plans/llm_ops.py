@@ -1167,13 +1167,26 @@ def embedding_semantic_dedup_adaptive(
     and the stride from the corpus size in SQL, replays all three
     training iterations as unrolled CTEs over the same sample, then
     the within-cell pair probe and the keep-farthest-from-centroid
-    rule — verdicts are hash-checked end-to-end."""
+    rule — verdicts are hash-checked end-to-end.
+
+    The quantizer materializes to a scratch parquet (k=√(cN) tiny
+    rows): the trained frame is consumed twice (assignment + the
+    centroid-sim join), and left lazy the whole k-means trajectory
+    re-executes per consumer. Bit-identical output (6dp-rounded
+    doubles round-trip parquet exactly); the write is the production
+    shape — a quantizer is an artifact, not a subplan."""
+    import tempfile
+
     from urban_mobility_data_pipeline_spark.extensions.similarity import (
         semantic_dedup,
     )
 
     emb = table(spark, sf_dir, "embeddings")
-    return semantic_dedup(emb, threshold=0.35)
+    return semantic_dedup(
+        emb,
+        threshold=0.35,
+        quantizer_dir=tempfile.mkdtemp(prefix="umdp_semq_") + "/quantizer",
+    )
 
 
 #: the ingest probe replayed in DuckDB: quantizer trained on the CORPUS
@@ -1384,8 +1397,17 @@ def embedding_semantic_dedup_ingest_adaptive(
     corpus (fingerprint sample), build the cell-partitioned IVF index
     once, probe the incoming batch at nprobe=2. The oracle replays k
     and stride from the corpus count, the sampled k-means trajectory,
-    corpus assignment, and the probe — hash-checked end to end."""
+    corpus assignment, and the probe — hash-checked end to end.
+
+    The quantizer materializes to a scratch parquet (train ONCE,
+    reuse — the production artifact shape): left lazy, the index
+    build, the probe scoring, and the probed-cells collect each
+    re-execute the whole k-means trajectory. Train and index-build
+    walls are recorded in ``PHASE_SECS`` so bench reports the
+    one-time costs separately from the scale-critical probe latency
+    (same treatment as ``doc_bm25_topk_indexed``)."""
     import tempfile
+    import time as _time
 
     from urban_mobility_data_pipeline_spark.extensions.similarity import (
         build_ivf_index,
@@ -1401,9 +1423,18 @@ def embedding_semantic_dedup_ingest_adaptive(
     batch = emb.filter(F.col("vec_id") % 10 == 0).select(
         "vec_id", "embedding"
     )
-    cents = train_adaptive_quantizer(corpus)
-    index = MergeTable(spark, tempfile.mkdtemp(prefix="umdp_semadp_"))
+    root = tempfile.mkdtemp(prefix="umdp_semadp_")
+    _t0 = _time.perf_counter()
+    cents = train_adaptive_quantizer(
+        corpus, materialize_dir=root + "/quantizer"
+    )
+    _t1 = _time.perf_counter()
+    index = MergeTable(spark, root + "/index")
     build_ivf_index(corpus, cents, index)
+    PHASE_SECS["embedding_semantic_dedup_ingest_adaptive"] = {
+        "train_sec": round(_t1 - _t0, 4),
+        "build_sec": round(_time.perf_counter() - _t1, 4),
+    }
     return incremental_semantic_dups(
         batch, index, cents, threshold=0.35, nprobe=2
     )
@@ -6241,6 +6272,276 @@ def documents_gopher_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.lit("pass"))
     )
     return feats.withColumn("verdict", verdict)
+
+
+# ---------------------------------------------------------------------------
+# model-based quality filter: logistic regression distilling the gate
+# (CCNet/fastText pattern — heuristic weak labels -> trained linear
+# scorer; extensions/classifier.py holds the trainer)
+# ---------------------------------------------------------------------------
+from urban_mobility_data_pipeline_spark.extensions.classifier import (  # noqa: E402
+    LOGREG_ITERS,
+    LOGREG_LR,
+    N_WORDS_CLIP,
+    N_WORDS_SCALE,
+    STOP_HITS_CLIP,
+    STOP_HITS_SCALE,
+)
+
+_LOGREG_FEATURE_COLS = ("x1", "x2", "x3", "x4", "x5")
+
+
+def _logreg_feature_frame(docs: DataFrame) -> DataFrame:
+    """Gopher signals -> clipped/scaled features + the weak label.
+    Shares every expression (and its rounding) with the
+    ``documents_gopher_gate`` row, so the label here IS that row's
+    ``verdict = 'pass'`` and the oracle replays both identically."""
+    staged = docs.select(
+        "doc_id", "source", "text", T.words("text").alias("__w")
+    )
+    q = T.quality_features("text", words_col=F.col("__w"))
+    r = T.repetition_features(F.col("__w"))
+    stop_hits = F.size(
+        F.filter("__w", lambda x: x.isin(*T.LANG_MARKERS["en"]))
+    )
+    raw = staged.select(
+        "doc_id",
+        "source",
+        q["n_words"].alias("n_words"),
+        q["avg_word_len"].alias("avg_word_len"),
+        q["punct_ratio"].alias("symbol_ratio"),
+        stop_hits.cast("int").alias("stop_hits"),
+        r["dup_bigram_frac"].alias("dup_bigram_frac"),
+    )
+    passes = (
+        (F.col("n_words") >= GOPHER_MIN_WORDS)
+        & (F.col("n_words") <= GOPHER_MAX_WORDS)
+        & (F.col("avg_word_len") >= GOPHER_MIN_AVG_WLEN)
+        & (F.col("avg_word_len") <= GOPHER_MAX_AVG_WLEN)
+        & (F.col("symbol_ratio") <= GOPHER_MAX_SYMBOL_RATIO)
+        & (F.col("stop_hits") >= GOPHER_MIN_STOP_HITS)
+        & (F.col("dup_bigram_frac") <= GOPHER_MAX_DUP_BIGRAM)
+    )
+    return raw.select(
+        "doc_id",
+        "source",
+        F.round(
+            F.least(F.col("n_words"), F.lit(N_WORDS_CLIP))
+            / F.lit(N_WORDS_SCALE),
+            6,
+        ).alias("x1"),
+        F.round(F.col("avg_word_len") / F.lit(10.0), 6).alias("x2"),
+        F.col("symbol_ratio").alias("x3"),
+        F.round(
+            F.least(F.col("stop_hits"), F.lit(STOP_HITS_CLIP))
+            / F.lit(STOP_HITS_SCALE),
+            6,
+        ).alias("x4"),
+        F.col("dup_bigram_frac").alias("x5"),
+        passes.cast("int").alias("label"),
+    )
+
+
+def _logreg_oracle_ctes(iters: int, lr: float) -> str:
+    """The training trajectory unrolled as DuckDB CTEs (the
+    spherical-k-means oracle pattern): raw Gopher signals, the
+    clipped/scaled features + weak label, zero-initialized weights,
+    then one CTE per gradient step with the logit, the sigmoid, and
+    the weight update rounded exactly as the engine rounds them. lr,
+    the clips/scales, and the Gopher thresholds are interpolated from
+    the same module constants the engine reads — nothing hardcoded
+    that could silently diverge (advisor r9)."""
+    z = " + ".join(
+        ["w.w0 * 1.0"]
+        + [f"w.w{j} * f.x{j}" for j in range(1, 6)]
+    )
+    # the normalizer: computed ONCE into a materialized 1-row CTE.
+    # Inlined as a scalar subquery it re-expands the (regex-heavy)
+    # feats CTE per weight per iteration — 6·iters tokenizations of
+    # the corpus took the oracle from seconds to minutes. feats itself
+    # is MATERIALIZED for the same reason (referenced by every step).
+    lr_over_n = f"({lr} / min(n))"
+    ctes = [
+        f"raw AS MATERIALIZED (SELECT doc_id, source, "
+        f"CAST(len({_GOPHER_W}) AS INTEGER) AS n_words, "
+        f"{_GOPHER_AVGW} AS avg_word_len, "
+        f"{_GOPHER_PUNCT} AS symbol_ratio, "
+        f"CAST({_GOPHER_STOPS} AS INTEGER) AS stop_hits, "
+        f"{_GOPHER_DUPBG} AS dup_bigram_frac FROM documents)",
+        f"feats AS MATERIALIZED (SELECT doc_id, source, "
+        f"round(least(n_words, {N_WORDS_CLIP}) / {N_WORDS_SCALE}, 6)"
+        f" AS x1, "
+        f"round(avg_word_len / 10.0, 6) AS x2, "
+        f"symbol_ratio AS x3, "
+        f"round(least(stop_hits, {STOP_HITS_CLIP}) / {STOP_HITS_SCALE},"
+        f" 6) AS x4, "
+        f"dup_bigram_frac AS x5, "
+        f"CASE WHEN n_words >= {GOPHER_MIN_WORDS}"
+        f" AND n_words <= {GOPHER_MAX_WORDS}"
+        f" AND avg_word_len >= {GOPHER_MIN_AVG_WLEN}"
+        f" AND avg_word_len <= {GOPHER_MAX_AVG_WLEN}"
+        f" AND symbol_ratio <= {GOPHER_MAX_SYMBOL_RATIO}"
+        f" AND stop_hits >= {GOPHER_MIN_STOP_HITS}"
+        f" AND dup_bigram_frac <= {GOPHER_MAX_DUP_BIGRAM}"
+        f" THEN 1 ELSE 0 END AS label FROM raw)",
+        "nn AS MATERIALIZED (SELECT CAST(count(*) AS BIGINT) AS n"
+        " FROM feats)",
+        "it0 AS (SELECT "
+        + ", ".join(
+            f"CAST(0.0 AS DOUBLE) AS w{j}" for j in range(6)
+        )
+        + ")",
+    ]
+    for i in range(1, iters + 1):
+        xs = ["1.0"] + [f"x{j}" for j in range(1, 6)]
+        updates = ", ".join(
+            f"round(min(w{j}) - {lr_over_n} * sum((p - label) * {x}),"
+            f" 6) AS w{j}"
+            for j, x in enumerate(xs)
+        )
+        # each step MATERIALIZED: left inline, DuckDB's optimizer goes
+        # exponential analyzing the nested chain (~5s at depth 20,
+        # 250s at 28); materialization makes each step its own tiny
+        # plan — 32 steps in ~2.6s
+        ctes.append(
+            f"it{i} AS MATERIALIZED (SELECT {updates} FROM ("
+            f"SELECT f.*, nn.n, "
+            + ", ".join(f"w.w{j}" for j in range(6))
+            + f", round(1.0 / (1.0 + exp(-round({z}, 6))), 6) AS p "
+            f"FROM feats f CROSS JOIN it{i - 1} w CROSS JOIN nn))"
+        )
+    return ",\n    ".join(ctes)
+
+
+_LOGREG_Z_FINAL = " + ".join(
+    ["w.w0 * 1.0"] + [f"w.w{j} * f.x{j}" for j in range(1, 6)]
+)
+
+
+@register(
+    "documents_quality_classifier_model",
+    oracle=f"""
+    WITH {_logreg_oracle_ctes(LOGREG_ITERS, LOGREG_LR)}
+    SELECT w0, w1, w2, w3, w4, w5,
+           (SELECT count(*) FROM feats) AS n_docs
+    FROM it{LOGREG_ITERS}
+    """,
+)
+def documents_quality_classifier_model(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The TRAINED model of the model-based quality tier (CCNet
+    Wenzek et al. 2019 / GPT-3 Appendix A): logistic regression
+    distilling the Gopher heuristic gate into a smooth score, trained
+    by full-batch gradient descent — one aggregation job per step over
+    the persisted feature frame (map-side partial gradient sums), the
+    k+1-double weight vector collected per step (bounded model-class,
+    the same audited category as the BPE argmax) and fed back as
+    literals. This row emits the weight vector itself so the whole
+    training trajectory is hash-checked against DuckDB replaying the
+    same 32 steps (the k-means-oracle pattern applied to GD)."""
+    from urban_mobility_data_pipeline_spark.extensions.classifier import (
+        train_logistic,
+    )
+
+    docs = table(spark, sf_dir, "documents")
+    feats = _logreg_feature_frame(docs)
+    w = train_logistic(feats, _LOGREG_FEATURE_COLS, label_col="label")
+    n = F.lit(feats.count()).cast("long")
+    return w.select("w0", "w1", "w2", "w3", "w4", "w5",
+                    n.alias("n_docs"))
+
+
+@register(
+    "documents_quality_classifier_scores",
+    oracle=f"""
+    WITH {_logreg_oracle_ctes(LOGREG_ITERS, LOGREG_LR)}
+    SELECT doc_id, source, quality_prob,
+           CAST(quality_prob >= 0.5 AS INTEGER) AS predicted, label
+    FROM (
+        SELECT f.doc_id, f.source, f.label,
+               round(1.0 / (1.0 + exp(-round({_LOGREG_Z_FINAL}, 6))),
+                     6) AS quality_prob
+        FROM feats f CROSS JOIN it{LOGREG_ITERS} w
+    )
+    """,
+)
+def documents_quality_classifier_scores(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Every document scored by the trained quality classifier — the
+    smooth per-doc ``quality_prob`` a binary rule gate cannot give
+    (it is what quality-weighted sampling, soft thresholds, and
+    curriculum buckets consume downstream). Train + score is
+    iters+1 linear corpus scans; scoring itself is one broadcast join
+    (the 1-row weight frame) and a map-side projection — no shuffle
+    at any corpus size."""
+    from urban_mobility_data_pipeline_spark.extensions.classifier import (
+        score_logistic,
+        train_logistic,
+    )
+
+    docs = table(spark, sf_dir, "documents")
+    feats = _logreg_feature_frame(docs)
+    w = train_logistic(feats, _LOGREG_FEATURE_COLS, label_col="label")
+    return score_logistic(feats, w, _LOGREG_FEATURE_COLS).select(
+        "doc_id", "source", "quality_prob", "predicted", "label"
+    )
+
+
+@register(
+    "documents_quality_classifier_eval",
+    oracle=f"""
+    WITH {_logreg_oracle_ctes(LOGREG_ITERS, LOGREG_LR)},
+    scored AS (
+        SELECT f.source, f.label,
+               round(1.0 / (1.0 + exp(-round({_LOGREG_Z_FINAL}, 6))),
+                     6) AS quality_prob
+        FROM feats f CROSS JOIN it{LOGREG_ITERS} w
+    )
+    SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+           round(avg(CASE WHEN CAST(quality_prob >= 0.5 AS INTEGER)
+                               = label
+                          THEN 1.0 ELSE 0.0 END), 6) AS accuracy,
+           round(avg(quality_prob), 6) AS mean_prob,
+           CAST(sum(label) AS BIGINT) AS n_pass_weak,
+           CAST(sum(CAST(quality_prob >= 0.5 AS INTEGER)) AS BIGINT)
+               AS n_pass_pred
+    FROM scored GROUP BY source
+    """,
+)
+def documents_quality_classifier_eval(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Per-source agreement audit of the distilled classifier vs its
+    weak-label teacher — the go/no-go table before swapping the gate
+    for the score in a pipeline: a source where accuracy sags is where
+    the linear model disagrees with the rules and a human looks first.
+    One keyed aggregation over the scored corpus (sources are
+    low-cardinality; partial aggs absorb the fan-in)."""
+    from urban_mobility_data_pipeline_spark.extensions.classifier import (
+        score_logistic,
+        train_logistic,
+    )
+
+    docs = table(spark, sf_dir, "documents")
+    feats = _logreg_feature_frame(docs)
+    w = train_logistic(feats, _LOGREG_FEATURE_COLS, label_col="label")
+    scored = score_logistic(feats, w, _LOGREG_FEATURE_COLS)
+    return scored.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.round(
+            F.avg(
+                F.when(
+                    F.col("predicted") == F.col("label"), 1.0
+                ).otherwise(0.0)
+            ),
+            6,
+        ).alias("accuracy"),
+        F.round(F.avg("quality_prob"), 6).alias("mean_prob"),
+        F.sum("label").cast("long").alias("n_pass_weak"),
+        F.sum("predicted").cast("long").alias("n_pass_pred"),
+    )
 
 
 # ---------------------------------------------------------------------------
