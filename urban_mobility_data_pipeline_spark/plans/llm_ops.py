@@ -6544,6 +6544,88 @@ def documents_quality_classifier_eval(
     )
 
 
+QW_SAMPLE_K = 100
+#: floor for the ES exponent denominator: a doc whose score rounds to
+#: 0.0 would otherwise put 1/w at infinity (pow -> 0 is fine, but the
+#: clamp keeps the key finite and the SQL replay trivial)
+QW_MIN_PROB = 1e-06
+
+
+@register(
+    "documents_quality_weighted_sample",
+    oracle=f"""
+    WITH {_logreg_oracle_ctes(LOGREG_ITERS, LOGREG_LR)},
+    scored AS (
+        SELECT f.doc_id,
+               round(1.0 / (1.0 + exp(-round({_LOGREG_Z_FINAL}, 6))),
+                     6) AS quality_prob
+        FROM feats f CROSS JOIN it{LOGREG_ITERS} w
+    )
+    SELECT doc_id, quality_prob, es_key FROM (
+        SELECT doc_id, quality_prob,
+               round(pow(u, 1.0 / greatest(quality_prob,
+                     CAST({QW_MIN_PROB} AS DOUBLE))), 12) AS es_key
+        FROM (
+            SELECT doc_id, quality_prob,
+                   CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)),
+                         1, 8)) AS BIGINT) / 4294967296.0 AS u
+            FROM scored
+        )
+    )
+    ORDER BY es_key DESC, doc_id ASC
+    LIMIT {QW_SAMPLE_K}
+    """,
+)
+def documents_quality_weighted_sample(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """What the classifier score is FOR: a quality-weighted corpus
+    draw — documents sampled without replacement with probability
+    proportional to their TRAINED quality score (the soft selection a
+    binary gate cannot express; low-quality docs stay sample-able at
+    low rate instead of being cliff-dropped). Composition of the two
+    audited primitives: ``documents_quality_classifier_scores``
+    supplies the weights, Efraimidis-Spirakis supplies the draw (key
+    u^(1/w), u the deterministic md5 fingerprint — reproducible across
+    runs, partitionings, and engines; same recipe as
+    ``documents_token_weighted_sample``). The score denominator is
+    floored at QW_MIN_PROB so a 0-rounded score keeps a finite key.
+    Scale shape: training is the bounded-GD pass, scoring + keys are
+    map-only, the top-k is a TakeOrderedAndProject; 12dp-rounded key
+    with doc_id tiebreak so a 1-ulp cross-engine pow() cannot reorder
+    the sample."""
+    from urban_mobility_data_pipeline_spark.extensions.classifier import (
+        score_logistic,
+        train_logistic,
+    )
+
+    docs = table(spark, sf_dir, "documents")
+    feats = _logreg_feature_frame(docs)
+    w = train_logistic(feats, _LOGREG_FEATURE_COLS, label_col="label")
+    scored = score_logistic(feats, w, _LOGREG_FEATURE_COLS)
+    u = (
+        F.conv(
+            F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8),
+            16,
+            10,
+        ).cast("long")
+        / F.lit(4294967296.0)
+    )
+    key = F.round(
+        F.pow(
+            u,
+            F.lit(1.0)
+            / F.greatest(F.col("quality_prob"), F.lit(QW_MIN_PROB)),
+        ),
+        12,
+    )
+    return (
+        scored.select("doc_id", "quality_prob", key.alias("es_key"))
+        .orderBy(F.desc("es_key"), F.asc("doc_id"))
+        .limit(QW_SAMPLE_K)
+    )
+
+
 # ---------------------------------------------------------------------------
 # contamination report: near-dup + exact-n-gram evidence joined
 # ---------------------------------------------------------------------------
