@@ -355,6 +355,7 @@ DRIVER_SEAT_QUEUE: tuple[str, ...] = (
     "documents_quality_classifier_scores",
     "documents_quality_classifier_eval",
     "documents_quality_weighted_sample",
+    "documents_quality_classifier_calibration",
 )
 
 # Every query name that has held a driver slot in some round (r1-r9;

@@ -6544,6 +6544,67 @@ def documents_quality_classifier_eval(
     )
 
 
+@register(
+    "documents_quality_classifier_calibration",
+    oracle=f"""
+    WITH {_logreg_oracle_ctes(LOGREG_ITERS, LOGREG_LR)},
+    scored AS (
+        SELECT f.label,
+               round(1.0 / (1.0 + exp(-round({_LOGREG_Z_FINAL}, 6))),
+                     6) AS quality_prob
+        FROM feats f CROSS JOIN it{LOGREG_ITERS} w
+    )
+    SELECT bucket, CAST(count(*) AS BIGINT) AS n_docs,
+           round(avg(quality_prob), 6) AS mean_score,
+           round(avg(CAST(label AS DOUBLE)), 6) AS empirical_pass_rate
+    FROM (
+        SELECT label, quality_prob,
+               CAST(least(floor(quality_prob * 10), 9) AS INTEGER)
+                   AS bucket
+        FROM scored
+    ) GROUP BY bucket
+    """,
+)
+def documents_quality_classifier_calibration(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Reliability table for the distilled quality classifier — the
+    table that picks the production THRESHOLD: scores bucketed into
+    deciles, each bucket's mean score against the empirical weak-label
+    pass rate. A well-calibrated distillation tracks the diagonal;
+    a bucket where mean_score and empirical_pass_rate diverge is
+    where trusting the probability (for weighting or soft thresholds)
+    would mis-sample. Bucket = least(floor(prob*10), 9) so prob=1.0
+    joins the top decile instead of an 11th bucket. One map-side
+    bucketing + one 10-group aggregation; no shuffle wider than the
+    decile keys."""
+    from urban_mobility_data_pipeline_spark.extensions.classifier import (
+        score_logistic,
+        train_logistic,
+    )
+
+    docs = table(spark, sf_dir, "documents")
+    feats = _logreg_feature_frame(docs)
+    w = train_logistic(feats, _LOGREG_FEATURE_COLS, label_col="label")
+    scored = score_logistic(feats, w, _LOGREG_FEATURE_COLS)
+    bucket = F.least(
+        F.floor(F.col("quality_prob") * 10), F.lit(9)
+    ).cast("int")
+    return (
+        scored.select(
+            bucket.alias("bucket"), "quality_prob", "label"
+        )
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.round(F.avg("quality_prob"), 6).alias("mean_score"),
+            F.round(F.avg(F.col("label").cast("double")), 6).alias(
+                "empirical_pass_rate"
+            ),
+        )
+    )
+
+
 QW_SAMPLE_K = 100
 #: floor for the ES exponent denominator: a doc whose score rounds to
 #: 0.0 would otherwise put 1/w at infinity (pow -> 0 is fine, but the
