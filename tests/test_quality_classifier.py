@@ -84,6 +84,31 @@ def test_scoring_plan_is_broadcast_and_python_free(spark, sf_dir):
     assert "Exchange hashpartitioning" not in plan, plan
 
 
+def test_generalizes_to_held_out_fold(spark, sf_dir):
+    # train on the fingerprint 'train' fold only, score the unseen
+    # 'test' fold: accuracy must still beat the test fold's majority
+    # class — pins that the model learned the signal, not the rows
+    # (and that the trainer behaves on a FILTERED frame, where ids are
+    # sparse and partition counts differ)
+    from urban_mobility_data_pipeline_spark.extensions.sampling import (
+        train_test_split,
+    )
+
+    feats = train_test_split(_feats(spark, sf_dir), key="doc_id")
+    train = feats.filter(F.col("split") == "train")
+    test = feats.filter(F.col("split") == "test")
+    w = train_logistic(train, _LOGREG_FEATURE_COLS)
+    scored = score_logistic(test, w, _LOGREG_FEATURE_COLS)
+    row = scored.agg(
+        F.avg((F.col("predicted") == F.col("label")).cast("double")).alias(
+            "acc"
+        ),
+        F.avg("label").alias("pos"),
+    ).collect()[0]
+    majority = max(row["pos"], 1.0 - row["pos"])
+    assert row["acc"] >= majority + 0.05, (row["acc"], majority)
+
+
 def test_gradient_step_changes_weights(spark, sf_dir):
     # one step from zero must move every weight with a nonzero
     # feature-residual correlation (a silently-null gradient would
