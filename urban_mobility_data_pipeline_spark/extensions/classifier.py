@@ -96,11 +96,11 @@ def train_logistic(
     """
     from pyspark import StorageLevel
 
-    n = feats.count()  # also materializes the persist below
+    feats = feats.persist(StorageLevel.MEMORY_AND_DISK)
+    n = feats.count()  # materializes the persist for the scan loop
     k = len(feature_cols)
     names = [f"w{j}" for j in range(k + 1)]
     xs = [F.lit(1.0)] + [F.col(c) for c in feature_cols]
-    feats = feats.persist(StorageLevel.MEMORY_AND_DISK)
     try:
         w = [0.0] * (k + 1)
         for _ in range(iters):

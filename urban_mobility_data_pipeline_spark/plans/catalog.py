@@ -356,6 +356,7 @@ DRIVER_SEAT_QUEUE: tuple[str, ...] = (
     "documents_quality_classifier_eval",
     "documents_quality_weighted_sample",
     "documents_quality_classifier_calibration",
+    "streaming_quality_classifier_gate",
 )
 
 # Every query name that has held a driver slot in some round (r1-r9;

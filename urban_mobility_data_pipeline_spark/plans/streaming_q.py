@@ -529,6 +529,88 @@ def streaming_dsir_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# streaming model-based quality gate (batch-trained logistic weights)
+# ---------------------------------------------------------------------------
+STREAM_QC_MIN_PROB = 0.5
+
+
+def _qc_gate_oracle() -> str:
+    from urban_mobility_data_pipeline_spark.plans.llm_ops import (
+        _LOGREG_Z_FINAL,
+        _logreg_oracle_ctes,
+        LOGREG_ITERS,
+        LOGREG_LR,
+    )
+
+    return f"""
+    WITH {_logreg_oracle_ctes(LOGREG_ITERS, LOGREG_LR)},
+    scored AS (
+        SELECT f.doc_id, f.source,
+               round(1.0 / (1.0 + exp(-round({_LOGREG_Z_FINAL}, 6))),
+                     6) AS quality_prob
+        FROM feats f CROSS JOIN it{LOGREG_ITERS} w
+    )
+    SELECT doc_id, source, quality_prob FROM scored
+    WHERE quality_prob >= {STREAM_QC_MIN_PROB}
+    """
+
+
+@register("streaming_quality_classifier_gate", oracle=_qc_gate_oracle())
+def streaming_quality_classifier_gate(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The TRAINED quality tier at the crawl front door, as a REAL
+    stream — the model-based upgrade of
+    ``streaming_corpus_quality_gate`` and the classifier twin of
+    ``streaming_dsir_gate``'s deployment pattern: logistic weights are
+    trained BATCH-side (extensions/classifier.py, the Gopher-distilled
+    model), the 6-double weight vector embeds in the streaming plan as
+    literals, and every arriving document is featurized and scored
+    MAP-SIDE with the same Column builders the batch rows use — one
+    definition, both runtimes. Documents clearing STREAM_QC_MIN_PROB
+    pass; the rest never reach the corpus. Stateless map/filter: no
+    watermark, no state store, no shuffle — any ingest rate. The
+    oracle replays training + scoring + the threshold, so what is
+    hash-checked is the weights' exact trajectory THROUGH the stream's
+    append output."""
+    from urban_mobility_data_pipeline_spark.extensions.classifier import (
+        train_logistic,
+    )
+    from urban_mobility_data_pipeline_spark.plans._helpers import table
+    from urban_mobility_data_pipeline_spark.plans.llm_ops import (
+        _LOGREG_FEATURE_COLS,
+        _logreg_feature_frame,
+    )
+
+    configure_session(spark)
+    docs = table(spark, sf_dir, "documents")
+    w_row = train_logistic(
+        _logreg_feature_frame(docs), _LOGREG_FEATURE_COLS
+    ).collect()[0]
+    ws = [float(w_row[f"w{j}"]) for j in range(6)]
+
+    stream, _doc_schema = _stream_table(spark, sf_dir, "documents")
+    feats = _logreg_feature_frame(stream)
+    xs = [F.lit(1.0)] + [F.col(c) for c in _LOGREG_FEATURE_COLS]
+    z = F.round(sum(F.lit(wj) * x for wj, x in zip(ws, xs)), 6)
+    prob = F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-z)), 6)
+    out = feats.select(
+        "doc_id", "source", prob.alias("quality_prob")
+    ).filter(F.col("quality_prob") >= F.lit(STREAM_QC_MIN_PROB))
+    sink_name = f"stream_qcgate_{uuid.uuid4().hex[:8]}"
+    query = (
+        out.writeStream.format("memory")
+        .queryName(sink_name)
+        .outputMode("append")
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="umdp_ckpt_"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination()
+    return spark.table(sink_name)
+
+
+# ---------------------------------------------------------------------------
 # custom stateful operator as a driver row (applyInPandasWithState)
 # ---------------------------------------------------------------------------
 @register(
