@@ -60,6 +60,13 @@ N_WORDS_CLIP = 200
 N_WORDS_SCALE = 100.0
 STOP_HITS_CLIP = 20
 STOP_HITS_SCALE = 10.0
+#: below this row count the trainer spreads the persisted feature
+#: frame across the session's parallelism before the gradient scans
+#: (a one-file small corpus is ONE partition -> every gradient job a
+#: single task on a single core); above it the input's own layout is
+#: trusted — a web-scale feature frame is already wide and collapsing
+#: it to defaultParallelism would be the opposite mistake
+REPARTITION_MAX_ROWS = 10_000_000
 
 
 def _sigmoid(z: Column) -> Column:
@@ -98,6 +105,21 @@ def train_logistic(
 
     feats = feats.persist(StorageLevel.MEMORY_AND_DISK)
     n = feats.count()  # materializes the persist for the scan loop
+    spread = None
+    if n <= REPARTITION_MAX_ROWS:
+        # a small corpus read from one file is ONE partition, so every
+        # gradient job would run a single task on a single core (32
+        # sequential single-task jobs measured ~19s on 5k docs).
+        # Shuffling the already-computed narrow feature rows across the
+        # session's parallelism makes each scan job parallel; guarded
+        # by row count because a 100-TB feature frame is already
+        # thousands of partitions and collapsing it here would be the
+        # opposite mistake.
+        spread = feats.repartition(
+            feats.sparkSession.sparkContext.defaultParallelism
+        ).persist(StorageLevel.MEMORY_AND_DISK)
+        spread.count()
+    loop_frame = spread if spread is not None else feats
     k = len(feature_cols)
     names = [f"w{j}" for j in range(k + 1)]
     xs = [F.lit(1.0)] + [F.col(c) for c in feature_cols]
@@ -109,7 +131,7 @@ def train_logistic(
             )
             p = F.round(_sigmoid(z), 6)
             r = p - F.col(label_col)
-            row = feats.agg(
+            row = loop_frame.agg(
                 *[
                     F.round(
                         F.lit(wj) - (lr / n) * F.sum(r * x), 6
@@ -120,6 +142,8 @@ def train_logistic(
             w = [float(row[nm]) for nm in names]
     finally:
         feats.unpersist()
+        if spread is not None:
+            spread.unpersist()
     return feats.sparkSession.range(1).select(
         *[F.lit(wj).alias(nm) for nm, wj in zip(names, w)]
     )
