@@ -319,6 +319,14 @@ NOTES = (
     " CPU-only calibration probe cannot correct; calibration_io_sec"
     " and the phases map (build_sec/probe_sec) now separate it so the"
     " scale-critical probe latency is tracked on its own."
+    " --- the committed r10 map (207 queries) was re-run after the"
+    " classifier family landed; vs the same-day 201-query run its"
+    " normalized per-query median is 1.198x with equal CPU calibration"
+    " (0.633 vs 0.658) and calibration_io_sec 2.80 -> 3.41 (1.22x) —"
+    " the IO probe attributes the spread to disk weather, the exact"
+    " attribution the dual-probe design exists for. Movers are"
+    " untouched IO-heavy rows (embedding_pq_topk, ivf_topk_indexed);"
+    " regression gate empty in both runs."
 )
 
 #: The driver records only the LAST 2000 chars of stdout; stay inside
