@@ -357,6 +357,7 @@ DRIVER_SEAT_QUEUE: tuple[str, ...] = (
     "documents_quality_weighted_sample",
     "documents_quality_classifier_calibration",
     "streaming_quality_classifier_gate",
+    "embedding_cluster_balanced_sample",
 )
 
 # Every query name that has held a driver slot in some round (r1-r9;

@@ -6949,11 +6949,15 @@ _DUCK_COS = (
 )
 
 
-def _kmeans_oracle(k: int, iters: int) -> str:
+def _kmeans_oracle(
+    k: int, iters: int, final_select: str | None = None
+) -> str:
     """Unrolled-CTE replay of :func:`spherical_kmeans` — the PageRank
     pattern applied to clustering: every assign/update round is its own
     CTE pair, so the oracle checks the whole training trajectory, not
-    just the final labels."""
+    just the final labels. ``final_select`` overrides the trailing
+    SELECT (it sees the ``fin`` CTE: vec_id, cell, sim, rn) for rows
+    that consume the assignment — e.g. the cluster-balanced sample."""
     cos = _DUCK_COS.format(a="e.v", b="c.centroid")
     ctes = [
         "ex AS (SELECT vec_id, "
@@ -6983,12 +6987,12 @@ def _kmeans_oracle(k: int, iters: int) -> str:
         f"ORDER BY {cos} DESC, c.cell) AS rn "
         f"FROM ex e CROSS JOIN cent{iters} c)"
     )
-    return (
-        "WITH "
-        + ",\n    ".join(ctes)
-        + "\n    SELECT vec_id, cell, round(sim, 6) AS centroid_cos "
-        "FROM fin WHERE rn = 1"
-    )
+    if final_select is None:
+        final_select = (
+            "SELECT vec_id, cell, round(sim, 6) AS centroid_cos "
+            "FROM fin WHERE rn = 1"
+        )
+    return "WITH " + ",\n    ".join(ctes) + "\n    " + final_select
 
 
 @register(
@@ -7013,6 +7017,70 @@ def embedding_kmeans_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
         emb, k=_KMEANS_K, iters=_KMEANS_ITERS
     )
     return assignments
+
+
+#: per-cell quota for the cluster-balanced diversity sample
+CLUSTER_SAMPLE_M = 10
+
+
+@register(
+    "embedding_cluster_balanced_sample",
+    oracle=_kmeans_oracle(
+        _KMEANS_K,
+        _KMEANS_ITERS,
+        final_select=f"""SELECT vec_id, cell,
+           round(sim, 6) AS centroid_cos, CAST(pick AS INT) AS pick
+    FROM (
+        SELECT vec_id, cell, sim,
+               row_number() OVER (
+                   PARTITION BY cell
+                   ORDER BY substring(md5(CAST(vec_id AS VARCHAR)),
+                            1, 16) ASC, vec_id ASC
+               ) AS pick
+        FROM fin WHERE rn = 1
+    ) WHERE pick <= {CLUSTER_SAMPLE_M}""",
+    ),
+)
+def embedding_cluster_balanced_sample(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Cluster-balanced diversity sampling — the embedding-side
+    counterpart of ``documents_stratified_sample``: k-means cells as
+    the strata, a fixed per-cell quota of representatives, so the
+    downsampled corpus preserves COVERAGE of the embedding space
+    instead of letting dense regions crowd out rare ones (the
+    diversity rationale behind SemDeDup/DataComp-style pruning, as a
+    draw instead of a dedup). Representatives are picked by md5
+    fingerprint order (deterministic, engine-portable, semantically
+    unbiased within the cell — the same no-RNG contract as
+    deterministic_sample), with vec_id tiebreak.
+
+    Scale shape: assignment is the k-row broadcast; the per-cell pick
+    is one shuffle on cell + a bounded sort whose key is a fingerprint
+    (no semantic skew). With the adaptive quantizer k grows ~sqrt(N)
+    so cells stay bounded; for quota ≪ cell size swap the row_number
+    for a fingerprint THRESHOLD (keep md5 < quota/|cell| share) and
+    the sort disappears entirely — the rank form here is the exact
+    small-quota variant the oracle replays."""
+    from pyspark.sql import Window
+
+    from urban_mobility_data_pipeline_spark.extensions.similarity import (
+        spherical_kmeans,
+    )
+
+    emb = table(spark, sf_dir, "embeddings")
+    assignments, _cents = spherical_kmeans(
+        emb, k=_KMEANS_K, iters=_KMEANS_ITERS
+    )
+    w = Window.partitionBy("cell").orderBy(
+        F.substring(F.md5(F.col("vec_id").cast("string")), 1, 16).asc(),
+        F.col("vec_id").asc(),
+    )
+    return (
+        assignments.withColumn("pick", F.row_number().over(w))
+        .filter(F.col("pick") <= CLUSTER_SAMPLE_M)
+        .select("vec_id", "cell", "centroid_cos", "pick")
+    )
 
 
 # --- rendezvous sharding + count-min heavy hitters --------------------------
