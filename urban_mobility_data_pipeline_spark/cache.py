@@ -24,6 +24,9 @@ in a ``finally``) intentionally bypass this registry.
 
 from __future__ import annotations
 
+import atexit
+import shutil
+import tempfile
 import threading
 
 from pyspark import StorageLevel
@@ -31,6 +34,33 @@ from pyspark.sql import DataFrame
 
 _LOCK = threading.Lock()
 _SCRATCH: list[DataFrame] = []
+_SCRATCH_DIRS: list[str] = []
+
+
+def scratch_dir(prefix: str) -> str:
+    """A temp directory registered for end-of-process cleanup.
+
+    Queries that build an in-query artifact (a materialized quantizer,
+    an IVF/BM25 index, trained classifier weights) need a scratch root;
+    a bare ``tempfile.mkdtemp`` leaks one directory per invocation
+    across bench best-of reruns and a pytest session (ADVICE r10).
+    Dirs registered here are removed in one atexit sweep — not between
+    queries, because an artifact trained by one catalog row is
+    deliberately reused by its family members within the session.
+    """
+    path = tempfile.mkdtemp(prefix=prefix)
+    with _LOCK:
+        _SCRATCH_DIRS.append(path)
+    return path
+
+
+@atexit.register
+def _cleanup_scratch_dirs() -> None:
+    with _LOCK:
+        dirs = list(_SCRATCH_DIRS)
+        _SCRATCH_DIRS.clear()
+    for d in dirs:
+        shutil.rmtree(d, ignore_errors=True)
 
 
 def scratch_persist(

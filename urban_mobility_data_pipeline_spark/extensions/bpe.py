@@ -206,8 +206,15 @@ def _select_batch(
     deviate from sequential where batches interact (identical when
     they are conflict-free — pinned by test). Batch members are still
     pairwise disjoint, so the one-pass composed rewrite stays exact
-    for the rules it applies, and the final VOCABULARY converges to
-    the same merge set in practice.
+    for the rules it applies — but the learned RULE SET diverges from
+    sequential BPE where batches interact: measured on Zipf-mixture
+    text at 10k merges, rule-set agreement is only ~32% (order
+    agreement ~0) with a downstream tokenizer-fertility delta of
+    +0.54% (``bench_domain.py --bpe-divergence``, committed in
+    BENCH_DOMAIN_r10.json ``bpe_divergence``). Use strict mode when
+    the rule list itself is the contract (tokenizer interop, oracle
+    replay); fast mode when only aggregate segmentation quality
+    matters and throughput is the constraint.
     """
     selected: list[tuple[str, str, int]] = []
     used: set[str] = set()

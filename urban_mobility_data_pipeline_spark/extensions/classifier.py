@@ -73,12 +73,21 @@ def _sigmoid(z: Column) -> Column:
     return F.lit(1.0) / (F.lit(1.0) + F.exp(-z))
 
 
+def artifact_exists(materialize_dir: str) -> bool:
+    """True when a committed model artifact is readable at the dir
+    (same local-FS contract as MergeTable's manifest paths)."""
+    import os
+
+    return os.path.isfile(os.path.join(materialize_dir, "_SUCCESS"))
+
+
 def train_logistic(
     feats: DataFrame,
     feature_cols: Sequence[str],
     label_col: str = "label",
     lr: float = LOGREG_LR,
     iters: int = LOGREG_ITERS,
+    materialize_dir: str | None = None,
 ) -> DataFrame:
     """Train logistic-regression weights over ``feats`` and return a
     ONE-ROW frame ``(w0, w1, ..., wk)`` — ``w0`` the bias, ``wj`` the
@@ -100,9 +109,27 @@ def train_logistic(
     half-up — Python's ``round`` is banker's and would diverge from
     the DuckDB replay), so the collected doubles are exactly the
     values the oracle's unrolled CTEs produce.
+
+    ``materialize_dir``: the TRAIN-ONCE artifact path (the quantizer's
+    ``materialize_dir`` contract applied to the classifier). When set
+    and an artifact already exists there, training is SKIPPED and the
+    stored weights are read back — so a family of consumers (scoring,
+    eval, calibration, weighted draw, streaming gate) pays the
+    iters-scan training bill exactly once instead of per query. When
+    set and absent, the trained ``(w0..wk, n_docs)`` row is written
+    as parquet first and read back. 6dp-rounded doubles round-trip
+    parquet exactly, so artifact-backed and inline weights are
+    bit-identical (pinned by test); the artifact is keyed by its path
+    — retraining against a CHANGED corpus needs a new dir or the
+    drift-triggered refresh in :func:`refresh_quality_classifier`.
     """
     from pyspark import StorageLevel
 
+    spark = feats.sparkSession
+    k = len(feature_cols)
+    names = [f"w{j}" for j in range(k + 1)]
+    if materialize_dir is not None and artifact_exists(materialize_dir):
+        return spark.read.parquet(materialize_dir).select(*names)
     feats = feats.persist(StorageLevel.MEMORY_AND_DISK)
     n = feats.count()  # materializes the persist for the scan loop
     spread = None
@@ -116,12 +143,13 @@ def train_logistic(
         # thousands of partitions and collapsing it here would be the
         # opposite mistake.
         spread = feats.repartition(
-            feats.sparkSession.sparkContext.defaultParallelism
+            spark.sparkContext.defaultParallelism
         ).persist(StorageLevel.MEMORY_AND_DISK)
         spread.count()
+        # feats' cache existed to price the count and seed the shuffle;
+        # only the repartitioned copy is read by the gradient loop
+        feats.unpersist()
     loop_frame = spread if spread is not None else feats
-    k = len(feature_cols)
-    names = [f"w{j}" for j in range(k + 1)]
     xs = [F.lit(1.0)] + [F.col(c) for c in feature_cols]
     try:
         w = [0.0] * (k + 1)
@@ -144,9 +172,24 @@ def train_logistic(
         feats.unpersist()
         if spread is not None:
             spread.unpersist()
-    return feats.sparkSession.range(1).select(
-        *[F.lit(wj).alias(nm) for nm, wj in zip(names, w)]
+    trained = spark.range(1).select(
+        *[F.lit(wj).alias(nm) for nm, wj in zip(names, w)],
+        F.lit(n).cast("long").alias("n_docs"),
     )
+    if materialize_dir is not None:
+        # k+2 doubles/longs in one row — a metadata-class write
+        trained.coalesce(1).write.mode("overwrite").parquet(
+            materialize_dir
+        )
+        return spark.read.parquet(materialize_dir).select(*names)
+    return trained.select(*names)
+
+
+def read_model_artifact(spark, materialize_dir: str) -> DataFrame:
+    """The full stored artifact row ``(w0..wk, n_docs)`` — what the
+    model-emitting catalog row returns without re-counting the corpus
+    (the n is the one training already computed)."""
+    return spark.read.parquet(materialize_dir)
 
 
 def score_logistic(

@@ -63,6 +63,85 @@ CORPUS_ID_COLS: dict[str, tuple[str, ...]] = {
 }
 
 
+class ModelArtifact:
+    """A corpus-DERIVED model artifact outside the row-keyed tables:
+    trained quantizer centroids, classifier weights + their histogram
+    snapshot, a BM25 stats row — parquet dirs whose CONTENT is a
+    function of (possibly erased) documents, so erasure must reach
+    them even though no row carries a doc_id (VERDICT r10 item 9).
+
+    ``paths`` lists every directory making up the artifact (e.g. the
+    weights parquet AND its ``_train_hist`` snapshot). ``retrain``,
+    when given, re-derives the artifact from the POST-erasure corpus
+    (e.g. a closure over ``train_logistic(materialize_dir=...)`` or
+    ``train_adaptive_quantizer(materialize_dir=...)``); without it the
+    artifact is INVALIDATED — deleted so the next consumer retrains —
+    never left silently stale. Mirrors the result cache's
+    version-keyed discipline, applied to artifacts that have no
+    version key of their own."""
+
+    def __init__(
+        self, *paths: str, retrain=None  # Callable[[], None] | None
+    ) -> None:
+        if not paths:
+            raise ValueError("ModelArtifact needs at least one path")
+        self.paths = tuple(paths)
+        self.retrain = retrain
+
+    def exists(self) -> bool:
+        import os
+
+        return any(
+            os.path.isfile(os.path.join(p, "_SUCCESS"))
+            or os.path.isdir(p)
+            for p in self.paths
+        )
+
+    def invalidate(self) -> None:
+        import shutil
+
+        for p in self.paths:
+            shutil.rmtree(p, ignore_errors=True)
+
+    def propagate_erasure(self) -> str:
+        """Refresh (retrain against the current corpus) or invalidate;
+        returns the action taken for the erasure report."""
+        if not self.exists():
+            return "absent"
+        if self.retrain is not None:
+            # drop the stale bytes first so a retrain crash cannot
+            # leave the pre-erasure model readable
+            self.invalidate()
+            self.retrain()
+            return "refreshed"
+        self.invalidate()
+        return "invalidated"
+
+
+def propagate_to_artifacts(
+    artifacts: Mapping[str, ModelArtifact],
+    audit: AuditLog | None = None,
+    subjects=None,  # DataFrame | None
+) -> dict[str, str]:
+    """Erasure propagation for the model-artifact tier: every
+    registered artifact is refreshed or invalidated, with an audit row
+    per artifact (action recorded, fingerprinted subjects). Called by
+    :func:`erase_document_ids` / :func:`erase_document_ids_df` when
+    ``artifacts`` is passed; usable standalone for artifact-only
+    sweeps."""
+    actions: dict[str, str] = {}
+    for name, art in artifacts.items():
+        actions[name] = art.propagate_erasure()
+        if audit is not None and subjects is not None:
+            audit.record(
+                "corpus",
+                f"artifact:{name}",
+                subjects,
+                [f"model:{actions[name]}"],
+            )
+    return actions
+
+
 def erase_document_ids(
     spark: SparkSession,
     doc_ids: Sequence[int],
@@ -71,6 +150,7 @@ def erase_document_ids(
     audit: AuditLog | None = None,
     vacuum: bool = True,
     mode: str = "cow",
+    artifacts: Mapping[str, ModelArtifact] | None = None,
 ) -> dict[str, int]:
     """Erase ``doc_ids`` from every corpus table: DELETE rows whose id
     column (any of them, for pair tables) matches, audit each table,
@@ -146,6 +226,10 @@ def erase_document_ids(
                 subjects,
                 [f"{c}:row-deleted" for c in col_map[name]],
             )
+    if artifacts:
+        # after the row deletes: a retraining artifact must see the
+        # post-erasure corpus
+        propagate_to_artifacts(artifacts, audit=audit, subjects=subjects)
     return deleted
 
 
@@ -177,6 +261,7 @@ def erase_document_ids_df(
     id_cols: Mapping[str, Sequence[str]] | None = None,
     audit: AuditLog | None = None,
     vacuum: bool = True,
+    artifacts: Mapping[str, ModelArtifact] | None = None,
 ) -> dict[str, dict]:
     """Mass-erasure twin of :func:`erase_document_ids`: the subject set
     is a **DataFrame** (a takedown manifest read straight from parquet
@@ -220,4 +305,10 @@ def erase_document_ids_df(
                 keys.select(F.col("doc_id").alias("subject_id")),
                 [f"{c}:row-deleted" for c in cols],
             )
+    if artifacts:
+        propagate_to_artifacts(
+            artifacts,
+            audit=audit,
+            subjects=keys.select(F.col("doc_id").alias("subject_id")),
+        )
     return stats

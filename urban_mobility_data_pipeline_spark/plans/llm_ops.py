@@ -965,7 +965,7 @@ def embedding_ivf_topk_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
     in the scan, no per-query corpus re-assignment. Must hash-match the
     same full-pipeline oracle as ``embedding_ivf_topk`` (and does —
     the index is a layout change, not a semantics change)."""
-    import tempfile
+    from urban_mobility_data_pipeline_spark.cache import scratch_dir
 
     from urban_mobility_data_pipeline_spark.extensions.similarity import (
         build_ivf_index,
@@ -978,7 +978,7 @@ def embedding_ivf_topk_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
     cents = ivf_centroids(emb).select(
         "cell", F.transform("centroid", lambda x: F.round(x, 6)).alias("centroid")
     )
-    index = MergeTable(spark, tempfile.mkdtemp(prefix="umdp_ivf_idx_"))
+    index = MergeTable(spark, scratch_dir("umdp_ivf_idx_"))
     build_ivf_index(emb, cents, index)
     return ivf_topk_indexed(index, cents, query_vec_id=0, k=10, nprobe=3)
 
@@ -1175,7 +1175,7 @@ def embedding_semantic_dedup_adaptive(
     re-executes per consumer. Bit-identical output (6dp-rounded
     doubles round-trip parquet exactly); the write is the production
     shape — a quantizer is an artifact, not a subplan."""
-    import tempfile
+    from urban_mobility_data_pipeline_spark.cache import scratch_dir
 
     from urban_mobility_data_pipeline_spark.extensions.similarity import (
         semantic_dedup,
@@ -1185,7 +1185,7 @@ def embedding_semantic_dedup_adaptive(
     return semantic_dedup(
         emb,
         threshold=0.35,
-        quantizer_dir=tempfile.mkdtemp(prefix="umdp_semq_") + "/quantizer",
+        quantizer_dir=scratch_dir("umdp_semq_") + "/quantizer",
     )
 
 
@@ -1266,7 +1266,7 @@ def embedding_semantic_dedup_ingest(spark: SparkSession, sf_dir: str) -> DataFra
     --semdedup: 4.6x over brute force at recall 1.0). The oracle
     replays quantizer training on the corpus slice, corpus assignment,
     the nprobe=2 batch probe, and the within-cell cosine verify."""
-    import tempfile
+    from urban_mobility_data_pipeline_spark.cache import scratch_dir
 
     from urban_mobility_data_pipeline_spark.extensions.similarity import (
         build_ivf_index,
@@ -1283,7 +1283,7 @@ def embedding_semantic_dedup_ingest(spark: SparkSession, sf_dir: str) -> DataFra
     cents = ivf_centroids(corpus).select(
         "cell", F.transform("centroid", lambda x: F.round(x, 6)).alias("centroid")
     )
-    index = MergeTable(spark, tempfile.mkdtemp(prefix="umdp_semidx_"))
+    index = MergeTable(spark, scratch_dir("umdp_semidx_"))
     build_ivf_index(corpus, cents, index)
     return incremental_semantic_dups(
         batch, index, cents, threshold=0.35, nprobe=2
@@ -1406,7 +1406,7 @@ def embedding_semantic_dedup_ingest_adaptive(
     walls are recorded in ``PHASE_SECS`` so bench reports the
     one-time costs separately from the scale-critical probe latency
     (same treatment as ``doc_bm25_topk_indexed``)."""
-    import tempfile
+    from urban_mobility_data_pipeline_spark.cache import scratch_dir
     import time as _time
 
     from urban_mobility_data_pipeline_spark.extensions.similarity import (
@@ -1423,7 +1423,7 @@ def embedding_semantic_dedup_ingest_adaptive(
     batch = emb.filter(F.col("vec_id") % 10 == 0).select(
         "vec_id", "embedding"
     )
-    root = tempfile.mkdtemp(prefix="umdp_semadp_")
+    root = scratch_dir("umdp_semadp_")
     _t0 = _time.perf_counter()
     cents = train_adaptive_quantizer(
         corpus, materialize_dir=root + "/quantizer"
@@ -4126,7 +4126,7 @@ def doc_bm25_topk_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
     moves with host IO weather far more than the CPU-bound probe; its
     wall is recorded in ``PHASE_SECS`` so bench reports build and probe
     separately (VERDICT r9 item 1)."""
-    import tempfile
+    from urban_mobility_data_pipeline_spark.cache import scratch_dir
     import time as _time
 
     from urban_mobility_data_pipeline_spark.extensions.lexical_index import (
@@ -4136,7 +4136,7 @@ def doc_bm25_topk_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
     from urban_mobility_data_pipeline_spark.operators.merge import MergeTable
 
     docs = table(spark, sf_dir, "documents")
-    root = tempfile.mkdtemp(prefix="umdp_bm25_idx_")
+    root = scratch_dir("umdp_bm25_idx_")
     postings = MergeTable(
         spark, root + "/postings", bucket_keys=["token"], num_buckets=8
     )
@@ -6290,6 +6290,56 @@ from urban_mobility_data_pipeline_spark.extensions.classifier import (  # noqa: 
 
 _LOGREG_FEATURE_COLS = ("x1", "x2", "x3", "x4", "x5")
 
+#: session-scoped quality-classifier artifact roots, keyed by sf_dir —
+#: the whole family (model/scores/eval/calibration/weighted-draw +
+#: the streaming gate) reads ONE trained artifact instead of each row
+#: replaying the 32-step trajectory in-query (VERDICT r10 missing #4;
+#: ~50s of duplicated training per bench run before this). Keying by
+#: sf_dir is sound for the immutable testdata corpora; a LIVE corpus
+#: uses extensions/classifier_model.refresh_quality_classifier, whose
+#: maintained PSI histogram decides when the artifact retrains.
+_QUALITY_MODEL_ROOTS: dict[str, str] = {}
+
+
+def _quality_weights(
+    spark: SparkSession, sf_dir: str, row_name: str
+) -> tuple[DataFrame, str]:
+    """The trained weight row for ``sf_dir``'s documents corpus —
+    training runs AT MOST once per session (the first family row to
+    execute trains and writes the parquet artifact; every later call
+    reads it back; 6dp doubles round-trip parquet exactly, so
+    artifact-backed and inline weights are bit-identical — pinned by
+    test). The one-time train wall lands in ``PHASE_SECS[row_name]``
+    so bench reports it on the row that actually paid it. Returns
+    ``(weights_frame, model_dir)``."""
+    import time as _time
+
+    from urban_mobility_data_pipeline_spark.cache import scratch_dir
+    from urban_mobility_data_pipeline_spark.extensions.classifier import (
+        artifact_exists,
+        train_logistic,
+    )
+
+    root = _QUALITY_MODEL_ROOTS.get(sf_dir)
+    if root is None:
+        root = scratch_dir("umdp_qclf_")
+        _QUALITY_MODEL_ROOTS[sf_dir] = root
+    model_dir = root + "/weights"
+    trains_now = not artifact_exists(model_dir)
+    _t0 = _time.perf_counter()
+    feats = _logreg_feature_frame(table(spark, sf_dir, "documents"))
+    w = train_logistic(
+        feats,
+        _LOGREG_FEATURE_COLS,
+        label_col="label",
+        materialize_dir=model_dir,
+    )
+    if trains_now:
+        PHASE_SECS[row_name] = {
+            "train_sec": round(_time.perf_counter() - _t0, 4)
+        }
+    return w, model_dir
+
 
 def _logreg_feature_frame(docs: DataFrame) -> DataFrame:
     """Gopher signals -> clipped/scaled features + the weak label.
@@ -6439,17 +6489,21 @@ def documents_quality_classifier_model(
     the same audited category as the BPE argmax) and fed back as
     literals. This row emits the weight vector itself so the whole
     training trajectory is hash-checked against DuckDB replaying the
-    same 32 steps (the k-means-oracle pattern applied to GD)."""
+    same 32 steps (the k-means-oracle pattern applied to GD).
+
+    Reads the shared train-once artifact (``_quality_weights``), whose
+    stored ``n_docs`` is the count training already computed — no
+    second featurization scan of the corpus (ADVICE r10)."""
     from urban_mobility_data_pipeline_spark.extensions.classifier import (
-        train_logistic,
+        read_model_artifact,
     )
 
-    docs = table(spark, sf_dir, "documents")
-    feats = _logreg_feature_frame(docs)
-    w = train_logistic(feats, _LOGREG_FEATURE_COLS, label_col="label")
-    n = F.lit(feats.count()).cast("long")
-    return w.select("w0", "w1", "w2", "w3", "w4", "w5",
-                    n.alias("n_docs"))
+    _, model_dir = _quality_weights(
+        spark, sf_dir, "documents_quality_classifier_model"
+    )
+    return read_model_artifact(spark, model_dir).select(
+        "w0", "w1", "w2", "w3", "w4", "w5", "n_docs"
+    )
 
 
 @register(
@@ -6478,12 +6532,13 @@ def documents_quality_classifier_scores(
     at any corpus size."""
     from urban_mobility_data_pipeline_spark.extensions.classifier import (
         score_logistic,
-        train_logistic,
     )
 
     docs = table(spark, sf_dir, "documents")
     feats = _logreg_feature_frame(docs)
-    w = train_logistic(feats, _LOGREG_FEATURE_COLS, label_col="label")
+    w, _ = _quality_weights(
+        spark, sf_dir, "documents_quality_classifier_scores"
+    )
     return score_logistic(feats, w, _LOGREG_FEATURE_COLS).select(
         "doc_id", "source", "quality_prob", "predicted", "label"
     )
@@ -6521,12 +6576,11 @@ def documents_quality_classifier_eval(
     low-cardinality; partial aggs absorb the fan-in)."""
     from urban_mobility_data_pipeline_spark.extensions.classifier import (
         score_logistic,
-        train_logistic,
     )
 
     docs = table(spark, sf_dir, "documents")
     feats = _logreg_feature_frame(docs)
-    w = train_logistic(feats, _LOGREG_FEATURE_COLS, label_col="label")
+    w, _ = _quality_weights(spark, sf_dir, "documents_quality_classifier_eval")
     scored = score_logistic(feats, w, _LOGREG_FEATURE_COLS)
     return scored.groupBy("source").agg(
         F.count(F.lit(1)).cast("long").alias("n_docs"),
@@ -6580,12 +6634,11 @@ def documents_quality_classifier_calibration(
     decile keys."""
     from urban_mobility_data_pipeline_spark.extensions.classifier import (
         score_logistic,
-        train_logistic,
     )
 
     docs = table(spark, sf_dir, "documents")
     feats = _logreg_feature_frame(docs)
-    w = train_logistic(feats, _LOGREG_FEATURE_COLS, label_col="label")
+    w, _ = _quality_weights(spark, sf_dir, "documents_quality_classifier_calibration")
     scored = score_logistic(feats, w, _LOGREG_FEATURE_COLS)
     bucket = F.least(
         F.floor(F.col("quality_prob") * 10), F.lit(9)
@@ -6657,12 +6710,11 @@ def documents_quality_weighted_sample(
     the sample."""
     from urban_mobility_data_pipeline_spark.extensions.classifier import (
         score_logistic,
-        train_logistic,
     )
 
     docs = table(spark, sf_dir, "documents")
     feats = _logreg_feature_frame(docs)
-    w = train_logistic(feats, _LOGREG_FEATURE_COLS, label_col="label")
+    w, _ = _quality_weights(spark, sf_dir, "documents_quality_weighted_sample")
     scored = score_logistic(feats, w, _LOGREG_FEATURE_COLS)
     u = (
         F.conv(

@@ -10,7 +10,7 @@ incremental layer, oracle-checked.
 
 from __future__ import annotations
 
-import tempfile
+from urban_mobility_data_pipeline_spark.cache import scratch_dir
 import uuid
 
 from pyspark.sql import DataFrame, SparkSession
@@ -102,7 +102,7 @@ def streaming_hourly_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame
         agg.writeStream.format("memory")
         .queryName(sink_name)
         .outputMode("complete")
-        .option("checkpointLocation", tempfile.mkdtemp(prefix="umdp_ckpt_"))
+        .option("checkpointLocation", scratch_dir("umdp_ckpt_"))
         .trigger(availableNow=True)
         .start()
     )
@@ -177,7 +177,7 @@ def streaming_user_session_windows(spark: SparkSession, sf_dir: str) -> DataFram
         agg.writeStream.format("memory")
         .queryName(sink_name)
         .outputMode("complete")
-        .option("checkpointLocation", tempfile.mkdtemp(prefix="umdp_ckpt_"))
+        .option("checkpointLocation", scratch_dir("umdp_ckpt_"))
         .trigger(availableNow=True)
         .start()
     )
@@ -256,7 +256,7 @@ def streaming_corpus_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame
         out.writeStream.format("memory")
         .queryName(sink_name)
         .outputMode("append")
-        .option("checkpointLocation", tempfile.mkdtemp(prefix="umdp_ckpt_"))
+        .option("checkpointLocation", scratch_dir("umdp_ckpt_"))
         .trigger(availableNow=True)
         .start()
     )
@@ -313,7 +313,7 @@ def streaming_distinct_user_event_days(
         deduped.writeStream.format("memory")
         .queryName(sink_name)
         .outputMode("append")
-        .option("checkpointLocation", tempfile.mkdtemp(prefix="umdp_ckpt_"))
+        .option("checkpointLocation", scratch_dir("umdp_ckpt_"))
         .trigger(availableNow=True)
         .start()
     )
@@ -390,7 +390,7 @@ def streaming_purchase_attribution(
         joined.writeStream.format("memory")
         .queryName(sink_name)
         .outputMode("append")
-        .option("checkpointLocation", tempfile.mkdtemp(prefix="umdp_ckpt_"))
+        .option("checkpointLocation", scratch_dir("umdp_ckpt_"))
         .trigger(availableNow=True)
         .start()
     )
@@ -520,7 +520,7 @@ def streaming_dsir_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
         out.writeStream.format("memory")
         .queryName(sink_name)
         .outputMode("append")
-        .option("checkpointLocation", tempfile.mkdtemp(prefix="umdp_ckpt_"))
+        .option("checkpointLocation", scratch_dir("umdp_ckpt_"))
         .trigger(availableNow=True)
         .start()
     )
@@ -573,20 +573,20 @@ def streaming_quality_classifier_gate(
     oracle replays training + scoring + the threshold, so what is
     hash-checked is the weights' exact trajectory THROUGH the stream's
     append output."""
-    from urban_mobility_data_pipeline_spark.extensions.classifier import (
-        train_logistic,
-    )
-    from urban_mobility_data_pipeline_spark.plans._helpers import table
     from urban_mobility_data_pipeline_spark.plans.llm_ops import (
         _LOGREG_FEATURE_COLS,
         _logreg_feature_frame,
+        _quality_weights,
     )
 
     configure_session(spark)
-    docs = table(spark, sf_dir, "documents")
-    w_row = train_logistic(
-        _logreg_feature_frame(docs), _LOGREG_FEATURE_COLS
-    ).collect()[0]
+    # the shared train-once artifact (the batch side of the deployment
+    # pattern): a fresh session trains here once; a session that
+    # already ran any classifier-family row just reads the weights
+    w_df, _ = _quality_weights(
+        spark, sf_dir, "streaming_quality_classifier_gate"
+    )
+    w_row = w_df.collect()[0]
     ws = [float(w_row[f"w{j}"]) for j in range(6)]
 
     stream, _doc_schema = _stream_table(spark, sf_dir, "documents")
@@ -602,7 +602,7 @@ def streaming_quality_classifier_gate(
         out.writeStream.format("memory")
         .queryName(sink_name)
         .outputMode("append")
-        .option("checkpointLocation", tempfile.mkdtemp(prefix="umdp_ckpt_"))
+        .option("checkpointLocation", scratch_dir("umdp_ckpt_"))
         .trigger(availableNow=True)
         .start()
     )
@@ -655,7 +655,7 @@ def streaming_running_profiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         prof.writeStream.format("memory")
         .queryName(sink_name)
         .outputMode("update")
-        .option("checkpointLocation", tempfile.mkdtemp(prefix="umdp_ckpt_"))
+        .option("checkpointLocation", scratch_dir("umdp_ckpt_"))
         .trigger(availableNow=True)
         .start()
     )
