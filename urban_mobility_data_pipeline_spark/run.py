@@ -179,19 +179,48 @@ def _corpus_ingest_job(lake: J.Lakehouse, args) -> str:
     )
     from urban_mobility_data_pipeline_spark.operators.merge import MergeTable
 
+    from urban_mobility_data_pipeline_spark.operators.watermark import (
+        VersionCursor,
+    )
+
     if not args.source:
         raise SystemExit("corpus_ingest requires --source FEED_DIR")
     root = args.corpus or os.path.join(args.lake, "corpus")
+    # dedup-at-ingest wires itself when the maintained index exists at
+    # the lake's standard path (dedup_index_refresh / the nightly
+    # maintenance job create it) — and then the saturation guard comes
+    # WITH it by default (VERDICT r10 item 1): the sizes table rides
+    # the same refresh, saturated buckets are skipped and reported,
+    # fully-unchecked docs divert to the quarantine.
+    index = MergeTable(
+        lake.spark, os.path.join(root, "dedup_index"),
+        bucket_keys=["doc_id"], num_buckets=32,
+    )
+    kw = {}
+    if index.exists():
+        kw = dict(
+            dedup_index=index,
+            dedup_cursor=VersionCursor(
+                lake.spark, os.path.join(root, "dedup_index_cursor")
+            ),
+            dedup_sizes=MergeTable(
+                lake.spark, os.path.join(root, "dedup_index_sizes")
+            ),
+        )
     counts = ingest_feed(
         lake.spark,
         args.source,
         corpus=MergeTable(lake.spark, os.path.join(root, "documents")),
         quarantine=MergeTable(lake.spark, os.path.join(root, "quarantine")),
         fmt=args.feed_format,
+        **kw,
     )
     return (
         f"corpus ingest: {counts['upserted']} upserted, "
-        f"{counts['quarantined']} quarantined"
+        f"{counts['quarantined']} quarantined, "
+        f"{counts['near_dup_rejected']} near-dup rejected, "
+        f"{counts['dedup_skipped_bands']} saturated bands skipped, "
+        f"{counts['dedup_unchecked']} unchecked docs diverted"
     )
 
 
@@ -400,7 +429,10 @@ def _dedup_index_job(lake: J.Lakehouse, args) -> str:
     cursor = VersionCursor(
         lake.spark, os.path.join(root, "dedup_index_cursor")
     )
-    n = refresh_dedup_index(corpus, index, cursor)
+    sizes = MergeTable(
+        lake.spark, os.path.join(root, "dedup_index_sizes")
+    )
+    n = refresh_dedup_index(corpus, index, cursor, sizes=sizes)
     return f"dedup index refresh: folded {n} changed docs"
 
 
@@ -507,7 +539,10 @@ def _corpus_maintenance_job(lake: J.Lakehouse, args) -> str:
     n_idx = refresh_dedup_index(
         corpus, index, VersionCursor(
             lake.spark, os.path.join(root, "dedup_index_cursor")
-        )
+        ),
+        sizes=MergeTable(
+            lake.spark, os.path.join(root, "dedup_index_sizes")
+        ),
     )
     report.append(f"dedup index folded {n_idx} docs")
     n_blooms = 0
