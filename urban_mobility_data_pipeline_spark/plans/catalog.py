@@ -224,6 +224,48 @@ FLAGSHIP = "pricing_summary"
 # daily_distinct_users_sketch remains rows-only BY DESIGN (HLL sketch,
 # no cross-engine value hash).
 # ---------------------------------------------------------------------------
+# Round-11 rotation (VERDICT r10 item 2): ALL ELEVEN queued r10 rows
+# seat — the capped composed dedup trio, the adaptive ingest probe,
+# the five quality-classifier rows, the streaming classifier gate, and
+# the cluster-balanced sample. Eleven green-r10 rows rotate out, each
+# keeping its catalog entry, pytest-oracle row, and bench timing, with
+# its §2/family coverage held by a staying or incoming row:
+#   streaming_dsir_gate          §2.10 keeps TWO real-readStream rows:
+#                                streaming_running_profiles (stateful,
+#                                stays) + streaming_quality_classifier_
+#                                gate (stateless, in); DSIR family kept
+#                                seated by corpus_dsir_sample
+#   documents_gopher_gate        the gate's rule bundle is recomputed
+#                                in-query as the weak label of EVERY
+#                                classifier row (same expressions,
+#                                hash-checked through 32 GD steps)
+#   embedding_semantic_dedup_ingest  the hazard row (exp 1.59 on Zipf
+#                                skew) — replaced by its scale path
+#                                embedding_semantic_dedup_ingest_
+#                                adaptive (in); the row itself now
+#                                emits cell_size so it is no longer
+#                                silent-quadratic
+#   embedding_kmeans_cells       Lloyd's trajectory re-proven inside
+#                                embedding_cluster_balanced_sample (in,
+#                                same unrolled-CTE oracle + quota draw)
+#   embedding_dim_truncation_recall  ANN recall family kept seated by
+#                                embedding_bq_hamming_topk
+#   doc_near_dup_pairs_capped    capped pair machinery re-proven inside
+#                                documents_fuzzy_dedup_corpus_capped /
+#                                _keep_best_capped (in, the composed
+#                                end products)
+#   documents_ngram_contamination  exact-n-gram channel kept seated by
+#                                documents_contamination_report (stays)
+#                                + documents_train_eval_contamination_
+#                                capped (in, the MinHash channel capped)
+#   corpus_zipf_fit / corpus_vocab_coverage_curve  text-stats family
+#                                kept seated by ccnet_ppl_buckets, pmi,
+#                                fertility, bigram_stats, length_deciles
+#   orders_priority_weekday_chi2 / segment_spend_gini  stats/monitoring
+#                                family kept seated by rfm, k_anonymity,
+#                                ks_test, quantiles_sketch + the two
+#                                incoming classifier audit rows
+#                                (eval, calibration)
 DRIVER_QUERY_NAMES: tuple[str, ...] = (
     # consolidated §2 core block (6 rows; component map in the r8 comment)
     "event_scalar_union_showcase",
@@ -237,7 +279,6 @@ DRIVER_QUERY_NAMES: tuple[str, ...] = (
     "corpus_dedup_rate_by_source",
     "corpus_tokenizer_fertility",
     "doc_length_deciles",
-    "documents_ngram_contamination",
     "nation_mktsegment_profile",
     # r7 corpus/doc wave (first driver rows)
     "corpus_ccnet_ppl_buckets",
@@ -246,8 +287,6 @@ DRIVER_QUERY_NAMES: tuple[str, ...] = (
     "corpus_pmi_collocations",
     "corpus_source_drift_psi",
     "corpus_temperature_mixing",
-    "corpus_vocab_coverage_curve",
-    "corpus_zipf_fit",
     "doc_bm25_topk_indexed",
     "doc_hybrid_retrieval_rrf",
     "doc_lang_nb_classifier",
@@ -255,7 +294,6 @@ DRIVER_QUERY_NAMES: tuple[str, ...] = (
     "documents_contamination_report",
     "documents_dedup_ngram_scrub",
     "documents_fold_leakage",
-    "documents_gopher_gate",
     "documents_intradoc_dedup_scrub",
     "documents_packing_efficiency",
     "documents_rendezvous_shards",
@@ -264,39 +302,35 @@ DRIVER_QUERY_NAMES: tuple[str, ...] = (
     "customers_k_anonymity",
     "documents_length_ks_test",
     "documents_length_quantiles_sketch",
-    "orders_priority_weekday_chi2",
-    "segment_spend_gini",
-    # r9 self-bounding wave (first driver rows, r10 rotation — VERDICT
-    # r9 item 3). Displaced, each keeping its catalog entry,
-    # pytest-oracle row and bench timing:
-    #   doc_edit_similarity_pairs    -> capped twin takes the slot (the
-    #                                   scale path; uncapped green r9)
-    #   embedding_semantic_dedup     -> adaptive-k default takes the
-    #                                   slot (fixed-k stays in catalog
-    #                                   as the documented exact-recall
-    #                                   option; green r8)
-    #   doc_containment_pairs        green r9
-    #   corpus_ngram_novelty         green r9
-    #   corpus_mixing_schedule       mixing family kept seated by
-    #                                corpus_temperature_mixing (green r9)
-    #   doc_lang_nb_confusion        lang-NB family kept seated by
-    #                                doc_lang_nb_classifier (green r9)
-    "doc_near_dup_pairs_capped",
+    # r9 self-bounding wave (seated r10, green)
     "doc_lsh_bucket_overflow",
     "doc_simhash_capped_pairs",
     "doc_simhash_bucket_overflow",
     "doc_edit_similarity_pairs_capped",
     # r7 embedding/ANN wave (first driver rows)
     "embedding_bq_hamming_topk",
-    "embedding_dim_truncation_recall",
-    "embedding_kmeans_cells",
     "embedding_semantic_dedup_adaptive",
-    "embedding_semantic_dedup_ingest",
     # events audit (first driver row)
     "events_watermark_lateness_audit",
-    # structured streaming (real readStream execution, first driver rows)
-    "streaming_dsir_gate",
+    # structured streaming (real readStream execution)
     "streaming_running_profiles",
+    # --- r11 entrants: the full r10 queue (first driver rows) ---
+    # capped composed dedup end products (truncated_members in-schema)
+    "documents_fuzzy_dedup_corpus_capped",
+    "documents_fuzzy_dedup_keep_best_capped",
+    "documents_train_eval_contamination_capped",
+    # the adaptive-quantizer scale path of dedup-at-ingest
+    "embedding_semantic_dedup_ingest_adaptive",
+    # model-based quality tier (32-step GD trajectory hash-checked)
+    "documents_quality_classifier_model",
+    "documents_quality_classifier_scores",
+    "documents_quality_classifier_eval",
+    "documents_quality_classifier_calibration",
+    "documents_quality_weighted_sample",
+    # real readStream row: the trained gate at the crawl front door
+    "streaming_quality_classifier_gate",
+    # k-means + fixed per-cell quota diversity draw
+    "embedding_cluster_balanced_sample",
 )
 
 assert len(DRIVER_QUERY_NAMES) == 50, len(DRIVER_QUERY_NAMES)
@@ -341,28 +375,25 @@ NEVER_SEATED_BY_CONSTRUCTION: frozenset[str] = frozenset({
 # Oracle-backed queries awaiting their first driver slot (seat these
 # first in the NEXT round's rotation; a query may not stay queued for
 # more than one round).
-DRIVER_SEAT_QUEUE: tuple[str, ...] = (
-    # (r10: the entire r9 self-bounding wave is now seated; the rows
-    # below are the r10 additions, first in line for the r11 rotation)
-    "documents_fuzzy_dedup_corpus_capped",  # r10: capped END PRODUCT
-    "documents_fuzzy_dedup_keep_best_capped",  # r10: capped keep-best
-    "documents_train_eval_contamination_capped",  # r10: capped gate
-    "embedding_semantic_dedup_ingest_adaptive",  # r10: scale-path ingest
-    # r10: model-based quality tier (logistic regression distilling the
-    # Gopher gate — trainer in extensions/classifier.py, trajectory
-    # hash-checked end to end by the unrolled-GD oracles)
+# (r11: the entire r10 queue is now seated — see the r11 rotation
+# comment above. New r11 additions queue here.)
+DRIVER_SEAT_QUEUE: tuple[str, ...] = ()
+
+# Every query name that has held a driver slot in some round (r1-r11;
+# rotation history in git, tags r3-r8 + this file's comments).
+EVER_DRIVER_SEATED: frozenset[str] = frozenset({
+    # r11 entrants (the seated r10 queue)
+    "documents_fuzzy_dedup_corpus_capped",
+    "documents_fuzzy_dedup_keep_best_capped",
+    "documents_train_eval_contamination_capped",
+    "embedding_semantic_dedup_ingest_adaptive",
     "documents_quality_classifier_model",
     "documents_quality_classifier_scores",
     "documents_quality_classifier_eval",
-    "documents_quality_weighted_sample",
     "documents_quality_classifier_calibration",
+    "documents_quality_weighted_sample",
     "streaming_quality_classifier_gate",
     "embedding_cluster_balanced_sample",
-)
-
-# Every query name that has held a driver slot in some round (r1-r9;
-# rotation history in git, tags r3-r8 + this file's comments).
-EVER_DRIVER_SEATED: frozenset[str] = frozenset({
     "approx_distinct_users", "brand_quantity_band_revenue",
     "brand_return_rate_ranked", "calendar_dim",
     "conformance_masking_showcase", "corpus_bigram_stats",
