@@ -165,6 +165,7 @@ def main() -> None:
     # Prefer our own BENCH_LOCAL (complete per-query map) over the
     # driver's BENCH_r (2000-char-truncated tail).
     regressions: dict[str, dict[str, float]] = {}
+    gate_stats: dict[str, float | str] = {}
     baseline_path = os.environ.get("SPARK_GRAFT_BENCH_BASELINE")
     if baseline_path is None:
         candidates = sorted(
@@ -192,43 +193,29 @@ def main() -> None:
                             r'"([a-z_0-9]+)": ([0-9.]+)', base["tail"]
                         )
                     }
-                # calibration-normalized gate (VERDICT r6 item 4): both
-                # sides divide by their own run's CPU probe, so the
-                # comparison is in machine-independent units — a cold VM
-                # can't fake a regression (everything inflates together)
-                # and a warm re-run can't MASK one (the old one-sided
-                # max(scale, 1) gate only forgave slowness, it never
-                # tightened when the current host ran faster). The 1s
-                # absolute floor is applied in baseline-weather seconds:
-                # sub-second drift is host noise, not a plan change.
                 base_cal = base.get("calibration_sec") or 0.0
-                normalized = base_cal > 0 and calibration > 0
-                for name, t in timings.items():
-                    prev = prev_times.get(name, -1.0)
-                    if prev <= 0.05 or t < 0:
-                        continue
-                    if normalized:
-                        now_n = t / calibration
-                        prev_n = prev / base_cal
-                        slow = (
-                            now_n > 2 * prev_n
-                            and (now_n - prev_n) * base_cal > 1.0
-                        )
-                    else:
-                        now_n = prev_n = -1.0
-                        slow = t > 2 * prev and t - prev > 1.0
-                    if slow:
-                        regressions[name] = {
-                            "prev": prev,
-                            "now": t,
-                            "prev_norm": round(prev_n, 4),
-                            "now_norm": round(now_n, 4),
-                        }
-                        print(
-                            f"bench: REGRESSION {name}: {prev}s -> {t}s"
-                            f" (normalized {prev_n:.2f} -> {now_n:.2f})",
-                            file=sys.stderr,
-                        )
+                regressions, gate_stats = gate_regressions(
+                    timings, prev_times, calibration, base_cal
+                )
+                for name, r in regressions.items():
+                    print(
+                        f"bench: REGRESSION {name}: {r['prev']}s -> "
+                        f"{r['now']}s (raw {r['raw_ratio']:.2f}x, "
+                        f"normalized {r['norm_ratio']:.2f}x, gate "
+                        f"{gate_stats['gate_mode']})",
+                        file=sys.stderr,
+                    )
+                if gate_stats.get("calibration_drift_alert"):
+                    print(
+                        "bench: CALIBRATION DRIFT "
+                        f"{gate_stats['calibration_drift']:.2f}x vs "
+                        "baseline — the CPU probe cannot be trusted as "
+                        "a corrector this run; gate fell back to "
+                        "min(raw, normalized). Any mover this round "
+                        "needs an isolated same-host A/B (the bm25 "
+                        "protocol) before being called real OR weather.",
+                        file=sys.stderr,
+                    )
         except Exception as exc:
             print(f"bench: baseline compare failed: {exc}", file=sys.stderr)
 
@@ -241,6 +228,7 @@ def main() -> None:
         "calibration_sec": calibration,
         "calibration_io_sec": calibration_io,
         "regressions": regressions,
+        "gate": gate_stats,
     }
 
     # durable, complete artifact (committed per round) — carries BOTH
@@ -276,6 +264,111 @@ def main() -> None:
 
     print(fit_stdout_line(result, local_name))
     spark.stop()
+
+
+#: Calibration-drift trust band (VERDICT r10 item 5): the CPU probe is
+#: a valid weather corrector only while its own round-over-round ratio
+#: stays inside this band. r10 measured the probe slowing 1.83x while
+#: the 32-way workload was FLAT (raw median 1.005x) — a single-core
+#: probe tracks frequency/steal weather the parallel workload doesn't
+#: feel, and dividing by it would have masked a real regression of up
+#: to ~1.8x.
+CAL_DRIFT_BAND = (0.7, 1.4)
+
+
+def gate_regressions(
+    timings: dict[str, float],
+    prev_times: dict[str, float],
+    calibration: float,
+    base_cal: float,
+    threshold: float = 2.0,
+) -> tuple[dict[str, dict[str, float]], dict]:
+    """The regression gate, as a pure function so its logic is
+    unit-testable (VERDICT r10 item 5). Returns ``(regressions,
+    gate_stats)``.
+
+    Modes (recorded in ``gate_stats['gate_mode']``):
+
+    - ``normalized`` — both runs carry a CPU probe AND the probe's own
+      drift (``calibration/base_cal``) is inside :data:`CAL_DRIFT_BAND`:
+      compare in machine-independent units (t/probe), the r6 design —
+      a cold VM can't fake a regression, a warm re-run can't mask one.
+    - ``min_raw_normalized`` — the probe drifted OUT of band, so it is
+      not trustworthy as a corrector (it moved when the workload may
+      not have, or vice versa). Flag a query only when BOTH the raw
+      and the normalized ratio exceed the threshold (an agreement that
+      survives whichever story about the weather is true), and raise a
+      loud ``calibration_drift_alert`` so the round gets the isolated
+      same-host A/B protocol (the bm25 precedent) instead of trusting
+      either number — sub-threshold real regressions are exactly what
+      a drifted probe can hide, so the alert, not the per-query gate,
+      is the catch for those.
+    - ``raw`` — no probe on one side (pre-r6 baselines): raw 2x gate.
+
+    ``gate_stats`` also records both medians (raw and normalized
+    ratios over the shared queries) so cross-round review reads the
+    two stories side by side, plus the drift itself.
+    """
+    regs: dict[str, dict[str, float]] = {}
+    normalized = base_cal > 0 and calibration > 0
+    drift = (calibration / base_cal) if normalized else 1.0
+    in_band = CAL_DRIFT_BAND[0] <= drift <= CAL_DRIFT_BAND[1]
+    if not normalized:
+        mode = "raw"
+    elif in_band:
+        mode = "normalized"
+    else:
+        mode = "min_raw_normalized"
+    raw_ratios: list[float] = []
+    norm_ratios: list[float] = []
+    for name, t in timings.items():
+        prev = prev_times.get(name, -1.0)
+        if prev <= 0.05 or t < 0:
+            continue
+        raw_ratio = t / prev
+        norm_ratio = (raw_ratio / drift) if normalized else raw_ratio
+        raw_ratios.append(raw_ratio)
+        if normalized:
+            norm_ratios.append(norm_ratio)
+        if mode == "normalized":
+            # the 1s absolute floor is applied in baseline-weather
+            # seconds: sub-second drift is host noise, not a plan change
+            slow = (
+                norm_ratio > threshold
+                and (t / drift - prev) > 1.0
+            )
+        elif mode == "min_raw_normalized":
+            slow = (
+                min(raw_ratio, norm_ratio) > threshold
+                and t - prev > 1.0
+            )
+        else:
+            slow = raw_ratio > threshold and t - prev > 1.0
+        if slow:
+            regs[name] = {
+                "prev": prev,
+                "now": t,
+                "raw_ratio": round(raw_ratio, 4),
+                "norm_ratio": round(norm_ratio, 4),
+            }
+
+    def _median(xs: list[float]) -> float:
+        if not xs:
+            return -1.0
+        xs = sorted(xs)
+        m = len(xs) // 2
+        return round(
+            xs[m] if len(xs) % 2 else (xs[m - 1] + xs[m]) / 2, 4
+        )
+
+    gate_stats = {
+        "gate_mode": mode,
+        "calibration_drift": round(drift, 4),
+        "calibration_drift_alert": bool(normalized and not in_band),
+        "median_raw_ratio": _median(raw_ratios),
+        "median_normalized_ratio": _median(norm_ratios),
+    }
+    return regs, gate_stats
 
 
 #: Scoring-semantics versions for rows whose metric definition changed
@@ -327,6 +420,18 @@ NOTES = (
     " attribution the dual-probe design exists for. Movers are"
     " untouched IO-heavy rows (embedding_pq_topk, ivf_topk_indexed);"
     " regression gate empty in both runs."
+    " --- r9->r10 streaming raw movers (streaming_running_profiles"
+    " 2.09->3.43s, streaming_user_session_windows 1.79->2.75s,"
+    " untouched code) were A/B'd in r11 per the bm25 protocol:"
+    " isolated fresh-session trials (3 warm each, sf0.1 local[32])"
+    " measured 2.11s and 1.91s — r9 levels exactly. Verdict: host"
+    " weather in the r10 shared-bench context (both rows are"
+    " micro-batch-scheduling-floor rows, driver-side and"
+    " single-threaded — exactly what a slower host inflates),"
+    " consistent with the r10 run's own 1.83x CPU-probe drift. No"
+    " code change; the r11 calibration-drift gate (gate_regressions)"
+    " now alarms on exactly this probe-drift signature instead of"
+    " silently normalizing through it."
 )
 
 #: The driver records only the LAST 2000 chars of stdout; stay inside

@@ -322,13 +322,20 @@ def run_skew(spark: SparkSession) -> dict:
                 F.sum("n_distinct")
             ).collect()
 
+        # the SAME attempt count for both sides, unconditionally
+        # (ADVICE r10): the old shape re-ran best-of-5 only when the
+        # first measurement LOST, which biases the recorded speedup
+        # (and win rate) upward — a retry policy conditioned on the
+        # outcome is a one-sided filter even when the loss flag stays
+        # honest. 5 warm attempts each, min taken, no outcome-dependent
+        # reruns anywhere.
         out = {
             "metric": "skew_proof",
             "rows": SKEW_N,
             "hot_frac": SKEW_HOT_FRAC,
             "buckets": SKEW_BUCKETS,
-            "join_naive_sec": best_of(naive_join),
-            "join_salted_sec": best_of(s_join),
+            "join_naive_sec": best_of(naive_join, 5),
+            "join_salted_sec": best_of(s_join, 5),
             "count_distinct_naive_sec": best_of(naive_cd, 2),
             "count_distinct_salted_sec": best_of(s_cd, 2),
         }
@@ -361,24 +368,14 @@ def run_skew(spark: SparkSession) -> dict:
         )
         # wall clock is shared-VM-weather-dependent (historical wins
         # 1.23-1.49x; one contended host run measured 0.7x with the
-        # identical plan — the same machine-dependence the BPE gate was
-        # moved off of, advisor r9). Escalate with more attempts before
-        # recording a loss, but the HARD gate below is the
-        # deterministic max-task-input bound — the number that decides
-        # executor OOM/straggler at 100 TB. The count-distinct wall has
-        # never been gated for the same reason (salting pays extra
-        # local-mode work for the bounded task).
-        if out["join_speedup"] < 1.2:
-            out["join_naive_sec"] = min(
-                out["join_naive_sec"], best_of(naive_join, 5)
-            )
-            out["join_salted_sec"] = min(
-                out["join_salted_sec"], best_of(s_join, 5)
-            )
-            out["join_speedup"] = round(
-                out["join_naive_sec"] / max(out["join_salted_sec"], 1e-9),
-                2,
-            )
+        # identical plan). The recorded ratio is now UNBIASED — same
+        # best-of-5 for both sides, no outcome-conditioned reruns
+        # (ADVICE r10) — and the win flag reports whatever it reports;
+        # the HARD gate below stays the deterministic max-task-input
+        # bound, the number that decides executor OOM/straggler at
+        # 100 TB. The count-distinct wall has never been gated for the
+        # same reason (salting pays extra local-mode work for the
+        # bounded task).
         out["join_wall_win"] = out["join_speedup"] >= 1.2
         # the committed floor: salting must bound the hot task's input
         # by a wide margin — deterministic, load-independent
@@ -489,7 +486,8 @@ def main() -> int:
         & {"--skew", "--soak", "--corpus", "--compaction", "--bloom",
            "--dedupindex", "--kmeans", "--scaling", "--bq", "--semdedup",
            "--replicate", "--bm25index", "--dv", "--bpe",
-           "--bpe-divergence", "--dedupindex10x", "--bm25index10x"}
+           "--bpe-divergence", "--dedupindex10x", "--bm25index10x",
+           "--dedupindex-zipf", "--bm25index-zipf"}
     ):
         sections["anchor"] = run_anchor(spark)
     if run_all or "--skew" in args:
@@ -510,6 +508,10 @@ def main() -> int:
         sections["bm25_index"] = run_bm25_index_soak(spark)
     if run_all or "--bm25index10x" in args:
         sections["bm25_index_10x"] = run_bm25_index_soak_10x(spark)
+    if run_all or "--dedupindex-zipf" in args:
+        sections["dedup_index_zipf"] = run_dedup_index_soak_zipf(spark)
+    if run_all or "--bm25index-zipf" in args:
+        sections["bm25_index_zipf"] = run_bm25_index_soak_zipf(spark)
     if run_all or "--dv" in args:
         sections["dv_pointops"] = run_dv_pointops(spark)
         sections["dv_erasure_soak"] = run_dv_erasure_soak(spark)
@@ -598,6 +600,62 @@ def _gen_feed(spark: SparkSession, path: str, n: int, id_offset: int = 0,
     doc.select(line.alias("value")).coalesce(files).write.mode(
         "overwrite"
     ).text(path)
+
+
+#: fixed boilerplate page for the Zipf feeds: every copy signatures
+#: identically, so its LSH band buckets grow linearly with the corpus —
+#: the exact hot-bucket regime the r10 saturation guard exists for
+_BOILERPLATE = (
+    "w1 w2 w1 w3 terms of service boilerplate w1 w2 w4 w1 w5 the same "
+    "page text appears verbatim on every crawled page w2 w1 w3 w2"
+)
+
+
+def _gen_zipf_feed(
+    spark: SparkSession, path: str, n: int, id_offset: int = 0,
+    files: int = 8, boiler_every: int = 12,
+) -> None:
+    """Zipf-skewed crawl feed (VERDICT r10 item 8): token ranks drawn
+    rank ≈ exp(U·ln V) (Zipf s=1, the natural-text law — same recipe
+    as bench_scaling's zipf corpus), so postings lists and band
+    buckets skew like a real crawl instead of the uniform 17-word
+    salad; every ``boiler_every``-th doc is the IDENTICAL boilerplate
+    page. Deterministic (hash-seeded, no RNG), JSONL shards."""
+    import math as _math
+
+    v = 5000
+    base = spark.range(id_offset, id_offset + n).select(
+        F.col("id").alias("doc_id")
+    )
+    length = (
+        F.pmod(F.xxhash64(F.col("doc_id"), F.lit("len")), F.lit(30)) + 20
+    ).cast("int")
+
+    def u(i):
+        return (
+            F.pmod(F.xxhash64(F.col("doc_id"), i), F.lit(1_000_003))
+            / F.lit(1_000_003.0)
+        )
+
+    def rank(i):
+        return F.greatest(
+            F.lit(1),
+            F.floor(F.exp(u(i) * F.lit(_math.log(float(v))))).cast("int"),
+        )
+
+    words = F.transform(
+        F.sequence(F.lit(1), length),
+        lambda i: F.concat(F.lit("w"), rank(i).cast("string")),
+    )
+    text = F.when(
+        F.pmod("doc_id", F.lit(boiler_every)) == 3, F.lit(_BOILERPLATE)
+    ).otherwise(F.array_join(words, " "))
+    doc = base.select(
+        "doc_id", text.alias("text"), F.lit("en").alias("lang")
+    )
+    doc.select(
+        F.to_json(F.struct("doc_id", "text", "lang")).alias("value")
+    ).coalesce(files).write.mode("overwrite").text(path)
 
 
 def run_corpus(spark: SparkSession) -> dict:
@@ -1171,6 +1229,128 @@ def run_dedup_index_soak_10x(spark: SparkSession) -> dict:
     )
 
 
+def run_dedup_index_soak_zipf(spark: SparkSession) -> dict:
+    """VERDICT r10 item 8: the index soak under REALISTIC bucket skew —
+    Zipf-rank token text plus an identical boilerplate page every 12th
+    doc, so the boilerplate's band buckets grow linearly with the
+    corpus (the regime the r10 saturation machinery exists for). The
+    soak maintains the bucket-``sizes`` table through every refresh
+    and probes each incoming batch through the GUARDED
+    ``incremental_near_dups_with_report``. Gates: per-cycle refresh
+    (index + sizes fold) stays flat; the planted hot buckets are
+    skipped AND reported every cycle (nonzero truncation, never
+    silent); fully-saturated docs are surfaced as unchecked; and the
+    delta-maintained sizes equal a from-scratch recount at the end."""
+    from urban_mobility_data_pipeline_spark.cache import release_scratch
+    from urban_mobility_data_pipeline_spark.extensions.dedup_index import (
+        bucket_size_rows,
+        incremental_near_dups_with_report,
+        refresh_dedup_index,
+    )
+    from urban_mobility_data_pipeline_spark.operators.merge import MergeTable
+    from urban_mobility_data_pipeline_spark.operators.watermark import (
+        VersionCursor,
+    )
+
+    seed_rows, batch, cycles, cap = 36_000, 3_000, 6, 256
+    out: dict = {
+        "metric": "dedup_index_soak_zipf",
+        "seed_rows": seed_rows,
+        "batch_docs": batch,
+        "bucket_cap": cap,
+    }
+    root = tempfile.mkdtemp(prefix="umdp_dedupidx_zipf_")
+    try:
+        corpus = MergeTable(spark, os.path.join(root, "corpus"))
+        index = MergeTable(
+            spark, os.path.join(root, "index"),
+            bucket_keys=["doc_id"], num_buckets=16,
+        )
+        sizes = MergeTable(spark, os.path.join(root, "sizes"))
+        cursor = VersionCursor(spark, os.path.join(root, "cursor"))
+        seed = os.path.join(root, "seed")
+        _gen_zipf_feed(spark, seed, seed_rows, id_offset=10_000_000,
+                       files=32)
+        corpus.create(
+            spark.read.json(seed, schema="doc_id long, text string")
+            .filter(F.col("text").isNotNull())
+        )
+        refresh_dedup_index(corpus, index, cursor, sizes=sizes)
+        refresh_secs, probe_secs = [], []
+        skipped_bands, unchecked_docs, pairs_found = [], [], []
+        for c in range(cycles):
+            feed = os.path.join(root, f"f{c}")
+            _gen_zipf_feed(spark, feed, batch, id_offset=c * batch,
+                           files=4)
+            docs = (
+                spark.read.json(feed, schema="doc_id long, text string")
+                .filter(F.col("text").isNotNull())
+            )
+            t0 = time.perf_counter()
+            pairs, skipped = incremental_near_dups_with_report(
+                docs, corpus, index, sizes, cap, threshold=0.5
+            )
+            n_pairs = pairs.count()
+            sk = skipped.groupBy("new_id").count().collect()
+            probe_secs.append(round(time.perf_counter() - t0, 2))
+            pairs_found.append(n_pairs)
+            skipped_bands.append(sum(int(r["count"]) for r in sk))
+            from urban_mobility_data_pipeline_spark.extensions.dedup import (
+                LSH_BANDS,
+            )
+
+            unchecked_docs.append(
+                sum(1 for r in sk if int(r["count"]) >= LSH_BANDS)
+            )
+            release_scratch()
+            corpus.append(docs)
+            t0 = time.perf_counter()
+            n = refresh_dedup_index(corpus, index, cursor, sizes=sizes)
+            refresh_secs.append(round(time.perf_counter() - t0, 2))
+            assert n >= batch * 0.9, (c, n)
+        out.update(
+            {
+                "cycles": cycles,
+                "refresh_secs": refresh_secs,
+                "probe_secs": probe_secs,
+                "skipped_bands_per_cycle": skipped_bands,
+                "unchecked_docs_per_cycle": unchecked_docs,
+                "pairs_per_cycle": pairs_found,
+            }
+        )
+        # the planted hot buckets must be skipped AND reported every
+        # cycle (each batch carries boiler docs whose every band lands
+        # in a >cap bucket), and the skip is never silent
+        assert all(s > 0 for s in skipped_bands), out
+        assert all(u > 0 for u in unchecked_docs), out
+        # flat refresh under skew: same gate as the uniform soaks
+        mids = refresh_secs[:-1]
+        med_mid = sorted(mids)[len(mids) // 2]
+        assert refresh_secs[-1] <= med_mid * 1.2 + 0.3, out
+        # the guarded probe must stay flat too: its work is
+        # O(batch x B x cap), independent of the growing hot bucket
+        pmids = probe_secs[:-1]
+        pmed = sorted(pmids)[len(pmids) // 2]
+        assert probe_secs[-1] <= pmed * 1.35 + 0.5, out
+        # delta-maintained sizes == from-scratch recount
+        recount = {
+            (r["band_id"], r["band_key"]): r["n"]
+            for r in bucket_size_rows(corpus.read()).collect()
+        }
+        live = {
+            (r["band_id"], r["band_key"]): r["n"]
+            for r in sizes.read().filter(F.col("n") != 0).collect()
+        }
+        assert live == recount, "sizes drifted from recount"
+        out["sizes_match_recount"] = True
+        # and the hot bucket really is hot: top bucket ≈ boiler count
+        out["max_bucket"] = max(live.values())
+        assert out["max_bucket"] > cap, out
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+    return out
+
+
 def _dedup_index_soak(
     spark: SparkSession,
     seed_rows: int = 0,
@@ -1284,12 +1464,26 @@ def run_bm25_index_soak_10x(spark: SparkSession) -> dict:
     )
 
 
+def run_bm25_index_soak_zipf(spark: SparkSession) -> dict:
+    """VERDICT r10 item 8: the bm25 flat-refresh soak re-seeded with
+    Zipf-rank text (hot tokens -> skewed postings lists, the regime a
+    real crawl puts the token-bucketed postings table in) plus the
+    identical boilerplate page every 12th doc. The O(batch) refresh
+    claim must hold when the per-token posting lists are wildly
+    unequal, not only under the uniform 17-word salad."""
+    return _bm25_index_soak(
+        spark, seed_rows=36_000, cycles=6,
+        metric="bm25_index_soak_zipf", gen=_gen_zipf_feed,
+    )
+
+
 def _bm25_index_soak(
     spark: SparkSession,
     seed_rows: int = 0,
     batch: int = 4_000,
     cycles: int = 10,
     metric: str = "bm25_index_soak",
+    gen=_gen_feed,
 ) -> dict:
     """Scale proof for the incrementally maintained BM25 inverted
     index (extensions/lexical_index.py), the lexical twin of
@@ -1323,7 +1517,7 @@ def _bm25_index_soak(
         cursor = VersionCursor(spark, os.path.join(root, "cursor"))
         if seed_rows:
             seed = os.path.join(root, "seed")
-            _gen_feed(spark, seed, seed_rows, id_offset=10_000_000,
+            gen(spark, seed, seed_rows, id_offset=10_000_000,
                       files=32)
             corpus.create(
                 spark.read.json(seed, schema="doc_id long, text string")
@@ -1333,7 +1527,7 @@ def _bm25_index_soak(
         refresh_secs, corpus_rows = [], []
         for c in range(cycles):
             feed = os.path.join(root, f"f{c}")
-            _gen_feed(spark, feed, batch, id_offset=c * batch, files=4)
+            gen(spark, feed, batch, id_offset=c * batch, files=4)
             docs = (
                 spark.read.json(feed, schema="doc_id long, text string")
                 .filter(F.col("text").isNotNull())

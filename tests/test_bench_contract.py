@@ -84,3 +84,89 @@ def test_catalog_module_names_are_disjoint():
     from urban_mobility_data_pipeline_spark.plans import catalog
 
     assert set(catalog.ORACLES) <= set(catalog.QUERIES)
+
+
+# ---------------------------------------------------------------------------
+# regression-gate logic (VERDICT r10 item 5: the calibration-normalized
+# gate must not trust a drifted probe)
+# ---------------------------------------------------------------------------
+from bench import gate_regressions  # noqa: E402
+
+
+def test_gate_normalized_mode_catches_real_regression():
+    """Stable calibration: the r6 normalized gate behaves as before —
+    a 3x mover trips, a flat query doesn't."""
+    regs, stats = gate_regressions(
+        {"q_slow": 9.0, "q_flat": 5.0},
+        {"q_slow": 3.0, "q_flat": 5.1},
+        calibration=1.0,
+        base_cal=1.0,
+    )
+    assert stats["gate_mode"] == "normalized"
+    assert not stats["calibration_drift_alert"]
+    assert set(regs) == {"q_slow"}
+    assert regs["q_slow"]["raw_ratio"] == 3.0
+
+
+def test_gate_normalized_mode_forgives_uniform_weather():
+    """Host uniformly 1.3x slower WITH the probe tracking it (drift in
+    band): nothing trips — the original design intent."""
+    regs, stats = gate_regressions(
+        {"q": 6.5},
+        {"q": 5.0},
+        calibration=1.3,
+        base_cal=1.0,
+    )
+    assert stats["gate_mode"] == "normalized"
+    assert regs == {}
+
+
+def test_gate_drifted_probe_cannot_mask_a_big_regression():
+    """The r10 failure mode: the single-core probe inflates 2x while
+    the workload didn't. Pure normalized gating would read a 4.4x real
+    regression as 2.2x-ish... still caught; but a 3x real regression
+    as 1.5x — masked. Under the out-of-band fallback BOTH ratios must
+    clear the gate, and the drift itself raises a loud alert so
+    sub-threshold movers get the isolated A/B protocol."""
+    timings = {"q_big": 22.0, "q_mid": 15.0, "q_flat": 5.0}
+    prev = {"q_big": 5.0, "q_mid": 10.0, "q_flat": 5.0}
+    regs, stats = gate_regressions(
+        timings, prev, calibration=2.0, base_cal=1.0
+    )
+    assert stats["gate_mode"] == "min_raw_normalized"
+    assert stats["calibration_drift_alert"] is True
+    assert stats["calibration_drift"] == 2.0
+    # q_big: raw 4.4x, normalized 2.2x -> both above 2 -> caught even
+    # though the old normalized-only gate would also have seen 2.2x;
+    # the point is the 2x inflation cannot push it under the bar
+    assert "q_big" in regs
+    # q_mid: raw 1.5x (a REAL 1.5x regression) is under the 2x gate in
+    # any mode — the alert, not a per-query row, is what catches the
+    # round: it demands the isolated A/B before trusting either story
+    assert "q_mid" not in regs and stats["calibration_drift_alert"]
+    assert regs["q_big"]["norm_ratio"] == 2.2
+
+
+def test_gate_drifted_probe_cannot_fake_a_regression():
+    """Drift the OTHER way (baseline probe was the slow one): pure
+    normalized ratios read 2.6x on a raw-1.3x query — a false
+    positive the min() rule rejects."""
+    regs, stats = gate_regressions(
+        {"q": 6.5},
+        {"q": 5.0},
+        calibration=0.5,
+        base_cal=1.0,
+    )
+    assert stats["gate_mode"] == "min_raw_normalized"
+    assert regs == {}  # raw 1.3x vetoes the inflated normalized 2.6x
+
+
+def test_gate_records_both_medians():
+    regs, stats = gate_regressions(
+        {"a": 2.0, "b": 4.0, "c": 6.0},
+        {"a": 1.0, "b": 2.0, "c": 2.0},
+        calibration=1.0,
+        base_cal=1.0,
+    )
+    assert stats["median_raw_ratio"] == 2.0
+    assert stats["median_normalized_ratio"] == 2.0

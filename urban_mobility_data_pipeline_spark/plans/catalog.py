@@ -376,8 +376,12 @@ NEVER_SEATED_BY_CONSTRUCTION: frozenset[str] = frozenset({
 # first in the NEXT round's rotation; a query may not stay queued for
 # more than one round).
 # (r11: the entire r10 queue is now seated — see the r11 rotation
-# comment above. New r11 additions queue here.)
-DRIVER_SEAT_QUEUE: tuple[str, ...] = ()
+# comment above.)
+DRIVER_SEAT_QUEUE: tuple[str, ...] = (
+    # r11 additions, first in line for the r12 rotation
+    "documents_quality_classifier_drift",  # the retrain trigger, audited
+    "documents_ingest_dedup_guarded",  # the guarded probe end to end
+)
 
 # Every query name that has held a driver slot in some round (r1-r11;
 # rotation history in git, tags r3-r8 + this file's comments).

@@ -6413,26 +6413,12 @@ def _logreg_feature_frame(docs: DataFrame) -> DataFrame:
     )
 
 
-def _logreg_oracle_ctes(iters: int, lr: float) -> str:
-    """The training trajectory unrolled as DuckDB CTEs (the
-    spherical-k-means oracle pattern): raw Gopher signals, the
-    clipped/scaled features + weak label, zero-initialized weights,
-    then one CTE per gradient step with the logit, the sigmoid, and
-    the weight update rounded exactly as the engine rounds them. lr,
-    the clips/scales, and the Gopher thresholds are interpolated from
-    the same module constants the engine reads — nothing hardcoded
-    that could silently diverge (advisor r9)."""
-    z = " + ".join(
-        ["w.w0 * 1.0"]
-        + [f"w.w{j} * f.x{j}" for j in range(1, 6)]
-    )
-    # the normalizer: computed ONCE into a materialized 1-row CTE.
-    # Inlined as a scalar subquery it re-expands the (regex-heavy)
-    # feats CTE per weight per iteration — 6·iters tokenizations of
-    # the corpus took the oracle from seconds to minutes. feats itself
-    # is MATERIALIZED for the same reason (referenced by every step).
-    lr_over_n = f"({lr} / min(n))"
-    ctes = [
+def _logreg_feats_ctes() -> list[str]:
+    """The two SQL CTEs shared by every classifier-family oracle: the
+    raw Gopher signals and the clipped/scaled features + weak label —
+    one definition, interpolated from the same module constants the
+    engine reads."""
+    return [
         f"raw AS MATERIALIZED (SELECT doc_id, source, "
         f"CAST(len({_GOPHER_W}) AS INTEGER) AS n_words, "
         f"{_GOPHER_AVGW} AS avg_word_len, "
@@ -6455,6 +6441,30 @@ def _logreg_oracle_ctes(iters: int, lr: float) -> str:
         f" AND stop_hits >= {GOPHER_MIN_STOP_HITS}"
         f" AND dup_bigram_frac <= {GOPHER_MAX_DUP_BIGRAM}"
         f" THEN 1 ELSE 0 END AS label FROM raw)",
+    ]
+
+
+def _logreg_oracle_ctes(iters: int, lr: float) -> str:
+    """The training trajectory unrolled as DuckDB CTEs (the
+    spherical-k-means oracle pattern): raw Gopher signals, the
+    clipped/scaled features + weak label, zero-initialized weights,
+    then one CTE per gradient step with the logit, the sigmoid, and
+    the weight update rounded exactly as the engine rounds them. lr,
+    the clips/scales, and the Gopher thresholds are interpolated from
+    the same module constants the engine reads — nothing hardcoded
+    that could silently diverge (advisor r9)."""
+    z = " + ".join(
+        ["w.w0 * 1.0"]
+        + [f"w.w{j} * f.x{j}" for j in range(1, 6)]
+    )
+    # the normalizer: computed ONCE into a materialized 1-row CTE.
+    # Inlined as a scalar subquery it re-expands the (regex-heavy)
+    # feats CTE per weight per iteration — 6·iters tokenizations of
+    # the corpus took the oracle from seconds to minutes. feats itself
+    # is MATERIALIZED for the same reason (referenced by every step).
+    lr_over_n = f"({lr} / min(n))"
+    ctes = [
+        *_logreg_feats_ctes(),
         "nn AS MATERIALIZED (SELECT CAST(count(*) AS BIGINT) AS n"
         " FROM feats)",
         "it0 AS (SELECT "
@@ -6758,6 +6768,320 @@ def documents_quality_weighted_sample(
         .orderBy(F.desc("es_key"), F.asc("doc_id"))
         .limit(QW_SAMPLE_K)
     )
+
+
+# ---------------------------------------------------------------------------
+# classifier drift trigger, quantified (r11): per-feature PSI between
+# two corpus halves' weak-label/feature histograms — the exact statistic
+# the maintained refresh (extensions/classifier_model.py) gates the
+# retrain on, as an oracle-checked batch row
+# ---------------------------------------------------------------------------
+from urban_mobility_data_pipeline_spark.extensions.classifier_model import (  # noqa: E402
+    FEATURE_BINS as _CLF_BINS,
+)
+from urban_mobility_data_pipeline_spark.extensions.drift_model import (  # noqa: E402
+    PSI_SCALE as _PSI_SCALE,
+    PSI_SHIFT as _PSI_SHIFT,
+    PSI_WATCH as _PSI_WATCH,
+)
+
+_CLF_DRIFT_CELLS_SQL = " UNION ALL ".join(
+    [
+        f"SELECT doc_id, '{c}' AS feat, "
+        f"CAST(least(floor({c} * 10), {_CLF_BINS - 1}) AS INTEGER) AS b "
+        f"FROM feats"
+        for c in _LOGREG_FEATURE_COLS
+    ]
+    + ["SELECT doc_id, 'label' AS feat, label AS b FROM feats"]
+)
+
+
+@register(
+    "documents_quality_classifier_drift",
+    oracle=f"""
+    WITH {",".join(_logreg_feats_ctes())},
+    cells AS (
+        SELECT doc_id % 2 AS side, feat, b
+        FROM ({_CLF_DRIFT_CELLS_SQL})
+    ),
+    hist AS (
+        SELECT side, feat, b, CAST(count(*) AS BIGINT) AS c
+        FROM cells GROUP BY 1, 2, 3
+    ),
+    grid AS (
+        SELECT feat, b,
+               sum(CASE WHEN side = 0 THEN c ELSE 0 END) AS cr,
+               sum(CASE WHEN side = 1 THEN c ELSE 0 END) AS cl
+        FROM hist GROUP BY 1, 2
+    ),
+    tot AS (
+        SELECT feat, sum(cr) AS n_ref, sum(cl) AS n_live,
+               CAST(count(*) AS BIGINT) AS nbins
+        FROM grid GROUP BY 1
+    ),
+    terms AS (
+        SELECT g.feat, t.n_ref, t.n_live,
+               CAST(round(
+                   ((g.cr + 1.0) / (t.n_ref + t.nbins)
+                    - (g.cl + 1.0) / (t.n_live + t.nbins))
+                   * ln(((g.cr + 1.0) / (t.n_ref + t.nbins))
+                        / ((g.cl + 1.0) / (t.n_live + t.nbins)))
+                   * {_PSI_SCALE}) AS BIGINT) AS t8
+        FROM grid g JOIN tot t ON t.feat = g.feat
+    )
+    SELECT feat,
+           CAST(min(n_ref) AS BIGINT) AS n_ref,
+           CAST(min(n_live) AS BIGINT) AS n_live,
+           round(sum(t8) / {float(_PSI_SCALE)}, 4) AS psi,
+           CASE WHEN sum(t8) >= {_PSI_SHIFT} THEN 'retrain'
+                WHEN sum(t8) >= {_PSI_WATCH} THEN 'watch'
+                ELSE 'stable' END AS verdict
+    FROM terms GROUP BY feat
+    """,
+)
+def documents_quality_classifier_drift(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The classifier's RETRAIN TRIGGER, quantified (r11): per-feature
+    PSI between a reference corpus half (even doc_ids, standing in for
+    the training-time snapshot) and a live half (odd ids) over the
+    same weak-label/feature histogram the maintained refresh keeps
+    O(changed) — ``clf_hist_contributions`` is the single definition
+    shared with ``extensions/classifier_model.refresh_quality_
+    classifier``, so the catalog row and the production trigger
+    cannot drift from each other. Full-batch GD has no exact delta
+    fold, so retrain-on-PSI IS the maintenance contract; this row is
+    the audit a team reads before trusting it (which feature moved,
+    how much, and the would-be verdict at the 0.1/0.25 tiers —
+    the same constants interpolated into the oracle). Laplace-
+    smoothed terms are 8dp-integer-encoded before the sum (the
+    psi_from_counts discipline) so the aggregation is order-
+    independent and hash-stable cross-engine. Scale shape: one
+    featurization scan, one explode to |features|+1 cells per doc
+    with map-side combine, then a ≤ (|features|+1)·bins-row grid —
+    shuffle bounded by the histogram, never the corpus."""
+    from urban_mobility_data_pipeline_spark.extensions.classifier_model import (
+        clf_hist_contributions,
+    )
+
+    docs = table(spark, sf_dir, "documents")
+    feats = _logreg_feature_frame(docs)
+    ref = clf_hist_contributions(
+        feats.filter(F.col("doc_id") % 2 == 0), _LOGREG_FEATURE_COLS
+    )
+    live = clf_hist_contributions(
+        feats.filter(F.col("doc_id") % 2 == 1), _LOGREG_FEATURE_COLS
+    )
+    grid = (
+        ref.select("feat", "b", F.col("c").alias("cr"))
+        .join(
+            live.select("feat", "b", F.col("c").alias("cl")),
+            ["feat", "b"],
+            "full_outer",
+        )
+        .fillna(0, ["cr", "cl"])
+    )
+    tot = grid.groupBy("feat").agg(
+        F.sum("cr").alias("n_ref"),
+        F.sum("cl").alias("n_live"),
+        F.count(F.lit(1)).cast("long").alias("nbins"),
+    )
+    g = grid.join(F.broadcast(tot), "feat")
+    p = (F.col("cr") + 1) / (F.col("n_ref") + F.col("nbins")).cast(
+        "double"
+    )
+    q = (F.col("cl") + 1) / (F.col("n_live") + F.col("nbins")).cast(
+        "double"
+    )
+    t8 = F.round((p - q) * F.log(p / q) * _PSI_SCALE).cast("long")
+    agg = (
+        g.select("feat", "n_ref", "n_live", t8.alias("t8"))
+        .groupBy("feat")
+        .agg(
+            F.min("n_ref").cast("long").alias("n_ref"),
+            F.min("n_live").cast("long").alias("n_live"),
+            F.sum("t8").alias("s8"),
+        )
+    )
+    return agg.select(
+        "feat",
+        "n_ref",
+        "n_live",
+        F.round(F.col("s8") / float(_PSI_SCALE), 4).alias("psi"),
+        F.when(F.col("s8") >= _PSI_SHIFT, F.lit("retrain"))
+        .when(F.col("s8") >= _PSI_WATCH, F.lit("watch"))
+        .otherwise(F.lit("stable"))
+        .alias("verdict"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# guarded dedup-at-ingest, end to end as an oracle row (r11): the exact
+# probe the production ingest loops now run by default
+# ---------------------------------------------------------------------------
+_GUARDED_INGEST_CAP = 3
+_GUARDED_INGEST_THRESHOLD = 0.1
+_GUARDED_CLONES = 6
+
+
+@register(
+    "documents_ingest_dedup_guarded",
+    oracle=f"""
+    WITH probe_doc AS (
+        SELECT text FROM documents
+        WHERE doc_id = (SELECT min(doc_id) FROM documents
+                        WHERE doc_id % 10 = 0)
+    ),
+    uni AS (
+        SELECT doc_id, text FROM documents WHERE doc_id % 10 <> 0
+        UNION ALL
+        SELECT 1000000 + i AS doc_id, (SELECT text FROM probe_doc) AS text
+        FROM generate_series(1, {_GUARDED_CLONES}) AS t(i)
+    ),
+    batch AS (SELECT doc_id, text FROM documents WHERE doc_id % 10 = 0),
+    shc AS (SELECT doc_id, {{sh}} AS shingles FROM uni),
+    shb AS (SELECT doc_id, {{sh}} AS shingles FROM batch),
+    sigc AS (SELECT doc_id, {{mh}} FROM shc),
+    sigb AS (SELECT doc_id, {{mh}} FROM shb),
+    keysc AS (
+{{bandc}}
+    ),
+    keysb AS (
+{{bandb}}
+    ),
+    csize AS (
+        SELECT band_id, band_key, CAST(count(*) AS BIGINT) AS n
+        FROM keysc GROUP BY 1, 2
+    ),
+    gauged AS (
+        SELECT b.doc_id, b.band_id, b.band_key,
+               coalesce(s.n, 0) AS bucket_size
+        FROM keysb b LEFT JOIN csize s
+          ON s.band_id = b.band_id AND s.band_key = b.band_key
+    ),
+    skipped AS (
+        SELECT doc_id AS new_id, band_id, bucket_size
+        FROM gauged WHERE bucket_size > {_GUARDED_INGEST_CAP}
+    ),
+    cands AS (
+        SELECT DISTINCT g.doc_id AS new_id, k.doc_id AS corpus_id
+        FROM gauged g JOIN keysc k
+          ON k.band_id = g.band_id AND k.band_key = g.band_key
+        WHERE g.bucket_size <= {_GUARDED_INGEST_CAP}
+          AND g.doc_id <> k.doc_id
+    ),
+    pairs AS (
+        SELECT c.new_id, c.corpus_id,
+               round({{jacc}}, 6) AS jaccard
+        FROM cands c
+        JOIN shb sa ON sa.doc_id = c.new_id
+        JOIN shc sb ON sb.doc_id = c.corpus_id
+        WHERE round({{jacc}}, 6) >= {_GUARDED_INGEST_THRESHOLD}
+    )
+    SELECT new_id, corpus_id, jaccard,
+           CAST(NULL AS INTEGER) AS band_id,
+           CAST(NULL AS BIGINT) AS bucket_size,
+           'pair' AS status
+    FROM pairs
+    UNION ALL
+    SELECT new_id, CAST(NULL AS BIGINT), CAST(NULL AS DOUBLE),
+           band_id, bucket_size, 'skipped'
+    FROM skipped
+    """.format(
+        sh=_SHINGLES,
+        mh=_MH_COLS_SQL,
+        bandc=_BAND_SELECTS.replace("FROM sigs", "FROM sigc"),
+        bandb=_BAND_SELECTS.replace("FROM sigs", "FROM sigb"),
+        jacc="len(list_filter(sa.shingles, x -> list_contains(sb.shingles, x))) / CAST(len(sa.shingles) + len(sb.shingles) - len(list_filter(sa.shingles, x -> list_contains(sb.shingles, x))) AS DOUBLE)",
+    ),
+)
+def documents_ingest_dedup_guarded(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The GUARDED dedup-at-ingest probe end to end, as a hash-checked
+    row (r11) — the exact path ``corpus_ingest`` now runs by default:
+    the standing corpus (nine tenths of documents, plus a PLANTED hot
+    bucket — {clones} verbatim copies of the first batch doc's text,
+    the crawl-boilerplate regime) is indexed into the maintained LSH
+    band table with its bucket-``sizes`` sidecar; the incoming batch
+    (the other tenth) probes through
+    ``incremental_near_dups_with_report`` at bucket_cap={cap}. Output
+    is the union a real ingest job consumes: verified near-dup pairs
+    (status='pair') AND the never-silent skip report (status=
+    'skipped') — the planted doc's every band lands in the
+    over-cap bucket, so it surfaces as skipped (the loop would divert
+    it as dedup_unchecked), while every other batch doc keeps its
+    normal check. The oracle replays shingles → minhash → banding for
+    both sides, the bucket sizing, the cap split, and the Jaccard
+    verify. In-query index build wall lands in PHASE_SECS (the
+    bm25-indexed treatment); probe work is O(|batch| x B x cap) by
+    construction — the very bound this row exists to demonstrate."""
+    import time as _time
+
+    from urban_mobility_data_pipeline_spark.cache import scratch_dir
+    from urban_mobility_data_pipeline_spark.extensions.dedup_index import (
+        incremental_near_dups_with_report,
+        refresh_dedup_index,
+    )
+    from urban_mobility_data_pipeline_spark.operators.merge import MergeTable
+    from urban_mobility_data_pipeline_spark.operators.watermark import (
+        VersionCursor,
+    )
+
+    docs = table(spark, sf_dir, "documents")
+    batch = docs.filter(F.col("doc_id") % 10 == 0).select(
+        "doc_id", "text"
+    )
+    probe_doc = batch.orderBy("doc_id").limit(1).select("text")
+    clones = (
+        spark.range(1, _GUARDED_CLONES + 1)
+        .select((F.lit(1_000_000) + F.col("id")).alias("doc_id"))
+        .crossJoin(F.broadcast(probe_doc))
+    )
+    corpus_df = (
+        docs.filter(F.col("doc_id") % 10 != 0)
+        .select("doc_id", "text")
+        .unionByName(clones)
+    )
+    root = scratch_dir("umdp_guarded_")
+    corpus = MergeTable(spark, root + "/corpus")
+    corpus.create(corpus_df)
+    index = MergeTable(spark, root + "/index")
+    sizes = MergeTable(spark, root + "/sizes")
+    cursor = VersionCursor(spark, root + "/cursor")
+    _t0 = _time.perf_counter()
+    refresh_dedup_index(corpus, index, cursor, sizes=sizes)
+    PHASE_SECS["documents_ingest_dedup_guarded"] = {
+        "build_sec": round(_time.perf_counter() - _t0, 4)
+    }
+    pairs, skipped = incremental_near_dups_with_report(
+        batch, corpus, index, sizes, _GUARDED_INGEST_CAP,
+        threshold=_GUARDED_INGEST_THRESHOLD,
+    )
+    pair_rows = pairs.select(
+        "new_id",
+        "corpus_id",
+        "jaccard",
+        F.lit(None).cast("int").alias("band_id"),
+        F.lit(None).cast("long").alias("bucket_size"),
+        F.lit("pair").alias("status"),
+    )
+    skip_rows = skipped.select(
+        "new_id",
+        F.lit(None).cast("long").alias("corpus_id"),
+        F.lit(None).cast("double").alias("jaccard"),
+        "band_id",
+        "bucket_size",
+        F.lit("skipped").alias("status"),
+    )
+    return pair_rows.unionByName(skip_rows)
+
+
+documents_ingest_dedup_guarded.__doc__ = (
+    documents_ingest_dedup_guarded.__doc__.format(
+        clones=_GUARDED_CLONES, cap=_GUARDED_INGEST_CAP
+    )
+)
 
 
 # ---------------------------------------------------------------------------
