@@ -403,3 +403,44 @@ def test_cli_ingest_consumes_saturation_guard_by_default(
     docs = MergeTable(spark, f"{root}/documents")
     ids = {r[0] for r in docs.read().select("doc_id").collect()}
     assert 21 in ids and 20 not in ids
+
+
+def test_cli_quality_model_refresh_and_erase_propagation(
+    spark, sf_dir, tmp_path, capsys
+):
+    """quality_model_refresh: bootstrap trains the artifact at the
+    lake's standard path; an unchanged corpus keeps it; corpus_erase
+    REFRESHES it against the post-erasure corpus (the artifact tier of
+    GDPR propagation) rather than leaving it stale."""
+    import os as _os
+
+    from urban_mobility_data_pipeline_spark.operators.merge import MergeTable
+    from urban_mobility_data_pipeline_spark.run import main
+
+    lake = str(tmp_path / "lake")
+    root = f"{lake}/corpus"
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    corpus = MergeTable(spark, f"{root}/documents")
+    corpus.create(docs)
+
+    assert main(["quality_model_refresh", "--lake", lake], spark=spark) == 0
+    out = capsys.readouterr().out
+    assert "RETRAINED" in out
+    model_dir = f"{root}/quality_model"
+    assert _os.path.isfile(_os.path.join(model_dir, "_SUCCESS"))
+    w0 = spark.read.parquet(model_dir).collect()[0]
+
+    # no new commits: the standing model is kept
+    assert main(["quality_model_refresh", "--lake", lake], spark=spark) == 0
+    assert "model kept" in capsys.readouterr().out
+    assert spark.read.parquet(model_dir).collect()[0] == w0
+
+    # erasure refreshes the artifact unconditionally (no PSI wait)
+    victim = docs.select("doc_id").orderBy("doc_id").limit(3).collect()
+    ids = ",".join(str(r[0]) for r in victim)
+    assert main(
+        ["corpus_erase", "--lake", lake, "--ids", ids], spark=spark
+    ) == 0
+    w1 = spark.read.parquet(model_dir).collect()[0]
+    assert w1 != w0  # re-derived from the post-erasure corpus
+    assert w1["n_docs"] == corpus.read().count()

@@ -132,6 +132,45 @@ def max_feature_psi(
     return round(worst, 6), worst_feat
 
 
+def rebuild_quality_classifier(
+    corpus: MergeTable,
+    model_dir: str,
+    hist: MergeTable,
+    feature_frame: Callable[[DataFrame], DataFrame],
+    feature_cols: Sequence[str],
+    label_col: str = "label",
+    lr: float = LOGREG_LR,
+    iters: int = LOGREG_ITERS,
+) -> None:
+    """Unconditional retrain from the CURRENT corpus: drops any
+    standing artifact (a present one short-circuits train_logistic by
+    design), trains, writes the weights + the histogram snapshot, and
+    reseeds the maintained histogram. Used by the refresh's bootstrap
+    and drift branches, and as the GDPR retrain closure
+    (``gdpr_corpus.ModelArtifact(retrain=...)``) — erasure must
+    re-derive NOW, not wait for the PSI trigger."""
+    import shutil
+
+    shutil.rmtree(model_dir, ignore_errors=True)
+    feats = feature_frame(corpus.read())
+    train_logistic(
+        feats,
+        feature_cols,
+        label_col=label_col,
+        lr=lr,
+        iters=iters,
+        materialize_dir=model_dir,
+    )
+    full = clf_hist_contributions(feats, feature_cols, label_col)
+    full.coalesce(1).write.mode("overwrite").parquet(
+        _snapshot_dir(model_dir)
+    )
+    if hist.exists():
+        hist.replace(full)
+    else:
+        hist.create(full)
+
+
 def refresh_quality_classifier(
     corpus: MergeTable,
     model_dir: str,
@@ -171,28 +210,16 @@ def refresh_quality_classifier(
     spark = corpus.spark
 
     def _retrain_and_snapshot() -> None:
-        import shutil
-
-        # a present artifact short-circuits train_logistic by design;
-        # a RETRAIN must drop it first or it would read itself back
-        shutil.rmtree(model_dir, ignore_errors=True)
-        feats = feature_frame(corpus.read())
-        train_logistic(
-            feats,
+        rebuild_quality_classifier(
+            corpus,
+            model_dir,
+            hist,
+            feature_frame,
             feature_cols,
             label_col=label_col,
             lr=lr,
             iters=iters,
-            materialize_dir=model_dir,
         )
-        full = clf_hist_contributions(feats, feature_cols, label_col)
-        full.coalesce(1).write.mode("overwrite").parquet(
-            _snapshot_dir(model_dir)
-        )
-        if hist.exists():
-            hist.replace(full)
-        else:
-            hist.create(full)
 
     if (
         not artifact_exists(model_dir)

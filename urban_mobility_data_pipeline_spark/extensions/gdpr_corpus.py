@@ -132,7 +132,13 @@ def propagate_to_artifacts(
     actions: dict[str, str] = {}
     for name, art in artifacts.items():
         actions[name] = art.propagate_erasure()
-        if audit is not None and subjects is not None:
+        # an absent artifact is not audited — nothing happened to it
+        # (same principle as deleted=0 derivative tables)
+        if (
+            actions[name] != "absent"
+            and audit is not None
+            and subjects is not None
+        ):
             audit.record(
                 "corpus",
                 f"artifact:{name}",

@@ -164,8 +164,45 @@ def _corpus_erase_job(lake: J.Lakehouse, args) -> str:
         if args.salt
         else None
     )
+    # model-artifact tier: corpus-derived artifacts at the lake's
+    # standard paths are derived personal data too. The quality model
+    # REFRESHES (retrains against the post-erasure corpus — erasure
+    # must not wait for the PSI trigger); anything without a retrain
+    # closure is invalidated outright, never left stale.
+    from urban_mobility_data_pipeline_spark.extensions.gdpr_corpus import (
+        ModelArtifact,
+    )
+
+    model_dir = os.path.join(root, "quality_model")
+    corpus_tbl = tables["documents"]
+
+    def _retrain_quality() -> None:
+        from urban_mobility_data_pipeline_spark.extensions.classifier_model import (
+            rebuild_quality_classifier,
+        )
+        from urban_mobility_data_pipeline_spark.plans.llm_ops import (
+            _LOGREG_FEATURE_COLS,
+        )
+
+        rebuild_quality_classifier(
+            corpus_tbl,
+            model_dir,
+            MergeTable(spark, os.path.join(root, "quality_clf_hist")),
+            _quality_feature_frame,
+            _LOGREG_FEATURE_COLS,
+        )
+
+    artifacts = {
+        "quality_classifier": ModelArtifact(
+            model_dir, model_dir + "_train_hist", retrain=_retrain_quality
+        ),
+        # the semantic-dedup quantizer has no standing CLI trainer yet:
+        # invalidate-only, so the next index build retrains it
+        "quantizer": ModelArtifact(os.path.join(root, "quantizer")),
+    }
     deleted = erase_document_ids(
-        spark, ids, tables, audit=audit, vacuum=not args.no_vacuum
+        spark, ids, tables, audit=audit, vacuum=not args.no_vacuum,
+        artifacts=artifacts,
     )
     return f"corpus erasure ({len(ids)} subjects): {deleted}"
 
@@ -281,6 +318,65 @@ def _dsir_model_refresh_job(lake: J.Lakehouse, args) -> str:
         corpus, model, cursor, F.col("lang") == "en"
     )
     return f"dsir model refresh: folded {n} changed docs"
+
+
+def _quality_feature_frame(docs):
+    """CLI-corpus adapter for the classifier feature builder: the
+    managed corpus tables carry ``lang``, not ``source`` — inject a
+    constant so the one feature/label definition (shared with the
+    catalog rows and their oracles) applies unchanged."""
+    from pyspark.sql import functions as F
+
+    from urban_mobility_data_pipeline_spark.plans.llm_ops import (
+        _logreg_feature_frame,
+    )
+
+    if "source" not in docs.columns:
+        docs = docs.withColumn("source", F.lit("corpus"))
+    return _logreg_feature_frame(docs)
+
+
+def _quality_model_refresh_job(lake: J.Lakehouse, args) -> str:
+    """Maintained model-based quality classifier (the distilled Gopher
+    gate): full-batch GD has no exact delta fold, so the maintenance
+    contract is RETRAIN-ON-TRIGGER — each run folds the changed docs'
+    weak-label/feature histogram O(changed), PSIs it against the
+    training-time snapshot, and retrains the parquet weights artifact
+    only when the input mix moved (psi >= 0.25). Run after ingest
+    cycles like vocab_refresh; the artifact lives at
+    <corpus>/quality_model for scoring jobs and streaming gates to
+    read."""
+    from urban_mobility_data_pipeline_spark.extensions.classifier_model import (
+        refresh_quality_classifier,
+    )
+    from urban_mobility_data_pipeline_spark.operators.merge import MergeTable
+    from urban_mobility_data_pipeline_spark.operators.watermark import (
+        VersionCursor,
+    )
+    from urban_mobility_data_pipeline_spark.plans.llm_ops import (
+        _LOGREG_FEATURE_COLS,
+    )
+
+    root = args.corpus or os.path.join(args.lake, "corpus")
+    corpus = MergeTable(lake.spark, os.path.join(root, "documents"))
+    if not corpus.exists():
+        raise SystemExit("quality_model_refresh: no corpus at " + root)
+    r = refresh_quality_classifier(
+        corpus,
+        os.path.join(root, "quality_model"),
+        MergeTable(lake.spark, os.path.join(root, "quality_clf_hist")),
+        VersionCursor(
+            lake.spark, os.path.join(root, "quality_clf_cursor")
+        ),
+        _quality_feature_frame,
+        _LOGREG_FEATURE_COLS,
+    )
+    verdict = "RETRAINED" if r["retrained"] else "model kept"
+    feat = r["psi_feature"] or "-"
+    return (
+        f"quality model: {r['changed']} changed docs folded, "
+        f"psi {r['psi']} ({feat}), {verdict}"
+    )
 
 
 def _corpus_replicate_job(lake: J.Lakehouse, args) -> str:
@@ -545,6 +641,27 @@ def _corpus_maintenance_job(lake: J.Lakehouse, args) -> str:
         ),
     )
     report.append(f"dedup index folded {n_idx} docs")
+    from urban_mobility_data_pipeline_spark.extensions.classifier_model import (
+        refresh_quality_classifier,
+    )
+    from urban_mobility_data_pipeline_spark.plans.llm_ops import (
+        _LOGREG_FEATURE_COLS,
+    )
+
+    rq = refresh_quality_classifier(
+        corpus,
+        os.path.join(root, "quality_model"),
+        MergeTable(lake.spark, os.path.join(root, "quality_clf_hist")),
+        VersionCursor(
+            lake.spark, os.path.join(root, "quality_clf_cursor")
+        ),
+        _quality_feature_frame,
+        _LOGREG_FEATURE_COLS,
+    )
+    report.append(
+        f"quality model psi {rq['psi']}"
+        + (" RETRAINED" if rq["retrained"] else " kept")
+    )
     n_blooms = 0
     for name, cols in CORPUS_ID_COLS.items():
         t = MergeTable(lake.spark, os.path.join(root, name))
@@ -654,6 +771,7 @@ def build_registry() -> dict:
     registry["corpus_ingest"] = _corpus_ingest_job
     registry["vocab_refresh"] = _vocab_refresh_job
     registry["dsir_model_refresh"] = _dsir_model_refresh_job
+    registry["quality_model_refresh"] = _quality_model_refresh_job
     registry["dataset_card"] = _dataset_card_job
     registry["corpus_report"] = _corpus_report_job
     registry["drift_refresh"] = _drift_refresh_job
