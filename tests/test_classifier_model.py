@@ -220,3 +220,94 @@ def test_gdpr_invalidates_without_retrain(spark, setup):
     assert not artifact_exists(model_dir)
     assert not os.path.isdir(snap_dir)
     assert not art.exists()
+
+
+def _scores_map(scores):
+    return {
+        r["doc_id"]: (r["quality_prob"], r["predicted"], r["label"])
+        for r in scores.read().collect()
+    }
+
+
+def _batch_scores(spark, corpus, model_dir):
+    from urban_mobility_data_pipeline_spark.extensions.classifier import (
+        score_logistic,
+    )
+
+    w = spark.read.parquet(model_dir).select(
+        *[f"w{j}" for j in range(6)]
+    )
+    out = score_logistic(
+        _logreg_feature_frame(corpus.read()), w, _LOGREG_FEATURE_COLS
+    )
+    return {
+        r["doc_id"]: (r["quality_prob"], r["predicted"], r["label"])
+        for r in out.collect()
+    }
+
+
+def test_maintained_scores_fold_exactly_and_rekey_on_retrain(
+    spark, setup, tmp_path
+):
+    """refresh_quality_scores: the maintained per-doc score table
+    equals a from-scratch scoring of the current corpus after every
+    mutation cycle (scoring folds EXACTLY, unlike training), and a
+    model retrain — a new artifact fingerprint — forces one full
+    rescore so rows can never mix model versions."""
+    from urban_mobility_data_pipeline_spark.extensions.classifier_model import (
+        refresh_quality_scores,
+    )
+
+    corpus, hist, cursor, model_dir = setup
+    _refresh(corpus, model_dir, hist, cursor)  # trains the artifact
+    scores = MergeTable(spark, str(tmp_path / "scores"))
+    s_cursor = VersionCursor(spark, str(tmp_path / "scursor"))
+
+    def tick():
+        return refresh_quality_scores(
+            corpus, model_dir, scores, s_cursor,
+            _logreg_feature_frame, _LOGREG_FEATURE_COLS,
+        )
+
+    r = tick()
+    assert r["mode"] == "full"
+    assert _scores_map(scores) == _batch_scores(spark, corpus, model_dir)
+    assert tick() == {"changed": 0, "mode": "noop"}
+
+    # mutate: update one doc's text, append new docs, erase one
+    ids = [r_[0] for r_ in corpus.read().select("doc_id").limit(2).collect()]
+    upd = corpus.read().filter(F.col("doc_id") == ids[0]).withColumn(
+        "text", F.lit("a wholly different short text now here today ok")
+    )
+    corpus.merge(
+        upd.localCheckpoint(), keys=["doc_id"],
+        update_set={"text": F.col("s.text")}, insert=False,
+    )
+    corpus.delete(F.col("doc_id") == ids[1])
+    fresh = corpus.read().limit(3).select(
+        (F.col("doc_id") + 5_000_000).alias("doc_id"),
+        "text", "lang", "source", "n_chars",
+    )
+    corpus.merge(fresh.localCheckpoint(), keys=["doc_id"], insert=True)
+    r = tick()
+    assert r["mode"] == "delta" and r["changed"] > 0
+    got = _scores_map(scores)
+    assert got == _batch_scores(spark, corpus, model_dir)
+    assert ids[1] not in got  # erased id left the scores table too
+
+    # retrain the model (GDPR/drift path): fingerprint changes -> the
+    # next tick does ONE full rescore under the new weights
+    from urban_mobility_data_pipeline_spark.extensions.classifier_model import (
+        rebuild_quality_classifier,
+    )
+
+    corpus.delete(F.col("doc_id").isin(
+        [r_[0] for r_ in corpus.read().select("doc_id").limit(40).collect()]
+    ))
+    rebuild_quality_classifier(
+        corpus, model_dir, hist, _logreg_feature_frame,
+        _LOGREG_FEATURE_COLS,
+    )
+    r = tick()
+    assert r["mode"] == "full"
+    assert _scores_map(scores) == _batch_scores(spark, corpus, model_dir)

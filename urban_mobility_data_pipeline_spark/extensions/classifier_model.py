@@ -300,3 +300,114 @@ def refresh_quality_classifier(
     except Exception as exc:
         cursor.upsert(job, None, f"FAIL: {exc}")
         raise
+
+
+SCORES_JOB = "quality_classifier_scores"
+
+
+def _model_fingerprint(w_row) -> str:
+    import hashlib
+
+    return hashlib.md5(
+        repr(sorted(w_row.asDict().items())).encode()
+    ).hexdigest()
+
+
+def refresh_quality_scores(
+    corpus: MergeTable,
+    model_dir: str,
+    scores: MergeTable,
+    cursor: VersionCursor,
+    feature_frame: Callable[[DataFrame], DataFrame],
+    feature_cols: Sequence[str],
+    job: str = SCORES_JOB,
+    id_col: str = "doc_id",
+) -> dict:
+    """Maintained per-doc quality scores — the EXACT delta fold the
+    model itself can't have: scoring is a pure per-doc function of the
+    frozen weights, so changed docs rescore and unchanged rows stand
+    (the vocab/DSIR maintenance contract, applied downstream of the
+    retrain-on-trigger model).
+
+    Model-version keying (the result-cache discipline applied to a
+    derived table): the weight artifact's fingerprint is stored beside
+    the scores table; when it differs from the one the table was
+    scored under — a drift retrain, a GDPR refresh — the WHOLE table
+    rescores once (every row is a function of the model too; folding
+    a delta under new weights would silently mix model versions).
+    Steady state pays O(changed docs): rescore the change feed's
+    after-images, MERGE by id, delete erased ids through the key path.
+
+    Returns ``{"changed": n, "mode": "full"|"delta"|"noop"}``.
+    """
+    import os
+
+    from urban_mobility_data_pipeline_spark.extensions.classifier import (
+        score_logistic,
+    )
+
+    if not artifact_exists(model_dir):
+        raise ValueError(
+            "no classifier artifact at "
+            f"{model_dir}; run refresh_quality_classifier first"
+        )
+    spark = corpus.spark
+    names = [f"w{j}" for j in range(len(feature_cols) + 1)]
+    w_full = spark.read.parquet(model_dir)
+    fp = _model_fingerprint(w_full.collect()[0])
+    weights = w_full.select(*names)
+    fp_path = scores.path.rstrip("/") + "_model_fp"
+    prev_fp = None
+    if os.path.isfile(fp_path):
+        with open(fp_path) as f:
+            prev_fp = f.read().strip()
+
+    def scored(docs: DataFrame) -> DataFrame:
+        return score_logistic(
+            feature_frame(docs), weights, feature_cols
+        ).select(id_col, "quality_prob", "predicted", "label")
+
+    head_hist = corpus.history()
+    head = head_hist[0]["version"] if head_hist else 0
+    cur = cursor.read_version(job)
+    if not scores.exists() or cur == 0 or prev_fp != fp:
+        out = scored(corpus.read())
+        if scores.exists():
+            scores.replace(out)
+        else:
+            scores.create(out)
+        n = scores.read().count()
+        with open(fp_path, "w") as f:
+            f.write(fp)
+        cursor.upsert(job, head, "OK")
+        return {"changed": n, "mode": "full"}
+    if head <= cur:
+        cursor.upsert(job, None, "OK")
+        return {"changed": 0, "mode": "noop"}
+    try:
+        changed_ids = (
+            corpus.read_changes(cur)
+            .select(id_col)
+            .unionByName(corpus.read_removed(cur).select(id_col))
+            .distinct()
+        )
+        after = corpus.read().join(changed_ids, id_col)
+        fresh = scored(after)
+        non_keys = [c for c in fresh.columns if c != id_col]
+        scores.merge(
+            fresh,
+            keys=[id_col],
+            update_set={c: F.col(f"s.{c}") for c in non_keys},
+            insert=True,
+        )
+        gone = changed_ids.join(
+            corpus.read().select(id_col), id_col, "left_anti"
+        )
+        if gone.limit(1).count():
+            scores.delete_keys_in([id_col], gone)
+        n = changed_ids.count()
+        cursor.upsert(job, head, "OK")
+        return {"changed": n, "mode": "delta"}
+    except Exception as exc:
+        cursor.upsert(job, None, f"FAIL: {exc}")
+        raise

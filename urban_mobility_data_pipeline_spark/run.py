@@ -379,6 +379,43 @@ def _quality_model_refresh_job(lake: J.Lakehouse, args) -> str:
     )
 
 
+def _quality_scores_refresh_job(lake: J.Lakehouse, args) -> str:
+    """Maintained per-doc quality-score table: scoring is a pure
+    per-doc function of the frozen weights, so changed docs rescore
+    O(changed) and erased ids leave the table; a model retrain (new
+    artifact fingerprint) forces one full rescore so rows never mix
+    model versions. Run after quality_model_refresh; the table lives
+    at <corpus>/quality_scores for sampling/mixing jobs to read."""
+    from urban_mobility_data_pipeline_spark.extensions.classifier_model import (
+        refresh_quality_scores,
+    )
+    from urban_mobility_data_pipeline_spark.operators.merge import MergeTable
+    from urban_mobility_data_pipeline_spark.operators.watermark import (
+        VersionCursor,
+    )
+    from urban_mobility_data_pipeline_spark.plans.llm_ops import (
+        _LOGREG_FEATURE_COLS,
+    )
+
+    root = args.corpus or os.path.join(args.lake, "corpus")
+    corpus = MergeTable(lake.spark, os.path.join(root, "documents"))
+    if not corpus.exists():
+        raise SystemExit("quality_scores_refresh: no corpus at " + root)
+    r = refresh_quality_scores(
+        corpus,
+        os.path.join(root, "quality_model"),
+        MergeTable(lake.spark, os.path.join(root, "quality_scores")),
+        VersionCursor(
+            lake.spark, os.path.join(root, "quality_scores_cursor")
+        ),
+        _quality_feature_frame,
+        _LOGREG_FEATURE_COLS,
+    )
+    return (
+        f"quality scores: {r['mode']} refresh, {r['changed']} docs"
+    )
+
+
 def _corpus_replicate_job(lake: J.Lakehouse, args) -> str:
     """Keep a replica of the corpus documents table current: row-delta
     replication driven by the change feed (extensions/replicate.py).
@@ -772,6 +809,7 @@ def build_registry() -> dict:
     registry["vocab_refresh"] = _vocab_refresh_job
     registry["dsir_model_refresh"] = _dsir_model_refresh_job
     registry["quality_model_refresh"] = _quality_model_refresh_job
+    registry["quality_scores_refresh"] = _quality_scores_refresh_job
     registry["dataset_card"] = _dataset_card_job
     registry["corpus_report"] = _corpus_report_job
     registry["drift_refresh"] = _drift_refresh_job
