@@ -432,6 +432,19 @@ NOTES = (
     " code change; the r11 calibration-drift gate (gate_regressions)"
     " now alarms on exactly this probe-drift signature instead of"
     " silently normalizing through it."
+    " --- the FIRST r11 full run hit exactly that alarm live:"
+    " calibration drifted 1.44x (IO probe 2.6x), median raw ratio"
+    " 1.35x across 208 untouched shared queries (uniform = weather),"
+    " and the min-gate flagged three iterative/driver-loop rows"
+    " (trade_network_pagerank raw 6.5x, corpus_bpe_merges 3.9x,"
+    " streaming_distinct_user_event_days 3.2x). Isolated same-host"
+    " A/B immediately after (fresh sessions, 3 warm trials,"
+    " calibration back to 0.77): pagerank 5.6s (FASTER than r10's"
+    " 6.9), bpe_merges 4.8s (~r10), and the streaming row at 5.8s on"
+    " HEAD vs 7.3s on CHECKED-OUT r10 CODE on the same host — all"
+    " three weather; many-job driver-loop rows amplify host"
+    " scheduling weather the most. The committed artifact is a"
+    " post-A/B re-run on the recovered host."
 )
 
 #: The driver records only the LAST 2000 chars of stdout; stay inside
