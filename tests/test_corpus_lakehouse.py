@@ -53,7 +53,7 @@ def _ingest(spark, path, corpus, quarantine):
 def test_two_batch_ingest_upserts_and_gates(spark, lake):
     tmp_path, corpus, quarantine = lake
     counts = _ingest(spark, str(tmp_path / "b1"), corpus, quarantine)
-    assert counts == {"upserted": 2, "quarantined": 1, "compacted": 0, "near_dup_rejected": 0, "dedup_skipped_bands": 0, "dedup_unchecked": 0}
+    assert counts == {"upserted": 2, "quarantined": 1, "compacted": 0, "near_dup_rejected": 0, "dedup_skipped_bands": 0, "dedup_unchecked": 0, "model_gated": 0}
     rows = {r.doc_id: r for r in corpus.read().collect()}
     assert set(rows) == {1, 2}  # doc 3 gated out, bad line quarantined
     assert "<EMAIL>" in rows[2].text and "alice@example.com" not in rows[2].text
@@ -167,7 +167,7 @@ def test_duplicate_key_feed_lands_one_row_per_doc(spark, tmp_path):
     corpus = MergeTable(spark, str(tmp_path / "corpus"))
     quarantine = MergeTable(spark, str(tmp_path / "quarantine"))
     counts = ingest_feed(spark, str(feed), corpus, quarantine)
-    assert counts == {"upserted": 2, "quarantined": 0, "compacted": 0, "near_dup_rejected": 0, "dedup_skipped_bands": 0, "dedup_unchecked": 0}
+    assert counts == {"upserted": 2, "quarantined": 0, "compacted": 0, "near_dup_rejected": 0, "dedup_skipped_bands": 0, "dedup_unchecked": 0, "model_gated": 0}
     rows = {r.doc_id: r for r in corpus.read().collect()}
     assert sorted(rows) == [7, 8]
     assert corpus.read().filter(F.col("doc_id") == 7).count() == 1
@@ -209,10 +209,96 @@ def test_empty_feed_is_harmless(spark, tmp_path):
     corpus = MergeTable(spark, str(tmp_path / "corpus"))
     quarantine = MergeTable(spark, str(tmp_path / "quarantine"))
     counts = ingest_feed(spark, str(feed), corpus, quarantine)
-    assert counts == {"upserted": 0, "quarantined": 0, "compacted": 0, "near_dup_rejected": 0, "dedup_skipped_bands": 0, "dedup_unchecked": 0}
+    assert counts == {"upserted": 0, "quarantined": 0, "compacted": 0, "near_dup_rejected": 0, "dedup_skipped_bands": 0, "dedup_unchecked": 0, "model_gated": 0}
     assert not quarantine.exists()
 
     (feed / "b1.jsonl").write_text("\n".join(BATCH_1) + "\n")
     counts = ingest_feed(spark, str(feed), corpus, quarantine)
     assert counts["upserted"] == 2
     assert corpus.read().count() == 2
+
+
+def test_model_quality_gate_at_the_ingest_door(spark, sf_dir, tmp_path):
+    """The MODEL curation tier (r11): with a trained weights artifact,
+    ingest_feed scores every heuristically-curated doc map-side and
+    admits exactly the docs the classifier scores >= min_prob — the
+    verdict is computed independently here via score_logistic, so the
+    pin holds whatever the trained weights say. Docs the model gates
+    are counted, not quarantined."""
+    import json as _json
+
+    from pyspark.sql import functions as F
+
+    from urban_mobility_data_pipeline_spark.extensions.classifier import (
+        QUALITY_FEATURE_COLS,
+        gopher_feature_frame,
+        score_logistic,
+        train_logistic,
+    )
+    from urban_mobility_data_pipeline_spark.extensions.corpus_ingest import (
+        QUALITY_GATE_MIN_PROB,
+    )
+    from urban_mobility_data_pipeline_spark.plans._helpers import table
+
+    # train the artifact on the testdata corpus (the quality_model_
+    # refresh bootstrap shape)
+    model_dir = str(tmp_path / "quality_model")
+    train_logistic(
+        gopher_feature_frame(table(spark, sf_dir, "documents")),
+        QUALITY_FEATURE_COLS,
+        materialize_dir=model_dir,
+    )
+
+    # a feed that clears the CHEAP heuristic gates either way: one
+    # long fluent doc, one terse doc (>=5 words, no punctuation, has a
+    # stopword) that the Gopher-distilled model is free to reject
+    feed_rows = [
+        {"doc_id": 1, "text": (
+            "the quick brown fox jumps over the lazy dog while the "
+            "inquisitive cat watches from a warm stone wall nearby and "
+            "the evening settles in over the quiet village streets"
+        ), "lang": "en"},
+        {"doc_id": 2, "text": "the market closed early again today",
+         "lang": "en"},
+    ]
+    feed = tmp_path / "feed"
+    feed.mkdir()
+    (feed / "f.jsonl").write_text(
+        "\n".join(_json.dumps(r) for r in feed_rows) + "\n"
+    )
+
+    # independent expectation: score the curated texts directly
+    from urban_mobility_data_pipeline_spark.extensions.corpus_ingest import (
+        curate,
+    )
+
+    curated = curate(
+        spark.createDataFrame(
+            [(r["doc_id"], r["text"], r["lang"]) for r in feed_rows],
+            "doc_id long, text string, lang string",
+        )
+    )
+    scored = score_logistic(
+        gopher_feature_frame(curated, keep=("doc_id",)),
+        spark.read.parquet(model_dir).select(*[f"w{j}" for j in range(6)]),
+        QUALITY_FEATURE_COLS,
+    )
+    expect_keep = {
+        r["doc_id"]
+        for r in scored.filter(
+            F.col("quality_prob") >= QUALITY_GATE_MIN_PROB
+        ).collect()
+    }
+    n_curated = curated.count()
+    assert 0 < len(expect_keep) <= n_curated  # the feed clears curation
+
+    corpus = MergeTable(spark, str(tmp_path / "corpus"))
+    quarantine = MergeTable(spark, str(tmp_path / "quarantine"))
+    counts = ingest_feed(
+        spark, str(feed), corpus, quarantine,
+        quality_model_dir=model_dir,
+    )
+    got = {r[0] for r in corpus.read().select("doc_id").collect()}
+    assert got == expect_keep
+    assert counts["model_gated"] == n_curated - len(expect_keep)
+    assert counts["quarantined"] == 0  # gated docs are curation, not errors

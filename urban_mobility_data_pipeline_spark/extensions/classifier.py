@@ -69,6 +69,83 @@ STOP_HITS_SCALE = 10.0
 REPARTITION_MAX_ROWS = 10_000_000
 
 
+#: Gopher rule-bundle thresholds (Rae et al. 2021 Table A1, scaled to
+#: this corpus) — the WEAK LABEL the classifier distills. They live
+#: here with the feature builder so every consumer (the catalog rows,
+#: their oracles via llm_ops' re-export, the ingest gate, the CLI
+#: maintenance jobs) shares one definition.
+GOPHER_MIN_WORDS = 20       # published: 50   (scaled to this corpus)
+GOPHER_MAX_WORDS = 100_000  # published: 100k
+GOPHER_MIN_AVG_WLEN = 3.0   # published: 3
+GOPHER_MAX_AVG_WLEN = 10.0  # published: 10
+GOPHER_MAX_SYMBOL_RATIO = 0.1
+GOPHER_MIN_STOP_HITS = 2    # published: >=2 stopwords present
+GOPHER_MAX_DUP_BIGRAM = 0.4  # stand-in for the duplicate-line rules
+
+#: the classifier's feature columns, in model order
+QUALITY_FEATURE_COLS = ("x1", "x2", "x3", "x4", "x5")
+
+
+def gopher_feature_frame(
+    docs: DataFrame, keep: Sequence[str] = ("doc_id", "source")
+) -> DataFrame:
+    """Gopher signals -> clipped/scaled features + the weak label.
+    Shares every expression (and its rounding) with the
+    ``documents_gopher_gate`` row, so the label here IS that row's
+    ``verdict = 'pass'`` and the oracles replay both identically.
+    ``keep`` lists the input columns carried through beside the
+    features — the catalog rows keep (doc_id, source); the ingest
+    gate keeps the full curated row so the score is a map-side column,
+    never a re-join."""
+    from urban_mobility_data_pipeline_spark.functions import text as T
+
+    carry = [c for c in keep]
+    staged_cols = list(dict.fromkeys([*carry, "text"]))
+    staged = docs.select(*staged_cols, T.words("text").alias("__w"))
+    q = T.quality_features("text", words_col=F.col("__w"))
+    r = T.repetition_features(F.col("__w"))
+    stop_hits = F.size(
+        F.filter("__w", lambda x: x.isin(*T.LANG_MARKERS["en"]))
+    )
+    # internal signal columns carry a __ prefix so a ``keep`` column of
+    # the same name (the ingest path's curated frame has its own
+    # n_words) can never collide
+    raw = staged.select(
+        *carry,
+        q["n_words"].alias("__g_n_words"),
+        q["avg_word_len"].alias("__g_avg_word_len"),
+        q["punct_ratio"].alias("__g_symbol_ratio"),
+        stop_hits.cast("int").alias("__g_stop_hits"),
+        r["dup_bigram_frac"].alias("__g_dup_bigram_frac"),
+    )
+    passes = (
+        (F.col("__g_n_words") >= GOPHER_MIN_WORDS)
+        & (F.col("__g_n_words") <= GOPHER_MAX_WORDS)
+        & (F.col("__g_avg_word_len") >= GOPHER_MIN_AVG_WLEN)
+        & (F.col("__g_avg_word_len") <= GOPHER_MAX_AVG_WLEN)
+        & (F.col("__g_symbol_ratio") <= GOPHER_MAX_SYMBOL_RATIO)
+        & (F.col("__g_stop_hits") >= GOPHER_MIN_STOP_HITS)
+        & (F.col("__g_dup_bigram_frac") <= GOPHER_MAX_DUP_BIGRAM)
+    )
+    return raw.select(
+        *carry,
+        F.round(
+            F.least(F.col("__g_n_words"), F.lit(N_WORDS_CLIP))
+            / F.lit(N_WORDS_SCALE),
+            6,
+        ).alias("x1"),
+        F.round(F.col("__g_avg_word_len") / F.lit(10.0), 6).alias("x2"),
+        F.col("__g_symbol_ratio").alias("x3"),
+        F.round(
+            F.least(F.col("__g_stop_hits"), F.lit(STOP_HITS_CLIP))
+            / F.lit(STOP_HITS_SCALE),
+            6,
+        ).alias("x4"),
+        F.col("__g_dup_bigram_frac").alias("x5"),
+        passes.cast("int").alias("label"),
+    )
+
+
 def _sigmoid(z: Column) -> Column:
     return F.lit(1.0) / (F.lit(1.0) + F.exp(-z))
 

@@ -147,6 +147,45 @@ def _probe_with_guard(
     return hits, unchecked, n_skipped
 
 
+#: default score floor for the model-based quality gate: the trained
+#: probability at which a document clears the SECOND curation tier
+#: (same constant family as the streaming gate's STREAM_QC_MIN_PROB)
+QUALITY_GATE_MIN_PROB = 0.5
+
+
+def model_quality_gate(
+    curated: DataFrame, quality_model_dir: str, min_prob: float
+) -> DataFrame:
+    """The MODEL tier of the curation stack (CCNet's two-tier recipe:
+    cheap heuristics first, a trained classifier second) applied at the
+    ingest door: score every curated doc with the maintained weights
+    artifact and keep ``quality_prob >= min_prob``. Map-side only —
+    the features ride as columns beside the full curated row
+    (``gopher_feature_frame(keep=...)``), the 1-row weight frame
+    broadcasts, and the gate is a filter; no join, no shuffle, any
+    ingest rate. Same weights as the streaming gate and the catalog
+    scoring rows, read from the same parquet artifact the
+    quality_model_refresh job maintains."""
+    from urban_mobility_data_pipeline_spark.extensions.classifier import (
+        QUALITY_FEATURE_COLS,
+        gopher_feature_frame,
+        score_logistic,
+    )
+
+    names = [f"w{j}" for j in range(len(QUALITY_FEATURE_COLS) + 1)]
+    weights = curated.sparkSession.read.parquet(quality_model_dir).select(
+        *names
+    )
+    scored = score_logistic(
+        gopher_feature_frame(curated, keep=tuple(curated.columns)),
+        weights,
+        QUALITY_FEATURE_COLS,
+    )
+    return scored.filter(
+        F.col("quality_prob") >= F.lit(min_prob)
+    ).select(*curated.columns)
+
+
 def ingest_feed(
     spark: SparkSession,
     feed_path: str,
@@ -160,10 +199,18 @@ def ingest_feed(
     near_dup_threshold: float = 0.6,
     dedup_sizes: MergeTable | None = None,
     bucket_cap: int = DEDUP_BUCKET_CAP,
+    quality_model_dir: str | None = None,
+    quality_min_prob: float = QUALITY_GATE_MIN_PROB,
 ) -> dict[str, int]:
     """One ingest cycle. Returns ``{"upserted": n, "quarantined": n,
     "compacted": 0|1, "near_dup_rejected": n, "dedup_skipped_bands": n,
-    "dedup_unchecked": n}``.
+    "dedup_unchecked": n, "model_gated": n}``.
+
+    ``quality_model_dir`` (r11): when set and the weights artifact
+    exists, the MODEL quality tier runs after the heuristic gates —
+    :func:`model_quality_gate` at ``quality_min_prob``. Docs the model
+    rejects are counted (``model_gated``), not quarantined — like the
+    heuristic gates, a quality drop is curation, not an error.
 
     Malformed records append to the quarantine table (dead letters are
     kept, never dropped); curated rows MERGE on ``doc_id`` so feed
@@ -234,6 +281,18 @@ def ingest_feed(
             F.col(CORRUPT_COL).alias("raw_record")
         )
         curated = dedupe_on_key(curate(good))
+        n_model_gated = 0
+        if quality_model_dir is not None:
+            from urban_mobility_data_pipeline_spark.extensions.classifier import (
+                artifact_exists,
+            )
+
+            if artifact_exists(quality_model_dir):
+                n0 = curated.count()
+                curated = model_quality_gate(
+                    curated, quality_model_dir, quality_min_prob
+                )
+                n_model_gated = n0 - curated.count()
         n_rejected = 0
         n_skipped_bands = 0
         n_unchecked = 0
@@ -348,6 +407,7 @@ def ingest_feed(
             "near_dup_rejected": n_rejected,
             "dedup_skipped_bands": n_skipped_bands,
             "dedup_unchecked": n_unchecked,
+            "model_gated": n_model_gated,
         }
     finally:
         parsed.unpersist()
@@ -370,6 +430,8 @@ def stream_ingest_feed(
     near_dup_threshold: float = 0.6,
     dedup_sizes: MergeTable | None = None,
     bucket_cap: int = DEDUP_BUCKET_CAP,
+    quality_model_dir: str | None = None,
+    quality_min_prob: float = QUALITY_GATE_MIN_PROB,
 ) -> None:
     """Continuous-ingest twin of :func:`ingest_feed`: a JSONL file
     stream (``readStream`` + ``Trigger.AvailableNow``) drains every
@@ -424,6 +486,15 @@ def stream_ingest_feed(
         good, bad = _split(batch)
         try:
             curated = dedupe_on_key(curate(good))
+            if quality_model_dir is not None:
+                from urban_mobility_data_pipeline_spark.extensions.classifier import (
+                    artifact_exists,
+                )
+
+                if artifact_exists(quality_model_dir):
+                    curated = model_quality_gate(
+                        curated, quality_model_dir, quality_min_prob
+                    )
             if (
                 dedup_index is not None
                 and dedup_index.exists()

@@ -6173,15 +6173,21 @@ def documents_packing_efficiency(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# Gopher-rules quality gate (the published heuristic filter bundle)
+# Gopher-rules quality gate (the published heuristic filter bundle).
+# The thresholds moved to extensions/classifier.py in r11 (one
+# definition shared by the catalog rows, the oracles, the ingest gate,
+# and the CLI maintenance jobs); re-exported here so the oracle
+# f-strings and existing imports keep reading the same names.
 # ---------------------------------------------------------------------------
-GOPHER_MIN_WORDS = 20       # published: 50   (scaled to this corpus)
-GOPHER_MAX_WORDS = 100_000  # published: 100k
-GOPHER_MIN_AVG_WLEN = 3.0   # published: 3
-GOPHER_MAX_AVG_WLEN = 10.0  # published: 10
-GOPHER_MAX_SYMBOL_RATIO = 0.1
-GOPHER_MIN_STOP_HITS = 2    # published: >=2 stopwords present
-GOPHER_MAX_DUP_BIGRAM = 0.4  # stand-in for the duplicate-line rules
+from urban_mobility_data_pipeline_spark.extensions.classifier import (  # noqa: E402
+    GOPHER_MAX_AVG_WLEN,
+    GOPHER_MAX_DUP_BIGRAM,
+    GOPHER_MAX_SYMBOL_RATIO,
+    GOPHER_MAX_WORDS,
+    GOPHER_MIN_AVG_WLEN,
+    GOPHER_MIN_STOP_HITS,
+    GOPHER_MIN_WORDS,
+)
 
 _GOPHER_W = _WORDS
 _GOPHER_AVGW = (
@@ -6363,54 +6369,16 @@ def _quality_weights(
 
 
 def _logreg_feature_frame(docs: DataFrame) -> DataFrame:
-    """Gopher signals -> clipped/scaled features + the weak label.
-    Shares every expression (and its rounding) with the
-    ``documents_gopher_gate`` row, so the label here IS that row's
-    ``verdict = 'pass'`` and the oracle replays both identically."""
-    staged = docs.select(
-        "doc_id", "source", "text", T.words("text").alias("__w")
+    """Gopher signals -> clipped/scaled features + the weak label —
+    the shared ``classifier.gopher_feature_frame`` at its catalog
+    projection (doc_id, source carried). One definition serves the
+    catalog rows, their oracles, the ingest model gate, and the CLI
+    maintenance jobs."""
+    from urban_mobility_data_pipeline_spark.extensions.classifier import (
+        gopher_feature_frame,
     )
-    q = T.quality_features("text", words_col=F.col("__w"))
-    r = T.repetition_features(F.col("__w"))
-    stop_hits = F.size(
-        F.filter("__w", lambda x: x.isin(*T.LANG_MARKERS["en"]))
-    )
-    raw = staged.select(
-        "doc_id",
-        "source",
-        q["n_words"].alias("n_words"),
-        q["avg_word_len"].alias("avg_word_len"),
-        q["punct_ratio"].alias("symbol_ratio"),
-        stop_hits.cast("int").alias("stop_hits"),
-        r["dup_bigram_frac"].alias("dup_bigram_frac"),
-    )
-    passes = (
-        (F.col("n_words") >= GOPHER_MIN_WORDS)
-        & (F.col("n_words") <= GOPHER_MAX_WORDS)
-        & (F.col("avg_word_len") >= GOPHER_MIN_AVG_WLEN)
-        & (F.col("avg_word_len") <= GOPHER_MAX_AVG_WLEN)
-        & (F.col("symbol_ratio") <= GOPHER_MAX_SYMBOL_RATIO)
-        & (F.col("stop_hits") >= GOPHER_MIN_STOP_HITS)
-        & (F.col("dup_bigram_frac") <= GOPHER_MAX_DUP_BIGRAM)
-    )
-    return raw.select(
-        "doc_id",
-        "source",
-        F.round(
-            F.least(F.col("n_words"), F.lit(N_WORDS_CLIP))
-            / F.lit(N_WORDS_SCALE),
-            6,
-        ).alias("x1"),
-        F.round(F.col("avg_word_len") / F.lit(10.0), 6).alias("x2"),
-        F.col("symbol_ratio").alias("x3"),
-        F.round(
-            F.least(F.col("stop_hits"), F.lit(STOP_HITS_CLIP))
-            / F.lit(STOP_HITS_SCALE),
-            6,
-        ).alias("x4"),
-        F.col("dup_bigram_frac").alias("x5"),
-        passes.cast("int").alias("label"),
-    )
+
+    return gopher_feature_frame(docs, keep=("doc_id", "source"))
 
 
 def _logreg_feats_ctes() -> list[str]:

@@ -244,6 +244,17 @@ def _corpus_ingest_job(lake: J.Lakehouse, args) -> str:
                 lake.spark, os.path.join(root, "dedup_index_sizes")
             ),
         )
+    # the MODEL quality tier wires itself the same way: once
+    # quality_model_refresh has trained the artifact at the standard
+    # path, every later ingest scores against it map-side (CCNet's
+    # heuristics-then-classifier recipe, live at the door)
+    from urban_mobility_data_pipeline_spark.extensions.classifier import (
+        artifact_exists,
+    )
+
+    qm = os.path.join(root, "quality_model")
+    if artifact_exists(qm):
+        kw["quality_model_dir"] = qm
     counts = ingest_feed(
         lake.spark,
         args.source,
@@ -257,7 +268,8 @@ def _corpus_ingest_job(lake: J.Lakehouse, args) -> str:
         f"{counts['quarantined']} quarantined, "
         f"{counts['near_dup_rejected']} near-dup rejected, "
         f"{counts['dedup_skipped_bands']} saturated bands skipped, "
-        f"{counts['dedup_unchecked']} unchecked docs diverted"
+        f"{counts['dedup_unchecked']} unchecked docs diverted, "
+        f"{counts['model_gated']} model-gated"
     )
 
 
