@@ -311,3 +311,99 @@ def test_maintained_scores_fold_exactly_and_rekey_on_retrain(
     r = tick()
     assert r["mode"] == "full"
     assert _scores_map(scores) == _batch_scores(spark, corpus, model_dir)
+
+
+def test_refresh_after_erase_does_not_double_fold(spark, setup):
+    """ADVICE r11 (medium): a GDPR rebuild reseeds the histogram from
+    the post-erasure corpus; if the cursor is NOT advanced with it, the
+    next refresh tick takes the steady-state branch and folds the
+    erasure's (after − before) delta into the already-reseeded state —
+    double-subtracting erased docs. rebuild_quality_classifier(cursor=)
+    (the shape run.py's erase closure uses) pins the cursor to the
+    corpus head, so the tick after an erase is a clean no-op and the
+    live histogram stays equal to the from-scratch rollup."""
+    corpus, hist, cursor, model_dir = setup
+    _refresh(corpus, model_dir, hist, cursor)  # bootstrap
+
+    # a normal commit between the bootstrap and the erase (the
+    # double-count ALSO hits commits between cursor and erase)
+    clones = corpus.read().limit(10).select(
+        (F.col("doc_id") + 3_000_000).alias("doc_id"),
+        "text", "lang", "source", "n_chars",
+    )
+    corpus.merge(clones.localCheckpoint(), keys=["doc_id"], insert=True)
+
+    erased = [r.doc_id for r in corpus.read().limit(15).collect()]
+
+    def retrain():
+        from urban_mobility_data_pipeline_spark.extensions.classifier_model import (
+            rebuild_quality_classifier,
+        )
+
+        rebuild_quality_classifier(
+            corpus, model_dir, hist,
+            _logreg_feature_frame, _LOGREG_FEATURE_COLS,
+            cursor=cursor,
+        )
+
+    art = ModelArtifact(
+        model_dir, model_dir + "_train_hist", retrain=retrain
+    )
+    erase_document_ids(
+        spark, erased, {"documents": corpus},
+        artifacts={"quality_classifier": art},
+    )
+    # reseed already matches the post-erasure corpus
+    assert _hist_got(hist) == _hist_expected(corpus)
+
+    # the next maintenance tick must see a caught-up cursor: no fold
+    r = _refresh(corpus, model_dir, hist, cursor)
+    assert r == {
+        "changed": 0, "psi": 0.0, "psi_feature": "", "retrained": 0,
+    }
+    assert _hist_got(hist) == _hist_expected(corpus)
+
+    # and a LATER real commit still folds exactly from the reseeded base
+    more = corpus.read().limit(5).select(
+        (F.col("doc_id") + 4_000_000).alias("doc_id"),
+        "text", "lang", "source", "n_chars",
+    )
+    corpus.merge(more.localCheckpoint(), keys=["doc_id"], insert=True)
+    r = _refresh(corpus, model_dir, hist, cursor)
+    assert r["changed"] > 0
+    assert _hist_got(hist) == _hist_expected(corpus)
+
+
+def test_artifact_paths_accept_file_scheme(spark, setup, tmp_path):
+    """ADVICE r11: artifact + sidecar paths may arrive file://-prefixed
+    (MergeTable supports the scheme via _local_path); artifact_exists,
+    ModelArtifact, and the scores fingerprint sidecar must strip it
+    before raw filesystem operations instead of crashing or silently
+    missing the stored state."""
+    from urban_mobility_data_pipeline_spark.extensions.classifier_model import (
+        refresh_quality_scores,
+    )
+
+    corpus, hist, cursor, model_dir = setup
+    _refresh(corpus, model_dir, hist, cursor)
+    assert artifact_exists("file://" + model_dir)
+
+    art = ModelArtifact("file://" + model_dir)
+    assert art.exists()
+
+    # maintained scores against a file://-prefixed table path: the
+    # fingerprint sidecar round-trips (full -> noop, not crash/full)
+    scores = MergeTable(spark, "file://" + str(tmp_path / "scores"))
+    s_cursor = VersionCursor(spark, str(tmp_path / "scursor"))
+
+    def tick():
+        return refresh_quality_scores(
+            corpus, model_dir, scores, s_cursor,
+            _logreg_feature_frame, _LOGREG_FEATURE_COLS,
+        )
+
+    assert tick()["mode"] == "full"
+    assert tick() == {"changed": 0, "mode": "noop"}
+
+    art.invalidate()
+    assert not art.exists() and not artifact_exists(model_dir)

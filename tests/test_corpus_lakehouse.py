@@ -302,3 +302,68 @@ def test_model_quality_gate_at_the_ingest_door(spark, sf_dir, tmp_path):
     assert got == expect_keep
     assert counts["model_gated"] == n_curated - len(expect_keep)
     assert counts["quarantined"] == 0  # gated docs are curation, not errors
+
+
+def test_stream_mixed_batch_keeps_all_dead_letter_kinds(spark, tmp_path):
+    """ADVICE r11: a micro-batch producing BOTH near-dup rejects and
+    malformed rows must quarantine both. The old code ran two guarded
+    appends; the first stamped the batch_id, so the second saw
+    `already=True` and silently dropped its dead letters — violating
+    the 'dead letters are kept, never dropped' contract. Dead letters
+    now union into ONE append per batch."""
+    import json as _json
+
+    from urban_mobility_data_pipeline_spark.extensions.corpus_ingest import (
+        stream_ingest_feed,
+    )
+    from urban_mobility_data_pipeline_spark.operators.watermark import (
+        VersionCursor,
+    )
+
+    base_text = (
+        "the quick brown fox jumps over the lazy dog while the "
+        "inquisitive cat watches from a warm stone wall nearby"
+    )
+    feed = tmp_path / "feed"
+    feed.mkdir()
+    corpus = MergeTable(spark, str(tmp_path / "corpus"))
+    quarantine = MergeTable(spark, str(tmp_path / "quarantine"))
+    index = MergeTable(spark, str(tmp_path / "index"))
+    cursor = VersionCursor(spark, str(tmp_path / "cursor"))
+    ckpt = str(tmp_path / "ckpt")
+
+    # run 1: seed the corpus + index
+    (feed / "a.jsonl").write_text(
+        _json.dumps({"doc_id": 1, "text": base_text, "lang": "en"}) + "\n"
+    )
+    stream_ingest_feed(
+        spark, str(feed), corpus, quarantine, ckpt,
+        dedup_index=index, dedup_cursor=cursor,
+    )
+    assert corpus.read().count() == 1 and not quarantine.exists()
+
+    # run 2: ONE new file -> one micro-batch carrying a near-dup AND a
+    # malformed line
+    (feed / "b.jsonl").write_text(
+        _json.dumps(
+            {"doc_id": 2, "text": base_text + " again", "lang": "en"}
+        )
+        + "\nnot even json\n"
+    )
+    stream_ingest_feed(
+        spark, str(feed), corpus, quarantine, ckpt,
+        dedup_index=index, dedup_cursor=cursor,
+    )
+    assert {r[0] for r in corpus.read().select("doc_id").collect()} == {1}
+    dead = quarantine.read().collect()
+    assert len(dead) == 2, dead  # BOTH kinds survived the batch
+    payloads = [r["raw_record"] for r in dead]
+    assert any("matched_doc_id" in p for p in payloads)  # near-dup reject
+    assert any("not even json" in p for p in payloads)  # malformed row
+
+    # replay safety unchanged: a third run with no new files is a no-op
+    stream_ingest_feed(
+        spark, str(feed), corpus, quarantine, ckpt,
+        dedup_index=index, dedup_cursor=cursor,
+    )
+    assert quarantine.read().count() == 2

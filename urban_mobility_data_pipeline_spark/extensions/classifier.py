@@ -152,10 +152,15 @@ def _sigmoid(z: Column) -> Column:
 
 def artifact_exists(materialize_dir: str) -> bool:
     """True when a committed model artifact is readable at the dir
-    (same local-FS contract as MergeTable's manifest paths)."""
+    (same local-FS contract as MergeTable's manifest paths; any
+    file:// scheme is stripped like MergeTable._local_path does)."""
     import os
 
-    return os.path.isfile(os.path.join(materialize_dir, "_SUCCESS"))
+    return os.path.isfile(
+        os.path.join(
+            materialize_dir.removeprefix("file://"), "_SUCCESS"
+        )
+    )
 
 
 def train_logistic(

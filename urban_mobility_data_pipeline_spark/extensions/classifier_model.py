@@ -141,6 +141,8 @@ def rebuild_quality_classifier(
     label_col: str = "label",
     lr: float = LOGREG_LR,
     iters: int = LOGREG_ITERS,
+    cursor: VersionCursor | None = None,
+    job: str = QUALITY_CLF_JOB,
 ) -> None:
     """Unconditional retrain from the CURRENT corpus: drops any
     standing artifact (a present one short-circuits train_logistic by
@@ -148,10 +150,21 @@ def rebuild_quality_classifier(
     reseeds the maintained histogram. Used by the refresh's bootstrap
     and drift branches, and as the GDPR retrain closure
     (``gdpr_corpus.ModelArtifact(retrain=...)``) — erasure must
-    re-derive NOW, not wait for the PSI trigger."""
+    re-derive NOW, not wait for the PSI trigger.
+
+    ``cursor`` (ADVICE r11): the maintained histogram is reseeded from
+    the corpus HEAD, so any out-of-band rebuild (the GDPR path) must
+    also advance the histogram cursor to that head — otherwise the next
+    ``refresh_quality_classifier`` tick takes the steady-state branch
+    and folds the (after − before) delta of commits the reseed already
+    absorbed, double-counting them. Callers inside the refresh manage
+    the cursor themselves; standalone callers pass it here.
+    """
     import shutil
 
-    shutil.rmtree(model_dir, ignore_errors=True)
+    shutil.rmtree(
+        model_dir.removeprefix("file://"), ignore_errors=True
+    )
     feats = feature_frame(corpus.read())
     train_logistic(
         feats,
@@ -169,6 +182,10 @@ def rebuild_quality_classifier(
         hist.replace(full)
     else:
         hist.create(full)
+    if cursor is not None:
+        head_hist = corpus.history()
+        head = head_hist[0]["version"] if head_hist else 0
+        cursor.upsert(job, head, "OK")
 
 
 def refresh_quality_classifier(
@@ -356,7 +373,11 @@ def refresh_quality_scores(
     w_full = spark.read.parquet(model_dir)
     fp = _model_fingerprint(w_full.collect()[0])
     weights = w_full.select(*names)
-    fp_path = scores.path.rstrip("/") + "_model_fp"
+    # sidecar lives beside the table on the local FS — strip any
+    # file:// scheme the table path may carry (ADVICE r11: a raw
+    # open('file:///...') raises, so a scheme'd lake would crash or
+    # never see the stored fingerprint)
+    fp_path = scores._local_path().rstrip("/") + "_model_fp"
     prev_fp = None
     if os.path.isfile(fp_path):
         with open(fp_path) as f:

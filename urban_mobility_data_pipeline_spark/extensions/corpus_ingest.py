@@ -288,9 +288,21 @@ def ingest_feed(
             )
 
             if artifact_exists(quality_model_dir):
+                from urban_mobility_data_pipeline_spark.cache import (
+                    scratch_persist,
+                )
+
+                # stage once for the cycle (released in the finally's
+                # release_scratch): the gate's before/after counts and
+                # every downstream consumer (probe, n_up, MERGE) would
+                # otherwise re-run parse→curate→featurize→score per
+                # action (ADVICE r11)
+                curated = scratch_persist(curated)
                 n0 = curated.count()
-                curated = model_quality_gate(
-                    curated, quality_model_dir, quality_min_prob
+                curated = scratch_persist(
+                    model_quality_gate(
+                        curated, quality_model_dir, quality_min_prob
+                    )
                 )
                 n_model_gated = n0 - curated.count()
         n_rejected = 0
@@ -495,6 +507,14 @@ def stream_ingest_feed(
                     curated = model_quality_gate(
                         curated, quality_model_dir, quality_min_prob
                     )
+            # every dead-letter shape this micro-batch produces —
+            # near-dup rejects, dedup_unchecked diverts, malformed rows
+            # — is collected here and appended ONCE under one replay
+            # guard. Separate guarded appends would break the contract:
+            # the first append stamps this batch_id, so a later append
+            # in the SAME batch would see `already=True` and silently
+            # drop its dead letters (ADVICE r11).
+            dead_letters: DataFrame | None = None
             if (
                 dedup_index is not None
                 and dedup_index.exists()
@@ -557,18 +577,7 @@ def stream_ingest_feed(
                         "left_anti",
                     )
                 if not dead.isEmpty():
-                    if quarantine.exists():
-                        existing = quarantine.read()
-                        already = (
-                            "batch_id" in existing.columns
-                            and not existing.filter(
-                                F.col("batch_id") == batch_id
-                            ).isEmpty()
-                        )
-                        if not already:
-                            quarantine.append(dead)
-                    else:
-                        quarantine.create(dead)
+                    dead_letters = dead
                     curated = curated.join(
                         F.broadcast(
                             best.select(F.col("new_id").alias("doc_id"))
@@ -590,6 +599,12 @@ def stream_ingest_feed(
                 stamped = bad.withColumn(
                     "feed_path", F.lit(feed_dir)
                 ).withColumn("batch_id", F.lit(batch_id).cast("long"))
+                dead_letters = (
+                    stamped
+                    if dead_letters is None
+                    else dead_letters.unionByName(stamped)
+                )
+            if dead_letters is not None:
                 if quarantine.exists():
                     existing = quarantine.read()
                     already = (
@@ -599,9 +614,9 @@ def stream_ingest_feed(
                         ).isEmpty()
                     )
                     if not already:
-                        quarantine.append(stamped)
+                        quarantine.append(dead_letters)
                 else:
-                    quarantine.create(stamped)
+                    quarantine.create(dead_letters)
             if corpus.exists():
                 corpus.auto_compact(max_files=AUTO_COMPACT_MAX_FILES)
             if (

@@ -92,8 +92,10 @@ class ModelArtifact:
         import os
 
         return any(
-            os.path.isfile(os.path.join(p, "_SUCCESS"))
-            or os.path.isdir(p)
+            os.path.isfile(
+                os.path.join(p.removeprefix("file://"), "_SUCCESS")
+            )
+            or os.path.isdir(p.removeprefix("file://"))
             for p in self.paths
         )
 
@@ -101,7 +103,7 @@ class ModelArtifact:
         import shutil
 
         for p in self.paths:
-            shutil.rmtree(p, ignore_errors=True)
+            shutil.rmtree(p.removeprefix("file://"), ignore_errors=True)
 
     def propagate_erasure(self) -> str:
         """Refresh (retrain against the current corpus) or invalidate;

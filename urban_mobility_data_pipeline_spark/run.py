@@ -180,16 +180,26 @@ def _corpus_erase_job(lake: J.Lakehouse, args) -> str:
         from urban_mobility_data_pipeline_spark.extensions.classifier_model import (
             rebuild_quality_classifier,
         )
+        from urban_mobility_data_pipeline_spark.operators.watermark import (
+            VersionCursor,
+        )
         from urban_mobility_data_pipeline_spark.plans.llm_ops import (
             _LOGREG_FEATURE_COLS,
         )
 
+        # the rebuild reseeds the maintained histogram from the
+        # post-erasure HEAD; advancing the cursor with it keeps the
+        # next quality_model_refresh tick from re-folding the
+        # erasure's delta into the already-reseeded state (ADVICE r11)
         rebuild_quality_classifier(
             corpus_tbl,
             model_dir,
             MergeTable(spark, os.path.join(root, "quality_clf_hist")),
             _quality_feature_frame,
             _LOGREG_FEATURE_COLS,
+            cursor=VersionCursor(
+                spark, os.path.join(root, "quality_clf_cursor")
+            ),
         )
 
     artifacts = {
