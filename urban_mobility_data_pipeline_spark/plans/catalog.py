@@ -266,6 +266,38 @@ FLAGSHIP = "pricing_summary"
 #                                ks_test, quantiles_sketch + the two
 #                                incoming classifier audit rows
 #                                (eval, calibration)
+# ---------------------------------------------------------------------------
+# Round-12 rotation (VERDICT r11 items 3+8): the two-row r11 queue seats
+# (documents_quality_classifier_drift, documents_ingest_dedup_guarded)
+# AND the three oracle-backed rows that had sat in NEVER_SEATED_BY_
+# CONSTRUCTION despite carrying full replay oracles seat once
+# (embedding_pq_codes, embedding_pq_topk, corpus_mixing_weights — all
+# three re-verified hash-matched at sf0.01 this round; the r6-era
+# float-hash concern did not reproduce). After this rotation every
+# oracle-backed catalog row has been driver-seated at least once; the
+# never-seated list holds only the three genuinely rows-only queries.
+# Five green-r11 rows rotate out, each keeping its catalog entry,
+# pytest-oracle row, and bench timing, with family coverage held:
+#   documents_quality_classifier_eval / _calibration
+#                                classifier family stays seated four
+#                                deep: _model + _scores (stay), _drift
+#                                (in), streaming_quality_classifier_gate
+#                                + documents_quality_weighted_sample
+#                                (stay)
+#   doc_simhash_bucket_overflow  overflow-metric family kept by
+#                                doc_lsh_bucket_overflow (stays) and by
+#                                truncated_members riding in-schema in
+#                                documents_fuzzy_dedup_keep_best_capped
+#                                + documents_train_eval_contamination_
+#                                capped (stay)
+#   documents_fuzzy_dedup_corpus_capped  capped composed family kept by
+#                                keep_best_capped (stays, same k2 path +
+#                                overflow scalar) — corpus_capped's only
+#                                delta is the representative projection
+#   corpus_temperature_mixing    mixing family kept by the incoming
+#                                corpus_mixing_weights (the rate math
+#                                itself) + corpus_dsir_sample (stays)
+# ---------------------------------------------------------------------------
 DRIVER_QUERY_NAMES: tuple[str, ...] = (
     # consolidated §2 core block (6 rows; component map in the r8 comment)
     "event_scalar_union_showcase",
@@ -286,7 +318,6 @@ DRIVER_QUERY_NAMES: tuple[str, ...] = (
     "corpus_dsir_sample",
     "corpus_pmi_collocations",
     "corpus_source_drift_psi",
-    "corpus_temperature_mixing",
     "doc_bm25_topk_indexed",
     "doc_hybrid_retrieval_rrf",
     "doc_lang_nb_classifier",
@@ -305,7 +336,6 @@ DRIVER_QUERY_NAMES: tuple[str, ...] = (
     # r9 self-bounding wave (seated r10, green)
     "doc_lsh_bucket_overflow",
     "doc_simhash_capped_pairs",
-    "doc_simhash_bucket_overflow",
     "doc_edit_similarity_pairs_capped",
     # r7 embedding/ANN wave (first driver rows)
     "embedding_bq_hamming_topk",
@@ -314,9 +344,8 @@ DRIVER_QUERY_NAMES: tuple[str, ...] = (
     "events_watermark_lateness_audit",
     # structured streaming (real readStream execution)
     "streaming_running_profiles",
-    # --- r11 entrants: the full r10 queue (first driver rows) ---
+    # --- r11 entrants: the r10 queue (first driver rows) ---
     # capped composed dedup end products (truncated_members in-schema)
-    "documents_fuzzy_dedup_corpus_capped",
     "documents_fuzzy_dedup_keep_best_capped",
     "documents_train_eval_contamination_capped",
     # the adaptive-quantizer scale path of dedup-at-ingest
@@ -324,13 +353,19 @@ DRIVER_QUERY_NAMES: tuple[str, ...] = (
     # model-based quality tier (32-step GD trajectory hash-checked)
     "documents_quality_classifier_model",
     "documents_quality_classifier_scores",
-    "documents_quality_classifier_eval",
-    "documents_quality_classifier_calibration",
     "documents_quality_weighted_sample",
     # real readStream row: the trained gate at the crawl front door
     "streaming_quality_classifier_gate",
     # k-means + fixed per-cell quota diversity draw
     "embedding_cluster_balanced_sample",
+    # --- r12 entrants ---
+    # the r11 queue: the audited retrain trigger + the guarded probe
+    "documents_quality_classifier_drift",
+    "documents_ingest_dedup_guarded",
+    # the three oracle-backed ex-never-seated rows, seated once
+    "embedding_pq_codes",
+    "embedding_pq_topk",
+    "corpus_mixing_weights",
 )
 
 assert len(DRIVER_QUERY_NAMES) == 50, len(DRIVER_QUERY_NAMES)
@@ -352,21 +387,20 @@ DRIVER_ORACLES: dict[str, str] = {
 # documenting it as by-construction fails CI.
 # ---------------------------------------------------------------------------
 
-# Queries that are never seated BY CONSTRUCTION (each with its standing
-# verification documented in the r8 rotation comment above):
-#   - embedding_pq_codes / embedding_pq_topk: strict stages of
-#     embedding_ivfpq_topk, whose green full-pipeline oracle covers them
-#   - corpus_mixing_weights: rate math applied verbatim inside
-#     corpus_epoch_sample (green r7)
-#   - corpus_bpe_merges / documents_bpe_token_counts: rows-only iterative
-#     trainer, rule-for-rule Sennrich gold pin in tests/test_bpe.py;
-#     seating them would create err=no_oracle rows in CORRECTNESS
-#   - daily_distinct_users_sketch: rows-only HLL sketch, no cross-engine
-#     value hash
+# Queries that are never seated BY CONSTRUCTION — after the r12
+# rotation only the three queries with NO DuckDB oracle remain (seating
+# any of them would create an err=no_oracle row in CORRECTNESS, which
+# is strictly less information than their standing gold pins):
+#   - corpus_bpe_merges / documents_bpe_token_counts: rows-only
+#     iterative trainer; rule-for-rule Sennrich gold pin in
+#     tests/test_bpe.py is the stronger check
+#   - daily_distinct_users_sketch: rows-only HLL sketch — the sketch
+#     register layout has no cross-engine value hash; recall/error
+#     bounds pinned in tests instead
+# (embedding_pq_codes / embedding_pq_topk / corpus_mixing_weights left
+# this list in r12: all three carry full replay oracles and seated
+# after re-verifying hash-matched at sf0.01 — VERDICT r11 item 8.)
 NEVER_SEATED_BY_CONSTRUCTION: frozenset[str] = frozenset({
-    "embedding_pq_codes",
-    "embedding_pq_topk",
-    "corpus_mixing_weights",
     "corpus_bpe_merges",
     "documents_bpe_token_counts",
     "daily_distinct_users_sketch",
@@ -375,17 +409,24 @@ NEVER_SEATED_BY_CONSTRUCTION: frozenset[str] = frozenset({
 # Oracle-backed queries awaiting their first driver slot (seat these
 # first in the NEXT round's rotation; a query may not stay queued for
 # more than one round).
-# (r11: the entire r10 queue is now seated — see the r11 rotation
-# comment above.)
+# (r12: the r11 queue seated; the one new r12 row queues here.)
 DRIVER_SEAT_QUEUE: tuple[str, ...] = (
-    # r11 additions, first in line for the r12 rotation
-    "documents_quality_classifier_drift",  # the retrain trigger, audited
-    "documents_ingest_dedup_guarded",  # the guarded probe end to end
+    # r12 addition, first in line for the r13 rotation: the composed
+    # training manifest upgraded to the door's curation stack
+    # (heuristics -> model gate -> exact dedup -> capped fuzzy dedup
+    # -> packing, model_gated + truncated_members in-schema)
+    "corpus_training_manifest_v2",
 )
 
 # Every query name that has held a driver slot in some round (r1-r11;
 # rotation history in git, tags r3-r8 + this file's comments).
 EVER_DRIVER_SEATED: frozenset[str] = frozenset({
+    # r12 entrants (the seated r11 queue + the three ex-never-seated)
+    "documents_quality_classifier_drift",
+    "documents_ingest_dedup_guarded",
+    "embedding_pq_codes",
+    "embedding_pq_topk",
+    "corpus_mixing_weights",
     # r11 entrants (the seated r10 queue)
     "documents_fuzzy_dedup_corpus_capped",
     "documents_fuzzy_dedup_keep_best_capped",

@@ -7053,6 +7053,212 @@ documents_ingest_dedup_guarded.__doc__ = (
 
 
 # ---------------------------------------------------------------------------
+# training manifest v2: the r5 recipe upgraded to the curation stack the
+# ingest door enforces (VERDICT r11 missing #5 / next-round #1)
+# ---------------------------------------------------------------------------
+def _training_manifest_v2_oracle() -> str:
+    """The v2 manifest's DuckDB replay, composed from the SAME fragment
+    constants its stages' standalone oracles use: the 32-step training
+    trajectory (classifier family), the heuristic-gate expressions (v1
+    manifest), the capped LSH candidate path + overflow scalar (capped
+    dedup family) — rebased onto the survivor CTE instead of the raw
+    table, so nothing can drift from the audited per-stage definitions."""
+    # the capped verify/cluster fragment, reseeded on the gated+exact-
+    # deduped survivor set: connected components must label SURVIVORS,
+    # not raw docs (a gated-out doc must neither join nor seed a cluster)
+    verified = _VERIFIED_FROM_K2.replace(
+        "SELECT doc_id, doc_id FROM documents",
+        "SELECT doc_id, doc_id FROM surv",
+    )
+    return f"""
+    WITH RECURSIVE {_logreg_oracle_ctes(LOGREG_ITERS, LOGREG_LR)},
+    heur AS (
+        SELECT doc_id, text,
+               CAST(len({_WORDS}) AS INTEGER) AS n_tokens
+        FROM documents
+        WHERE len({_WORDS}) >= 5
+          AND len(regexp_extract_all(text, '[^A-Za-z0-9\\s]'))
+                / CAST(greatest(length(text), 1) AS DOUBLE) <= 0.1
+          AND len(list_filter({_WORDS},
+                  w -> w IN ('the','and','of','to','a','in','is')))
+                / CAST(greatest(len({_WORDS}), 1) AS DOUBLE) >= 0.05
+    ),
+    mg AS (
+        SELECT h.doc_id, h.text, h.n_tokens,
+               round(1.0 / (1.0 + exp(-round({_LOGREG_Z_FINAL}, 6))),
+                     6) AS quality_prob
+        FROM heur h
+        JOIN feats f ON f.doc_id = h.doc_id
+        CROSS JOIN it{LOGREG_ITERS} w
+    ),
+    gated AS (
+        SELECT CAST(coalesce(sum(
+                   CASE WHEN quality_prob < 0.5 THEN 1 ELSE 0 END), 0)
+               AS BIGINT) AS model_gated
+        FROM mg
+    ),
+    surv0 AS (
+        SELECT doc_id, text, n_tokens FROM mg WHERE quality_prob >= 0.5
+    ),
+    ereps AS (SELECT min(doc_id) AS doc_id FROM surv0 GROUP BY md5(text)),
+    surv AS (
+        SELECT s.doc_id, s.text, s.n_tokens
+        FROM surv0 s JOIN ereps e ON e.doc_id = s.doc_id
+    ),
+    sh AS (SELECT doc_id, {_SHINGLES} AS shingles FROM surv),
+    sigs AS (SELECT doc_id, {_MH_COLS_SQL} FROM sh),
+    keys AS (
+{_BAND_SELECTS_REFINE}
+    ),
+    {_K2_CAPPED},
+    {verified},
+    {_OVF_SCALAR},
+    clean AS (
+        SELECT s.doc_id, s.n_tokens,
+               CAST(('0x' || substr(md5(CAST(s.doc_id AS VARCHAR)), 1, 4))
+                    AS INT) % {PACK_SHARDS} AS shard
+        FROM surv s JOIN comp c ON c.doc_id = s.doc_id
+        WHERE c.doc_id = c.cluster_id
+    )
+    SELECT doc_id, shard, n_tokens,
+           CAST(floor(
+               (sum(n_tokens) OVER (
+                    PARTITION BY shard ORDER BY doc_id
+                    ROWS UNBOUNDED PRECEDING) - n_tokens)
+               / {PACK_CTX_TOKENS}.0) AS INTEGER) AS bin,
+           g.model_gated, o.truncated_members
+    FROM clean CROSS JOIN gated g CROSS JOIN ovf o
+    """
+
+
+@register("corpus_training_manifest_v2", oracle=_training_manifest_v2_oracle())
+def corpus_training_manifest_v2(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The composed END PRODUCT a trainer reads, upgraded to the SAME
+    curation stack the production ingest door enforces (VERDICT r11:
+    the v1 recipe predates the model tier and the capped fuzzy dedup,
+    so the flagship end product was weaker than the pipeline feeding
+    it). Stages, in door order:
+
+    1. heuristic gates (min-words / punct / stopword — tier 1, pushed
+       predicates, map-only);
+    2. MODEL quality gate (CCNet's second tier): score against the
+       shared train-once weights artifact (``_quality_weights``) —
+       1-row broadcast, map-side filter, no shuffle; the gated count
+       rides the schema as ``model_gated``;
+    3. exact dedup (min doc_id per md5 digest — only 16-byte digests
+       shuffle);
+    4. CAPPED fuzzy dedup: self-bounding LSH candidates
+       (secondary banding + hard cap) → Jaccard verify → connected
+       components → keep min-id representative, with the membership
+       the cap dropped surfaced as ``truncated_members`` — the two
+       numbers a 100-TB curation job gates on before trusting the
+       manifest;
+    5. fingerprint-sharded token packing (shard-parallel prefix sum).
+
+    Output: (doc_id, shard, n_tokens, bin, model_gated,
+    truncated_members). The v1 row stays in-catalog as the
+    heuristics-only baseline; diffing the two quantifies what the
+    model tier + fuzzy dedup remove."""
+    from urban_mobility_data_pipeline_spark.cache import scratch_persist
+    from urban_mobility_data_pipeline_spark.extensions.classifier import (
+        QUALITY_FEATURE_COLS,
+        gopher_feature_frame,
+        score_logistic,
+    )
+    from urban_mobility_data_pipeline_spark.extensions.dedup import (
+        connected_components,
+    )
+
+    docs = table(spark, sf_dir, "documents")
+    # tier 1: heuristic gates (the v1 expressions, unchanged)
+    staged = docs.select(
+        "doc_id", "text", T.words("text").alias("__words")
+    )
+    qf = T.quality_features("text", words_col=F.col("__words"))
+    heur = staged.select(
+        "doc_id",
+        "text",
+        qf["n_words"].alias("n_tokens"),
+        qf["punct_ratio"].alias("punct_ratio"),
+        qf["stopword_ratio"].alias("stopword_ratio"),
+    ).filter(
+        (F.col("n_tokens") >= 5)
+        & (F.col("punct_ratio") <= 0.1)
+        & (F.col("stopword_ratio") >= 0.05)
+    )
+    # tier 2: the model gate, door-shaped — features ride as columns
+    # beside the survivor row (no re-join), the 1-row weight frame
+    # broadcasts, the gate is a filter
+    w, _ = _quality_weights(spark, sf_dir, "corpus_training_manifest_v2")
+    scored = scratch_persist(
+        score_logistic(
+            gopher_feature_frame(
+                heur, keep=("doc_id", "text", "n_tokens")
+            ),
+            w,
+            QUALITY_FEATURE_COLS,
+        ).select("doc_id", "text", "n_tokens", "quality_prob")
+    )
+    model_gated = scored.agg(
+        F.coalesce(
+            F.sum((F.col("quality_prob") < 0.5).cast("long")), F.lit(0)
+        )
+        .cast("long")
+        .alias("model_gated")
+    )
+    surv0 = scored.filter(F.col("quality_prob") >= 0.5).select(
+        "doc_id", "text", "n_tokens"
+    )
+    # tier 3: exact dedup (digest shuffle only)
+    ereps = surv0.groupBy(F.md5("text")).agg(
+        F.min("doc_id").alias("doc_id")
+    )
+    surv = scratch_persist(surv0.join(ereps.select("doc_id"), "doc_id"))
+    # tier 4: capped fuzzy dedup over the survivors, overflow in-schema
+    pairs, overflow = _capped_pairs_and_overflow(surv)
+    labels = connected_components(pairs, surv, algorithm="auto")
+    freps = labels.filter(F.col("node") == F.col("label")).select(
+        F.col("node").alias("doc_id")
+    )
+    # tier 5: fingerprint-sharded packing (v1's prefix-sum window)
+    clean = surv.join(freps, "doc_id").select(
+        "doc_id",
+        "n_tokens",
+        (
+            F.conv(
+                F.substring(F.md5(F.col("doc_id").cast("string")), 1, 4),
+                16,
+                10,
+            ).cast("int")
+            % PACK_SHARDS
+        ).alias("shard"),
+    )
+    win = (
+        Window.partitionBy("shard")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        clean.select(
+            "doc_id",
+            "shard",
+            "n_tokens",
+            F.floor(
+                (F.sum("n_tokens").over(win) - F.col("n_tokens"))
+                / PACK_CTX_TOKENS
+            )
+            .cast("int")
+            .alias("bin"),
+        )
+        .crossJoin(F.broadcast(model_gated))
+        .crossJoin(F.broadcast(overflow))
+    )
+
+
+
+# ---------------------------------------------------------------------------
 # contamination report: near-dup + exact-n-gram evidence joined
 # ---------------------------------------------------------------------------
 @register(
