@@ -93,6 +93,39 @@ def main() -> None:
     )
     calibration = round(time.perf_counter() - t0, 4)
 
+    # concurrency-matched probe pair (VERDICT r11 item 4): the legacy
+    # probe above splits 200M rows into short default-parallelism
+    # tasks, so it mostly tracks single-core frequency/steal — r11's
+    # driver run measured it 1.86x FASTER while the 32-way workload
+    # read 1.14x slower (inverse drift: the host's cores got quicker
+    # but more contended). These two run the SAME xxhash64 loop as one
+    # long single task (pure single-core story) and as cpus-many
+    # copies of that identical task (the multi-core envelope the
+    # catalog queries actually feel). The gate can then pick the
+    # corrector whose own drift is in-band instead of forfeiting
+    # normalization whenever the single-core story diverges.
+    _PER_TASK = 20_000_000
+    t0 = time.perf_counter()
+    (
+        spark.range(_PER_TASK, numPartitions=1)
+        .select(_F.xxhash64("id").alias("h"))
+        .agg(_F.avg("h"))
+        .write.format("noop")
+        .mode("overwrite")
+        .save()
+    )
+    calibration_ser = round(time.perf_counter() - t0, 4)
+    t0 = time.perf_counter()
+    (
+        spark.range(_PER_TASK * int(cpus), numPartitions=int(cpus))
+        .select(_F.xxhash64("id").alias("h"))
+        .agg(_F.avg("h"))
+        .write.format("noop")
+        .mode("overwrite")
+        .save()
+    )
+    calibration_par = round(time.perf_counter() - t0, 4)
+
     # fixed small-file IO probe (write 64 tiny parquet files, read them
     # back): the CPU probe above cannot correct IO weather, and the
     # rows that build index structures in-query (many small metadata
@@ -194,8 +227,14 @@ def main() -> None:
                         )
                     }
                 base_cal = base.get("calibration_sec") or 0.0
+                base_cal_par = base.get("calibration_par_sec") or 0.0
                 regressions, gate_stats = gate_regressions(
-                    timings, prev_times, calibration, base_cal
+                    timings,
+                    prev_times,
+                    calibration,
+                    base_cal,
+                    calibration_par=calibration_par,
+                    base_cal_par=base_cal_par,
                 )
                 for name, r in regressions.items():
                     print(
@@ -226,6 +265,8 @@ def main() -> None:
         "queries": timings,
         "sf": sf,
         "calibration_sec": calibration,
+        "calibration_ser_sec": calibration_ser,
+        "calibration_par_sec": calibration_par,
         "calibration_io_sec": calibration_io,
         "regressions": regressions,
         "gate": gate_stats,
@@ -282,43 +323,70 @@ def gate_regressions(
     calibration: float,
     base_cal: float,
     threshold: float = 2.0,
+    calibration_par: float = 0.0,
+    base_cal_par: float = 0.0,
 ) -> tuple[dict[str, dict[str, float]], dict]:
     """The regression gate, as a pure function so its logic is
     unit-testable (VERDICT r10 item 5). Returns ``(regressions,
     gate_stats)``.
 
+    Two weather correctors may be available (VERDICT r11 item 4):
+    the legacy short-task probe (``calibration``) and the
+    concurrency-matched N-way probe (``calibration_par``). r11's
+    driver run showed them diverge — single-core 1.86x faster while
+    the 32-way workload read 1.14x slower — so the gate picks the
+    corrector whose OWN round-over-round drift is inside
+    :data:`CAL_DRIFT_BAND`, preferring the legacy probe for continuity
+    when both qualify, and forfeits normalization only when every
+    available corrector drifted.
+
     Modes (recorded in ``gate_stats['gate_mode']``):
 
-    - ``normalized`` — both runs carry a CPU probe AND the probe's own
-      drift (``calibration/base_cal``) is inside :data:`CAL_DRIFT_BAND`:
-      compare in machine-independent units (t/probe), the r6 design —
-      a cold VM can't fake a regression, a warm re-run can't mask one.
-    - ``min_raw_normalized`` — the probe drifted OUT of band, so it is
-      not trustworthy as a corrector (it moved when the workload may
-      not have, or vice versa). Flag a query only when BOTH the raw
-      and the normalized ratio exceed the threshold (an agreement that
-      survives whichever story about the weather is true), and raise a
-      loud ``calibration_drift_alert`` so the round gets the isolated
-      same-host A/B protocol (the bm25 precedent) instead of trusting
-      either number — sub-threshold real regressions are exactly what
-      a drifted probe can hide, so the alert, not the per-query gate,
-      is the catch for those.
+    - ``normalized`` — the legacy probe's drift is in band: compare in
+      machine-independent units (t/probe), the r6 design — a cold VM
+      can't fake a regression, a warm re-run can't mask one.
+    - ``normalized_par`` — the legacy probe drifted out of band but
+      the concurrency-matched probe (present on both sides) stayed in
+      band: normalize by ITS drift. This is the r11 inverse-drift case
+      recovered — the parallel probe tracks the contention the 32-way
+      workload actually feels, so the round keeps a real gate instead
+      of agreement-only.
+    - ``min_raw_normalized`` — every available probe drifted out of
+      band. Flag a query only when BOTH the raw and the normalized
+      ratio exceed the threshold (an agreement that survives whichever
+      story about the weather is true), and raise a loud
+      ``calibration_drift_alert`` so the round gets the isolated
+      same-host A/B protocol (the bm25 precedent) — sub-threshold real
+      regressions are exactly what a drifted probe can hide, so the
+      alert, not the per-query gate, is the catch for those.
     - ``raw`` — no probe on one side (pre-r6 baselines): raw 2x gate.
 
     ``gate_stats`` also records both medians (raw and normalized
     ratios over the shared queries) so cross-round review reads the
-    two stories side by side, plus the drift itself.
+    two stories side by side, plus both drifts.
     """
     regs: dict[str, dict[str, float]] = {}
     normalized = base_cal > 0 and calibration > 0
     drift = (calibration / base_cal) if normalized else 1.0
     in_band = CAL_DRIFT_BAND[0] <= drift <= CAL_DRIFT_BAND[1]
-    if not normalized:
+    has_par = base_cal_par > 0 and calibration_par > 0
+    drift_par = (calibration_par / base_cal_par) if has_par else 1.0
+    par_in_band = has_par and (
+        CAL_DRIFT_BAND[0] <= drift_par <= CAL_DRIFT_BAND[1]
+    )
+    if not normalized and not has_par:
         mode = "raw"
-    elif in_band:
+    elif normalized and in_band:
         mode = "normalized"
+    elif par_in_band:
+        mode = "normalized_par"
     else:
         mode = "min_raw_normalized"
+    # the drift the normalized ratios divide by, per mode; in min-mode
+    # use the legacy drift when present (records the r11 semantics)
+    gate_drift = drift_par if mode == "normalized_par" else (
+        drift if normalized else drift_par
+    )
     raw_ratios: list[float] = []
     norm_ratios: list[float] = []
     for name, t in timings.items():
@@ -326,16 +394,16 @@ def gate_regressions(
         if prev <= 0.05 or t < 0:
             continue
         raw_ratio = t / prev
-        norm_ratio = (raw_ratio / drift) if normalized else raw_ratio
+        norm_ratio = raw_ratio / gate_drift
         raw_ratios.append(raw_ratio)
-        if normalized:
+        if normalized or has_par:
             norm_ratios.append(norm_ratio)
-        if mode == "normalized":
+        if mode in ("normalized", "normalized_par"):
             # the 1s absolute floor is applied in baseline-weather
             # seconds: sub-second drift is host noise, not a plan change
             slow = (
                 norm_ratio > threshold
-                and (t / drift - prev) > 1.0
+                and (t / gate_drift - prev) > 1.0
             )
         elif mode == "min_raw_normalized":
             slow = (
@@ -364,7 +432,8 @@ def gate_regressions(
     gate_stats = {
         "gate_mode": mode,
         "calibration_drift": round(drift, 4),
-        "calibration_drift_alert": bool(normalized and not in_band),
+        "calibration_par_drift": round(drift_par, 4) if has_par else -1.0,
+        "calibration_drift_alert": mode == "min_raw_normalized",
         "median_raw_ratio": _median(raw_ratios),
         "median_normalized_ratio": _median(norm_ratios),
     }
@@ -445,6 +514,25 @@ NOTES = (
     " three weather; many-job driver-loop rows amplify host"
     " scheduling weather the most. The committed artifact is a"
     " post-A/B re-run on the recovered host."
+    " --- the r11 DRIVER re-run (drifted host: probe 0.54x INVERSE"
+    " drift, alert fired, min-mode gate) flagged"
+    " streaming_distinct_user_event_days 1.76->8.23s and"
+    " streaming_hourly_event_counts 1.49->3.35s. Adjudicated r12 per"
+    " the bm25 protocol: isolated same-host fresh-session A/B, TWO"
+    " alternated passes (1 warmup + 3 warm trials each, sf0.1"
+    " local[32]), HEAD vs checked-out r10 code (3089928)."
+    " distinct_user_event_days warm trials: HEAD 3.82/2.88/2.65 then"
+    " 2.46/2.26/2.39 vs r10 3.76/4.02/5.50 then 3.58/2.81/2.75;"
+    " hourly_event_counts: HEAD 2.19/1.94/1.81 then 1.68/1.51/1.59 vs"
+    " r10 4.08/3.47/2.64 then 2.33/2.13/1.92. HEAD is equal-or-FASTER"
+    " than r10 code on every trial pair; the only r11 diff to these"
+    " rows (tempfile.mkdtemp -> cache.scratch_dir, same mkdtemp"
+    " underneath) is exonerated, checkpoint-dir placement ruled out."
+    " Verdict: WEATHER in the driver's shared-bench context — both"
+    " rows are micro-batch-scheduling-floor rows, the exact shape a"
+    " degraded host inflates (the A/B host's own CPU probe read"
+    " 4.1-4.6s vs the committed run's 0.63, yet warm trials still"
+    " landed at r10 levels)."
 )
 
 #: The driver records only the LAST 2000 chars of stdout; stay inside

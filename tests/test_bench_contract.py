@@ -170,3 +170,100 @@ def test_gate_records_both_medians():
     )
     assert stats["median_raw_ratio"] == 2.0
     assert stats["median_normalized_ratio"] == 2.0
+
+
+# ---------------------------------------------------------------------------
+# concurrency-matched calibration probe (VERDICT r11 item 4): when the
+# single-core probe diverges from the workload, the N-way probe keeps a
+# real normalized gate instead of forfeiting to agreement-only mode
+# ---------------------------------------------------------------------------
+
+
+def test_gate_parallel_probe_rescues_inverse_drift():
+    """The r11 driver-run signature: the serial probe ran 1.86x FASTER
+    (out of band) while the 32-way workload was uniformly ~1.4x slower
+    from contention — which the concurrency-matched probe tracks
+    (drift 1.4, in band). The gate must pick the parallel corrector
+    (normalized_par), forgive the uniform weather, and NOT raise the
+    drift alert, and a real regression must still be caught: q_real is
+    raw 2.9x on a contention-1.4x host = normalized 2.07x > 2."""
+    regs, stats = gate_regressions(
+        {"q_weather": 7.0, "q_real": 14.5},
+        {"q_weather": 5.0, "q_real": 5.0},
+        calibration=0.54,  # serial probe got FASTER: drift 0.54, out
+        base_cal=1.0,
+        calibration_par=1.4,  # N-way probe tracked the contention
+        base_cal_par=1.0,
+    )
+    assert stats["gate_mode"] == "normalized_par"
+    assert stats["calibration_drift_alert"] is False
+    assert stats["calibration_drift"] == 0.54
+    assert stats["calibration_par_drift"] == 1.4
+    assert "q_weather" not in regs  # uniform contention forgiven
+    assert "q_real" in regs  # raw 2.9 / 1.4 = 2.07 -> caught
+    # the record rounds to 4dp
+    assert abs(regs["q_real"]["norm_ratio"] - 2.9 / 1.4) < 1e-3
+
+
+def test_gate_parallel_probe_sub2x_raw_regression_caught():
+    """A real regression whose RAW ratio is under the 2x bar (1.5x)
+    while the parallel probe says the host got FASTER (drift 0.7, in
+    band): normalized 1.5/0.7 = 2.14x > 2 — caught in normalized_par
+    mode, exactly the sub-threshold mover min-mode would have missed."""
+    regs, stats = gate_regressions(
+        {"q": 7.5},
+        {"q": 5.0},
+        calibration=0.5,  # serial out of band
+        base_cal=1.0,
+        calibration_par=0.7,  # host genuinely faster, in band
+        base_cal_par=1.0,
+    )
+    assert stats["gate_mode"] == "normalized_par"
+    assert set(regs) == {"q"}
+
+
+def test_gate_both_probes_drifted_falls_back_to_min_mode():
+    """Every available corrector out of band -> the r11 min-mode with
+    the loud alert; the serial-probe drift stays the recorded one."""
+    regs, stats = gate_regressions(
+        {"q": 22.0},
+        {"q": 5.0},
+        calibration=2.0,
+        base_cal=1.0,
+        calibration_par=0.5,
+        base_cal_par=1.0,
+    )
+    assert stats["gate_mode"] == "min_raw_normalized"
+    assert stats["calibration_drift_alert"] is True
+    assert "q" in regs  # raw 4.4x and normalized both clear the bar
+
+
+def test_gate_serial_in_band_keeps_legacy_mode():
+    """Both probes in band: the legacy normalized mode wins for
+    cross-round continuity (same semantics as r11 artifacts)."""
+    _, stats = gate_regressions(
+        {"q": 5.0},
+        {"q": 5.0},
+        calibration=1.1,
+        base_cal=1.0,
+        calibration_par=1.3,
+        base_cal_par=1.0,
+    )
+    assert stats["gate_mode"] == "normalized"
+
+
+def test_gate_missing_parallel_baseline_preserves_r11_behavior():
+    """Pre-r12 baselines carry no calibration_par_sec: the gate must
+    behave exactly as r11 (min-mode + alert on serial drift)."""
+    regs, stats = gate_regressions(
+        {"q": 22.0},
+        {"q": 5.0},
+        calibration=2.0,
+        base_cal=1.0,
+        calibration_par=1.8,  # this run HAS one, the baseline doesn't
+        base_cal_par=0.0,
+    )
+    assert stats["gate_mode"] == "min_raw_normalized"
+    assert stats["calibration_drift_alert"] is True
+    assert stats["calibration_par_drift"] == -1.0
+    assert "q" in regs
