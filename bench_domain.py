@@ -487,7 +487,8 @@ def main() -> int:
            "--dedupindex", "--kmeans", "--scaling", "--bq", "--semdedup",
            "--replicate", "--bm25index", "--dv", "--bpe",
            "--bpe-divergence", "--dedupindex10x", "--bm25index10x",
-           "--dedupindex-zipf", "--bm25index-zipf"}
+           "--dedupindex-zipf", "--bm25index-zipf", "--embingest-zipf",
+           "--quality-lifecycle"}
     ):
         sections["anchor"] = run_anchor(spark)
     if run_all or "--skew" in args:
@@ -512,6 +513,12 @@ def main() -> int:
         sections["dedup_index_zipf"] = run_dedup_index_soak_zipf(spark)
     if run_all or "--bm25index-zipf" in args:
         sections["bm25_index_zipf"] = run_bm25_index_soak_zipf(spark)
+    if run_all or "--embingest-zipf" in args:
+        sections["embedding_ingest_zipf"] = run_embedding_ingest_soak_zipf(
+            spark
+        )
+    if run_all or "--quality-lifecycle" in args:
+        sections["quality_lifecycle"] = run_quality_lifecycle(spark)
     if run_all or "--dv" in args:
         sections["dv_pointops"] = run_dv_pointops(spark)
         sections["dv_erasure_soak"] = run_dv_erasure_soak(spark)
@@ -2264,6 +2271,392 @@ def run_bpe_divergence(spark: SparkSession) -> dict:
         "reproducing a published tokenizer, extending an existing "
         "vocab, or cross-engine rule parity"
     )
+    return out
+
+
+
+
+# ---------------------------------------------------------------------------
+# embedding-ingest soak under Zipf-clustered vectors (VERDICT r11 item 5:
+# the semantic saturation guard's production consumer, soaked)
+# ---------------------------------------------------------------------------
+def _gen_zipf_vectors(
+    spark: SparkSession, path: str, n: int, id_offset: int = 0,
+    dim: int = 16, n_clusters: int = 64,
+) -> None:
+    """Zipf-clustered vector feed (bench_scaling's emb-zipf mixture,
+    feed-shaped): cluster drawn rank ≈ exp(U·ln C) so the hottest
+    cluster holds ~1/ln(C) of the corpus and ANY fixed quantizer's
+    matching cell grows linearly with it. Deterministic, parquet."""
+    import math as _math
+
+    u = (
+        F.pmod(F.xxhash64(F.col("vec_id"), F.lit("cl")), F.lit(1_000_003))
+        / F.lit(1_000_003.0)
+    )
+    cluster = (
+        F.floor(F.exp(u * F.lit(_math.log(float(n_clusters))))) - 1
+    ).cast("int")
+    base = spark.range(id_offset, id_offset + n).select(
+        F.col("id").alias("vec_id")
+    ).withColumn("__label", cluster)
+    center = lambda i: (  # noqa: E731
+        F.when(
+            F.pmod(F.xxhash64(F.col("__label"), i, F.lit("c")), F.lit(2))
+            == 0,
+            F.lit(1.0),
+        ).otherwise(F.lit(-1.0))
+    )
+    jitter = lambda i: (  # noqa: E731
+        F.pmod(F.xxhash64(F.col("vec_id"), i, F.lit("j")), F.lit(997))
+        .cast("double")
+        / 997.0
+        - 0.5
+    )
+    base.select(
+        "vec_id",
+        F.transform(
+            F.sequence(F.lit(1), F.lit(dim)),
+            lambda i: (center(i) + jitter(i) * 0.6).cast("float"),
+        ).alias("embedding"),
+    ).repartition(4).write.mode("overwrite").parquet(path)
+
+
+def run_embedding_ingest_soak_zipf(spark: SparkSession) -> dict:
+    """The embedding door under realistic cluster skew (VERDICT r11
+    item 5's soak): a FIXED coarse quantizer (the not-yours-to-retrain
+    regime) over a Zipf-clustered corpus leaves the hottest cell far
+    over the cap; each cycle a constant batch of new vectors runs the
+    full production door (validate → guarded probe → MERGE → O(changed)
+    index refresh). Gates: per-cycle wall stays FLAT while the corpus
+    (and its hot cell) grows — the guard bounds the pair join at
+    O(batch × cap); saturated-cell skips are reported EVERY cycle and
+    fully-unchecked vectors divert EVERY cycle, never silently."""
+    from urban_mobility_data_pipeline_spark.extensions.embedding_ingest import (
+        ingest_embedding_feed,
+    )
+    from urban_mobility_data_pipeline_spark.extensions.similarity import (
+        build_ivf_index,
+        spherical_kmeans,
+    )
+    from urban_mobility_data_pipeline_spark.operators.merge import MergeTable
+    from urban_mobility_data_pipeline_spark.operators.watermark import (
+        VersionCursor,
+    )
+
+    seed_rows, batch, cycles, cap = 40_000, 2_000, 6, 6_000
+    out: dict = {
+        "metric": "embedding_ingest_soak_zipf",
+        "seed_rows": seed_rows,
+        "batch_vectors": batch,
+        "cell_cap": cap,
+        "nprobe": 1,
+    }
+    root = tempfile.mkdtemp(prefix="umdp_embingest_zipf_")
+    try:
+        corpus = MergeTable(spark, os.path.join(root, "embeddings"))
+        quarantine = MergeTable(spark, os.path.join(root, "quarantine"))
+        index = MergeTable(spark, os.path.join(root, "emb_index"))
+        cursor = VersionCursor(spark, os.path.join(root, "cursor"))
+        qdir = os.path.join(root, "quantizer")
+        seed = os.path.join(root, "seed")
+        _gen_zipf_vectors(spark, seed, seed_rows, id_offset=10_000_000)
+        corpus.create(spark.read.parquet(seed))
+        # FIXED k=16 quantizer trained once on the seed (deliberately
+        # too coarse for the skew — the adaptive path would train
+        # k=ceil(sqrt(cN))~400 and dissolve the hot cell; this soak
+        # proves the door survives when the quantizer is frozen)
+        _, cents = spherical_kmeans(
+            corpus.read(), k=16, iters=2
+        )
+        cents.coalesce(1).write.mode("overwrite").parquet(qdir)
+        build_ivf_index(corpus.read(), spark.read.parquet(qdir), index)
+        cursor.upsert("ivf_index", corpus.history()[0]["version"], "OK")
+        hot = (
+            index.read().groupBy("cell").count()
+            .orderBy(F.col("count").desc()).first()
+        )
+        out["max_cell_seed"] = int(hot["count"])
+        assert out["max_cell_seed"] > cap, out  # the hazard is planted
+        cycle_secs, skips, unchecked, upserted = [], [], [], []
+        for c in range(cycles):
+            feed = os.path.join(root, f"f{c}")
+            _gen_zipf_vectors(spark, feed, batch, id_offset=c * batch)
+            t0 = time.perf_counter()
+            counts = ingest_embedding_feed(
+                spark, feed, corpus, quarantine,
+                quantizer_dir=qdir, index=index, index_cursor=cursor,
+                fmt="parquet", nprobe=1, cell_cap=cap,
+                dup_threshold=0.999,
+            )
+            cycle_secs.append(round(time.perf_counter() - t0, 2))
+            skips.append(counts["sem_skipped_cells"])
+            unchecked.append(counts["sem_unchecked"])
+            upserted.append(counts["upserted"])
+        out.update(
+            {
+                "cycles": cycles,
+                "cycle_secs": cycle_secs,
+                "skipped_cells_per_cycle": skips,
+                "unchecked_per_cycle": unchecked,
+                "upserted_per_cycle": upserted,
+                "corpus_rows_final": corpus.read().count(),
+            }
+        )
+        # the hot cell is skipped AND reported every cycle; vectors
+        # whose only probe saturated divert every cycle — never silent
+        assert all(s > 0 for s in skips), out
+        assert all(u > 0 for u in unchecked), out
+        assert all(n > 0 for n in upserted), out  # the door still admits
+        # flat door under skew: O(batch x cap) probe + O(changed)
+        # refresh — the growing hot cell must not bend the curve
+        mids = cycle_secs[:-1]
+        med = sorted(mids)[len(mids) // 2]
+        assert cycle_secs[-1] <= med * 1.35 + 0.5, out
+        # dead letters carry the saturated cells (operator-actionable)
+        dead = quarantine.read().filter(
+            F.col("raw_record").contains("sem_dedup_unchecked")
+        )
+        assert dead.count() == sum(unchecked), out
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+    return out
+
+
+# ---------------------------------------------------------------------------
+# quality-model lifecycle soak (VERDICT r11 item 6: the pieces composed
+# end-to-end — door gates -> histogram fold -> PSI trigger -> retrain ->
+# fingerprint-keyed rescore -> mid-soak erasure through the artifact)
+# ---------------------------------------------------------------------------
+def _gen_quality_feed(
+    spark: SparkSession, path: str, n: int, id_offset: int = 0,
+    n_tokens: int = 24, files: int = 4,
+) -> None:
+    """_gen_feed's word salad with a configurable length: the drift
+    feeds use n_tokens≈180, shifting the classifier's x1 (clipped
+    word-count) feature from bin ~2 to bin ~18 — a distribution move
+    the PSI trigger must catch — while still PASSING every door gate
+    (stopwords present, no punctuation, fluent-enough word salad)."""
+    words = F.array(*[F.lit(w) for w in (
+        "the", "data", "spark", "merge", "corpus", "table", "join",
+        "filter", "window", "batch", "stream", "quality", "token", "a",
+        "in", "is", "scan",
+    )])
+    base = spark.range(id_offset, id_offset + n).select(
+        F.col("id").alias("doc_id"),
+        F.concat_ws(
+            " ",
+            F.transform(
+                F.sequence(F.lit(1), F.lit(n_tokens)),
+                lambda i: F.element_at(
+                    words,
+                    (F.pmod(F.xxhash64(F.col("id") * 31 + i), F.lit(17)) + 1)
+                    .cast("int"),
+                ),
+            ),
+        ).alias("text"),
+        F.lit("en").alias("lang"),
+    )
+    base.select(
+        F.to_json(F.struct("doc_id", "text", "lang")).alias("value")
+    ).coalesce(files).write.mode("overwrite").text(path)
+
+
+def run_quality_lifecycle(spark: SparkSession) -> dict:
+    """One composed soak of the maintained quality-model lifecycle the
+    CLI jobs run nightly (corpus_ingest -> quality_model_refresh ->
+    quality_scores_refresh), over a feed that DRIFTS mid-soak, with a
+    GDPR erasure landing between ticks. Each tick: the full ingest
+    door (saturation-guarded dedup + model gate once the artifact
+    exists) -> O(changed) histogram fold + PSI check (retrain on
+    trigger) -> fingerprint-keyed score fold. Pinned invariants, every
+    tick: the maintained histogram equals a from-scratch recount (the
+    r12 cursor fix under real interleaving — erase -> rebuild ->
+    ingest -> fold), and the scores table NEVER carries a stale model
+    fingerprint (a retrain forces exactly one full rescore). Gates:
+    non-retrain tick cost stays flat; the drift feed trips PSI."""
+    from urban_mobility_data_pipeline_spark.extensions.classifier import (
+        artifact_exists,
+    )
+    from urban_mobility_data_pipeline_spark.extensions.classifier_model import (
+        _model_fingerprint,
+        clf_hist_contributions,
+        rebuild_quality_classifier,
+        refresh_quality_classifier,
+        refresh_quality_scores,
+    )
+    from urban_mobility_data_pipeline_spark.extensions.corpus_ingest import (
+        ingest_feed,
+    )
+    from urban_mobility_data_pipeline_spark.extensions.dedup_index import (
+        refresh_dedup_index,
+    )
+    from urban_mobility_data_pipeline_spark.extensions.gdpr_corpus import (
+        ModelArtifact,
+        erase_document_ids,
+    )
+    from urban_mobility_data_pipeline_spark.operators.merge import MergeTable
+    from urban_mobility_data_pipeline_spark.operators.watermark import (
+        VersionCursor,
+    )
+    from urban_mobility_data_pipeline_spark.plans.llm_ops import (
+        _LOGREG_FEATURE_COLS,
+        _logreg_feature_frame,
+    )
+
+    def feature_frame(docs):
+        # the CLI adapter's shape: managed corpus tables carry lang,
+        # not source (run.py._quality_feature_frame)
+        if "source" not in docs.columns:
+            docs = docs.withColumn("source", F.lit("corpus"))
+        return _logreg_feature_frame(docs)
+
+    seed_rows, batch, ticks = 6_000, 1_500, 6
+    drift_from, erase_at, erase_n = 4, 3, 50
+    out: dict = {
+        "metric": "quality_lifecycle_soak",
+        "seed_rows": seed_rows,
+        "batch_docs": batch,
+        "ticks": ticks,
+        "drift_from_tick": drift_from,
+        "erase_before_tick": erase_at,
+    }
+    root = tempfile.mkdtemp(prefix="umdp_qlife_")
+    try:
+        corpus = MergeTable(spark, os.path.join(root, "documents"))
+        quarantine = MergeTable(spark, os.path.join(root, "quarantine"))
+        index = MergeTable(
+            spark, os.path.join(root, "dedup_index"),
+            bucket_keys=["doc_id"], num_buckets=16,
+        )
+        sizes = MergeTable(spark, os.path.join(root, "sizes"))
+        dcursor = VersionCursor(spark, os.path.join(root, "dcursor"))
+        hist = MergeTable(spark, os.path.join(root, "clf_hist"))
+        mcursor = VersionCursor(spark, os.path.join(root, "mcursor"))
+        scores = MergeTable(spark, os.path.join(root, "scores"))
+        scursor = VersionCursor(spark, os.path.join(root, "scursor"))
+        model_dir = os.path.join(root, "quality_model")
+
+        # bootstrap (untimed): seed ingest, dedup index, model, scores
+        seed = os.path.join(root, "seed")
+        _gen_quality_feed(spark, seed, seed_rows, id_offset=1_000_000)
+        ingest_feed(spark, seed, corpus, quarantine)
+        refresh_dedup_index(corpus, index, dcursor, sizes=sizes)
+        refresh_quality_classifier(
+            corpus, model_dir, hist, mcursor,
+            feature_frame, _LOGREG_FEATURE_COLS,
+        )
+        refresh_quality_scores(
+            corpus, model_dir, scores, scursor,
+            feature_frame, _LOGREG_FEATURE_COLS,
+        )
+
+        def hist_ok() -> bool:
+            got = {
+                (r["feat"], r["b"]): r["c"]
+                for r in hist.read().filter(F.col("c") > 0).collect()
+            }
+            want = {
+                (r["feat"], r["b"]): r["c"]
+                for r in clf_hist_contributions(
+                    feature_frame(corpus.read()), _LOGREG_FEATURE_COLS
+                ).collect()
+            }
+            return got == want
+
+        def fp_ok() -> bool:
+            fp_path = scores._local_path().rstrip("/") + "_model_fp"
+            with open(fp_path) as f:
+                stored = f.read().strip()
+            live = _model_fingerprint(
+                spark.read.parquet(model_dir).collect()[0]
+            )
+            return stored == live
+
+        tick_secs, psis, retrains, score_modes, gated = [], [], [], [], []
+        for t in range(ticks):
+            if t == erase_at:
+                # GDPR lands MID-SOAK: rows go, the artifact retrains
+                # against the post-erasure corpus, and the histogram
+                # cursor advances with the reseed (the r12 fix) so the
+                # NEXT fold starts clean
+                victims = [
+                    r["doc_id"]
+                    for r in corpus.read().limit(erase_n).collect()
+                ]
+                art = ModelArtifact(
+                    model_dir,
+                    model_dir + "_train_hist",
+                    retrain=lambda: rebuild_quality_classifier(
+                        corpus, model_dir, hist,
+                        feature_frame, _LOGREG_FEATURE_COLS,
+                        cursor=mcursor,
+                    ),
+                )
+                erase_document_ids(
+                    spark, victims,
+                    {"documents": corpus, "dedup_index": index},
+                    artifacts={"quality_classifier": art},
+                )
+                assert hist_ok(), "hist stale right after erase+rebuild"
+            feed = os.path.join(root, f"f{t}")
+            _gen_quality_feed(
+                spark, feed, batch, id_offset=t * batch,
+                n_tokens=180 if t >= drift_from else 24,
+            )
+            t0 = time.perf_counter()
+            counts = ingest_feed(
+                spark, feed, corpus, quarantine,
+                dedup_index=index, dedup_cursor=dcursor,
+                dedup_sizes=sizes,
+                quality_model_dir=(
+                    model_dir if artifact_exists(model_dir) else None
+                ),
+            )
+            rm = refresh_quality_classifier(
+                corpus, model_dir, hist, mcursor,
+                feature_frame, _LOGREG_FEATURE_COLS,
+            )
+            rs = refresh_quality_scores(
+                corpus, model_dir, scores, scursor,
+                feature_frame, _LOGREG_FEATURE_COLS,
+            )
+            tick_secs.append(round(time.perf_counter() - t0, 2))
+            psis.append(rm["psi"])
+            retrains.append(rm["retrained"])
+            score_modes.append(rs["mode"])
+            gated.append(counts["model_gated"])
+            # invariants OUTSIDE the timer: exact histogram, no stale
+            # fingerprint, retrain => one full rescore
+            assert hist_ok(), f"hist drifted at tick {t}"
+            assert fp_ok(), f"stale score fingerprint at tick {t}"
+            if rm["retrained"]:
+                assert rs["mode"] == "full", (t, rs)
+        out.update(
+            {
+                "tick_secs": tick_secs,
+                "psi_per_tick": psis,
+                "retrained_per_tick": retrains,
+                "score_mode_per_tick": score_modes,
+                "model_gated_per_tick": gated,
+                "corpus_rows_final": corpus.read().count(),
+                "hist_exact_every_tick": True,
+                "fingerprint_fresh_every_tick": True,
+            }
+        )
+        # the drift feed must trip the PSI trigger at least once
+        assert any(
+            r for r, t in zip(retrains, range(ticks)) if t >= drift_from
+        ), out
+        # steady-state ticks (no retrain) stay flat: O(changed) folds
+        steady = [
+            s for s, r in zip(tick_secs, retrains) if not r
+        ]
+        assert len(steady) >= 3, out
+        med = sorted(steady[:-1])[len(steady[:-1]) // 2]
+        assert steady[-1] <= med * 1.5 + 1.0, out
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
     return out
 
 

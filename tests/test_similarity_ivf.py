@@ -430,3 +430,121 @@ def test_capped_ingest_probe_skips_and_reports_hot_cells(
     }
     for r in sk:
         assert r["cell_size"] == cell_counts[r["cell"]], r
+
+
+def test_refresh_ivf_folds_only_truly_changed(spark, sf_dir, tmp_path):
+    """Change-feed over-report cancellation (r12): a CoW MERGE rewrites
+    whole files, so read_changes re-emits every row of a rewritten
+    file. The refresh must null-safe-diff after vs before images and
+    fold ONLY vectors whose embedding actually changed — re-assigning
+    and re-merging the re-emissions would grow the per-cycle refresh
+    with the corpus instead of the delta (measured 18->51s in the r12
+    embedding-ingest soak before the fix)."""
+    from pyspark.sql import functions as F
+
+    from urban_mobility_data_pipeline_spark.extensions.similarity import (
+        ivf_centroids,
+        refresh_ivf_index,
+    )
+    from urban_mobility_data_pipeline_spark.operators.merge import MergeTable
+    from urban_mobility_data_pipeline_spark.operators.watermark import (
+        VersionCursor,
+    )
+
+    emb = _emb(spark, sf_dir)
+    cents = ivf_centroids(emb)
+    # ONE file -> any upsert rewrites it -> the change feed re-emits
+    # every row: the worst-case over-report layout
+    source = MergeTable(spark, str(tmp_path / "emb"))
+    source.create(emb.coalesce(1))
+    index = MergeTable(spark, str(tmp_path / "ivf"))
+    cursor = VersionCursor(spark, str(tmp_path / "cur"))
+    total = source.read().count()
+    assert refresh_ivf_index(source, index, cents, cursor) == total
+
+    two = [r[0] for r in source.read().select("vec_id").limit(2).collect()]
+    moved = (
+        source.read()
+        .filter(F.col("vec_id").isin(two))
+        .withColumn("embedding", F.transform("embedding", lambda x: -x))
+    )
+    source.merge(
+        moved.localCheckpoint(), keys=["vec_id"],
+        update_set={"embedding": F.col("s.embedding")},
+    )
+    n = refresh_ivf_index(source, index, cents, cursor)
+    assert n == 2, f"folded {n} rows for a 2-row upsert (over-report)"
+
+
+def test_refresh_survives_vacuumed_cursor(spark, sf_dir, tmp_path):
+    """Vacuum-outran-cursor fallback (found by the r12 quality-
+    lifecycle soak): a GDPR erase physically vacuums files that older
+    manifests still reference; a maintenance job whose cursor predates
+    the purge must detect it (MergeTable.snapshot_readable) and fall
+    back to a full rebuild instead of crashing on the time-travel
+    read. Pinned for both the IVF index and the LSH dedup index."""
+    from pyspark.sql import functions as F
+
+    from urban_mobility_data_pipeline_spark.extensions.dedup_index import (
+        band_rows,
+        refresh_dedup_index,
+    )
+    from urban_mobility_data_pipeline_spark.extensions.gdpr_corpus import (
+        erase_document_ids,
+    )
+    from urban_mobility_data_pipeline_spark.extensions.similarity import (
+        ivf_assign,
+        ivf_centroids,
+        refresh_ivf_index,
+    )
+    from urban_mobility_data_pipeline_spark.operators.merge import MergeTable
+    from urban_mobility_data_pipeline_spark.operators.watermark import (
+        VersionCursor,
+    )
+    from urban_mobility_data_pipeline_spark.plans._helpers import table
+
+    # --- IVF side ---
+    emb = _emb(spark, sf_dir)
+    cents = ivf_centroids(emb)
+    source = MergeTable(spark, str(tmp_path / "emb"))
+    source.create(emb)
+    index = MergeTable(spark, str(tmp_path / "ivf"))
+    cursor = VersionCursor(spark, str(tmp_path / "cur"))
+    refresh_ivf_index(source, index, cents, cursor)
+    head = source.history()[0]["version"]
+    assert source.snapshot_readable(head)
+
+    victims = [r[0] for r in source.read().select("vec_id").limit(3).collect()]
+    erase_document_ids(
+        spark, victims, {"embeddings": source}, vacuum=True
+    )
+    # the purge dropped files version `head` still references
+    assert not source.snapshot_readable(head)
+    n = refresh_ivf_index(source, index, cents, cursor)  # must not raise
+    assert n == source.read().count()  # full-rebuild fallback
+    rebuilt = ivf_assign(source.read(), cents).select("vec_id", "cell")
+    live = index.read().select("vec_id", "cell")
+    assert (
+        live.exceptAll(rebuilt).count() == 0
+        and rebuilt.exceptAll(live).count() == 0
+    )
+
+    # --- LSH dedup-index side ---
+    docs = table(spark, sf_dir, "documents").limit(200)
+    corpus = MergeTable(spark, str(tmp_path / "docs"))
+    corpus.create(docs)
+    didx = MergeTable(spark, str(tmp_path / "didx"))
+    dcur = VersionCursor(spark, str(tmp_path / "dcur"))
+    refresh_dedup_index(corpus, didx, dcur)
+    dvictims = [r[0] for r in corpus.read().select("doc_id").limit(3).collect()]
+    erase_document_ids(
+        spark, dvictims, {"documents": corpus}, vacuum=True
+    )
+    n = refresh_dedup_index(corpus, didx, dcur)  # must not raise
+    assert n == corpus.read().count()
+    rebuilt = band_rows(corpus.read())
+    live = didx.read()
+    assert (
+        live.exceptAll(rebuilt).count() == 0
+        and rebuilt.exceptAll(live).count() == 0
+    )

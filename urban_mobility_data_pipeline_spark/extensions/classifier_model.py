@@ -224,6 +224,11 @@ def refresh_quality_classifier(
     head_hist = corpus.history()
     head = head_hist[0]["version"] if head_hist else 0
     cur = cursor.read_version(job)
+    if cur > 0 and not corpus.snapshot_readable(cur):
+        # a physical vacuum (e.g. a GDPR erase's purge) outran this
+        # cursor: time travel / the change feed back to `cur` would
+        # read deleted files — fall back to the full rebuild branch
+        cur = 0
     spark = corpus.spark
 
     def _retrain_and_snapshot() -> None:
@@ -391,6 +396,11 @@ def refresh_quality_scores(
     head_hist = corpus.history()
     head = head_hist[0]["version"] if head_hist else 0
     cur = cursor.read_version(job)
+    if cur > 0 and not corpus.snapshot_readable(cur):
+        # a physical vacuum (e.g. a GDPR erase's purge) outran this
+        # cursor: time travel / the change feed back to `cur` would
+        # read deleted files — fall back to the full rebuild branch
+        cur = 0
     if not scores.exists() or cur == 0 or prev_fp != fp:
         out = scored(corpus.read())
         if scores.exists():

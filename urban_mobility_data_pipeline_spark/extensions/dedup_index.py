@@ -130,6 +130,11 @@ def refresh_dedup_index(
     head_hist = corpus.history()
     head = head_hist[0]["version"] if head_hist else 0
     cur = cursor.read_version(job)
+    if cur > 0 and not corpus.snapshot_readable(cur):
+        # a physical vacuum (e.g. a GDPR erase's purge) outran this
+        # cursor: the change feed back to `cur` references deleted
+        # files, so the delta fold would crash mid-plan — rebuild
+        cur = 0
     if not index.exists() or cur == 0:
         full = band_rows(corpus.read(), id_col, text_col)
         if index.exists():

@@ -89,6 +89,11 @@ def refresh_dsir_model(
     head_hist = corpus.history()
     head = head_hist[0]["version"] if head_hist else 0
     cur = cursor.read_version(job)
+    if cur > 0 and not corpus.snapshot_readable(cur):
+        # a physical vacuum (e.g. a GDPR erase's purge) outran this
+        # cursor: time travel / the change feed back to `cur` would
+        # read deleted files — fall back to the full rebuild branch
+        cur = 0
     if not model.exists() or cur == 0:
         full = dsir_contributions(
             corpus.read(), target_pred, buckets=buckets, text_col=text_col

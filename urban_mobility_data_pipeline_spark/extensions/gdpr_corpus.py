@@ -60,6 +60,14 @@ CORPUS_ID_COLS: dict[str, tuple[str, ...]] = {
     # removed-side change feed, but a GDPR erasure must not wait for
     # a maintenance cadence — delete the B band rows now
     "dedup_index": ("doc_id",),
+    # the vector side (doc ids and vec ids share the key space — the
+    # cross_modal_dedup_agreement contract): a subject's embedding is
+    # derived personal data like their text, and the maintained IVF
+    # index holds a copy of the vector, so both delete now rather than
+    # waiting for the next refresh's removed-side fold (r12, with the
+    # embedding_ingest door)
+    "embeddings": ("vec_id",),
+    "emb_index": ("vec_id",),
 }
 
 

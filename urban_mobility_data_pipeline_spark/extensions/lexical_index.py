@@ -190,6 +190,11 @@ def refresh_bm25_index(
     head_hist = corpus.history()
     head = head_hist[0]["version"] if head_hist else 0
     cur = cursor.read_version(job)
+    if cur > 0 and not corpus.snapshot_readable(cur):
+        # a physical vacuum (e.g. a GDPR erase's purge) outran this
+        # cursor: time travel / the change feed back to `cur` would
+        # read deleted files — fall back to the full rebuild branch
+        cur = 0
     if not postings.exists() or cur == 0:
         build_bm25_index(corpus.read(), postings, stats, id_col, text_col)
         n = corpus.read().count()

@@ -57,6 +57,11 @@ def replicate_table(
     head_hist = src.history()
     head = head_hist[0]["version"] if head_hist else 0
     cur = cursor.read_version(job)
+    if cur > 0 and not src.snapshot_readable(cur):
+        # a physical vacuum (e.g. a GDPR erase's purge) outran this
+        # cursor: time travel / the change feed back to `cur` would
+        # read deleted files — fall back to the full rebuild branch
+        cur = 0
     if not dst.exists() or cur == 0:
         full = src.read()
         if dst.exists():

@@ -465,11 +465,28 @@ def refresh_ivf_index(
     head_hist = source.history()
     head = head_hist[0]["version"] if head_hist else 0
     cur = cursor.read_version(job)
+    if cur > 0 and not source.snapshot_readable(cur):
+        # a physical vacuum (e.g. a GDPR erase's purge) outran this
+        # cursor: time travel / the change feed back to `cur` would
+        # read deleted files — fall back to the full rebuild branch
+        cur = 0
     if not index_table.exists() or cur == 0:
-        build_ivf_index(
-            source.read(), centroids, index_table, id_col, vec_col
-        )
-        n = source.read().count()
+        live = source.read()
+        existed = index_table.exists()
+        build_ivf_index(live, centroids, index_table, id_col, vec_col)
+        if existed:
+            # a re-bootstrap over a standing index (fresh cursor, or
+            # the vacuum-outran-cursor fallback above) upserts live
+            # rows but must also purge ids the source no longer has —
+            # the MERGE alone would leave erased vectors searchable
+            stale = (
+                index_table.read()
+                .select(id_col)
+                .join(live.select(id_col), id_col, "left_anti")
+            )
+            if stale.limit(1).count():
+                index_table.delete_keys_in(id_col, stale)
+        n = live.count()
         cursor.upsert(job, head, "OK")
         return n
     if head <= cur:
@@ -484,6 +501,28 @@ def refresh_ivf_index(
         )
         live = source.read()
         current_changed = live.join(changed_ids, id_col)
+        # change-feed over-report cancellation (r12): a CoW MERGE
+        # rewrites whole files, so the change feed re-emits every row
+        # of a rewritten file — on a big corpus a 200-row upsert can
+        # "change" tens of thousands of ids. The histogram folds cancel
+        # those automatically (after − before = 0); the index MERGE
+        # does not — re-assigning and re-merging unchanged vectors
+        # rewrites their cells for nothing, and the per-cycle refresh
+        # cost grows with the corpus instead of the delta (measured:
+        # the embedding-ingest soak's cycle wall climbed 18→51s before
+        # this). Null-safe-compare the after image against the before
+        # image and fold only rows whose vector actually differs (or
+        # whose id is new).
+        before = (
+            source.read(version=cur)
+            .join(changed_ids, id_col)
+            .select(id_col, F.col(vec_col).alias("__before"))
+        )
+        current_changed = (
+            current_changed.join(before, id_col, "left_outer")
+            .filter(~F.col(vec_col).eqNullSafe(F.col("__before")))
+            .drop("__before")
+        )
         n = current_changed.count()
         if n:
             build_ivf_index(

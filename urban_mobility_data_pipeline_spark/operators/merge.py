@@ -464,6 +464,32 @@ class MergeTable:
             return df
         return self._read_snapshot(manifest, include_internal)
 
+    def snapshot_readable(self, since_version: int) -> bool:
+        """True when every data file referenced by any manifest at or
+        after ``since_version`` is still on disk — i.e. time travel
+        AND the change feed back to ``since_version`` will not hit
+        vacuumed files. Physical VACUUM (including a GDPR erase's
+        purge) drops files older manifests still reference; a
+        maintenance job whose cursor predates the purge must detect
+        that BEFORE its delta fold and fall back to a full rebuild
+        instead of crashing mid-plan (found by the r12 quality-
+        lifecycle soak: erase→vacuum→next ingest's index refresh read
+        a vacuumed before-image). Metadata-class: manifest JSON reads
+        plus one ``isfile`` per referenced file."""
+        local = self._local_path()
+        seen: set[str] = set()
+        for v in self._versions():
+            if v < since_version:
+                continue
+            m, _ = self._load(v)
+            for f in m["files"]:
+                if f in seen:
+                    continue
+                seen.add(f)
+                if not os.path.isfile(os.path.join(local, f)):
+                    return False
+        return True
+
     def detail(self) -> dict:
         """Table facts (Delta ``DESCRIBE DETAIL``): current version,
         file count, on-disk bytes of the live snapshot, layout."""
