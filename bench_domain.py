@@ -380,6 +380,56 @@ def run_skew(spark: SparkSession) -> dict:
         # the committed floor: salting must bound the hot task's input
         # by a wide margin — deterministic, load-independent
         assert bound_ratio >= 2.5, out
+
+        # 10x-rows rider (VERDICT r11 item 7): at 16M rows the salted
+        # join's wall win is weather-sized (the hot task's 4.8M rows
+        # still fit one local thread comfortably); this measures the
+        # same plans at 160M rows / 48M-row hot key — where the single
+        # hot sort-merge task becomes the stage — so the committed
+        # artifact records where wall-clock crossover actually lands
+        # locally instead of extrapolating. Both sides best-of-2 (same
+        # attempt count, no outcome-conditioned reruns — the unbiased
+        # r11 protocol).
+        from pyspark import StorageLevel
+
+        h10 = F.abs(F.xxhash64("id"))
+        ev10 = (
+            spark.range(SKEW_N * 10)
+            .select(
+                F.when(
+                    F.col("id") < int(SKEW_N * 10 * SKEW_HOT_FRAC),
+                    F.lit(0),
+                )
+                .otherwise(h10 % SKEW_USERS + 1)
+                .alias("user_id"),
+                (h10 % 1_000_000).alias("item_id"),
+                (F.col("id") % 1000).cast("double").alias("value"),
+            )
+            .repartition(64)
+            .persist(StorageLevel.MEMORY_AND_DISK)
+        )
+        ev10.count()
+        try:
+            def naive_join_10x():
+                ev10.join(dim, "user_id").agg(
+                    F.sum(F.col("value") * F.col("tier"))
+                ).collect()
+
+            def s_join_10x():
+                salted_join(
+                    ev10, dim, ["user_id"], buckets=SKEW_BUCKETS
+                ).agg(F.sum(F.col("value") * F.col("tier"))).collect()
+
+            out["rows_10x"] = SKEW_N * 10
+            out["join_naive_sec_10x"] = best_of(naive_join_10x, 2)
+            out["join_salted_sec_10x"] = best_of(s_join_10x, 2)
+            out["join_speedup_10x"] = round(
+                out["join_naive_sec_10x"]
+                / max(out["join_salted_sec_10x"], 1e-9),
+                2,
+            )
+        finally:
+            ev10.unpersist()
     finally:
         spark.conf.set("spark.sql.adaptive.enabled", prev_aqe)
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev_bc)
