@@ -90,6 +90,11 @@ TOP_QUERIES = [
     # against their uncapped originals
     "documents_fuzzy_dedup_corpus_capped",
     "documents_fuzzy_dedup_keep_best_capped",
+    # r12 additions: the modern composed manifest (model gate + capped
+    # fuzzy dedup + packing, VERDICT r11 #1) measured against the r5
+    # heuristics-only original
+    "corpus_training_manifest",
+    "corpus_training_manifest_v2",
 ]
 
 #: per-query exponent bound: 1.3 covers linear + n·log(n) + measured
@@ -128,6 +133,10 @@ EXPONENT_BOUNDS = {
     # residual growth is connected-components rounds over fewer pairs
     "documents_fuzzy_dedup_corpus_capped": 1.3,
     "documents_fuzzy_dedup_keep_best_capped": 1.3,
+    # manifest v2 composes the capped path + the model gate (training
+    # reads the shared train-once artifact, so only scoring scales);
+    # same cap-bounded budget as the capped composed rows
+    "corpus_training_manifest_v2": 1.3,
 }
 
 

@@ -165,8 +165,9 @@ def test_cli_corpus_erase(spark, sf_dir, tmp_path, capsys):
     audit = MergeTable(spark, os.path.join(root, "gdpr_audit")).read()
     rows = audit.collect()
     assert len(rows) == 1 and rows[0]["entity"] == "documents"
-    assert len(CORPUS_ID_COLS) == 7  # all derivatives (incl. the
-    # maintained dedup index) stay registered
+    assert len(CORPUS_ID_COLS) == 9  # all derivatives (incl. the
+    # maintained dedup index and, since r12, the vector side:
+    # embeddings + emb_index) stay registered
 
 
 def test_cli_corpus_index_build_then_bloom_erase(spark, sf_dir, tmp_path, capsys):
