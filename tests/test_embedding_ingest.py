@@ -291,3 +291,49 @@ def test_embedding_ingest_cli(spark, tmp_path):
     # the erased vectors' bytes left the quantizer's training set: the
     # artifact was rewritten after the delete (crash-safe order pinned
     # in gdpr_corpus.propagate_erasure)
+
+
+def test_corpus_maintenance_folds_emb_index(spark, tmp_path):
+    """Nightly corpus_maintenance reaches the vector side (r12): with
+    an embeddings table + quantizer artifact present, the tick folds
+    the IVF index (so erasures / out-of-band commits land even when no
+    embedding_ingest cycle runs), and the emb tables ride the same
+    compaction/bloom/vacuum sweep via CORPUS_ID_COLS."""
+    from urban_mobility_data_pipeline_spark.run import main
+
+    lake = str(tmp_path / "lake")
+    feed = _feed(
+        tmp_path, "feed",
+        [
+            _json.dumps({"vec_id": i, "embedding": [float(i), 1.0]})
+            for i in range(1, 13)
+        ],
+    )
+    # two ingest runs: create corpus, then train quantizer + index
+    for _ in range(2):
+        assert main(
+            ["embedding_ingest", "--lake", lake, "--source", feed],
+            spark=spark,
+        ) == 0
+    # a text corpus must exist for the maintenance job to start
+    (tmp_path / "tfeed").mkdir()
+    (tmp_path / "tfeed" / "f.jsonl").write_text(_json.dumps({
+        "doc_id": 1,
+        "text": "the quick brown fox jumps over a lazy dog in the park",
+        "lang": "en",
+    }) + "\n")
+    assert main(
+        ["corpus_ingest", "--lake", lake,
+         "--source", str(tmp_path / "tfeed")],
+        spark=spark,
+    ) == 0
+    # out-of-band commit: append a vector WITHOUT an ingest cycle
+    emb = MergeTable(spark, f"{lake}/corpus/embeddings")
+    emb.append(spark.createDataFrame(
+        [(99, [50.0, 2.0])], "vec_id long, embedding array<float>"
+    ))
+    assert main(
+        ["corpus_maintenance", "--lake", lake], spark=spark
+    ) == 0
+    idx = MergeTable(spark, f"{lake}/corpus/emb_index")
+    assert idx.read().filter(F.col("vec_id") == 99).count() == 1

@@ -791,6 +791,31 @@ def _corpus_maintenance_job(lake: J.Lakehouse, args) -> str:
         f"quality model psi {rq['psi']}"
         + (" RETRAINED" if rq["retrained"] else " kept")
     )
+    # vector side (r12): fold the maintained IVF index when the
+    # embeddings table and the quantizer artifact exist — erasures and
+    # out-of-band commits land here even if no embedding_ingest cycle
+    # runs tonight; compaction/blooms/vacuum below already reach the
+    # emb tables through CORPUS_ID_COLS
+    from urban_mobility_data_pipeline_spark.extensions.classifier import (
+        artifact_exists,
+    )
+
+    emb = MergeTable(lake.spark, os.path.join(root, "embeddings"))
+    qdir = os.path.join(root, "quantizer")
+    if emb.exists() and artifact_exists(qdir):
+        from urban_mobility_data_pipeline_spark.extensions.similarity import (
+            refresh_ivf_index,
+        )
+
+        n_emb = refresh_ivf_index(
+            emb,
+            MergeTable(lake.spark, os.path.join(root, "emb_index")),
+            lake.spark.read.parquet(qdir),
+            VersionCursor(
+                lake.spark, os.path.join(root, "emb_index_cursor")
+            ),
+        )
+        report.append(f"emb index folded {n_emb} vectors")
     n_blooms = 0
     for name, cols in CORPUS_ID_COLS.items():
         t = MergeTable(lake.spark, os.path.join(root, name))
