@@ -533,6 +533,20 @@ NOTES = (
     " degraded host inflates (the A/B host's own CPU probe read"
     " 4.1-4.6s vs the committed run's 0.63, yet warm trials still"
     " landed at r10 levels)."
+    " --- the FIRST r12 full run flagged streaming_running_profiles"
+    " 3.12->30.4s (raw 9.7x) under a live drift alert (CPU probe"
+    " 1.6x, IO probe 2.3x vs the r11 baseline; median raw ratio"
+    " across 210 shared queries 0.92 — i.e. the host was FASTER on"
+    " everything except the one Python-worker stateful row)."
+    " Isolated same-host fresh-session trials immediately after:"
+    " 2.45/2.77/2.03s warm — at-or-below the r11 committed 3.12s on"
+    " identical code (untouched this round). Verdict: weather —"
+    " applyInPandasWithState spawns Python workers per micro-batch,"
+    " the shape most sensitive to transient host memory/scheduling"
+    " pressure late in a 211-query session. The committed artifact is"
+    " a post-A/B re-run; r13 baselines will also carry"
+    " calibration_par_sec so the new normalized_par mode can"
+    " arbitrate instead of min-mode."
 )
 
 #: The driver records only the LAST 2000 chars of stdout; stay inside
