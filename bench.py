@@ -173,14 +173,7 @@ def main() -> None:
             prev = timings.get(name)
             if prev is None or (prev > 0 and t < prev):
                 timings[name] = round(t, 4)
-                ph = _llm_ops.PHASE_SECS.get(name)
-                if ph:
-                    # any *_sec one-time phases the query recorded
-                    # (train/build); probe = the remainder of the wall
-                    phases[name] = dict(ph)
-                    phases[name]["probe_sec"] = round(
-                        t - sum(ph.values()), 4
-                    )
+                fold_phase_min(phases, name, t, _llm_ops.PHASE_SECS.get(name))
 
     total = round(sum(t for t in timings.values() if t >= 0), 4)
 
@@ -305,6 +298,35 @@ def main() -> None:
 
     print(fit_stdout_line(result, local_name))
     spark.stop()
+
+
+def fold_phase_min(
+    phases: dict, name: str, t: float, ph: dict | None
+) -> None:
+    """Keep the phases map aligned with the pass that produced the
+    recorded best-of-N minimum. When the min pass itself recorded
+    one-time phases (train/build), probe = wall − one-time. When the
+    min pass REUSED an artifact built in an earlier pass (train-once
+    rows: the artifact short-circuits, PHASE_SECS stays empty), the
+    recorded wall contains NO one-time share — its probe IS the wall;
+    the earlier pass's one-time costs are kept for information but
+    marked as paid outside the recorded minimum (r12: previously the
+    stale first-pass entry could report train+probe sums exceeding the
+    recorded wall)."""
+    if ph:
+        phases[name] = dict(ph)
+        phases[name]["probe_sec"] = round(t - sum(ph.values()), 4)
+    elif name in phases:
+        one_time = {
+            k: v
+            for k, v in phases[name].items()
+            if k not in ("probe_sec", "one_time_outside_min_pass")
+        }
+        phases[name] = dict(
+            one_time,
+            probe_sec=round(t, 4),
+            one_time_outside_min_pass=True,
+        )
 
 
 #: Calibration-drift trust band (VERDICT r10 item 5): the CPU probe is

@@ -267,3 +267,33 @@ def test_gate_missing_parallel_baseline_preserves_r11_behavior():
     assert stats["calibration_drift_alert"] is True
     assert stats["calibration_par_drift"] == -1.0
     assert "q" in regs
+
+
+def test_fold_phase_min_alignment():
+    """The phases map must describe the pass that produced the
+    recorded minimum: a min pass that reused a train-once artifact
+    (no PHASE_SECS) reports its whole wall as probe with the earlier
+    one-time costs marked as paid outside it — never a train+probe sum
+    exceeding the recorded wall."""
+    from bench import fold_phase_min
+
+    phases: dict = {}
+    # pass 1: trains in-query (wall 43.3 = 21.65 train + 21.65 probe)
+    fold_phase_min(phases, "q", 43.3, {"train_sec": 21.65})
+    assert phases["q"] == {"train_sec": 21.65, "probe_sec": 21.65}
+    # pass 2: artifact reused, wall 9.46 becomes the recorded min
+    fold_phase_min(phases, "q", 9.46, None)
+    assert phases["q"]["probe_sec"] == 9.46
+    assert phases["q"]["train_sec"] == 21.65  # kept for information
+    assert phases["q"]["one_time_outside_min_pass"] is True
+    # pass 3: another artifact-reusing min — marker doesn't leak into
+    # the one-time keys
+    fold_phase_min(phases, "q", 8.0, None)
+    assert phases["q"] == {
+        "train_sec": 21.65,
+        "probe_sec": 8.0,
+        "one_time_outside_min_pass": True,
+    }
+    # a row with no phases at all stays absent
+    fold_phase_min(phases, "r", 1.0, None)
+    assert "r" not in phases

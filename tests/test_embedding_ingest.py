@@ -337,3 +337,70 @@ def test_corpus_maintenance_folds_emb_index(spark, tmp_path):
     ) == 0
     idx = MergeTable(spark, f"{lake}/corpus/emb_index")
     assert idx.read().filter(F.col("vec_id") == 99).count() == 1
+
+
+def test_stream_embedding_door(spark, tmp_path, lake):
+    """Streaming twin of the guarded vector door: micro-batches drain
+    through the same validation -> guarded probe -> MERGE; a batch
+    carrying a near-dup, a hot-cell-unchecked vector, an invalid
+    vector AND a malformed line keeps every dead-letter kind (one
+    replay-guarded append per batch); a later run of the same stream
+    probes against vectors the earlier run merged; a no-new-files run
+    is a no-op."""
+    from urban_mobility_data_pipeline_spark.extensions.embedding_ingest import (
+        stream_ingest_embedding_feed,
+    )
+
+    corpus, quarantine, qdir, index, cursor = lake
+    feed = tmp_path / "sfeed"
+    feed.mkdir()
+    ckpt = str(tmp_path / "ckpt")
+
+    # run 1: ONE file -> one micro-batch with all four row kinds
+    (feed / "a.jsonl").write_text(
+        "\n".join([
+            _json.dumps({"vec_id": 100, "embedding": [0.0, 7.0]}),  # dup of 20
+            _json.dumps({"vec_id": 101, "embedding": [9.0, 1.0]}),  # hot cell
+            _json.dumps({"vec_id": 102, "embedding": [0.6, 1.0]}),  # novel
+            "not even json",
+            _json.dumps({"vec_id": 103, "embedding": [1.0]}),  # bad dim
+        ]) + "\n"
+    )
+    stream_ingest_embedding_feed(
+        spark, str(feed), corpus, quarantine, ckpt,
+        quantizer_dir=qdir, index=index, index_cursor=cursor,
+        nprobe=1, cell_cap=5,
+    )
+    ids = {r[0] for r in corpus.read().select("vec_id").collect()}
+    assert 102 in ids and 100 not in ids and 101 not in ids
+    dead = [r["raw_record"] for r in quarantine.read().collect()]
+    assert len(dead) == 4, dead  # every kind survived the ONE append
+    assert any("matched_vec_id" in d for d in dead)
+    assert any("sem_dedup_unchecked" in d for d in dead)
+    assert any("dim_mismatch" in d for d in dead)
+    assert any("not even json" in d for d in dead)
+
+    # run 2: a near-dup of run 1's merged vector bounces (in-stream
+    # index refresh made it probe-able), and run 1's files are not
+    # reprocessed (quarantine count unchanged except the new reject)
+    (feed / "b.jsonl").write_text(
+        _json.dumps({"vec_id": 200, "embedding": [0.6, 1.0]}) + "\n"
+    )
+    stream_ingest_embedding_feed(
+        spark, str(feed), corpus, quarantine, ckpt,
+        quantizer_dir=qdir, index=index, index_cursor=cursor,
+        nprobe=1, cell_cap=5,
+    )
+    assert 200 not in {
+        r[0] for r in corpus.read().select("vec_id").collect()
+    }
+    assert quarantine.read().count() == 5
+
+    # run 3: no new files -> no-op
+    stream_ingest_embedding_feed(
+        spark, str(feed), corpus, quarantine, ckpt,
+        quantizer_dir=qdir, index=index, index_cursor=cursor,
+        nprobe=1, cell_cap=5,
+    )
+    assert quarantine.read().count() == 5
+    assert corpus.read().count() == 13

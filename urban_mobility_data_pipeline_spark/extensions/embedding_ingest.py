@@ -357,3 +357,236 @@ def ingest_embedding_feed(
     finally:
         parsed.unpersist()
         release_scratch()  # probe scratch (probes/sizes persists)
+
+
+def stream_ingest_embedding_feed(
+    spark: SparkSession,
+    feed_dir: str,
+    corpus: MergeTable,
+    quarantine: MergeTable,
+    checkpoint: str,
+    quantizer_dir: str | None = None,
+    index: MergeTable | None = None,
+    index_cursor=None,
+    ddl_schema: str = EMB_FEED_SCHEMA,
+    dup_threshold: float = 0.9,
+    nprobe: int = 2,
+    cell_cap: int = SEM_CELL_CAP,
+) -> None:
+    """Continuous-ingest twin of :func:`ingest_embedding_feed` — the
+    vector door gets the same two production loops as the text door
+    (``corpus_ingest.stream_ingest_feed``): a JSONL file stream
+    (``readStream`` + ``Trigger.AvailableNow``) drains every
+    yet-unseen feed file through the same validation → guarded
+    semantic probe → keyed MERGE; the checkpoint tracks file offsets
+    so re-running processes only NEW files.
+
+    Exactly-once: the corpus MERGE is replay-safe by key; dead letters
+    (malformed rows, invalid vectors, semantic-dup rejects,
+    ``sem_dedup_unchecked`` diverts) union into ONE batch_id-stamped
+    quarantine append per micro-batch under one replay guard — the
+    text door's r12 contract (separate guarded appends let the first
+    append's batch_id silently drop the second's dead letters). The
+    index refresh runs INSIDE the batch after the MERGE, so a later
+    micro-batch of the same run probes against this batch's vectors,
+    and a crash-replayed batch re-derives the same index state (the
+    refresh is cursor-guarded and idempotent)."""
+    from urban_mobility_data_pipeline_spark.sources.ingest import (
+        CORRUPT_COL,
+        _schema_with_corrupt,
+        _split,
+    )
+    from urban_mobility_data_pipeline_spark.streaming.incremental import (
+        run_available_now,
+    )
+
+    stream = (
+        spark.readStream.schema(_schema_with_corrupt(ddl_schema))
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", CORRUPT_COL)
+        .json(feed_dir)
+    )
+
+    def merge_batch(batch: DataFrame, batch_id: int) -> None:
+        from urban_mobility_data_pipeline_spark.extensions.similarity import (
+            incremental_semantic_dups_with_report,
+        )
+
+        good, bad = _split(batch)
+        try:
+            centroids = None
+            if quantizer_dir is not None:
+                from urban_mobility_data_pipeline_spark.extensions.classifier import (
+                    artifact_exists,
+                )
+
+                if artifact_exists(quantizer_dir):
+                    centroids = spark.read.parquet(quantizer_dir)
+            if centroids is not None:
+                dim = len(centroids.select("centroid").first()[0])
+            elif corpus.exists() and corpus.read().limit(1).count():
+                dim = len(corpus.read().select("embedding").first()[0])
+            else:
+                dim_row = (
+                    good.filter(F.col("embedding").isNotNull())
+                    .groupBy(F.size("embedding").alias("d"))
+                    .count()
+                    .orderBy(F.col("count").desc(), F.col("d"))
+                    .first()
+                )
+                dim = int(dim_row["d"]) if dim_row else 0
+            valid, invalid = validate_vectors(good, dim)
+            vecs = dedupe_on_vec_id(valid)
+            dead_frames = []
+            if (
+                centroids is not None
+                and index is not None
+                and index.exists()
+                and corpus.exists()
+            ):
+                from urban_mobility_data_pipeline_spark.cache import (
+                    scratch_persist,
+                )
+
+                pairs, skipped = incremental_semantic_dups_with_report(
+                    vecs, index, centroids, cell_cap,
+                    threshold=dup_threshold, nprobe=nprobe,
+                )
+                skipped = scratch_persist(skipped)
+                best = pairs.groupBy("new_id").agg(
+                    F.max(F.struct("cosine", "corpus_id")).alias("m")
+                )
+                rejected = vecs.join(
+                    F.broadcast(
+                        best.select(
+                            F.col("new_id").alias("vec_id"),
+                            F.col("m.corpus_id").alias("matched_vec_id"),
+                            F.col("m.cosine").alias("matched_cosine"),
+                        )
+                    ),
+                    "vec_id",
+                )
+                if not rejected.isEmpty():
+                    dead_frames.append(
+                        rejected.select(
+                            F.to_json(
+                                F.struct(
+                                    "vec_id",
+                                    "matched_vec_id",
+                                    "matched_cosine",
+                                )
+                            ).alias("raw_record"),
+                            F.lit(feed_dir).alias("feed_path"),
+                            F.lit(batch_id).cast("long").alias("batch_id"),
+                        )
+                    )
+                    vecs = vecs.join(
+                        F.broadcast(
+                            best.select(F.col("new_id").alias("vec_id"))
+                        ),
+                        "vec_id",
+                        "left_anti",
+                    )
+                if skipped.count():
+                    k = centroids.count()
+                    n_probes = min(nprobe, int(k))
+                    fully = (
+                        skipped.groupBy("new_id")
+                        .agg(F.count_distinct("cell").alias("__nc"))
+                        .filter(F.col("__nc") >= n_probes)
+                        .select(F.col("new_id").alias("vec_id"))
+                    )
+                    unchecked = vecs.join(F.broadcast(fully), "vec_id")
+                    if not unchecked.isEmpty():
+                        cells_of = skipped.groupBy(
+                            F.col("new_id").alias("vec_id")
+                        ).agg(
+                            F.sort_array(F.collect_set("cell")).alias(
+                                "saturated_cells"
+                            )
+                        )
+                        dead_frames.append(
+                            unchecked.join(
+                                F.broadcast(cells_of), "vec_id"
+                            ).select(
+                                F.to_json(
+                                    F.struct(
+                                        "vec_id",
+                                        F.lit(
+                                            "sem_dedup_unchecked"
+                                        ).alias("reason"),
+                                        "saturated_cells",
+                                    )
+                                ).alias("raw_record"),
+                                F.lit(feed_dir).alias("feed_path"),
+                                F.lit(batch_id)
+                                .cast("long")
+                                .alias("batch_id"),
+                            )
+                        )
+                        vecs = vecs.join(
+                            F.broadcast(unchecked.select("vec_id")),
+                            "vec_id",
+                            "left_anti",
+                        )
+            if corpus.exists():
+                non_keys = [c for c in vecs.columns if c != "vec_id"]
+                corpus.merge(
+                    vecs,
+                    keys=["vec_id"],
+                    update_set={c: F.col(f"s.{c}") for c in non_keys},
+                    insert=True,
+                )
+            elif not vecs.isEmpty():
+                corpus.create(vecs)
+            if not invalid.isEmpty():
+                dead_frames.append(
+                    invalid.select(
+                        F.to_json(F.struct("vec_id", "reason")).alias(
+                            "raw_record"
+                        ),
+                        F.lit(feed_dir).alias("feed_path"),
+                        F.lit(batch_id).cast("long").alias("batch_id"),
+                    )
+                )
+            if not bad.isEmpty():
+                dead_frames.append(
+                    bad.withColumn("feed_path", F.lit(feed_dir))
+                    .withColumn(
+                        "batch_id", F.lit(batch_id).cast("long")
+                    )
+                )
+            if dead_frames:
+                dead_all = dead_frames[0]
+                for d in dead_frames[1:]:
+                    dead_all = dead_all.unionByName(d)
+                if quarantine.exists():
+                    existing = quarantine.read()
+                    already = (
+                        "batch_id" in existing.columns
+                        and not existing.filter(
+                            F.col("batch_id") == batch_id
+                        ).isEmpty()
+                    )
+                    if not already:
+                        quarantine.append(dead_all)
+                else:
+                    quarantine.create(dead_all)
+            if corpus.exists():
+                corpus.auto_compact(max_files=AUTO_COMPACT_MAX_FILES)
+            if (
+                centroids is not None
+                and index is not None
+                and index_cursor is not None
+                and corpus.exists()
+            ):
+                from urban_mobility_data_pipeline_spark.extensions.similarity import (
+                    refresh_ivf_index,
+                )
+
+                refresh_ivf_index(corpus, index, centroids, index_cursor)
+        finally:
+            batch.unpersist()
+            release_scratch()
+
+    run_available_now(stream, checkpoint, merge_batch)
