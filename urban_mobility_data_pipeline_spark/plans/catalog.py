@@ -411,11 +411,15 @@ NEVER_SEATED_BY_CONSTRUCTION: frozenset[str] = frozenset({
 # more than one round).
 # (r12: the r11 queue seated; the one new r12 row queues here.)
 DRIVER_SEAT_QUEUE: tuple[str, ...] = (
-    # r12 addition, first in line for the r13 rotation: the composed
-    # training manifest upgraded to the door's curation stack
-    # (heuristics -> model gate -> exact dedup -> capped fuzzy dedup
-    # -> packing, model_gated + truncated_members in-schema)
+    # r12 additions, first in line for the r13 rotation
+    # - the composed training manifest upgraded to the door's curation
+    #   stack (heuristics -> model gate -> exact dedup -> capped fuzzy
+    #   dedup -> packing, model_gated + truncated_members in-schema)
     "corpus_training_manifest_v2",
+    # - the guarded semantic ingest probe (the vector twin of
+    #   documents_ingest_dedup_guarded: planted hot cell, data-derived
+    #   cap, pairs UNION the never-silent skip report)
+    "embedding_ingest_semdedup_guarded",
 )
 
 # Every query name that has held a driver slot in some round (r1-r11;

@@ -1311,6 +1311,188 @@ def embedding_semantic_dedup_ingest(spark: SparkSession, sf_dir: str) -> DataFra
     )
 
 
+#: the GUARDED semantic ingest probe replayed in DuckDB — the vector
+#: twin of documents_ingest_dedup_guarded's oracle: the corpus slice
+#: plus a PLANTED hot cell (n//k identical clones of the min-id corpus
+#: vector, synthetic ids, same label — its per-label cell lands ~2x
+#: the average), a data-derived cap (3n//2k + 1 ≈ 1.5x the average
+#: cell), the nprobe=2 probe with cells over the cap DROPPED from the
+#: verify join, and the never-silent skip report UNIONed in-schema.
+_GUARDED_SEM_INGEST_ORACLE = """
+    WITH ex AS (
+        SELECT vec_id,
+               list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v,
+               label
+        FROM embeddings
+    ),
+    corpus0 AS (SELECT * FROM ex WHERE vec_id % 10 <> 0),
+    batch  AS (SELECT * FROM ex WHERE vec_id % 10 = 0),
+    params AS (
+        SELECT CAST(count(*) AS BIGINT) AS n,
+               CAST(count(DISTINCT label) AS BIGINT) AS k
+        FROM corpus0
+    ),
+    seedv AS (SELECT v, label FROM corpus0 ORDER BY vec_id LIMIT 1),
+    clones AS (
+        -- DuckDB table functions reject subquery bounds, so the n//k
+        -- clone count is taken as the first rows of a numbered corpus
+        SELECT 2000000 + t.rn - 1 AS vec_id, s.v, s.label
+        FROM (SELECT row_number() OVER (ORDER BY vec_id) AS rn
+              FROM corpus0) t
+        CROSS JOIN seedv s
+        WHERE t.rn <= (SELECT n // k FROM params)
+    ),
+    corpus AS (
+        SELECT vec_id, v, label FROM corpus0
+        UNION ALL SELECT vec_id, v, label FROM clones
+    ),
+    comp AS (
+        SELECT label AS cell, pos, round(avg(c), 6) AS m
+        FROM (SELECT label, unnest(v) AS c,
+                     unnest(range(1, len(v) + 1)) AS pos
+              FROM corpus)
+        GROUP BY 1, 2
+    ),
+    cent AS (SELECT cell, list(m ORDER BY pos) AS centroid FROM comp GROUP BY 1),
+    idx AS (
+        SELECT vec_id AS corpus_id, v AS iv, cell
+        FROM (
+            SELECT e.vec_id, e.v, c.cell,
+                   row_number() OVER (
+                       PARTITION BY e.vec_id
+                       ORDER BY list_dot_product(e.v, c.centroid)
+                                / (sqrt(list_dot_product(e.v, e.v))
+                                   * sqrt(list_dot_product(c.centroid, c.centroid))) DESC,
+                                c.cell
+                   ) AS rn
+            FROM corpus e CROSS JOIN cent c
+        ) WHERE rn = 1
+    ),
+    probes AS (
+        SELECT vec_id AS new_id, v AS nv, cell
+        FROM (
+            SELECT e.vec_id, e.v, c.cell,
+                   row_number() OVER (
+                       PARTITION BY e.vec_id
+                       ORDER BY list_dot_product(e.v, c.centroid)
+                                / (sqrt(list_dot_product(e.v, e.v))
+                                   * sqrt(list_dot_product(c.centroid, c.centroid))) DESC,
+                                c.cell
+                   ) AS rn
+            FROM batch e CROSS JOIN cent c
+        ) WHERE rn <= 2
+    ),
+    csz AS (
+        SELECT cell, CAST(count(*) AS BIGINT) AS cell_size
+        FROM idx GROUP BY 1
+    ),
+    cap AS (SELECT (3 * n) // (2 * k) + 1 AS c FROM params)
+    SELECT p.new_id, i.corpus_id,
+           round(list_dot_product(p.nv, i.iv)
+                 / (sqrt(list_dot_product(p.nv, p.nv))
+                    * sqrt(list_dot_product(i.iv, i.iv))), 6) AS cosine,
+           CAST(NULL AS INTEGER) AS cell,
+           CAST(NULL AS BIGINT) AS cell_size,
+           'pair' AS status
+    FROM probes p
+    JOIN csz s ON s.cell = p.cell AND s.cell_size <= (SELECT c FROM cap)
+    JOIN idx i ON p.cell = i.cell
+    WHERE p.new_id <> i.corpus_id
+      AND round(list_dot_product(p.nv, i.iv)
+                / (sqrt(list_dot_product(p.nv, p.nv))
+                   * sqrt(list_dot_product(i.iv, i.iv))), 6) >= 0.35
+    UNION ALL
+    SELECT p.new_id, CAST(NULL AS BIGINT), CAST(NULL AS DOUBLE),
+           CAST(p.cell AS INTEGER), s.cell_size, 'skipped'
+    FROM probes p
+    JOIN csz s ON s.cell = p.cell AND s.cell_size > (SELECT c FROM cap)
+    """
+
+
+@register(
+    "embedding_ingest_semdedup_guarded",
+    oracle=_GUARDED_SEM_INGEST_ORACLE,
+)
+def embedding_ingest_semdedup_guarded(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The GUARDED semantic ingest probe as one hash-checked row — the
+    vector twin of ``documents_ingest_dedup_guarded`` (r12: the probe
+    the production ``embedding_ingest`` door runs, attested end to
+    end). A hot cell is PLANTED (n//k identical clones of the min-id
+    corpus vector under synthetic ids — its per-label cell lands ~2x
+    the average occupancy), the cap derives from the data (3n//2k + 1
+    ≈ 1.5x the average cell), and
+    ``incremental_semantic_dups_with_report`` probes the batch slice
+    at nprobe=2: pairs verify only against UNSATURATED cells (the
+    O(|batch| x cell) join the cap bounds), while every probe into the
+    hot cell lands in the never-silent skip report — UNIONed into the
+    output as status='skipped' rows naming the cell and its occupancy,
+    exactly what the door diverts on. The oracle replays the plant,
+    the per-label quantizer, assignment, sizing, the cap split, and
+    both output branches."""
+    from urban_mobility_data_pipeline_spark.cache import scratch_dir
+
+    from urban_mobility_data_pipeline_spark.extensions.similarity import (
+        build_ivf_index,
+        incremental_semantic_dups_with_report,
+        ivf_centroids,
+    )
+    from urban_mobility_data_pipeline_spark.operators.merge import MergeTable
+
+    emb = table(spark, sf_dir, "embeddings")
+    corpus = emb.filter(F.col("vec_id") % 10 != 0).select(
+        "vec_id", "embedding", "label"
+    )
+    batch = emb.filter(F.col("vec_id") % 10 == 0).select(
+        "vec_id", "embedding"
+    )
+    # bounded driver scalars (metadata-class): corpus rows + label
+    # count size the plant and the cap, exactly as the oracle derives
+    # them — integer arithmetic only, so both engines agree
+    n = corpus.count()
+    k = corpus.select("label").distinct().count()
+    g = n // k
+    cap = (3 * n) // (2 * k) + 1
+    seed = corpus.orderBy("vec_id").limit(1).select("embedding", "label")
+    clones = (
+        spark.range(g)
+        .crossJoin(F.broadcast(seed))
+        .select(
+            (F.lit(2_000_000) + F.col("id")).alias("vec_id"),
+            "embedding",
+            "label",
+        )
+    )
+    planted = corpus.unionByName(clones)
+    cents = ivf_centroids(planted).select(
+        "cell",
+        F.transform("centroid", lambda x: F.round(x, 6)).alias("centroid"),
+    )
+    index = MergeTable(spark, scratch_dir("umdp_semguard_"))
+    build_ivf_index(planted, cents, index)
+    pairs, skipped = incremental_semantic_dups_with_report(
+        batch, index, cents, cell_cap=cap, threshold=0.35, nprobe=2
+    )
+    return pairs.select(
+        "new_id",
+        "corpus_id",
+        "cosine",
+        F.lit(None).cast("int").alias("cell"),
+        F.lit(None).cast("long").alias("cell_size"),
+        F.lit("pair").alias("status"),
+    ).unionByName(
+        skipped.select(
+            "new_id",
+            F.lit(None).cast("long").alias("corpus_id"),
+            F.lit(None).cast("double").alias("cosine"),
+            F.col("cell").cast("int").alias("cell"),
+            "cell_size",
+            F.lit("skipped").alias("status"),
+        )
+    )
+
+
 def _adaptive_ingest_oracle(iters: int, pair_cost_ratio: float) -> str:
     """The ingest probe through the ADAPTIVE quantizer, unrolled in
     DuckDB: k and the fingerprint sample computed from the CORPUS
