@@ -296,6 +296,7 @@ def lsh_candidate_pairs(
     text_col: str = "text",
     shingles: DataFrame | None = None,
     bucket_cap: int | None = None,
+    band_keys: DataFrame | None = None,
 ) -> DataFrame:
     """Distinct candidate pairs (a < b) sharing at least one LSH band.
     The self-join is on (band_id, band_key) — a co-partitioned shuffle
@@ -305,10 +306,14 @@ def lsh_candidate_pairs(
     oversized buckets through :func:`capped_bucket_keys` (secondary
     banding + hard cap), bounding the join at O(B·buckets·cap²) on ANY
     corpus; pair :func:`bucket_overflow_stats` alongside to see what
-    the cap cost."""
+    the cap cost. ``band_keys`` supplies a precomputed (ideally
+    persisted) band-key frame — callers that ALSO need the keys (the
+    overflow report rides beside every capped composition) stage them
+    once instead of re-running tokenize→minhash→banding per consumer;
+    must include ``refine_key`` when ``bucket_cap`` is set."""
     from urban_mobility_data_pipeline_spark.cache import scratch_persist
 
-    keys = scratch_persist(
+    keys = band_keys if band_keys is not None else scratch_persist(
         lsh_band_keys(
             minhash_signatures(docs, id_col, text_col, shingles=shingles),
             id_col,
@@ -354,6 +359,8 @@ def near_dup_pairs(
     text_col: str = "text",
     threshold: float = 0.3,
     bucket_cap: int | None = None,
+    shingles: DataFrame | None = None,
+    band_keys: DataFrame | None = None,
 ) -> DataFrame:
     """LSH candidates verified with exact n-gram Jaccard ≥ threshold.
 
@@ -363,12 +370,20 @@ def near_dup_pairs(
     join. Without the stage each consumer would re-tokenize the corpus —
     three full text scans instead of one. The candidate list is tiny
     relative to the corpus, so it is broadcast into the verify joins
-    explicitly: the corpus-side shingle stage is never reshuffled."""
+    explicitly: the corpus-side shingle stage is never reshuffled.
+    ``shingles``/``band_keys`` accept pre-staged frames (the capped
+    compositions stage both once and feed the overflow report from the
+    same keys — see ``lsh_candidate_pairs``)."""
     from urban_mobility_data_pipeline_spark.cache import scratch_persist
 
-    sh = scratch_persist(shingles_df(docs, id_col, text_col))
+    sh = (
+        shingles
+        if shingles is not None
+        else scratch_persist(shingles_df(docs, id_col, text_col))
+    )
     cands = lsh_candidate_pairs(
-        docs, id_col, text_col, shingles=sh, bucket_cap=bucket_cap
+        docs, id_col, text_col, shingles=sh, bucket_cap=bucket_cap,
+        band_keys=band_keys,
     )
     paired = (
         F.broadcast(cands)
@@ -474,6 +489,9 @@ def cross_corpus_near_dups(
     text_col: str = "text",
     threshold: float = 0.3,
     bucket_cap: int | None = None,
+    shingles_a: DataFrame | None = None,
+    shingles_b: DataFrame | None = None,
+    band_keys: DataFrame | None = None,
 ) -> DataFrame:
     """Near-duplicates ACROSS two corpora — the train/eval contamination
     check every serious training-data pipeline runs before reporting
@@ -494,18 +512,36 @@ def cross_corpus_near_dups(
     identically), bounding the A×B join at O(B·buckets·cap²) on any
     corpus pair; pair :func:`bucket_overflow_stats` on
     :func:`cross_corpus_band_keys` output to see what the cap cost.
+    ``shingles_a``/``shingles_b``/``band_keys`` accept pre-staged
+    frames (band_keys = the TAGGED, uncapped, refined union from
+    :func:`cross_corpus_band_keys`) so a caller that also emits the
+    overflow report builds the tokenize→minhash→banding pipeline once
+    for both consumers instead of once each.
     """
     from urban_mobility_data_pipeline_spark.cache import scratch_persist
 
-    sh_a = scratch_persist(shingles_df(corpus_a, id_col, text_col))
-    sh_b = scratch_persist(shingles_df(corpus_b, id_col, text_col))
+    sh_a = (
+        shingles_a
+        if shingles_a is not None
+        else scratch_persist(shingles_df(corpus_a, id_col, text_col))
+    )
+    sh_b = (
+        shingles_b
+        if shingles_b is not None
+        else scratch_persist(shingles_df(corpus_b, id_col, text_col))
+    )
     if bucket_cap is not None:
+        union = (
+            band_keys
+            if band_keys is not None
+            else cross_corpus_band_keys(
+                corpus_a, corpus_b, id_col, text_col,
+                shingles_a=sh_a, shingles_b=sh_b, with_refine=True,
+            )
+        )
         keys = scratch_persist(
             capped_bucket_keys(
-                cross_corpus_band_keys(
-                    corpus_a, corpus_b, id_col, text_col,
-                    shingles_a=sh_a, shingles_b=sh_b, with_refine=True,
-                ),
+                union,
                 id_col,
                 bucket_cap,
                 LSH_BANDS,

@@ -40,6 +40,20 @@ PAGERANK_DAMPING = 0.85
 PAGERANK_ITERS = 3
 PAGERANK_QUANTIZE = 12
 
+#: Above this node count the per-round rank table stops being
+#: broadcast (≈ a few hundred MB framed — the guide's comfort zone for
+#: a broadcast relation) and the superstep join falls back to the
+#: co-partitioned shuffle join against the staged edges. Below it, an
+#: explicit broadcast(ranks) pins the BUILD SIDE to the side that is
+#: always the smaller one (ranks = one row per node; edges ≥ nodes on
+#: any connected graph). Left to estimates, the planner broadcast the
+#: CACHED EDGE table instead — known-small stats beat the unknown
+#: post-aggregation rank estimate — which collected the edge list to
+#: the driver and rebuilt its hash relation in every task of every
+#: round (r13: 181,826-row broadcast per superstep, 3.7-4.6 s collect
+#: each, ~176 s of per-task hash-map build CPU on the trade graph).
+PAGERANK_BROADCAST_MAX_NODES = 5_000_000
+
 
 def pagerank(
     edges: DataFrame,
@@ -55,11 +69,12 @@ def pagerank(
     Nodes are the distinct ``src`` endpoints — with bidirectional
     edges that is every connected node, so there are no dangling
     nodes and the (1-d)/N teleport reaches everything. The node count
-    is a 1-row broadcast; the degree table joins edges on their
-    shared ``src`` key (broadcast at small scale by AQE, shuffle
-    co-partitioned at large — it has one row per node, so it is NOT
-    explicitly broadcast); the per-round shuffle carries
-    (node, rank/outdeg) contributions keyed by dst."""
+    is collected once as a bounded driver scalar: it feeds the rank
+    initialisation/teleport literals AND picks the superstep join
+    strategy (broadcast the per-node rank table while it fits under
+    :data:`PAGERANK_BROADCAST_MAX_NODES`, co-partitioned shuffle join
+    past it); the per-round shuffle carries (node, rank/outdeg)
+    contributions keyed by dst."""
     # stage the (possibly expensive) edge derivation ONCE: without
     # this every superstep replays the upstream joins that built the
     # edge list (measured 2x wall on the trade graph). The degree is
@@ -69,28 +84,49 @@ def pagerank(
     # re-exchanging the edges every round.
     edges = scratch_persist(edges)
     deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
+    # the node count is a bounded driver scalar (the audited category:
+    # one long, like the nprobe cell ids) — inlining it as a literal
+    # replaces a broadcast join of the 1-row count frame in EVERY
+    # superstep's plan, and it is what decides the join strategy below.
+    # 1.0/n and (1-d)/n are IEEE double divisions either way (Python
+    # and the JVM produce the same bits), so ranks are unchanged.
+    n_nodes = int(deg.agg(F.count(F.lit(1))).first()[0])
+    if n_nodes == 0:
+        return deg.select(
+            F.col("src").alias("node"), F.lit(0.0).alias("rank")
+        )
+    small_nodes = n_nodes <= PAGERANK_BROADCAST_MAX_NODES
+    # same wrong-build-side hazard on the one-time degree fold: deg is
+    # per-node, edges per-edge — broadcast deg while it fits, never
+    # the edge list
     edges_deg = scratch_persist(
-        edges.join(deg, "src").repartition("src")
+        edges.join(F.broadcast(deg) if small_nodes else deg, "src")
+        .repartition("src")
     )
-    nn = deg.agg(F.count(F.lit(1)).alias("n"))
-    ranks = deg.join(F.broadcast(nn)).select(
-        F.col("src").alias("node"),
-        (F.lit(1.0) / F.col("n")).alias("rank"),
+    init = 1.0 / n_nodes
+    ranks = deg.select(
+        F.col("src").alias("node"), F.lit(init).alias("rank")
     )
-    teleport = F.lit(1.0 - damping)
+    teleport_over_n = F.lit((1.0 - damping) / n_nodes)
+    # Join-strategy choice (guide §3.1), made from the KNOWN node
+    # count instead of planner estimates: ranks (one row per node) is
+    # always the smaller side of the superstep join, so broadcast it
+    # while it fits and leave the staged, hash-partitioned edge table
+    # unshuffled; past the cap fall back to the co-partitioned shuffle
+    # join (the 100-TB shape). See PAGERANK_BROADCAST_MAX_NODES for
+    # what the estimate-driven plan did instead.
     for it in range(iters):
+        rhs = F.broadcast(ranks) if small_nodes else ranks
         contrib = edges_deg.join(
-            ranks, F.col("src") == F.col("node")
+            rhs, F.col("src") == F.col("node")
         ).select("dst", (F.col("rank") / F.col("outdeg")).alias("c"))
         ranks = (
             contrib.groupBy("dst")
             .agg(F.sum("c").alias("s"))
-            .join(F.broadcast(nn))
             .select(
                 F.col("dst").alias("node"),
                 F.round(
-                    teleport / F.col("n")
-                    + F.lit(damping) * F.col("s"),
+                    teleport_over_n + F.lit(damping) * F.col("s"),
                     quantize,
                 ).alias("rank"),
             )

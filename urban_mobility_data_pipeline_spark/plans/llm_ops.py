@@ -1794,16 +1794,32 @@ _VERIFIED_FROM_K2 = """cands AS (
 def _capped_pairs_and_overflow(docs):
     """Shared Spark-side assembly for the capped compositions: capped
     verified pairs plus the 1-row truncated_members scalar, both from
-    the r9 self-bounding machinery."""
+    the r9 self-bounding machinery.
+
+    The shingle table AND the band-key table are staged once and feed
+    both consumers explicitly (r13): the overflow report previously
+    rebuilt its own tokenize→minhash→banding plan and only the cache
+    manager's plan-equality matching stood between that and a second
+    full corpus scan — fragile at best, a guaranteed re-scan whenever
+    a refactor perturbs the plan shape."""
+    from urban_mobility_data_pipeline_spark.cache import scratch_persist
     from urban_mobility_data_pipeline_spark.extensions.dedup import (
         bucket_overflow_stats,
         lsh_band_keys,
         minhash_signatures,
+        shingles_df,
     )
 
-    pairs = near_dup_pairs(docs, threshold=0.1, bucket_cap=_MINHASH_CAP)
-    keys = lsh_band_keys(
-        minhash_signatures(docs), "doc_id", with_refine=True
+    sh = scratch_persist(shingles_df(docs))
+    keys = scratch_persist(
+        lsh_band_keys(
+            minhash_signatures(docs, shingles=sh), "doc_id",
+            with_refine=True,
+        )
+    )
+    pairs = near_dup_pairs(
+        docs, threshold=0.1, bucket_cap=_MINHASH_CAP,
+        shingles=sh, band_keys=keys,
     )
     overflow = bucket_overflow_stats(
         keys,
@@ -2304,15 +2320,32 @@ def documents_train_eval_contamination_capped(
         train_test_split,
     )
 
+    from urban_mobility_data_pipeline_spark.cache import scratch_persist
+    from urban_mobility_data_pipeline_spark.extensions.dedup import (
+        shingles_df,
+    )
+
     docs = table(spark, sf_dir, "documents")
     tagged = train_test_split(docs, key="doc_id", test_pct=20)
     train = tagged.filter(F.col("split") == "train").select("doc_id", "text")
     eval_ = tagged.filter(F.col("split") == "test").select("doc_id", "text")
+    # stage each side's shingles AND the tagged band-key union once —
+    # the pair join and the overflow report previously each rebuilt
+    # the tokenize→minhash→banding pipeline (r13)
+    sh_a = scratch_persist(shingles_df(train))
+    sh_b = scratch_persist(shingles_df(eval_))
+    union = scratch_persist(
+        cross_corpus_band_keys(
+            train, eval_, shingles_a=sh_a, shingles_b=sh_b,
+            with_refine=True,
+        )
+    )
     pairs = cross_corpus_near_dups(
-        train, eval_, threshold=0.1, bucket_cap=_MINHASH_CAP
+        train, eval_, threshold=0.1, bucket_cap=_MINHASH_CAP,
+        shingles_a=sh_a, shingles_b=sh_b, band_keys=union,
     )
     overflow = bucket_overflow_stats(
-        cross_corpus_band_keys(train, eval_, with_refine=True),
+        union,
         "doc_id",
         _MINHASH_CAP,
         combine=lambda k, r: F.md5(F.concat(k, r)),

@@ -39,13 +39,20 @@ def _stream_table(spark: SparkSession, sf_dir: str, name: str):
     tables (BENCH_SCALING's caught harness bug). Returns
     ``(stream, schema)``; ``events.ts`` has shipped as both
     TIMESTAMP(NANOS) and TIMESTAMP(MICROS) across testdata
-    generations, so schema inference adapts like ``_helpers.table``."""
+    generations, so schema inference adapts like ``_helpers.table``.
+    Schema inference goes through the cached ``table_schema`` — a
+    streaming row builds 2-3 sources over the same table and each used
+    to pay its own footer-read round trip."""
+    from urban_mobility_data_pipeline_spark.sources.files import (
+        table_schema,
+    )
+
     path, is_dir = resolve_table_path(spark, sf_dir, name)
     try:
-        schema = spark.read.parquet(path).schema
+        schema = table_schema(spark, path)
     except Exception:
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        schema = spark.read.parquet(path).schema
+        schema = table_schema(spark, path)
     reader = spark.readStream.schema(schema)
     if is_dir:
         stream = reader.parquet(path)

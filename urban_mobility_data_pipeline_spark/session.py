@@ -22,6 +22,18 @@ DEFAULT_CONF: dict[str, str] = {
     "spark.sql.adaptive.enabled": "true",
     "spark.sql.adaptive.coalescePartitions.enabled": "true",
     "spark.sql.adaptive.skewJoin.enabled": "true",
+    # Let AQE size the partitions of CACHED plans too (default false).
+    # Every persisted staging frame (LSH band keys, shingle tables,
+    # staged graph edges) otherwise materializes at the session's
+    # shuffle-partition CONSTANT and every downstream stage pays one
+    # task wave per cache partition — the exact "constant tuned for
+    # one deployment" the optimization guide warns about. With this on,
+    # cached intermediates land at AQE's byte-sized partition targets:
+    # a handful of partitions for a staged band table locally, advisory-
+    # sized partitions for the same frame at cluster scale (r13: the
+    # capped fuzzy-dedup row dropped 620→62 tasks / 34.5→7.8 s executor
+    # CPU, PageRank 525→35 tasks / 52.6→4.5 s, identical results).
+    "spark.sql.optimizer.canChangeCachedPlanOutputPartitioning": "true",
     # Deterministic timestamp rendering regardless of host TZ.
     "spark.sql.session.timeZone": "UTC",
     # Arrow for any pandas interchange (extensions use pandas UDFs).
@@ -51,12 +63,19 @@ def configure_session(spark: SparkSession) -> SparkSession:
     The verification driver hands us its own ``SparkSession``; session
     timezone and AQE flags are runtime-configurable, so we normalize them
     here instead of requiring our own builder.
+
+    Idempotent per session instance: ``_helpers.table`` calls this on
+    every table load (hundreds of times across a catalog run), so the
+    conf round-trips are paid once and memoized on the session object.
     """
+    if getattr(spark, "_umdp_configured", False):
+        return spark
     for key in (
         "spark.sql.session.timeZone",
         "spark.sql.adaptive.enabled",
         "spark.sql.adaptive.coalescePartitions.enabled",
         "spark.sql.adaptive.skewJoin.enabled",
+        "spark.sql.optimizer.canChangeCachedPlanOutputPartitioning",
         "spark.sql.optimizer.excludedRules",
         "spark.sql.parquet.outputTimestampType",
     ):
@@ -64,6 +83,10 @@ def configure_session(spark: SparkSession) -> SparkSession:
             spark.conf.set(key, DEFAULT_CONF[key])
         except Exception:
             pass  # immutable on some builds — harmless
+    try:
+        spark._umdp_configured = True
+    except Exception:
+        pass  # a session proxy that rejects attributes just re-runs
     return spark
 
 
