@@ -150,7 +150,10 @@ def refresh_dedup_index(
                 sizes.replace(full_sizes)
             else:
                 sizes.create(full_sizes)
-        n = corpus.read().count()
+        # changed-doc count without a third corpus scan: every doc
+        # emits exactly LSH_BANDS index rows, and the index write just
+        # counted them via its commit observation
+        n = index.last_write_rows() // LSH_BANDS
         cursor.upsert(job, head, "OK")
         return n
     if head <= cur:

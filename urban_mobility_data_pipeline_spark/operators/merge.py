@@ -513,6 +513,14 @@ class MergeTable:
             "dv_rows": sum(e["rows"] for e in live_dvs),
         }
 
+    def last_write_rows(self) -> int:
+        """Rows written by the most recent data commit, from the
+        commit log's operationMetrics (observed during the write job
+        itself — reading this never triggers a scan or a count). 0 if
+        the head commit was metadata-only or predates the metric."""
+        m, _ = self._load()
+        return int((m.get("metrics") or {}).get("written_rows", 0))
+
     def history(self) -> list[dict]:
         """Commit log, newest first (Delta ``DESCRIBE HISTORY``)."""
         out = []
