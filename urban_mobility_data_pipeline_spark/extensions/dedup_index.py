@@ -38,12 +38,19 @@ DEDUP_INDEX_JOB = "corpus_dedup_index"
 
 
 def band_rows(
-    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingles: DataFrame | None = None,
 ) -> DataFrame:
     """(doc_id, band_id, band_key) for a document slice — the index's
-    row format, via the SAME signature pipeline as the batch dedup."""
+    row format, via the SAME signature pipeline as the batch dedup.
+    ``shingles`` accepts a pre-staged shingle frame (the ingest probes
+    need the batch's shingles AGAIN for the Jaccard verify — staging
+    them once saves a second tokenize pass per batch)."""
     return lsh_band_keys(
-        minhash_signatures(docs, id_col, text_col), id_col
+        minhash_signatures(docs, id_col, text_col, shingles=shingles),
+        id_col,
     )
 
 
@@ -60,13 +67,24 @@ def bucket_size_rows(
 def _fold_bucket_sizes(
     sizes: MergeTable, adds: DataFrame, removes: DataFrame,
     id_col: str, text_col: str,
+    adds_bands: DataFrame | None = None,
 ) -> None:
     """Aggregate-upsert the (adds − removes) bucket-count delta into
     the sizes table: one MERGE keyed (band_id, band_key), additive
     update. O(changed buckets), never a corpus or index rescan —
-    the same delta-maintenance contract as the index itself."""
+    the same delta-maintenance contract as the index itself.
+    ``adds_bands`` accepts the staged :func:`band_rows` frame the
+    refresh just appended to the index, so the adds side is a groupBy
+    of the cached bands instead of a second signature pass."""
+    add_side = (
+        adds_bands.groupBy("band_id", "band_key").agg(
+            F.count(F.lit(1)).cast("long").alias("n")
+        )
+        if adds_bands is not None
+        else bucket_size_rows(adds, id_col, text_col)
+    )
     delta = (
-        bucket_size_rows(adds, id_col, text_col)
+        add_side
         .unionByName(
             bucket_size_rows(removes, id_col, text_col).select(
                 "band_id", "band_key", (-F.col("n")).alias("n")
@@ -143,9 +161,13 @@ def refresh_dedup_index(
             index.create(full)
         index.build_blooms(id_col)
         if sizes is not None:
-            full_sizes = bucket_size_rows(
-                corpus.read(), id_col, text_col
-            )
+            # the index's rows ARE the band rows — counting buckets
+            # from the just-written table is a narrow 3-column parquet
+            # scan, where recomputing bucket_size_rows(corpus) was a
+            # SECOND full tokenize->minhash->banding pass
+            full_sizes = index.read().groupBy(
+                "band_id", "band_key"
+            ).agg(F.count(F.lit(1)).cast("long").alias("n"))
             if sizes.exists():
                 sizes.replace(full_sizes)
             else:
@@ -174,13 +196,19 @@ def refresh_dedup_index(
             cursor.upsert(job, head, "OK")
             return 0
         index.delete_keys_in(id_col, changed_ids, mode="mor")
+        # one signature pass over the adds feed, staged: the append
+        # and the sizes fold both consume it
+        adds_bands = scratch_persist(band_rows(adds, id_col, text_col))
         if adds.limit(1).count():
-            index.append(band_rows(adds, id_col, text_col))
+            index.append(adds_bands)
             index.build_blooms(id_col)
         if index.maybe_purge_deletes(max_dv_rows=dv_purge_rows)["purged"]:
             index.build_blooms(id_col)
         if sizes is not None:
-            _fold_bucket_sizes(sizes, adds, removes, id_col, text_col)
+            _fold_bucket_sizes(
+                sizes, adds, removes, id_col, text_col,
+                adds_bands=adds_bands,
+            )
         cursor.upsert(job, head, "OK")
         return n_changed
     except Exception:
@@ -210,7 +238,12 @@ def incremental_near_dups(
     merging the batch into the corpus, or every doc matches itself."""
     from urban_mobility_data_pipeline_spark.cache import scratch_persist
 
-    new_bands = scratch_persist(band_rows(new_docs, id_col, text_col))
+    # one tokenize/shingle pass over the batch: the band keys AND the
+    # Jaccard verify both consume the staged shingles
+    sh = scratch_persist(shingles_df(new_docs, id_col, text_col))
+    new_bands = scratch_persist(
+        band_rows(new_docs, id_col, text_col, shingles=sh)
+    )
     idx = index.read()
     cands = (
         new_bands.alias("n")
@@ -226,7 +259,7 @@ def incremental_near_dups(
         )
         .distinct()
     )
-    sh_new = shingles_df(new_docs, id_col, text_col).select(
+    sh_new = sh.select(
         F.col(id_col).alias("new_id"), F.col("shingles").alias("sh_n")
     )
     corpus_cand = corpus.read().join(
@@ -285,7 +318,10 @@ def incremental_near_dups_with_report(
     """
     from urban_mobility_data_pipeline_spark.cache import scratch_persist
 
-    new_bands = band_rows(new_docs, id_col, text_col)
+    # one tokenize/shingle pass over the batch: the band keys AND the
+    # Jaccard verify both consume the staged shingles
+    sh = scratch_persist(shingles_df(new_docs, id_col, text_col))
+    new_bands = band_rows(new_docs, id_col, text_col, shingles=sh)
     gauged = scratch_persist(
         new_bands.join(
             sizes.read().withColumnRenamed("n", "bucket_size"),
@@ -318,7 +354,7 @@ def incremental_near_dups_with_report(
         )
         .distinct()
     )
-    sh_new = shingles_df(new_docs, id_col, text_col).select(
+    sh_new = sh.select(
         F.col(id_col).alias("new_id"), F.col("shingles").alias("sh_n")
     )
     corpus_cand = corpus.read().join(

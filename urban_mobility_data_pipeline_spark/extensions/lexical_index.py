@@ -44,14 +44,32 @@ from urban_mobility_data_pipeline_spark.operators.watermark import VersionCursor
 BM25_INDEX_JOB = "corpus_bm25_index"
 
 
-def bm25_postings(
+def _tokenized(
     docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
 ) -> DataFrame:
+    """(id, toks) for a document slice — the single tokenizer pass
+    both the postings and the stats derive from. Stage this
+    (``scratch_persist``) when BOTH consumers run, so the regex
+    tokenizer — the build's dominant CPU — runs once per slice
+    instead of once per consumer."""
+    return docs.select(F.col(id_col), T.words(text_col).alias("toks"))
+
+
+def bm25_postings(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    tokenized: DataFrame | None = None,
+) -> DataFrame:
     """(token, doc_id, tf, dl) for a document slice — the index's row
-    format, via the SAME tokenizer as the batch BM25 query."""
-    toks = docs.select(
-        F.col(id_col), T.words(text_col).alias("toks")
-    ).select(
+    format, via the SAME tokenizer as the batch BM25 query.
+    ``tokenized`` accepts a pre-staged :func:`_tokenized` frame."""
+    base = (
+        tokenized
+        if tokenized is not None
+        else _tokenized(docs, id_col, text_col)
+    )
+    toks = base.select(
         id_col,
         F.size("toks").cast("double").alias("dl"),
         F.explode("toks").alias("token"),
@@ -62,11 +80,23 @@ def bm25_postings(
 
 
 def bm25_stats(
-    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    tokenized: DataFrame | None = None,
 ) -> DataFrame:
-    """One-row (n_docs, total_dl) rollup of a document slice."""
-    return docs.select(
-        F.col(id_col), F.size(T.words(text_col)).cast("double").alias("dl")
+    """One-row (n_docs, total_dl) rollup of a document slice.
+    Zero-token docs COUNT toward n_docs (they hold no postings but are
+    part of the corpus), which is why stats can never be derived from
+    the postings table. ``tokenized`` accepts a pre-staged
+    :func:`_tokenized` frame."""
+    base = (
+        tokenized
+        if tokenized is not None
+        else _tokenized(docs, id_col, text_col)
+    )
+    return base.select(
+        F.col(id_col), F.size("toks").cast("double").alias("dl")
     ).agg(
         F.count(F.lit(1)).cast("long").alias("n_docs"),
         F.sum("dl").alias("total_dl"),
@@ -81,14 +111,22 @@ def build_bm25_index(
     text_col: str = "text",
 ) -> None:
     """Materialize the inverted index: postings (+ blooms on token for
-    probe skipping and on id for erasure) and the one-row stats."""
-    rows = bm25_postings(docs, id_col, text_col)
+    probe skipping and on id for erasure) and the one-row stats.
+
+    The corpus is tokenized ONCE (staged :func:`_tokenized` frame
+    feeding both the postings write and the stats rollup) — the
+    docstring's long-standing claim, now true: previously each
+    consumer re-ran the regex tokenizer over the full slice."""
+    from urban_mobility_data_pipeline_spark.cache import scratch_persist
+
+    toks = scratch_persist(_tokenized(docs, id_col, text_col))
+    rows = bm25_postings(docs, id_col, text_col, tokenized=toks)
     if postings.exists():
         postings.replace(rows)
     else:
         postings.create(rows)
     postings.build_blooms(["token", id_col])  # one scan, both sidecars
-    st = bm25_stats(docs, id_col, text_col)
+    st = bm25_stats(docs, id_col, text_col, tokenized=toks)
     if stats.exists():
         stats.replace(st)
     else:
@@ -197,7 +235,9 @@ def refresh_bm25_index(
         cur = 0
     if not postings.exists() or cur == 0:
         build_bm25_index(corpus.read(), postings, stats, id_col, text_col)
-        n = corpus.read().count()
+        # changed-doc count without another corpus scan: the one-row
+        # stats table just counted every doc during the build
+        n = int(stats.read().first()["n_docs"])
         cursor.upsert(job, head, "OK")
         return n
     if head <= cur:
@@ -218,12 +258,17 @@ def refresh_bm25_index(
             cursor.upsert(job, head, "OK")
             return 0
         postings.delete_keys_in(id_col, changed_ids, mode="mor")
+        # one tokenizer pass over the adds feed for both the postings
+        # append and the stats delta (same staging as the build)
+        toks_a = scratch_persist(_tokenized(adds, id_col, text_col))
         if adds.limit(1).count():
-            postings.append(bm25_postings(adds, id_col, text_col))
+            postings.append(
+                bm25_postings(adds, id_col, text_col, tokenized=toks_a)
+            )
             postings.build_blooms(["token", id_col])
         if postings.maybe_purge_deletes(max_dv_rows=dv_purge_rows)["purged"]:
             postings.build_blooms(["token", id_col])
-        a = bm25_stats(adds, id_col, text_col)
+        a = bm25_stats(adds, id_col, text_col, tokenized=toks_a)
         r = bm25_stats(removes, id_col, text_col)
         delta = a.join(
             r.select(

@@ -634,6 +634,19 @@ def train_adaptive_quantizer(
     )
     if stride > 1 and train.count() < k:
         train = embeddings
+    # Spread the bounded sample across the cluster before the Lloyd's
+    # loop: per-row training work is k centroid dots — compute-dense
+    # on a byte-tiny frame — so the scan's byte-sized splits (often
+    # ONE task locally, since ~40·k sampled vectors fit one parquet
+    # split) starve every trajectory stage of parallelism (measured:
+    # 3 consecutive 2-3.5 s single-task jobs per iteration at sf0.1
+    # local[32]). Hash-repartitioning ≤40·k rows on the id is a
+    # negligible shuffle at any scale and deterministic row->partition
+    # placement; per-(cell,pos) means are 6dp-rounded each iteration,
+    # which is the same order-robustness contract the cross-engine
+    # oracle replay already relies on.
+    par = embeddings.sparkSession.sparkContext.defaultParallelism
+    train = train.repartition(par, F.col(id_col))
     _assign, centroids = spherical_kmeans(
         train, k=k, iters=iters, id_col=id_col, vec_col=vec_col
     )

@@ -77,6 +77,29 @@ def resolve_table_path(
     return os.path.join(sf_dir, f"{name}.parquet"), False
 
 
+_SIZE_CACHE: dict[str, int] = {}
+
+
+def table_bytes(spark: SparkSession, path: str) -> int:
+    """Total on-disk bytes of a table path (file or directory), via the
+    Hadoop FS so any scheme works; cached per path (immutable testdata
+    layout — same contract as the schema cache). Driver-side metadata
+    only."""
+    hit = _SIZE_CACHE.get(path)
+    if hit is not None:
+        return hit
+    try:
+        jvm = spark.sparkContext._jvm
+        conf = spark.sparkContext._jsc.hadoopConfiguration()
+        hpath = jvm.org.apache.hadoop.fs.Path(path)
+        fs = hpath.getFileSystem(conf)
+        n = int(fs.getContentSummary(hpath).getLength())
+    except Exception:
+        n = 1 << 62  # unknown: treat as huge (never spread)
+    _SIZE_CACHE[path] = n
+    return n
+
+
 def _nanos_flag(spark: SparkSession) -> str:
     try:
         return spark.conf.get(
