@@ -34,11 +34,18 @@ from urban_mobility_data_pipeline_spark.sources.files import (
 #: 30-minute sessionization gap, in microseconds.
 SESSION_GAP_US = 30 * 60 * 1_000_000
 
-#: Compute-dense tables (regex tokenization / n-gram shingling /
-#: vector dot products cost orders of magnitude more per row than the
-#: columnar aggregates the numeric tables see) and the id to
-#: hash-spread them on.
-_SPREAD_KEYS = {"documents": "doc_id", "embeddings": "vec_id"}
+#: Compute-dense tables (regex tokenization / n-gram shingling cost
+#: orders of magnitude more per row than the columnar aggregates the
+#: numeric tables see) and the id to hash-spread them on. Embeddings
+#: are deliberately NOT here: the vector family is dominated by small
+#: per-cell/per-subspace AGGREGATIONS, and spreading 2k vectors over
+#: 32 partitions multiplied partial-aggregation state instead of
+#: parallelizing compute (measured: embedding_ivfpq_topk executor CPU
+#: 4.0 -> 18.0 s, tasks 21 -> 331 with embeddings spread). The one
+#: genuinely compute-dense vector stage — the adaptive quantizer's
+#: Lloyd's loop — gets its parallelism from the targeted
+#: train-sample repartition in `similarity.train_adaptive_quantizer`.
+_SPREAD_KEYS = {"documents": "doc_id"}
 
 #: Only spread a table whose ENTIRE on-disk footprint is at most this
 #: many bytes (conf `spark.umdp.spread.maxBytes` overrides). The gate is
