@@ -53,12 +53,21 @@ def test_flagship_plan_shape(spark, sf_dir):
 def test_no_row_at_a_time_python_in_catalog(spark, sf_dir):
     """No catalog query may fall back to row-at-a-time Python UDF
     execution — Python is allowed only as Arrow-batched eval."""
-    for name, fn in sorted(QUERIES.items()):
-        if name.startswith("streaming_"):
-            continue  # streaming twins execute, not just plan
-        df = fn(spark, sf_dir)
-        plan = df._jdf.queryExecution().executedPlan().toString()
-        assert "BatchEvalPython" not in plan, name
+    from urban_mobility_data_pipeline_spark.cache import release_scratch
+
+    try:
+        for name, fn in sorted(QUERIES.items()):
+            if name.startswith("streaming_"):
+                continue  # streaming twins execute, not just plan
+            df = fn(spark, sf_dir)
+            plan = df._jdf.queryExecution().executedPlan().toString()
+            assert "BatchEvalPython" not in plan, name
+    finally:
+        # building 200+ queries registers every staged scratch frame in
+        # the session cache; drop them so later plan-shape tests see the
+        # query's own fresh plan, not relations materialized here
+        release_scratch()
+        spark.catalog.clearCache()
 
 
 def test_narrow_projection_prunes_scan_columns(spark, sf_dir):
@@ -79,6 +88,14 @@ def test_near_dup_pairs_stages_shingles_once(spark, sf_dir):
     candidate pairs broadcast into the verify joins — the corpus text is
     tokenized a single time, never reshuffled (extensions/dedup.py
     near_dup_pairs)."""
+    from urban_mobility_data_pipeline_spark.cache import release_scratch
+
+    # start from a clean cache: a previously-materialized shared stage
+    # prints as an adaptive cached plan (Final + Initial sections), which
+    # double-counts the FileScan inside every InMemoryRelation repr and
+    # breaks the string-count invariant below
+    release_scratch()
+    spark.catalog.clearCache()
     df = QUERIES["doc_near_dup_pairs"](spark, sf_dir)
     plan = df._jdf.queryExecution().executedPlan().toString()
     # staged shingles + staged band keys serve every consumer
@@ -92,8 +109,14 @@ def test_near_dup_pairs_stages_shingles_once(spark, sf_dir):
 
 def test_pii_audit_is_map_only(spark, sf_dir):
     """The corpus PII scan must stay a single map pass — any Exchange
-    means text got shuffled, which is wrong at any scale."""
-    df = QUERIES["documents_pii_audit"](spark, sf_dir)
+    means text got shuffled, which is wrong at any scale. The size-gated
+    small-table spread (pinned in test_spread_scan.py) is disabled so
+    the assertion sees the query's OWN shape."""
+    spark.conf.set("spark.umdp.spread.maxBytes", "0")
+    try:
+        df = QUERIES["documents_pii_audit"](spark, sf_dir)
+    finally:
+        spark.conf.unset("spark.umdp.spread.maxBytes")
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan
     assert "*(1) Project" in plan  # whole-stage-codegen'd single pass

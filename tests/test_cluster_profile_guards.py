@@ -16,11 +16,16 @@ import pytest
 
 from urban_mobility_data_pipeline_spark.plans.catalog import QUERIES
 
-#: the profile a 1000-executor job would actually run with
+#: the profile a 1000-executor job would actually run with. The
+#: size-gated small-table spread is disabled (maxBytes=0) because at
+#: cluster scale the corpus exceeds the gate and the spread IS a no-op —
+#: this models that; its local-mode invariants live in
+#: test_spread_scan.py.
 CLUSTER_CONF = {
     "spark.sql.shuffle.partitions": "200",
     "spark.sql.adaptive.enabled": "true",
     "spark.sql.autoBroadcastJoinThreshold": str(10 * 1024 * 1024),
+    "spark.umdp.spread.maxBytes": "0",
 }
 
 _BATCH = sorted(n for n in QUERIES if not n.startswith("streaming_"))

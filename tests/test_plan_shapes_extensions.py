@@ -51,8 +51,14 @@ def test_retrieval_eval_windows_partition_by_query(spark, sf_dir):
 
 def test_gopher_gate_is_single_scan_no_shuffle(spark, sf_dir):
     """The rule bundle is map-side only: one scan, no exchange besides
-    none at all, no Python."""
-    plan = _plan(spark, sf_dir, "documents_gopher_gate")
+    none at all, no Python. The size-gated small-table spread (its own
+    invariants live in test_spread_scan.py) is disabled here so the
+    assertion sees the query's OWN shape."""
+    spark.conf.set("spark.umdp.spread.maxBytes", "0")
+    try:
+        plan = _plan(spark, sf_dir, "documents_gopher_gate")
+    finally:
+        spark.conf.unset("spark.umdp.spread.maxBytes")
     assert "Exchange" not in plan
     assert "BatchEvalPython" not in plan
     assert plan.count("FileScan") == 1

@@ -73,7 +73,14 @@ def test_model_is_one_row_and_nonzero(spark, sf_dir):
 
 
 def test_scoring_plan_is_broadcast_and_python_free(spark, sf_dir):
-    feats = _feats(spark, sf_dir)
+    # disable the size-gated small-table spread (test_spread_scan.py
+    # owns its invariants) so the no-shuffle assertion below sees the
+    # scoring pipeline's OWN shape
+    spark.conf.set("spark.umdp.spread.maxBytes", "0")
+    try:
+        feats = _feats(spark, sf_dir)
+    finally:
+        spark.conf.unset("spark.umdp.spread.maxBytes")
     w = train_logistic(feats, _LOGREG_FEATURE_COLS)
     scored = score_logistic(feats, w, _LOGREG_FEATURE_COLS)
     plan = scored._jdf.queryExecution().executedPlan().toString()
