@@ -66,9 +66,19 @@ def configure_session(spark: SparkSession) -> SparkSession:
 
     Idempotent per session instance: ``_helpers.table`` calls this on
     every table load (hundreds of times across a catalog run), so the
-    conf round-trips are paid once and memoized on the session object.
+    conf round-trips are paid once and memoized on the session object —
+    EXCEPT the session timezone, which is re-pinned on every call. The
+    driver contract actively poisons the TZ between queries (the
+    hostile-TZ probe), and a stale non-UTC TZ silently shifts every
+    epoch/date derivation; the other defaults are performance-only, so
+    one extra set per call buys correctness for ~1 py4j round trip.
     """
+    tz_key = "spark.sql.session.timeZone"
     if getattr(spark, "_umdp_configured", False):
+        try:
+            spark.conf.set(tz_key, DEFAULT_CONF[tz_key])
+        except Exception:
+            pass
         return spark
     for key in (
         "spark.sql.session.timeZone",
