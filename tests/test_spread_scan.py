@@ -1,12 +1,16 @@
 """The size-gated compute-spread on dense-table scans (r13).
 
 Testdata tables arrive as ONE parquet row group, so every scan —
-and every compute-dense tokenize/shingle/dot stage above it — runs as
-a single task regardless of core count. ``plans._helpers.table``
-hash-repartitions the two compute-dense tables (documents, embeddings)
-to ``defaultParallelism`` ONLY while the whole table is at most
-``spark.umdp.spread.maxBytes`` on disk: past the gate the file layout
-already parallelizes the scan and the rule must degrade to a no-op.
+and every compute-dense tokenize/shingle stage above it — runs as a
+single task regardless of core count. ``plans._helpers.table`` can
+hash-repartition the documents table to ``defaultParallelism``, but
+ONLY when the caller opts in (``spread=True``) AND the whole table is
+at most ``spark.umdp.spread.maxBytes`` on disk: past the gate the file
+layout already parallelizes the scan and the rule must degrade to a
+no-op. The opt-in exists because the spread is a measured net LOSS for
+explode-to-wide-key aggregations and cheap map/agg rows (see the
+decision rule on ``_helpers._SPREAD_KEYS``); only per-doc compute-dense
+consumers ask for it.
 """
 
 from __future__ import annotations
@@ -25,8 +29,15 @@ def _n_parts(df) -> int:
     return df.select(F.spark_partition_id().alias("p")).distinct().count()
 
 
-def test_tiny_documents_scan_is_spread(spark):
+def test_spread_is_opt_in(spark):
+    # default load: no spread exchange, whatever the table size
     docs = table(spark, SF, "documents")
+    plan = docs._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+
+
+def test_tiny_documents_scan_is_spread(spark):
+    docs = table(spark, SF, "documents", spread=True)
     assert _n_parts(docs) > 1
     assert "Exchange hashpartitioning(doc_id" in (
         docs._jdf.queryExecution().executedPlan().toString()
@@ -36,7 +47,7 @@ def test_tiny_documents_scan_is_spread(spark):
 def test_gate_disables_spread_for_big_tables(spark):
     spark.conf.set("spark.umdp.spread.maxBytes", "1")
     try:
-        docs = table(spark, SF, "documents")
+        docs = table(spark, SF, "documents", spread=True)
         plan = docs._jdf.queryExecution().executedPlan().toString()
         assert "Exchange" not in plan
     finally:
@@ -44,13 +55,13 @@ def test_gate_disables_spread_for_big_tables(spark):
 
 
 def test_numeric_tables_never_spread(spark):
-    li = table(spark, SF, "lineitem")
+    li = table(spark, SF, "lineitem", spread=True)
     plan = li._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan
 
 
 def test_pushdown_reaches_scan_below_spread(spark):
-    docs = table(spark, SF, "documents")
+    docs = table(spark, SF, "documents", spread=True)
     plan = (
         docs.filter(F.col("doc_id") % 10 == 0)
         .select("doc_id")
@@ -63,12 +74,8 @@ def test_pushdown_reaches_scan_below_spread(spark):
 
 
 def test_spread_identical_rows(spark):
-    spread = table(spark, SF, "documents")
-    spark.conf.set("spark.umdp.spread.maxBytes", "1")
-    try:
-        plain = table(spark, SF, "documents")
-        assert sorted(map(repr, spread.collect())) == sorted(
-            map(repr, plain.collect())
-        )
-    finally:
-        spark.conf.unset("spark.umdp.spread.maxBytes")
+    spread = table(spark, SF, "documents", spread=True)
+    plain = table(spark, SF, "documents")
+    assert sorted(map(repr, spread.collect())) == sorted(
+        map(repr, plain.collect())
+    )

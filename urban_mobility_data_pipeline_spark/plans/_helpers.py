@@ -34,17 +34,26 @@ from urban_mobility_data_pipeline_spark.sources.files import (
 #: 30-minute sessionization gap, in microseconds.
 SESSION_GAP_US = 30 * 60 * 1_000_000
 
-#: Compute-dense tables (regex tokenization / n-gram shingling cost
-#: orders of magnitude more per row than the columnar aggregates the
-#: numeric tables see) and the id to hash-spread them on. Embeddings
-#: are deliberately NOT here: the vector family is dominated by small
-#: per-cell/per-subspace AGGREGATIONS, and spreading 2k vectors over
-#: 32 partitions multiplied partial-aggregation state instead of
-#: parallelizing compute (measured: embedding_ivfpq_topk executor CPU
-#: 4.0 -> 18.0 s, tasks 21 -> 331 with embeddings spread). The one
-#: genuinely compute-dense vector stage — the adaptive quantizer's
-#: Lloyd's loop — gets its parallelism from the targeted
-#: train-sample repartition in `similarity.train_adaptive_quantizer`.
+#: Spreadable tables and the id to hash-spread them on. The spread is
+#: OPT-IN per consumer (``table(..., spread=True)``): an 87-row
+#: isolated A/B (sf0.1 local[32], best-of-2, spread on vs off via the
+#: conf knob) split the documents family cleanly in two. Pipelines
+#: whose heavy stage is per-DOC compute (regex tokenize, n-gram
+#: shingling, minhash/simhash signatures, Jaccard/edit verifies) or
+#: doc_id-keyed aggregation win 0.3-6.7 s each — the spread partitions
+#: BY doc_id, so doc-keyed work is co-partitioned for free. Pipelines
+#: whose heavy stage is an explode-to-wide-key aggregation
+#: (token/term/bigram/bucket keys: CMS sketches, postings, DSIR
+#: buckets, NB token counts) or a cheap map/agg LOSE: the exchange
+#: turns 1-task stages into 32-task waves fetching KB-sized blocks
+#: (measured: ks_test stage runTime 13.7 s vs 2.1 s CPU on a 74 KB
+#: shuffle) and multiplies partial-agg state per partition (worst:
+#: corpus_dsir_sample wall 2.9 -> 18.5 s, CPU 5.5 -> 214 s). Embeddings
+#: are NOT here at all for the same aggregation-dominated reason
+#: (r13 mid-round: ivfpq CPU 4.0 -> 18.0 s, tasks 21 -> 331); the
+#: adaptive quantizer's Lloyd's loop gets its parallelism from the
+#: targeted train-sample repartition in
+#: `similarity.train_adaptive_quantizer`.
 _SPREAD_KEYS = {"documents": "doc_id"}
 
 #: Only spread a table whose ENTIRE on-disk footprint is at most this
@@ -85,8 +94,15 @@ def _spread_small(spark: SparkSession, df: DataFrame, sf_dir: str,
     return df.repartition(par, F.col(key))
 
 
-def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+def table(
+    spark: SparkSession, sf_dir: str, name: str, *, spread: bool = False
+) -> DataFrame:
     """Load a testdata table with parity-safe session settings.
+
+    ``spread=True`` opts the load into the size-gated small-table
+    hash-spread (see ``_SPREAD_KEYS`` for the decision rule and the
+    measured evidence; ``_spread_small`` for the gate). Results are
+    identical either way — the spread only changes partitioning.
 
     For ``events``, the physical type of ``ts`` has varied across testdata
     generations (TIMESTAMP(NANOS) vs TIMESTAMP(MICROS)), so the derivation
@@ -117,9 +133,10 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
             df = load_table(spark, sf_dir, name)
             ts_type = dict(df.dtypes).get("ts")
         return df.withColumn("ts_us", events_ts_us(ts_type))
-    return _spread_small(
-        spark, load_table(spark, sf_dir, name), sf_dir, name
-    )
+    df = load_table(spark, sf_dir, name)
+    if spread:
+        df = _spread_small(spark, df, sf_dir, name)
+    return df
 
 
 def events_ts_us(ts_type: str | None) -> Column:

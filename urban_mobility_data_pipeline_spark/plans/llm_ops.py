@@ -134,7 +134,7 @@ def doc_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash signatures (K=8) over distinct 3-word shingles; the
     signature is the min md5 under K seeded 'permutations'. Map-only —
     the building block LSH dedup buckets on."""
-    docs = table(spark, sf_dir, "documents")
+    docs = table(spark, sf_dir, "documents", spread=True)
     return minhash_signatures(docs)
 
 
@@ -159,7 +159,7 @@ _BAND_SELECTS = "\n    UNION ALL\n".join(
 def doc_lsh_band_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LSH banding: 4 bands × 2 rows. Docs sharing a (band_id, band_key)
     are near-dup candidates; the key is what gets shuffled, not text."""
-    docs = table(spark, sf_dir, "documents")
+    docs = table(spark, sf_dir, "documents", spread=True)
     return lsh_band_keys(minhash_signatures(docs))
 
 
@@ -199,7 +199,7 @@ def doc_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash-LSH candidate generation + exact n-gram-Jaccard
     verification (threshold 0.1). The full fuzzy-dedup pipeline:
     signatures → band buckets → candidate self-join → verify join."""
-    docs = table(spark, sf_dir, "documents")
+    docs = table(spark, sf_dir, "documents", spread=True)
     return near_dup_pairs(docs, threshold=0.1)
 
 
@@ -276,7 +276,7 @@ def doc_near_dup_pairs_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
     Cap 2 here forces the refinement path at test scale; production
     would run 3-4 orders higher. The oracle replays sizing, refinement,
     truncation, the candidate join, and the Jaccard verify."""
-    docs = table(spark, sf_dir, "documents")
+    docs = table(spark, sf_dir, "documents", spread=True)
     return near_dup_pairs(docs, threshold=0.1, bucket_cap=_MINHASH_CAP)
 
 
@@ -338,7 +338,7 @@ def doc_lsh_bucket_overflow(spark: SparkSession, sf_dir: str) -> DataFrame:
         minhash_signatures,
     )
 
-    docs = table(spark, sf_dir, "documents")
+    docs = table(spark, sf_dir, "documents", spread=True)
     keys = lsh_band_keys(
         minhash_signatures(docs), "doc_id", with_refine=True
     )
@@ -409,7 +409,7 @@ def doc_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     shingle) pairs shuffle; text stays map-side. At 100 TB the
     rare-shingle index is the same artifact the contamination checks
     maintain."""
-    docs = table(spark, sf_dir, "documents")
+    docs = table(spark, sf_dir, "documents", spread=True)
     from urban_mobility_data_pipeline_spark.extensions.dedup import (
         shingles_df,
     )
@@ -568,7 +568,7 @@ def doc_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """32-bit SimHash fingerprints — near-dups differ in few bits, so
     grouping by fingerprint (or banding its bytes) dedups in one
     map + one shuffle."""
-    docs = table(spark, sf_dir, "documents")
+    docs = table(spark, sf_dir, "documents", spread=True)
     return simhash_signatures(docs)
 
 
@@ -717,7 +717,7 @@ def doc_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
 def doc_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Classic pre-training quality-filter features: length, word stats,
     punctuation density, stopword density. Map-only, codegen'd."""
-    docs = table(spark, sf_dir, "documents")
+    docs = table(spark, sf_dir, "documents", spread=True)
     staged = docs.select(
         "doc_id", F.col("text"), T.words("text").alias("__words")
     )
@@ -866,7 +866,7 @@ def doc_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         connected_components,
     )
 
-    docs = table(spark, sf_dir, "documents")
+    docs = table(spark, sf_dir, "documents", spread=True)
     pairs = near_dup_pairs(docs, threshold=0.1)
     # "auto" bounds rounds at O(log n) even on adversarially deep dup
     # graphs; with default stats=None an unconverged result raises
@@ -1932,7 +1932,7 @@ def doc_simhash_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         simhash_near_dup_pairs,
     )
 
-    docs = table(spark, sf_dir, "documents")
+    docs = table(spark, sf_dir, "documents", spread=True)
     return simhash_near_dup_pairs(docs, max_hamming=3)
 
 
@@ -2219,7 +2219,7 @@ def documents_train_eval_contamination(
         train_test_split,
     )
 
-    docs = table(spark, sf_dir, "documents")
+    docs = table(spark, sf_dir, "documents", spread=True)
     tagged = train_test_split(docs, key="doc_id", test_pct=20)
     train = tagged.filter(F.col("split") == "train").select("doc_id", "text")
     eval_ = tagged.filter(F.col("split") == "test").select("doc_id", "text")
@@ -2325,7 +2325,7 @@ def documents_train_eval_contamination_capped(
         shingles_df,
     )
 
-    docs = table(spark, sf_dir, "documents")
+    docs = table(spark, sf_dir, "documents", spread=True)
     tagged = train_test_split(docs, key="doc_id", test_pct=20)
     train = tagged.filter(F.col("split") == "train").select("doc_id", "text")
     eval_ = tagged.filter(F.col("split") == "test").select("doc_id", "text")
@@ -2464,7 +2464,7 @@ def doc_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     more at 100 TB, where that shape shuffled a token-count pair per
     distinct (doc, word). Round 8: this closed the only r7 bench
     regression (1.07s → ~0.5s)."""
-    docs = table(spark, sf_dir, "documents")
+    docs = table(spark, sf_dir, "documents", spread=True)
     staged = docs.select("doc_id", T.words("text").alias("__words"))
     rep = T.repetition_features(F.col("__words"))
     run = lambda acc, x: F.when(  # noqa: E731 — fold step, used twice
@@ -2646,7 +2646,7 @@ def documents_pii_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         redact_pii,
     )
 
-    docs = table(spark, sf_dir, "documents")
+    docs = table(spark, sf_dir, "documents", spread=True)
     counts = pii_counts("text")
     total = None
     for kind, _, _ in PII_PATTERNS:
@@ -2751,7 +2751,7 @@ def corpus_vocabulary(spark: SparkSession, sf_dir: str) -> DataFrame:
     agg keyed (doc_id, token) then token: each partition's repeats
     collapse map-side, so the shuffle carries (token, partial counts),
     never positions or text."""
-    docs = table(spark, sf_dir, "documents")
+    docs = table(spark, sf_dir, "documents", spread=True)
     tf = (
         docs.select("doc_id", F.explode(T.words("text")).alias("token"))
         .groupBy("doc_id", "token")
@@ -3500,7 +3500,7 @@ def documents_fuzzy_dedup_keep_best(
         connected_components,
     )
 
-    docs = table(spark, sf_dir, "documents")
+    docs = table(spark, sf_dir, "documents", spread=True)
     pairs = near_dup_pairs(docs, threshold=0.1)
     labels = connected_components(pairs, docs, algorithm="auto")
     quality = docs.select(
@@ -3670,7 +3670,7 @@ def documents_ngram_contamination(spark: SparkSession, sf_dir: str) -> DataFrame
 
     from urban_mobility_data_pipeline_spark.cache import scratch_persist
 
-    docs = table(spark, sf_dir, "documents")
+    docs = table(spark, sf_dir, "documents", spread=True)
     tagged = train_test_split(docs, key="doc_id", test_pct=20)
     # the hashed gram table is read twice (train-side distinct, eval
     # probe) — stage it so tokenize+explode runs once
@@ -3858,7 +3858,7 @@ def corpus_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     extensions/bpe.py for the 100 TB shape)."""
     from urban_mobility_data_pipeline_spark.extensions.bpe import learn_bpe
 
-    docs = table(spark, sf_dir, "documents")
+    docs = table(spark, sf_dir, "documents", spread=True)
     merges = learn_bpe(docs, n_merges=BPE_MERGES)
     return spark.createDataFrame(
         [
@@ -3884,7 +3884,7 @@ def documents_bpe_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         learn_bpe,
     )
 
-    docs = table(spark, sf_dir, "documents")
+    docs = table(spark, sf_dir, "documents", spread=True)
     merges = learn_bpe(docs, n_merges=BPE_MERGES)
     return apply_bpe(docs, merges)
 
@@ -3971,7 +3971,7 @@ def corpus_bigram_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     TakeOrderedAndProject with a deterministic bigram tiebreaker — each
     partition forwards at most {k} rows, so the driver never sees the
     full vocabulary."""
-    docs = table(spark, sf_dir, "documents")
+    docs = table(spark, sf_dir, "documents", spread=True)
     toks = T.words("text")
     # adjacent pairs via arrays_zip of the two offset slices — NOT
     # positional element_at over an index sequence: element_at on this
@@ -4281,7 +4281,7 @@ def doc_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     forwards at most {k} rows. The rank orders by the ROUNDED score
     with a doc_id tiebreak so the ordering is reproducible across
     engines (1-ulp ``ln`` differences can't flip it)."""
-    docs = table(spark, sf_dir, "documents")
+    docs = table(spark, sf_dir, "documents", spread=True)
     terms = F.array(*[F.lit(t) for t in BM25_QUERY_TERMS])
 
     toks = docs.select(
@@ -4371,7 +4371,7 @@ def doc_bm25_topk_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     from urban_mobility_data_pipeline_spark.operators.merge import MergeTable
 
-    docs = table(spark, sf_dir, "documents")
+    docs = table(spark, sf_dir, "documents", spread=True)
     root = scratch_dir("umdp_bm25_idx_")
     postings = MergeTable(
         spark, root + "/postings", bucket_keys=["token"], num_buckets=8
@@ -4667,7 +4667,7 @@ def doc_duplicated_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     exchanges move fixed-width longs. (The oracle counts distinct
     n-gram STRINGS — identical counts unless xxhash64 collides, ~1e-8
     at a billion distinct grams.)"""
-    docs = table(spark, sf_dir, "documents")
+    docs = table(spark, sf_dir, "documents", spread=True)
     toks = T.words("text")
     n = DUP_NGRAM_N
     grams = F.when(
@@ -4782,7 +4782,7 @@ def documents_dedup_ngram_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     higher-order-function pass over the token array (filter by
     position), so document text is never shuffled — a 100 TB corpus
     moves only its duplicated spans' coordinates."""
-    docs = table(spark, sf_dir, "documents")
+    docs = table(spark, sf_dir, "documents", spread=True)
     toks = T.words("text")
     n = DUP_NGRAM_N
     grams = F.when(
@@ -5158,7 +5158,7 @@ def doc_bigram_cross_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     hash to 64-bit at web scale exactly like doc_duplicated_ngrams.
     All counts are exact integers, so the probability expression is
     the identical IEEE arithmetic in both engines."""
-    docs = table(spark, sf_dir, "documents")
+    docs = table(spark, sf_dir, "documents", spread=True)
     toks_col = T.words("text")
     toks = docs.select("doc_id", F.explode(toks_col).alias("w"))
     uni = toks.groupBy("w").agg(
@@ -5707,7 +5707,7 @@ def corpus_unimax_mixing(spark: SparkSession, sf_dir: str) -> DataFrame:
     capped prefix is identical in every IEEE-754 engine."""
     from urban_mobility_data_pipeline_spark.cache import scratch_persist
 
-    docs = table(spark, sf_dir, "documents")
+    docs = table(spark, sf_dir, "documents", spread=True)
     # the waterfilling DAG references the per-source frame from four
     # branches (ranked rows, the capped-prefix scalar, the capped-sum
     # scalar, the output); stage it once so the corpus token count
@@ -5874,7 +5874,7 @@ def doc_retrieval_eval_mrr(spark: SparkSession, sf_dir: str) -> DataFrame:
     ranking window shuffles on query_id, bounded by the surviving
     candidates. Ordering uses the ROUNDED score with doc_id tiebreak,
     so ranks are engine-exact."""
-    docs = table(spark, sf_dir, "documents")
+    docs = table(spark, sf_dir, "documents", spread=True)
     t = docs.select("doc_id", T.words("text").alias("toks"))
     q = t.where(F.col("doc_id") % RETR_EVAL_STRIDE == 0).select(
         F.col("doc_id").alias("query_id"),
@@ -6066,7 +6066,7 @@ def corpus_vocab_coverage_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     only division is rounded."""
     from urban_mobility_data_pipeline_spark.cache import scratch_persist
 
-    docs = table(spark, sf_dir, "documents")
+    docs = table(spark, sf_dir, "documents", spread=True)
     # staged: the rank branch and the totals branch both read the vocab
     # counts — one exploded-token scan, not two
     counts = scratch_persist(
@@ -6474,7 +6474,7 @@ def documents_gopher_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Entirely map-side array expressions — no explode, no shuffle, no
     UDF; the whole gate rides one corpus scan at any size."""
-    docs = table(spark, sf_dir, "documents")
+    docs = table(spark, sf_dir, "documents", spread=True)
     staged = docs.select(
         "doc_id", "text", T.words("text").alias("__w")
     )
@@ -6748,7 +6748,7 @@ def documents_quality_classifier_scores(
         score_logistic,
     )
 
-    docs = table(spark, sf_dir, "documents")
+    docs = table(spark, sf_dir, "documents", spread=True)
     feats = _logreg_feature_frame(docs)
     w, _ = _quality_weights(
         spark, sf_dir, "documents_quality_classifier_scores"
@@ -6792,7 +6792,7 @@ def documents_quality_classifier_eval(
         score_logistic,
     )
 
-    docs = table(spark, sf_dir, "documents")
+    docs = table(spark, sf_dir, "documents", spread=True)
     feats = _logreg_feature_frame(docs)
     w, _ = _quality_weights(spark, sf_dir, "documents_quality_classifier_eval")
     scored = score_logistic(feats, w, _LOGREG_FEATURE_COLS)
@@ -6850,7 +6850,7 @@ def documents_quality_classifier_calibration(
         score_logistic,
     )
 
-    docs = table(spark, sf_dir, "documents")
+    docs = table(spark, sf_dir, "documents", spread=True)
     feats = _logreg_feature_frame(docs)
     w, _ = _quality_weights(spark, sf_dir, "documents_quality_classifier_calibration")
     scored = score_logistic(feats, w, _LOGREG_FEATURE_COLS)
@@ -6926,7 +6926,7 @@ def documents_quality_weighted_sample(
         score_logistic,
     )
 
-    docs = table(spark, sf_dir, "documents")
+    docs = table(spark, sf_dir, "documents", spread=True)
     feats = _logreg_feature_frame(docs)
     w, _ = _quality_weights(spark, sf_dir, "documents_quality_weighted_sample")
     scored = score_logistic(feats, w, _LOGREG_FEATURE_COLS)
@@ -7211,7 +7211,7 @@ def documents_ingest_dedup_guarded(
         VersionCursor,
     )
 
-    docs = table(spark, sf_dir, "documents")
+    docs = table(spark, sf_dir, "documents", spread=True)
     batch = docs.filter(F.col("doc_id") % 10 == 0).select(
         "doc_id", "text"
     )
@@ -7386,7 +7386,7 @@ def corpus_training_manifest_v2(
         connected_components,
     )
 
-    docs = table(spark, sf_dir, "documents")
+    docs = table(spark, sf_dir, "documents", spread=True)
     # tier 1: heuristic gates (the v1 expressions, unchanged)
     staged = docs.select(
         "doc_id", "text", T.words("text").alias("__words")
@@ -7668,7 +7668,7 @@ def documents_intradoc_dedup_scrub(
     (fine at prose lengths; a pathological megabyte-of-loops doc is
     exactly what the scrub deletes fastest), and rows stream through
     the scan independently at any corpus size."""
-    docs = table(spark, sf_dir, "documents")
+    docs = table(spark, sf_dir, "documents", spread=True)
     t = docs.select("doc_id", T.words("text").alias("toks"))
     tris = F.when(
         F.size("toks") >= 3,
@@ -8052,7 +8052,7 @@ def documents_fold_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
     pair set (no extra join, no second corpus scan); the heavy lifting
     is the already-bucketed MinHash-LSH pair pipeline. Oracle replays
     pairs and fold hashing end-to-end."""
-    docs = table(spark, sf_dir, "documents")
+    docs = table(spark, sf_dir, "documents", spread=True)
     pairs = near_dup_pairs(docs, threshold=0.1)
     labeled = pairs.select(
         "doc_a",
@@ -8223,7 +8223,7 @@ def doc_edit_similarity_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     LSH-bounded (O(sum bucket^2), never all-pairs), so the cost model
     at 100 TB is pairs x a constant, not pairs x document-length^2.
     greatest(..., 1) guards ANSI division on empty texts."""
-    docs = table(spark, sf_dir, "documents")
+    docs = table(spark, sf_dir, "documents", spread=True)
     keys = lsh_band_keys(minhash_signatures(docs))
     cands = (
         keys.alias("a")
@@ -8333,7 +8333,7 @@ def doc_edit_similarity_pairs_capped(
         lsh_candidate_pairs,
     )
 
-    docs = table(spark, sf_dir, "documents")
+    docs = table(spark, sf_dir, "documents", spread=True)
     cands = lsh_candidate_pairs(docs, bucket_cap=_MINHASH_CAP)
     texts = docs.select(
         "doc_id",
