@@ -569,6 +569,25 @@ NOTES = (
     " a post-A/B re-run; r13 baselines will also carry"
     " calibration_par_sec so the new normalized_par mode can"
     " arbitrate instead of min-mode."
+    " --- r13 cross-run weather spread, for anyone comparing r13"
+    " normalized medians to r12: two full runs of near-identical HEAD"
+    " code on the same recovered host within hours read median"
+    " normalized 0.864 (cal 0.653, total 261.8s, regressions empty)"
+    " and ~1.0 (cal 0.543 - the single-core probe sped up 17% more"
+    " than the 32-way workloads did, the documented inverse-drift"
+    " shape; regressions empty both runs). The r13 optimization story"
+    " is grounded in isolated alternated A/Bs vs checked-out r12 code"
+    " (OPTIMIZATION_r13.md), not in cross-round normalized medians."
+    " The r13 first full run also flagged 9 text-family rows >=2x"
+    " normalized; all were adjudicated same-host: 8 were the blanket"
+    " table-spread taxing aggregation-dominated rows (fixed by making"
+    " the spread opt-in per consumer) and corpus_training_manifest_v2"
+    " was min-pass accounting (r12's recorded min excluded the"
+    " train-once phase; isolated A/B: r12 and HEAD identical, train"
+    " 17.5 vs 17.4s, warm 10.6 vs 10.5s). doc_bm25_topk_indexed's"
+    " residual 1.59x was REAL - the r13 single-pass build staging"
+    " cached token ARRAYS (22s-runtime stage for 3s CPU); reverted,"
+    " and the row returned to sub-r12 wall (3.2s vs 4.34s)."
 )
 
 #: The driver records only the LAST 2000 chars of stdout; stay inside

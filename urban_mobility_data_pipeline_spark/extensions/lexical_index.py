@@ -113,13 +113,17 @@ def build_bm25_index(
     """Materialize the inverted index: postings (+ blooms on token for
     probe skipping and on id for erasure) and the one-row stats.
 
-    The corpus is tokenized ONCE (staged :func:`_tokenized` frame
-    feeding both the postings write and the stats rollup) — the
-    docstring's long-standing claim, now true: previously each
-    consumer re-ran the regex tokenizer over the full slice."""
-    from urban_mobility_data_pipeline_spark.cache import scratch_persist
-
-    toks = scratch_persist(_tokenized(docs, id_col, text_col))
+    The two consumers share the lazy :func:`_tokenized` plan but the
+    tokenizer is deliberately NOT persisted here: an r13 isolated A/B
+    (sf0.1 local[32], alternated passes vs r12 code) measured the
+    staged build ~2x SLOWER — materializing the token-array cache cost
+    a 22s-runtime stage for 3s of CPU (MEMORY_AND_DISK serialization of
+    arrays) to save one tokenizer pass that runs in <1s, and every
+    downstream stage then read 32 cached partitions instead of the
+    scan's natural handful. Two cheap passes beat one expensive stage.
+    The incremental refresh path DOES stage its (small) adds feed,
+    where the re-pass it saves is over freshly-shuffled change rows."""
+    toks = _tokenized(docs, id_col, text_col)
     rows = bm25_postings(docs, id_col, text_col, tokenized=toks)
     if postings.exists():
         postings.replace(rows)

@@ -2751,7 +2751,7 @@ def corpus_vocabulary(spark: SparkSession, sf_dir: str) -> DataFrame:
     agg keyed (doc_id, token) then token: each partition's repeats
     collapse map-side, so the shuffle carries (token, partial counts),
     never positions or text."""
-    docs = table(spark, sf_dir, "documents", spread=True)
+    docs = table(spark, sf_dir, "documents")
     tf = (
         docs.select("doc_id", F.explode(T.words("text")).alias("token"))
         .groupBy("doc_id", "token")
@@ -3858,7 +3858,7 @@ def corpus_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     extensions/bpe.py for the 100 TB shape)."""
     from urban_mobility_data_pipeline_spark.extensions.bpe import learn_bpe
 
-    docs = table(spark, sf_dir, "documents", spread=True)
+    docs = table(spark, sf_dir, "documents")
     merges = learn_bpe(docs, n_merges=BPE_MERGES)
     return spark.createDataFrame(
         [
@@ -4371,7 +4371,7 @@ def doc_bm25_topk_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     from urban_mobility_data_pipeline_spark.operators.merge import MergeTable
 
-    docs = table(spark, sf_dir, "documents", spread=True)
+    docs = table(spark, sf_dir, "documents")
     root = scratch_dir("umdp_bm25_idx_")
     postings = MergeTable(
         spark, root + "/postings", bucket_keys=["token"], num_buckets=8
