@@ -40,12 +40,17 @@ def test_entry_smoke_under_hostile_tz(spark):
 
 @pytest.mark.parametrize("name", _SLOTS)
 def test_driver_slot_under_hostile_tz(name, spark, sf_dir, duck):
-    # poison the session TZ before every call — the query must re-pin
-    # UTC itself (configure_session) for timestamp columns to hash
-    # identically to the oracle
+    # poison EVERY semantics-bearing conf before every call — the
+    # query must re-pin them itself (configure_session._SEMANTIC_KEYS)
+    # for timestamp columns to hash identically to the oracle and for
+    # mid-query MergeTable writes to keep stats-bearing TIMESTAMP_MICROS
     spark.conf.set("spark.sql.session.timeZone", HOSTILE_TZ)
+    spark.conf.set("spark.sql.parquet.outputTimestampType", "INT96")
     try:
         df = entry.queries()[name](spark, sf_dir)
         compare(df, duck, entry.oracle_sql()[name], name)
     finally:
         spark.conf.set("spark.sql.session.timeZone", "UTC")
+        spark.conf.set(
+            "spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS"
+        )

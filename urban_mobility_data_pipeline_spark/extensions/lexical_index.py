@@ -49,9 +49,11 @@ def _tokenized(
 ) -> DataFrame:
     """(id, toks) for a document slice — the single tokenizer pass
     both the postings and the stats derive from. Stage this
-    (``scratch_persist``) when BOTH consumers run, so the regex
-    tokenizer — the build's dominant CPU — runs once per slice
-    instead of once per consumer."""
+    (``scratch_persist``) only for SMALL change-feed slices (the
+    refresh path); for full-corpus builds :func:`build_bm25_index`
+    deliberately shares the lazy plan WITHOUT persisting — an r13
+    isolated A/B measured the staged full build ~2x slower (caching
+    token arrays cost a 22s stage to save a <1s tokenizer pass)."""
     return docs.select(F.col(id_col), T.words(text_col).alias("toks"))
 
 
@@ -122,7 +124,15 @@ def build_bm25_index(
     downstream stage then read 32 cached partitions instead of the
     scan's natural handful. Two cheap passes beat one expensive stage.
     The incremental refresh path DOES stage its (small) adds feed,
-    where the re-pass it saves is over freshly-shuffled change rows."""
+    where the re-pass it saves is over freshly-shuffled change rows.
+
+    Snapshot assumption: without the persist, the postings write and
+    the stats rollup are two separate actions over the unpinned
+    ``docs`` plan — consistent under this repo's single-writer
+    harness. If concurrent corpus writers ever become possible, pin a
+    snapshot version in the rebuild branch of ``refresh_bm25_index``
+    (read a fixed MergeTable version for both actions) before relying
+    on (n_docs, total_dl) matching the written postings."""
     toks = _tokenized(docs, id_col, text_col)
     rows = bm25_postings(docs, id_col, text_col, tokenized=toks)
     if postings.exists():

@@ -73,9 +73,44 @@ def register(name: str, oracle: str | None = None):
     return deco
 
 
-def _drain_to_memory(out: DataFrame, prefix: str, mode: str):
+def _source_bytes(spark: SparkSession, sf_dir: str, name: str) -> int:
+    """On-disk bytes of a drain's source table (cached metadata) — the
+    size hint :func:`_drain_to_memory` derives its state-partition
+    count from."""
+    from urban_mobility_data_pipeline_spark.sources.files import table_bytes
+
+    path, _ = resolve_table_path(spark, sf_dir, name)
+    return table_bytes(spark, path)
+
+
+#: Target input bytes per state partition for bounded drains
+#: (conf ``spark.umdp.stream.drainTargetBytes`` overrides). 64 MB per
+#: partition keeps per-partition state commensurate with a healthy
+#: shuffle-partition size; the session's own shuffle-partition count is
+#: the CEILING, so a cluster that sets shuffle.partitions high for a
+#: 100 TB source keeps its parallelism — only inputs small enough to
+#: need fewer partitions get fewer.
+_DRAIN_TARGET_BYTES = 64 * 1024 * 1024
+
+
+def _drain_to_memory(
+    out: DataFrame, prefix: str, mode: str, input_bytes: int | None = None
+):
     """Run ``out`` to a uniquely named memory sink with
     ``Trigger.AvailableNow`` and return the drained table.
+
+    When ``input_bytes`` is given, the drain's shuffle-partition count
+    (which fixes the state-store partition count for the query's whole
+    lifetime — AQE does not apply to streaming) is sized from the
+    input volume: ``ceil(bytes / drainTargetBytes)`` clamped to
+    ``[1, session shuffle partitions]``, set before ``start()`` and
+    restored after. Rationale (r13 scaling run): at sf0.1 the 8-core
+    bench ran the stateful family FASTER than 32 cores
+    (purchase_attribution ratio 0.51) — every micro-batch inits and
+    commits one state store per partition per stateful operator
+    (x4 stores for a stream-stream join), so partitions beyond the
+    data volume are pure overhead. The rule is scale-adaptive, not a
+    local tune: a 100 TB source rides the session ceiling unchanged.
 
     No-data micro-batches are disabled for the drain
     (``spark.sql.streaming.noDataMicroBatches.enabled=false``,
@@ -93,13 +128,43 @@ def _drain_to_memory(out: DataFrame, prefix: str, mode: str):
     production stream keeps the default: continuous state cleanup and
     append-mode window emission NEED no-data batches; a bounded
     availableNow drain whose sink rows are all data-batch-emitted
-    does not."""
+    does not.
+
+    Which rows pass ``input_bytes`` (r14 isolated alternated A/B, 2x3
+    warm trials per arm, sf0.1 local[32]): the stream-stream join
+    (purchase_attribution 3.4-4.2 -> 1.6-1.8 s; 4 state stores per
+    partition) and the tumbling-window agg (hourly 1.3-1.6 -> 0.8-1.0 s)
+    — rows whose cost IS the per-partition state-commit floor. Rows
+    whose state work is compute-dense per key keep the session
+    parallelism instead: applyInPandasWithState (running_profiles
+    1.8 -> 4.0 s at 1 partition — per-user Python compute needs the
+    fan-out), session-window merge (user_session_windows 1.3-1.6 ->
+    1.6-2.0 s), and dropDuplicatesWithinWatermark (no win measured).
+    Stateless append gates pass the hint harmlessly (no state store,
+    no shuffle)."""
     spark = out.sparkSession
     key = "spark.sql.streaming.noDataMicroBatches.enabled"
+    parts_key = "spark.sql.shuffle.partitions"
     try:
         prev = spark.conf.get(key)
     except Exception:
         prev = "true"
+    prev_parts: str | None = None
+    if input_bytes is not None:
+        try:
+            target = int(
+                spark.conf.get(
+                    "spark.umdp.stream.drainTargetBytes",
+                    str(_DRAIN_TARGET_BYTES),
+                )
+            )
+            cur = int(spark.conf.get(parts_key))
+            want = max(1, min(cur, -(-int(input_bytes) // max(target, 1))))
+            if want < cur:
+                prev_parts = str(cur)
+                spark.conf.set(parts_key, str(want))
+        except Exception:
+            prev_parts = None  # unparseable conf: keep session value
     sink_name = f"{prefix}_{uuid.uuid4().hex[:8]}"
     spark.conf.set(key, "false")
     try:
@@ -114,6 +179,8 @@ def _drain_to_memory(out: DataFrame, prefix: str, mode: str):
         query.awaitTermination()
     finally:
         spark.conf.set(key, prev)
+        if prev_parts is not None:
+            spark.conf.set(parts_key, prev_parts)
     return spark.table(sink_name)
 
 
@@ -148,7 +215,8 @@ def streaming_hourly_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame
         },
         watermark="30 minutes",
     )
-    return _drain_to_memory(agg, "stream_hourly", "complete").select(
+    return _drain_to_memory(agg, "stream_hourly", "complete",
+                            input_bytes=_source_bytes(spark, sf_dir, "events")).select(
         date_str(F.col("window.start"), "yyyy-MM-dd HH:mm:ss").alias(
             "window_start"
         ),
@@ -282,7 +350,8 @@ def streaming_corpus_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame
         F.round("stopword_ratio", 6).alias("stopword_ratio"),
         F.md5(redact_pii("text")).alias("redacted_hash"),
     )
-    return _drain_to_memory(out, "stream_gate", "append")
+    return _drain_to_memory(out, "stream_gate", "append",
+                            input_bytes=_source_bytes(spark, sf_dir, "documents"))
 
 
 @register(
@@ -396,7 +465,8 @@ def streaming_purchase_attribution(
         left_watermark="1 hour",
         right_watermark="1 hour",
     )
-    return _drain_to_memory(joined, "stream_attrib", "append").select(
+    return _drain_to_memory(joined, "stream_attrib", "append",
+                            input_bytes=_source_bytes(spark, sf_dir, "events")).select(
         "signup_id",
         "user_id",
         F.unix_micros(F.col("signup_ts")).alias("signup_us"),
@@ -516,7 +586,8 @@ def streaming_dsir_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size("__fb").cast("long").alias("n_feats"),
         logw.alias("log_weight"),
     ).filter(F.col("log_weight") > STREAM_DSIR_MIN_LOGW)
-    return _drain_to_memory(out, "stream_dsir", "append")
+    return _drain_to_memory(out, "stream_dsir", "append",
+                            input_bytes=_source_bytes(spark, sf_dir, "documents"))
 
 
 # ---------------------------------------------------------------------------
@@ -588,7 +659,8 @@ def streaming_quality_classifier_gate(
     out = feats.select(
         "doc_id", "source", prob.alias("quality_prob")
     ).filter(F.col("quality_prob") >= F.lit(STREAM_QC_MIN_PROB))
-    return _drain_to_memory(out, "stream_qcgate", "append")
+    return _drain_to_memory(out, "stream_qcgate", "append",
+                            input_bytes=_source_bytes(spark, sf_dir, "documents"))
 
 
 # ---------------------------------------------------------------------------

@@ -57,6 +57,39 @@ DEFAULT_CONF: dict[str, str] = {
 }
 
 
+#: Confs that change RESULTS, not just speed. Re-pinned on EVERY
+#: :func:`configure_session` call (the memoized fast path included):
+#: the driver contract actively poisons the session between queries
+#: (the hostile-TZ probe), and a stale value silently shifts every
+#: epoch/date derivation (timeZone) or strips min/max stats from
+#: every timestamp a mid-query MergeTable write produces
+#: (outputTimestampType → INT96 kills the zone-map/retention reads).
+#: The perf-only flags (AQE, cached-plan partitioning, excluded
+#: rules) stay memoized — a poisoned perf flag costs speed, not
+#: correctness.
+_SEMANTIC_KEYS = (
+    "spark.sql.session.timeZone",
+    "spark.sql.parquet.outputTimestampType",
+)
+
+
+def _pin_semantics(spark: SparkSession) -> None:
+    """Re-apply the semantics-bearing confs, loudly.
+
+    Unlike the perf flags, a failed set here may NOT be swallowed
+    (ADVICE r13): a session silently keeping a poisoned timezone
+    drifts every derived epoch with zero signal. A build where the
+    key is immutable is tolerated only when the immutable value
+    already equals the default — otherwise raise."""
+    for key in _SEMANTIC_KEYS:
+        want = DEFAULT_CONF[key]
+        try:
+            spark.conf.set(key, want)
+        except Exception:
+            if spark.conf.get(key, None) != want:
+                raise
+
+
 def configure_session(spark: SparkSession) -> SparkSession:
     """Apply runtime-settable defaults to an existing session.
 
@@ -66,33 +99,28 @@ def configure_session(spark: SparkSession) -> SparkSession:
 
     Idempotent per session instance: ``_helpers.table`` calls this on
     every table load (hundreds of times across a catalog run), so the
-    conf round-trips are paid once and memoized on the session object —
-    EXCEPT the session timezone, which is re-pinned on every call. The
-    driver contract actively poisons the TZ between queries (the
-    hostile-TZ probe), and a stale non-UTC TZ silently shifts every
-    epoch/date derivation; the other defaults are performance-only, so
-    one extra set per call buys correctness for ~1 py4j round trip.
+    perf-flag round-trips are paid once and memoized on the session
+    object — while every SEMANTICS-bearing conf (:data:`_SEMANTIC_KEYS`)
+    is re-pinned on every call, because the driver contract actively
+    poisons the session between queries and a stale semantic conf
+    silently changes results; ~1 py4j round trip per key buys that
+    correctness back.
     """
-    tz_key = "spark.sql.session.timeZone"
     if getattr(spark, "_umdp_configured", False):
-        try:
-            spark.conf.set(tz_key, DEFAULT_CONF[tz_key])
-        except Exception:
-            pass
+        _pin_semantics(spark)
         return spark
     for key in (
-        "spark.sql.session.timeZone",
         "spark.sql.adaptive.enabled",
         "spark.sql.adaptive.coalescePartitions.enabled",
         "spark.sql.adaptive.skewJoin.enabled",
         "spark.sql.optimizer.canChangeCachedPlanOutputPartitioning",
         "spark.sql.optimizer.excludedRules",
-        "spark.sql.parquet.outputTimestampType",
     ):
         try:
             spark.conf.set(key, DEFAULT_CONF[key])
         except Exception:
-            pass  # immutable on some builds — harmless
+            pass  # immutable on some builds — a perf flag, harmless
+    _pin_semantics(spark)
     try:
         spark._umdp_configured = True
     except Exception:
